@@ -1,0 +1,546 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.WeatherFunctions
+import graft.operators.Dedup
+
+/** The oracle-checked query surface: every operator from SURVEY.md §2
+  * exposed as a named query over the driver's parquet tables, with
+  * DuckDB-equivalent ANSI SQL.
+  *
+  * Determinism rules that make hash-compares against DuckDB possible:
+  *  - every query has a total ORDER BY on a unique key, mirrored in SQL;
+  *  - double SUMs go through `CAST(expr AS DECIMAL(18,2))` per row first —
+  *    exact, order-independent summation on both engines (a raw double sum
+  *    differs in the last ulp depending on partitioning);
+  *  - averages are `CAST(decimal_sum AS DOUBLE) / COUNT(*)` so both engines
+  *    divide identical operands;
+  *  - raw nanosecond timestamps (`events.ts`) never appear in outputs —
+  *    Spark truncates parquet ns to µs, DuckDB keeps ns wall-time digits,
+  *    so only derived date parts / ordering may use them;
+  *  - Spark-side integer date parts are cast to LONG to match DuckDB's
+  *    BIGINT EXTRACT results.
+  */
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is nanosecond-precision parquet, which Spark's vectorized
+    * reader rejects (PARQUET_TYPE_ILLEGAL). Read it as a raw long
+    * (`nanosAsLong`), keep the exact value as `ts_ns` for ordering and
+    * keys (bit-identical to DuckDB's TIMESTAMP_NS comparisons), and derive
+    * a µs `ts` timestamp — integer `div`, not `/`, because epoch-nanos
+    * exceed a double's exact-integer range — for date-part extraction.
+    */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts_ns", col("ts"))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Exact per-row decimal image of a STORED 2-dp double column. Safe only
+    * for values already on the 2-dp grid (both engines recover the exact
+    * cents); for computed products use [[cents]] instead — Spark's
+    * double→decimal cast (HALF_UP on the exact binary expansion) and
+    * DuckDB's (scaled-round) disagree on arbitrary doubles.
+    */
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Deterministic money quantization for COMPUTED double expressions:
+    * `FLOOR(x*100 + 0.5)` is pure double arithmetic, bit-identical on both
+    * engines; summing the resulting longs is exact and order-independent.
+    * SQL mirror: `CAST(FLOOR(expr * 100 + 0.5) AS BIGINT)`.
+    */
+  private def cents(c: Column): Column = floor(c * 100 + lit(0.5)).cast("long")
+
+  // ---------------------------------------------------------------------
+  // Aggregations (A1-A3) + flagship pricing summary
+  // ---------------------------------------------------------------------
+
+  /** Flagship: TPC-H Q1-style pricing summary — groupBy + 4 exact decimal
+    * sums + derived averages + count. One hash-aggregate with map-side
+    * partials; scales as a single shuffle on (returnflag, linestatus).
+    */
+  def q01PricingSummary(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val qty = dec(col("l_quantity"))
+    val base = dec(col("l_extendedprice"))
+    val disc = cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+    val charge = cents(col("l_extendedprice") * (lit(1) - col("l_discount"))
+      * (lit(1) + col("l_tax")))
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(qty).as("sum_qty"),
+        sum(base).as("sum_base_price"),
+        (sum(disc).cast("double") / 100).as("sum_disc_price"),
+        (sum(charge).cast("double") / 100).as("sum_charge"),
+        (sum(qty).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(base).cast("double") / count(lit(1))).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q01Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+      |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+      |  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sum_disc_price,
+      |  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** A1 analog: per-day distinct reporting entities (filtered distinct
+    * count, reference py:482-498). Exact countDistinct — partial
+    * aggregation keeps the shuffle narrow.
+    */
+  def q08DistinctPerDay(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("d"))
+
+  val q08Sql: String =
+    """SELECT CAST(ts AS DATE) AS d, COUNT(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1 ORDER BY d""".stripMargin
+
+  /** A2 analog: conditional null counts (reference py:500-515) — one pass,
+    * `COUNT(CASE WHEN col IS NULL THEN 1 END)` per column.
+    */
+  def q09NullCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").agg(
+      count(when(col("l_quantity").isNull, lit(1))).as("nulls_quantity"),
+      count(when(col("l_extendedprice").isNull, lit(1))).as("nulls_price"),
+      count(when(col("l_discount").isNull, lit(1))).as("nulls_discount"))
+
+  val q09Sql: String =
+    """SELECT
+      |  COUNT(CASE WHEN l_quantity IS NULL THEN 1 END) AS nulls_quantity,
+      |  COUNT(CASE WHEN l_extendedprice IS NULL THEN 1 END) AS nulls_price,
+      |  COUNT(CASE WHEN l_discount IS NULL THEN 1 END) AS nulls_discount
+      |FROM lineitem""".stripMargin
+
+  /** A3 analog: grouped min/max extremes (reference py:517-531). */
+  def q10MinMax(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"))
+      .orderBy(col("l_returnflag"))
+
+  val q10Sql: String =
+    """SELECT l_returnflag, MIN(l_extendedprice) AS min_price,
+      |  MAX(l_extendedprice) AS max_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Dedup / upsert (T1, S8)
+  // ---------------------------------------------------------------------
+
+  /** T1: deterministic keep-FIRST dedup (pandas drop_duplicates semantics,
+    * reference py:302-306) via [[Dedup.keepFirst]].
+    */
+  def q02DedupKeepFirst(s: SparkSession, dir: String): DataFrame =
+    Dedup.keepFirst(events(s, dir),
+        Seq("user_id", "event_type"), Seq(col("ts_ns").asc, col("event_id").asc))
+      .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+      .orderBy(col("user_id"), col("event_type"))
+
+  val q02Sql: String =
+    """SELECT user_id, event_type, event_id, value FROM (
+      |  SELECT user_id, event_type, event_id, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |                       ORDER BY ts, event_id) AS rn
+      |  FROM events) t
+      |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+
+  /** S8: last-writer-wins upsert — existing (even event_ids) merged with an
+    * incoming batch (odd event_ids) via [[Dedup.upsert]]; per key the
+    * newest row wins, matching ON CONFLICT DO UPDATE (py:422-452).
+    */
+  def q11UpsertLastWriter(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val existing = e.filter(col("event_id") % 2 === 0)
+    val incoming = e.filter(col("event_id") % 2 === 1)
+    Dedup.upsert(existing, incoming, Seq("user_id", "event_type"),
+        versionCol = "ts_ns", tiebreak = Seq(col("event_id").desc))
+      .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  val q11Sql: String =
+    """SELECT user_id, event_type, event_id, value FROM (
+      |  SELECT user_id, event_type, event_id, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |                       ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) t
+      |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+
+  /** Set op: UNION ALL of two overlapping extracts + DISTINCT (the
+    * reference's implicit union of per-region record sets, SURVEY §2.5).
+    */
+  def q12UnionDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    e.filter(col("value") < 120).unionByName(e.filter(col("value") > 80))
+      .distinct()
+      .orderBy(col("event_id"))
+  }
+
+  val q12Sql: String =
+    """SELECT DISTINCT event_id, user_id, event_type, value FROM (
+      |  SELECT event_id, user_id, event_type, value FROM events WHERE value < 120
+      |  UNION ALL
+      |  SELECT event_id, user_id, event_type, value FROM events WHERE value > 80) u
+      |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Filters / scalar functions (T2-T9)
+  // ---------------------------------------------------------------------
+
+  /** T2+T3: range validity filters — both predicates reach the parquet scan
+    * as pushed filters (verify with .explain: PushedFilters).
+    */
+  def q03ValidityFilter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_quantity").between(10, 40))
+      .filter(col("l_discount").between(0.02, 0.08))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_discount"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_discount"))
+
+  val q03Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+      |FROM lineitem
+      |WHERE l_quantity BETWEEN 10 AND 40 AND l_discount BETWEEN 0.02 AND 0.08
+      |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount""".stripMargin
+
+  /** T4: the reference heat-index polynomial (py:342-363) applied to
+    * harness columns (temp := l_quantity ∈ [1,50],
+    * humidity := l_discount*1000 ∈ [0,100]).
+    */
+  def q04HeatIndex(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        WeatherFunctions.heatIndex(col("l_quantity"),
+          col("l_discount") * 1000).as("heat_index"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("heat_index"))
+
+  val q04Sql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  CASE WHEN t < 27 THEN t ELSE round(
+      |    -8.78469475556 + 1.61139411*t + 2.33854883889*h + -0.14611605*t*h
+      |    + -0.012308094*t*t + -0.0164248277778*h*h + 0.002211732*t*t*h
+      |    + 0.00072546*t*h*h + -0.000003582*t*t*h*h, 2) END AS heat_index
+      |FROM (SELECT l_orderkey, l_linenumber, l_quantity AS t,
+      |        l_discount*1000 AS h FROM lineitem) a
+      |ORDER BY l_orderkey, l_linenumber, heat_index""".stripMargin
+
+  /** T5: the reference dew-point formula, ln-omitting quirk included
+    * (py:365-377), over the same column mapping.
+    */
+  def q05DewPoint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        WeatherFunctions.dewPoint(col("l_quantity"),
+          col("l_discount") * 1000).as("dew_point"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("dew_point"))
+
+  val q05Sql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  round((237.7 * a) / (17.27 - a), 2) AS dew_point
+      |FROM (SELECT l_orderkey, l_linenumber,
+      |        ((17.27 * t) / (237.7 + t)) + (h / 100.0) AS a
+      |      FROM (SELECT l_orderkey, l_linenumber, l_quantity AS t,
+      |              l_discount*1000 AS h FROM lineitem) i) o
+      |ORDER BY l_orderkey, l_linenumber, dew_point""".stripMargin
+
+  /** T8: first-match CASE buckets (py:379-390) + group count.
+    * rainfall := (l_quantity-1)*1.2 spans all five buckets.
+    */
+  def q06RainfallCategory(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(WeatherFunctions.rainfallCategory((col("l_quantity") - 1) * 1.2)
+        .as("rainfall_category"))
+      .groupBy(col("rainfall_category"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("rainfall_category"))
+
+  val q06Sql: String =
+    """SELECT rainfall_category, COUNT(*) AS n FROM (
+      |  SELECT CASE WHEN r = 0 THEN 'No Rain'
+      |              WHEN r < 2.5 THEN 'Light Rain'
+      |              WHEN r < 10 THEN 'Moderate Rain'
+      |              WHEN r < 50 THEN 'Heavy Rain'
+      |              ELSE 'Very Heavy Rain' END AS rainfall_category
+      |  FROM (SELECT (l_quantity - 1) * 1.2 AS r FROM lineitem) a) b
+      |GROUP BY rainfall_category ORDER BY rainfall_category""".stripMargin
+
+  /** T9: date-part projections (py:321-325). LONG-cast to match DuckDB
+    * EXTRACT's BIGINT.
+    */
+  def q07DateParts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        to_date(col("o_orderdate")).as("d"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("day"),
+        hour(col("o_orderdate")).cast("long").as("h"))
+      .orderBy(col("o_orderkey"))
+
+  val q07Sql: String =
+    """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+      |  EXTRACT(YEAR FROM o_orderdate) AS y,
+      |  EXTRACT(MONTH FROM o_orderdate) AS m,
+      |  EXTRACT(DAY FROM o_orderdate) AS day,
+      |  EXTRACT(HOUR FROM o_orderdate) AS h
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Join / sort / top-k parity (SURVEY §2.5: free from Dataset.join, but
+  // exposed + oracle-checked so the surface provably exceeds the reference)
+  // ---------------------------------------------------------------------
+
+  /** Broadcast dim join (S2 pattern): 25-row nation ⋈ 5-row region.
+    * Explicit broadcast() — map-side at any fact-table scale.
+    */
+  def q13JoinBroadcast(s: SparkSession, dir: String): DataFrame = {
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"), col("r_name").as("region_name"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  val q13Sql: String =
+    """SELECT n_nationkey, n_name, r_name AS region_name
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |ORDER BY n_nationkey""".stripMargin
+
+  /** Fact-fact join + aggregation: shuffle on the join key then hash agg;
+    * AQE can turn it into a broadcast join when one side is small at
+    * runtime.
+    */
+  def q14JoinAgg(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        (sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .cast("double") / 100).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q14Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Left-semi join (EXISTS). */
+  def q15SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q15Sql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Left-anti join (NOT EXISTS). */
+  def q16AntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q16Sql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Top-k: ORDER BY ... LIMIT compiles to TakeOrderedAndProject — per
+    * partition heaps + driver merge, never a global sort.
+    */
+  def q17TopK(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .limit(10)
+
+  val q17Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** Window running sum — the window partitions by supplier so the sort is
+    * per-key, not global; exact decimal accumulation.
+    */
+  def q18WindowRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        sum(dec(col("l_quantity"))).over(w).as("running_qty"))
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("running_qty"))
+  }
+
+  val q18Sql: String =
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY l_suppkey
+      |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+      |FROM lineitem
+      |ORDER BY l_suppkey, l_orderkey, l_linenumber, running_qty""".stripMargin
+
+  /** ROLLUP grouping sets; NULLS FIRST ordering pinned on both engines
+    * (Spark ASC defaults nulls-first, DuckDB nulls-last).
+    */
+  def q19Rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"))).as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  val q19Sql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // The full weather pipeline as one oracle-checked query
+  // ---------------------------------------------------------------------
+
+  /** The reference's entire transform stage (T1-T9) run end-to-end over
+    * weather-shaped records derived deterministically from `events`:
+    * region := user_id mod 15, temperature := value mod 55 - 5,
+    * humidity := floor(value) mod 101, rainfall := value mod 60.
+    * Exercises dedup, validity filters, both scalar formulas, both flags,
+    * the CASE buckets and all date parts in a single plan.
+    */
+  def q20WeatherPipeline(s: SparkSession, dir: String): DataFrame = {
+    val raw = events(s, dir).select(
+      col("event_id").as("record_id"),
+      concat(lit("r"), (col("user_id") % 15).cast("string")).as("region"),
+      col("ts").as("data_timestamp"),
+      col("ts_ns").as("data_ts_ns"),
+      (col("value") % 55.0 - 5.0).as("temperature"),
+      (floor(col("value")).cast("long") % 101).cast("long").as("humidity"),
+      (col("value") % 60.0).as("rainfall_1h"))
+    val deduped = Dedup.keepFirst(raw, Seq("region", "data_ts_ns"),
+      Seq(col("record_id").asc))
+    val valid = deduped
+      .filter(col("temperature").between(-5, 50))
+      .filter(col("humidity").between(0, 100))
+    valid.select(
+      col("record_id"), col("region"), col("temperature"), col("humidity"),
+      WeatherFunctions.heatIndex(col("temperature"), col("humidity"))
+        .as("heat_index"),
+      WeatherFunctions.dewPoint(col("temperature"), col("humidity"))
+        .as("dew_point"),
+      WeatherFunctions.isFavorableTemp(col("temperature"))
+        .as("is_favorable_temp"),
+      WeatherFunctions.isHighHumidity(col("humidity")).as("is_high_humidity"),
+      WeatherFunctions.rainfallCategory(col("rainfall_1h"))
+        .as("rainfall_category"),
+      to_date(col("data_timestamp")).as("date"),
+      hour(col("data_timestamp")).cast("long").as("hour"),
+      month(col("data_timestamp")).cast("long").as("month"),
+      year(col("data_timestamp")).cast("long").as("year"))
+      .orderBy(col("record_id"))
+  }
+
+  val q20Sql: String =
+    """SELECT record_id, region, temperature, humidity,
+      |  CASE WHEN temperature < 27 THEN temperature ELSE round(
+      |    -8.78469475556 + 1.61139411*temperature + 2.33854883889*humidity
+      |    + -0.14611605*temperature*humidity + -0.012308094*temperature*temperature
+      |    + -0.0164248277778*humidity*humidity
+      |    + 0.002211732*temperature*temperature*humidity
+      |    + 0.00072546*temperature*humidity*humidity
+      |    + -0.000003582*temperature*temperature*humidity*humidity, 2)
+      |  END AS heat_index,
+      |  round((237.7 * (((17.27 * temperature) / (237.7 + temperature))
+      |    + (humidity / 100.0)))
+      |    / (17.27 - (((17.27 * temperature) / (237.7 + temperature))
+      |    + (humidity / 100.0))), 2) AS dew_point,
+      |  temperature BETWEEN 18 AND 28 AS is_favorable_temp,
+      |  humidity > 70 AS is_high_humidity,
+      |  CASE WHEN rainfall_1h = 0 THEN 'No Rain'
+      |       WHEN rainfall_1h < 2.5 THEN 'Light Rain'
+      |       WHEN rainfall_1h < 10 THEN 'Moderate Rain'
+      |       WHEN rainfall_1h < 50 THEN 'Heavy Rain'
+      |       ELSE 'Very Heavy Rain' END AS rainfall_category,
+      |  CAST(data_timestamp AS DATE) AS date,
+      |  EXTRACT(HOUR FROM data_timestamp) AS hour,
+      |  EXTRACT(MONTH FROM data_timestamp) AS month,
+      |  EXTRACT(YEAR FROM data_timestamp) AS year
+      |FROM (
+      |  SELECT record_id, region, data_timestamp, temperature, humidity,
+      |         rainfall_1h
+      |  FROM (
+      |    SELECT record_id, region, data_timestamp, extraction_timestamp,
+      |      temperature, humidity, rainfall_1h,
+      |      ROW_NUMBER() OVER (PARTITION BY region, data_timestamp
+      |        ORDER BY extraction_timestamp, record_id) AS rn
+      |    FROM (
+      |      SELECT event_id AS record_id,
+      |        'r' || CAST(user_id % 15 AS VARCHAR) AS region,
+      |        ts AS data_timestamp, ts AS extraction_timestamp,
+      |        value % 55.0 - 5.0 AS temperature,
+      |        CAST(FLOOR(value) AS BIGINT) % 101 AS humidity,
+      |        value % 60.0 AS rainfall_1h
+      |      FROM events) r) d
+      |  WHERE rn = 1
+      |    AND temperature BETWEEN -5 AND 50
+      |    AND humidity BETWEEN 0 AND 100) v
+      |ORDER BY record_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Registry
+  // ---------------------------------------------------------------------
+
+  /** name → (query fn, optional oracle SQL). Insertion-ordered. */
+  val registry: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] = Seq(
+    "q01_pricing_summary" -> ((q01PricingSummary _, Some(q01Sql))),
+    "q02_dedup_keep_first" -> ((q02DedupKeepFirst _, Some(q02Sql))),
+    "q03_validity_filter" -> ((q03ValidityFilter _, Some(q03Sql))),
+    "q04_heat_index" -> ((q04HeatIndex _, Some(q04Sql))),
+    "q05_dew_point" -> ((q05DewPoint _, Some(q05Sql))),
+    "q06_rainfall_category" -> ((q06RainfallCategory _, Some(q06Sql))),
+    "q07_date_parts" -> ((q07DateParts _, Some(q07Sql))),
+    "q08_distinct_per_day" -> ((q08DistinctPerDay _, Some(q08Sql))),
+    "q09_null_counts" -> ((q09NullCounts _, Some(q09Sql))),
+    "q10_min_max" -> ((q10MinMax _, Some(q10Sql))),
+    "q11_upsert_last_writer" -> ((q11UpsertLastWriter _, Some(q11Sql))),
+    "q12_union_dedup" -> ((q12UnionDedup _, Some(q12Sql))),
+    "q13_join_broadcast" -> ((q13JoinBroadcast _, Some(q13Sql))),
+    "q14_join_agg" -> ((q14JoinAgg _, Some(q14Sql))),
+    "q15_semi_join" -> ((q15SemiJoin _, Some(q15Sql))),
+    "q16_anti_join" -> ((q16AntiJoin _, Some(q16Sql))),
+    "q17_top_k" -> ((q17TopK _, Some(q17Sql))),
+    "q18_window_running" -> ((q18WindowRunning _, Some(q18Sql))),
+    "q19_rollup" -> ((q19Rollup _, Some(q19Sql))),
+    "q20_weather_pipeline" -> ((q20WeatherPipeline _, Some(q20Sql))))
+}

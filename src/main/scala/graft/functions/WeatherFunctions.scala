@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The reference's three scalar metrics as pure `Column` algebra.
+  *
+  * The reference computes these with row-wise pandas `.apply`
+  * (daily_weather_etl_kenya.py:315-319) — its slowest path. Here they are
+  * closed-form expressions, so Catalyst constant-folds the coefficients and
+  * whole-stage codegen fuses them with the surrounding projection: no UDF,
+  * no serialization boundary, vectorized at any scale.
+  */
+object WeatherFunctions {
+
+  /** Simplified Rothfusz heat index (reference py:342-363).
+    *
+    * Below 27°C the temperature passes through UNROUNDED (py:348-349);
+    * otherwise the 9-term polynomial in (temp, humidity) is rounded
+    * half-even to 2 dp — Python `round` is banker's rounding, hence
+    * `bround`, not `round` (SURVEY.md §7.5). Term order matches py:351-361
+    * left-to-right so results are bit-identical to a faithful port.
+    */
+  def heatIndex(temp: Column, humidity: Column): Column = {
+    val t = temp
+    val h = humidity
+    val poly =
+      lit(-8.78469475556) +
+        lit(1.61139411) * t +
+        lit(2.33854883889) * h +
+        lit(-0.14611605) * t * h +
+        lit(-0.012308094) * t * t +
+        lit(-0.0164248277778) * h * h +
+        lit(0.002211732) * t * t * h +
+        lit(0.00072546) * t * h * h +
+        lit(-0.000003582) * t * t * h * h
+    when(t < 27, t).otherwise(bround(poly, 2))
+  }
+
+  /** Dew point as the reference writes it (py:365-377): a Magnus-style
+    * formula with a = 17.27, b = 237.7 that OMITS the `ln()` around
+    * RH/100 — nonstandard meteorology, replicated as written because
+    * parity is with the reference, not with physics (SURVEY.md §7.6).
+    * Rounded half-even to 2 dp.
+    */
+  def dewPoint(temp: Column, humidity: Column): Column = {
+    val a = 17.27
+    val b = 237.7
+    val alpha = (lit(a) * temp) / (lit(b) + temp) + humidity / lit(100.0)
+    bround((lit(b) * alpha) / (lit(a) - alpha), 2)
+  }
+
+  /** Rainfall intensity buckets (reference py:379-390), first-match CASE on
+    * `rainfall_1h` only (py:319 — `rainfall_3h` is stored but unused by the
+    * categorizer; replicated as written). Null rainfall is the stored
+    * default 0 (py:183-188), enforced here with coalesce so the otherwise
+    * branch can never swallow a null.
+    */
+  def rainfallCategory(rainfall1h: Column): Column = {
+    val r = coalesce(rainfall1h, lit(0.0))
+    when(r === 0, "No Rain")
+      .when(r < 2.5, "Light Rain")
+      .when(r < 10, "Moderate Rain")
+      .when(r < 50, "Heavy Rain")
+      .otherwise("Very Heavy Rain")
+  }
+
+  /** Favorable growing temperature flag, 18..28°C inclusive (py:317). */
+  def isFavorableTemp(temp: Column): Column = temp.between(18, 28)
+
+  /** High humidity flag, strictly above 70% (py:318). */
+  def isHighHumidity(humidity: Column): Column = humidity > 70
+}

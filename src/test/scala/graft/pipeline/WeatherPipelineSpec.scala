@@ -1,0 +1,67 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ingest.Fixtures
+import graft.model.WeatherModel
+import graft.operators.WeatherTransform
+import graft.quality.QualityChecks
+import graft.sources.WeatherSink
+
+class WeatherPipelineSpec extends SparkSpec {
+
+  private def transformed(docs: String*) = {
+    val raw = Fixtures.df(spark, docs: _*)
+    WeatherTransform.transform(
+      graft.ingest.WeatherIngest.flatten(raw, WeatherModel.regionDim(spark),
+        extractionTime = to_timestamp(lit("2023-11-15 06:00:00"))))
+  }
+
+  test("transform drops out-of-range temperature rows (T2) and derives all columns") {
+    val got = transformed(Fixtures.full, Fixtures.hotOutlier)
+    val rows = got.collect()
+    assert(rows.map(_.getAs[String]("region")).toSeq === Seq("Nakuru"))
+    val r = rows(0)
+    assert(r.getAs[Double]("heat_index") === 22.5) // temp < 27 -> passthrough
+    assert(r.getAs[Boolean]("is_favorable_temp"))
+    assert(!r.getAs[Boolean]("is_high_humidity"))
+    assert(r.getAs[String]("rainfall_category") === "Light Rain")
+    assert(r.getAs[Int]("hour") === 22) // 1700000000 = 2023-11-14T22:13:20Z
+    assert(r.getAs[Int]("year") === 2023)
+    assert(r.getAs[java.sql.Date]("date").toString === "2023-11-14")
+  }
+
+  test("duplicate (region, data_timestamp) keeps one row (T1)") {
+    val got = transformed(Fixtures.full, Fixtures.full)
+    assert(got.count() === 1)
+  }
+
+  test("sink upsert: re-extraction with changed values replaces the row (S8)") {
+    val dir = Files.createTempDirectory("graft_sink").toString + "/weather"
+    val day1 = transformed(Fixtures.full)
+    WeatherSink.upsertInto(spark, day1, dir)
+    // same natural key, newer extraction, different temperature
+    val changed = Fixtures.full.replace("\"temp\":22.5", "\"temp\":25.0")
+    val day2raw = Fixtures.df(spark, changed)
+    val day2 = WeatherTransform.transform(
+      graft.ingest.WeatherIngest.flatten(day2raw, WeatherModel.regionDim(spark),
+        extractionTime = to_timestamp(lit("2023-11-16 06:00:00"))))
+    WeatherSink.upsertInto(spark, day2, dir)
+    val table = spark.read.parquet(dir)
+    assert(table.count() === 1)
+    assert(table.select("temperature").collect()(0).getDouble(0) === 25.0)
+  }
+
+  test("quality report mirrors the reference's three checks (A1-A3)") {
+    val got = transformed(Fixtures.full, Fixtures.missingOptionals)
+    val rep = QualityChecks.report(got, lit("2023-11-14").cast("date"))
+    assert(rep.regionCount === 2)
+    assert(rep.nullCounts.values.sum === 0)
+    assert(rep.minTemp.get === 22.5)
+    assert(rep.maxTemp.get === 30.0)
+    assert(rep.warnings.exists(_.contains("Expected 15 regions, found 2")))
+  }
+}
