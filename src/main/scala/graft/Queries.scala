@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.WeatherFunctions
-import graft.operators.Dedup
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Multimodal, Similarity, TextDedup}
 
 /** The oracle-checked query surface: every operator from SURVEY.md §2
   * exposed as a named query over the driver's parquet tables, with
@@ -518,6 +519,243 @@ object Queries {
       |ORDER BY record_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Text analysis (LLM-pipeline operators over `documents`)
+  // ---------------------------------------------------------------------
+
+  /** Content fingerprint per document (exact-dedup key). */
+  def q21DocFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  val q21Sql: String =
+    """SELECT doc_id,
+      |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Token statistics: counts, vocabulary, characters, stopword hits. */
+  def q22TokenStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.uniqueTokenCount(col("text")).as("n_unique"),
+        TextFunctions.tokenChars(col("text")).as("n_chars_tok"),
+        TextFunctions.stopwordCount(col("text")).as("n_stop"))
+      .orderBy(col("doc_id"))
+
+  val q22Sql: String =
+    """SELECT doc_id,
+      |  CAST(len(toks) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique,
+      |  CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS BIGINT) AS n_chars_tok,
+      |  CAST(len(list_filter(toks, x -> list_contains(['the','a','an','of','to','and','in','is','on','for','it','with','as','at','by'], x))) AS BIGINT) AS n_stop
+      |FROM (SELECT doc_id,
+      |        list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |      FROM documents) a
+      |ORDER BY doc_id""".stripMargin
+
+  /** Quality score: richness + stopword/length bands (unrounded double —
+    * see TextFunctions scaladoc for why no rounding).
+    */
+  def q23QualityScore(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality_score"))
+      .orderBy(col("doc_id"))
+
+  val q23Sql: String =
+    """SELECT doc_id,
+      |  (CASE WHEN CAST(n AS DOUBLE) > 0 THEN CAST(u AS DOUBLE) / CAST(n AS DOUBLE) ELSE 0.0 END) * 0.5
+      |  + (CASE WHEN (CASE WHEN CAST(n AS DOUBLE) > 0 THEN CAST(st AS DOUBLE) / CAST(n AS DOUBLE) ELSE 0.0 END) BETWEEN 0.05 AND 0.6 THEN 1.0 ELSE 0.0 END) * 0.25
+      |  + (CASE WHEN (CASE WHEN CAST(n AS DOUBLE) > 0 THEN CAST(ch AS DOUBLE) / CAST(n AS DOUBLE) ELSE 0.0 END) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END) * 0.25
+      |  AS quality_score
+      |FROM (SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS u,
+      |        list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS ch,
+      |        len(list_filter(toks, x -> list_contains(['the','a','an','of','to','and','in','is','on','for','it','with','as','at','by'], x))) AS st
+      |      FROM (SELECT doc_id,
+      |              list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |            FROM documents) i) o
+      |ORDER BY doc_id""".stripMargin
+
+  /** Language ID: marker-word argmax, deterministic tie order. */
+  def q24LangId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
+      .orderBy(col("doc_id"))
+
+  val q24Sql: String = {
+    val markers = TextFunctions.langMarkers.map { case (lang, ws) =>
+      lang -> ws.map(w => s"'$w'").mkString("[", ",", "]")
+    }
+    val scores = markers.map { case (lang, arr) =>
+      s"len(list_filter(toks, x -> list_contains($arr, x))) AS s_$lang"
+    }.mkString(",\n        ")
+    val langs = markers.map(_._1)
+    val best = s"GREATEST(${langs.map("s_" + _).mkString(", ")})"
+    val cases = langs.map(l =>
+      s"WHEN $best > 0 AND s_$l = $best THEN '$l'").mkString("\n    ")
+    s"""SELECT doc_id,
+       |  CASE $cases
+       |    ELSE 'und' END AS lang_pred
+       |FROM (SELECT doc_id,
+       |        $scores
+       |      FROM (SELECT doc_id,
+       |              list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |            FROM documents) i) o
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Exact dedup by content fingerprint, deterministic keep-first. */
+  def q25ExactDedup(s: SparkSession, dir: String): DataFrame =
+    TextDedup.exact(t(s, dir, "documents"), "text", Seq(col("doc_id").asc))
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+
+  val q25Sql: String =
+    """SELECT doc_id, lang, source FROM (
+      |  SELECT doc_id, lang, source,
+      |    ROW_NUMBER() OVER (
+      |      PARTITION BY md5(regexp_replace(lower(text), '\s+', ' ', 'g'))
+      |      ORDER BY doc_id) AS rn
+      |  FROM documents) d
+      |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  /** MinHash+LSH near-dup over a corpus with planted near-duplicates
+    * (each doc unioned with a copy missing its last 2 tokens). xxhash64
+    * signatures are not DuckDB-expressible → rows-only oracle; pair
+    * recall is asserted in ScalaTest instead.
+    */
+  def q26MinHashNearDup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val corpus = docs.unionByName(mutatedCopy(docs))
+    TextDedup.minHashLsh(corpus, "doc_id", "text",
+        numHashes = 32, bands = 16, shingleSize = 3, threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Companion of q26: a copy of each doc with the last 2 tokens dropped,
+    * ids offset by 1,000,000.
+    */
+  private def mutatedCopy(docs: DataFrame): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    docs.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat_ws(" ", slice(toks, lit(1), greatest(size(toks) - 2, lit(1))))
+        .as("text"))
+  }
+
+  /** Exact n-gram Jaccard between each doc and its mutated copy — the
+    * verification kernel of near-dup, oracle-checked end to end.
+    */
+  def q27NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val pairs = docs.join(
+      mutatedCopy(docs).select((col("doc_id") - 1000000L).as("doc_id"),
+        col("text").as("text_b")),
+      Seq("doc_id"))
+    pairs.select(col("doc_id"),
+        TextDedup.jaccardShingles(col("text"), col("text_b"), 3).as("jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q27Sql: String =
+    """SELECT doc_id,
+      |  CASE WHEN CAST(len(list_distinct(sa)) + len(list_distinct(sb))
+      |         - len(list_filter(list_distinct(sa), x -> list_contains(list_distinct(sb), x))) AS DOUBLE) > 0
+      |    THEN CAST(len(list_filter(list_distinct(sa), x -> list_contains(list_distinct(sb), x))) AS DOUBLE)
+      |       / CAST(len(list_distinct(sa)) + len(list_distinct(sb))
+      |         - len(list_filter(list_distinct(sa), x -> list_contains(list_distinct(sb), x))) AS DOUBLE)
+      |    ELSE 0.0 END AS jaccard
+      |FROM (
+      |  SELECT doc_id,
+      |    CASE WHEN len(ta) < 3 THEN [array_to_string(ta, ' ')]
+      |         ELSE list_transform(range(1, len(ta) - 1),
+      |                i -> ta[i] || ' ' || ta[i+1] || ' ' || ta[i+2]) END AS sa,
+      |    CASE WHEN len(tb) < 3 THEN [array_to_string(tb, ' ')]
+      |         ELSE list_transform(range(1, len(tb) - 1),
+      |                i -> tb[i] || ' ' || tb[i+1] || ' ' || tb[i+2]) END AS sb
+      |  FROM (
+      |    SELECT doc_id, ta, ta[1:GREATEST(len(ta) - 2, 1)] AS tb
+      |    FROM (SELECT doc_id,
+      |            list_filter(string_split(text, ' '), x -> x <> '') AS ta
+      |          FROM documents) i) m) o
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Similarity search / embeddings
+  // ---------------------------------------------------------------------
+
+  /** Exact ANN baseline: brute-force top-5 neighbors for 5 query vectors
+    * by fixed-point dot product (embeddings are L2-normalized → dot =
+    * cosine). Fully oracle-checked including scores.
+    */
+  def q28AnnTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long")
+        .as("rank"), col("score_fp"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val q28Sql: String =
+    """SELECT query_id, neighbor_id, rank, score_fp FROM (
+      |  SELECT query_id, neighbor_id, score_fp,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |                       ORDER BY score_fp DESC, neighbor_id) AS rank
+      |  FROM (
+      |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+      |      CAST(list_aggregate(list_transform(list_zip(q.embedding, e.embedding),
+      |        p -> CAST(FLOOR(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1e9 + 0.5) AS BIGINT)),
+      |        'sum') AS BIGINT) AS score_fp
+      |    FROM (SELECT * FROM embeddings WHERE vec_id < 5) q
+      |    JOIN embeddings e ON e.vec_id <> q.vec_id) s) r
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** Embedding-cosine near-dup with planted duplicates (scaled copies —
+    * cosine-invariant, same LSH bucket). xxhash64 bucketing → rows-only
+    * oracle; recall asserted in ScalaTest.
+    */
+  def q29CosineNearDup(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val scaled = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), x => x * lit(1.5f)).as("embedding"))
+    Similarity.cosineNearDup(emb.unionByName(scaled), "vec_id", "embedding",
+        threshold = 0.99, planes = 8)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Multimodal plumbing
+  // ---------------------------------------------------------------------
+
+  /** Binary media envelope over harness text payloads: byte length from
+    * the real decode path (oracle: octet_length of the blob).
+    */
+  def q30MultimodalMeta(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.fromBinaryColumn(
+      t(s, dir, "documents"), "doc_id", "text", "image")
+    Multimodal.decodeMeta(media).toDF()
+      .select(col("media_id"), col("kind"), col("n_bytes"))
+      .orderBy(col("media_id"))
+  }
+
+  val q30Sql: String =
+    """SELECT doc_id AS media_id, 'image' AS kind,
+      |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  /** SimHash near-dup pairs over the planted-near-dup corpus (rows-only:
+    * xxhash64 fingerprints).
+    */
+  def q31SimHashNearDup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val corpus = docs.unionByName(mutatedCopy(docs))
+    TextDedup.simHashPairs(corpus, "doc_id", "text", maxDist = 8)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
 
@@ -542,5 +780,16 @@ object Queries {
     "q17_top_k" -> ((q17TopK _, Some(q17Sql))),
     "q18_window_running" -> ((q18WindowRunning _, Some(q18Sql))),
     "q19_rollup" -> ((q19Rollup _, Some(q19Sql))),
-    "q20_weather_pipeline" -> ((q20WeatherPipeline _, Some(q20Sql))))
+    "q20_weather_pipeline" -> ((q20WeatherPipeline _, Some(q20Sql))),
+    "q21_doc_fingerprint" -> ((q21DocFingerprint _, Some(q21Sql))),
+    "q22_token_stats" -> ((q22TokenStats _, Some(q22Sql))),
+    "q23_quality_score" -> ((q23QualityScore _, Some(q23Sql))),
+    "q24_lang_id" -> ((q24LangId _, Some(q24Sql))),
+    "q25_exact_dedup" -> ((q25ExactDedup _, Some(q25Sql))),
+    "q26_minhash_neardup" -> ((q26MinHashNearDup _, None)),
+    "q27_ngram_jaccard" -> ((q27NgramJaccard _, Some(q27Sql))),
+    "q28_ann_topk" -> ((q28AnnTopK _, Some(q28Sql))),
+    "q29_cosine_neardup" -> ((q29CosineNearDup _, None)),
+    "q30_multimodal_meta" -> ((q30MultimodalMeta _, Some(q30Sql))),
+    "q31_simhash_neardup" -> ((q31SimHashNearDup _, None)))
 }

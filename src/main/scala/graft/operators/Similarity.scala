@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Two paths:
+  *   - [[bruteForceTopK]]: exact cosine top-k — broadcast the (small)
+  *     query set, map-side score every corpus vector, per-query top-k via
+  *     window. Baseline and oracle.
+  *   - [[lshTopK]]: random-hyperplane LSH — bucket corpus vectors by the
+  *     sign pattern of `planes` seeded pseudo-random projections, probe
+  *     only the query's bucket. The 100 TB path: bucketing is a narrow
+  *     map + one shuffle on bucket id; recall is tunable via `planes`
+  *     (fewer planes → bigger buckets → higher recall, more compute).
+  *
+  * All vector math is expression-level (`zip_with` + `aggregate`, cast to
+  * double) — inside codegen, no UDF serialization.
+  */
+object Similarity {
+
+  /** Dot product of two float vectors in index order, accumulated in
+    * double — deterministic left-to-right summation.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Fixed-point dot product: per-term products quantized to 1e-9 before
+    * an exact long sum — order-independent, hence engine-independent
+    * (same trick as money cents; see Queries scaladoc).
+    */
+  def dotFixed(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b,
+        (x, y) => floor(x.cast("double") * y.cast("double") * 1e9 + 0.5)
+          .cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d > 0, dot(a, b) / d).otherwise(lit(0.0))
+  }
+
+  /** Exact top-k by fixed-point dot score. `queries` must be small enough
+    * to broadcast (it is hinted); output is (query_id, neighbor_id, rank,
+    * score_fp) with a deterministic (score desc, id asc) rank.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("score_fp", dotFixed(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_fp").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("score_fp"))
+  }
+
+  /** Deterministic pseudo-random unit-ish hyperplane component: a hash of
+    * (plane, dim) mapped into [-1, 1). Seeded → identical across runs and
+    * engines, no RNG state to ship.
+    */
+  private def planeComponent(plane: Column, dim: Column): Column =
+    (pmod(xxhash64(plane, dim), lit(2000001L)).cast("double") / 1000000.0) - 1.0
+
+  /** Sign-pattern LSH bucket id for a vector under `planes` hyperplanes.
+    * Planes unroll at expression-build time (literal shifts); each
+    * projection is one codegen'd pass over the vector.
+    */
+  def lshBucket(vec: Column, planes: Int): Column =
+    (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") * planeComponent(lit(p), i)),
+        lit(0.0), (a, x) => a + x)
+      when(proj > 0, lit(1L << p)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** ANN top-k: score only corpus vectors sharing the query's LSH bucket.
+    * Returns the same shape as [[bruteForceTopK]] (ranks within bucket).
+    */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, planes: Int = 8): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      lshBucket(col(vecCol), planes).as("__bucket"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      lshBucket(col(vecCol), planes).as("__bucket"))
+    val scored = c.join(broadcast(q), Seq("__bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score_fp", dotFixed(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_fp").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("score_fp"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs via LSH buckets: vectors in the
+    * same bucket whose cosine ≥ threshold. The embedding-space analog of
+    * [[TextDedup.minHashLsh]].
+    */
+  def cosineNearDup(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, planes: Int = 8): DataFrame = {
+    val v = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      lshBucket(col(vecCol), planes).as("__bucket"))
+    val left = v.select(col("__bucket"), col("__id").as("id_a"),
+      col("__v").as("va"))
+    val right = v.select(col("__bucket"), col("__id").as("id_b"),
+      col("__v").as("vb"))
+    left.join(right, Seq("__bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+}

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)), // close to 0
+    (2L, Array(0.0f, 1.0f, 0.0f)), // orthogonal to 0
+    (3L, Array(-1.0f, 0.0f, 0.0f)), // opposite of 0
+    (4L, Array(0.5f, 0.5f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("dot and cosine match hand computation") {
+    val r = vecs.filter(col("vec_id") === 0)
+      .crossJoin(vecs.filter(col("vec_id") === 1)
+        .select(col("embedding").as("b")))
+      .select(Similarity.dot(col("embedding"), col("b")).as("d"),
+        Similarity.cosine(col("embedding"), col("b")).as("c"))
+      .collect()(0)
+    assert(math.abs(r.getDouble(0) - 0.9) < 1e-6)
+    assert(math.abs(r.getDouble(1) - 0.9 / math.sqrt(0.81 + 0.01)) < 1e-6)
+  }
+
+  test("bruteForceTopK ranks by similarity, excludes self") {
+    val got = Similarity.bruteForceTopK(vecs,
+        vecs.filter(col("vec_id") === 0), "vec_id", "embedding", k = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getInt(2))).toSeq
+    // neighbor order for query 0: 1 (0.9), 4 (0.5), 2 (0.0), 3 (-1.0)
+    assert(got === Seq((1L, 1), (4L, 2), (2L, 3), (3L, 4)))
+  }
+
+  test("lshTopK finds the same top neighbor as brute force for close vectors") {
+    val brute = Similarity.bruteForceTopK(vecs,
+        vecs.filter(col("vec_id") === 0), "vec_id", "embedding", k = 1)
+      .collect()(0).getLong(1)
+    val lsh = Similarity.lshTopK(vecs,
+        vecs.filter(col("vec_id") === 0), "vec_id", "embedding", k = 1,
+        planes = 2)
+      .collect()
+    // with few planes the near-identical vector must land in the bucket
+    assert(lsh.nonEmpty && lsh(0).getLong(1) === brute)
+  }
+
+  test("cosineNearDup finds scaled copies (cosine-invariant)") {
+    val scaled = vecs.select((col("vec_id") + 100L).as("vec_id"),
+      transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    val pairs = Similarity.cosineNearDup(vecs.unionByName(scaled),
+        "vec_id", "embedding", threshold = 0.999, planes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 to 4).foreach { i =>
+      assert(pairs.contains((i.toLong, i + 100L)), s"missing ($i, ${i + 100})")
+    }
+  }
+
+  test("lshBucket is deterministic and scale-invariant") {
+    val b = vecs.select(col("vec_id"),
+      Similarity.lshBucket(col("embedding"), 8).as("b1"),
+      Similarity.lshBucket(transform(col("embedding"), x => x * lit(3.0f)), 8)
+        .as("b2")).collect()
+    b.foreach(r => assert(r.getLong(1) === r.getLong(2)))
+  }
+}

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "THE  Quick   Brown fox jumps over the lazy dog"), // case+ws variant
+    (3L, "completely different content about spark engines"),
+    (4L, "the quick brown fox jumps over the lazy cat") // near-dup of 1
+  ).toDF("doc_id", "text")
+
+  test("tokens/tokenCount ignore repeated whitespace") {
+    val got = docs.select(TextFunctions.tokenCount(col("text")).as("n"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(9, 9, 6, 9))
+  }
+
+  test("fingerprint collides on case/whitespace variants only") {
+    val fps = docs.select(col("doc_id"),
+      TextFunctions.fingerprint(col("text")).as("fp")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1L) === fps(2L))
+    assert(fps(1L) !== fps(3L))
+    assert(fps(1L) !== fps(4L))
+  }
+
+  test("exact dedup keeps the lowest-id variant") {
+    val got = TextDedup.exact(docs, "text", Seq(col("doc_id").asc))
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(got === Array(1L, 3L, 4L))
+  }
+
+  test("minHashLsh finds the near-dup pair and not the unrelated doc") {
+    val pairs = TextDedup.minHashLsh(docs, "doc_id", "text",
+        numHashes = 32, bands = 16, shingleSize = 2, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)), s"expected (1,4) in $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("jaccardShingles: identical texts score 1, disjoint score 0") {
+    val j = docs.filter(col("doc_id") === 1)
+      .select(
+        TextDedup.jaccardShingles(col("text"), col("text")).as("same"),
+        TextDedup.jaccardShingles(col("text"),
+          lit("zz yy xx ww vv uu tt")).as("diff"))
+      .collect()(0)
+    assert(j.getDouble(0) === 1.0)
+    assert(j.getDouble(1) === 0.0)
+  }
+
+  test("simHash: identical texts -> distance 0; near-dups within 16 bits;" +
+      " unrelated far") {
+    val sigs = docs.select(col("doc_id"),
+      TextDedup.simHash(col("text")).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(1L)) === 0)
+    assert(ham(sigs(1L), sigs(4L)) <= 16)
+    assert(ham(sigs(1L), sigs(3L)) > 16)
+  }
+
+  test("simHashPairs buckets catch the planted near-dup") {
+    val pairs = TextDedup.simHashPairs(docs, "doc_id", "text", maxDist = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+
+  test("langId picks the language with most marker hits, deterministic ties") {
+    val got = Seq(
+      "the cat and the dog is in that house",
+      "der hund und die katze ist nicht ein",
+      "xyzzy plugh").toDF("text")
+      .select(TextFunctions.langId(col("text")).as("l"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got === Seq("en", "de", "und"))
+  }
+}
