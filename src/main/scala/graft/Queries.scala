@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.WeatherFunctions
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Multimodal, Similarity, TextDedup}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, Similarity, TextDedup}
 
 /** The oracle-checked query surface: every operator from SURVEY.md §2
   * exposed as a named query over the driver's parquet tables, with
@@ -629,8 +629,11 @@ object Queries {
   def q26MinHashNearDup(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
     val corpus = docs.unionByName(mutatedCopy(docs))
+    // 8 bands x 4 rows: candidate probability ~(1-(1-j^4)^8), steep
+    // around j~0.6 - tight enough that random-overlap docs do not flood
+    // the candidate join at scale, with ~full recall above j~0.8
     TextDedup.minHashLsh(corpus, "doc_id", "text",
-        numHashes = 32, bands = 16, shingleSize = 3, threshold = 0.5)
+        numHashes = 32, bands = 8, shingleSize = 3, threshold = 0.5)
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -756,6 +759,85 @@ object Queries {
   }
 
   // ---------------------------------------------------------------------
+  // As-of join / JSON / grouping sets / outer join parity
+  // ---------------------------------------------------------------------
+
+  /** Backward as-of join: each event picks the latest order (by date) in
+    * its key group — point-in-time enrichment via [[AsOfJoin.backward]].
+    * The right side is made unique per (key, time) first so the match is
+    * well-defined on both engines (DuckDB's native ASOF JOIN is the
+    * oracle).
+    */
+  def q32AsOfJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+      .select(col("event_id"), (col("user_id") % 5).as("key"), col("ts"))
+    val o = t(s, dir, "orders")
+      .select((col("o_custkey") % 5).as("key"), col("o_orderdate"),
+        col("o_orderkey"), col("o_totalprice"))
+    val oUnique = Dedup.keepFirst(o, Seq("key", "o_orderdate"),
+      Seq(col("o_orderkey").desc))
+    AsOfJoin.backward(e, oUnique, Seq("key"), "ts", "o_orderdate",
+        Seq("o_orderkey", "o_totalprice"))
+      .select(col("event_id"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("event_id"))
+  }
+
+  val q32Sql: String =
+    """SELECT event_id, o_orderkey, o_totalprice
+      |FROM events e ASOF JOIN (
+      |  SELECT key, o_orderdate, o_orderkey, o_totalprice FROM (
+      |    SELECT o_custkey % 5 AS key, o_orderdate, o_orderkey, o_totalprice,
+      |      ROW_NUMBER() OVER (PARTITION BY o_custkey % 5, o_orderdate
+      |                         ORDER BY o_orderkey DESC) AS rn
+      |    FROM orders) x
+      |  WHERE rn = 1) o
+      |ON e.user_id % 5 = o.key AND e.ts >= o.o_orderdate
+      |ORDER BY event_id""".stripMargin
+
+  /** JSON path extraction from the events payload column. */
+  def q33JsonExtract(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .orderBy(col("event_id"))
+
+  val q33Sql: String =
+    """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** CUBE grouping sets (rollup's sibling; same NULLS FIRST pinning). */
+  def q34Cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"))).as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  val q34Sql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  /** Full outer join: customers vs per-customer order counts. */
+  def q35FullOuter(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val oagg = t(s, dir, "orders")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("__n"))
+    c.join(oagg, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(coalesce(col("c_custkey"), col("o_custkey")).as("k"),
+        col("c_name"), coalesce(col("__n"), lit(0L)).as("n_orders"))
+      .orderBy(col("k"))
+  }
+
+  val q35Sql: String =
+    """SELECT COALESCE(c_custkey, o_custkey) AS k, c_name,
+      |  COALESCE(n, 0) AS n_orders
+      |FROM customer FULL OUTER JOIN (
+      |  SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey) o
+      |ON c_custkey = o_custkey
+      |ORDER BY k""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
 
@@ -791,5 +873,9 @@ object Queries {
     "q28_ann_topk" -> ((q28AnnTopK _, Some(q28Sql))),
     "q29_cosine_neardup" -> ((q29CosineNearDup _, None)),
     "q30_multimodal_meta" -> ((q30MultimodalMeta _, Some(q30Sql))),
-    "q31_simhash_neardup" -> ((q31SimHashNearDup _, None)))
+    "q31_simhash_neardup" -> ((q31SimHashNearDup _, None)),
+    "q32_asof_join" -> ((q32AsOfJoin _, Some(q32Sql))),
+    "q33_json_extract" -> ((q33JsonExtract _, Some(q33Sql))),
+    "q34_cube" -> ((q34Cube _, Some(q34Sql))),
+    "q35_full_outer" -> ((q35FullOuter _, Some(q35Sql))))
 }

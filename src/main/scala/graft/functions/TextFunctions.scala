@@ -107,12 +107,21 @@ object TextFunctions {
 
   /** Word n-gram shingles (default trigrams) — the unit set for MinHash /
     * Jaccard near-dup. `sequence` + `slice` keeps it inside codegen.
+    *
+    * PERF: this convenience form re-tokenizes `text` once per reference
+    * inside the expression (the slice runs per shingle). Hot paths must
+    * tokenize into a separate projection first and call
+    * [[shinglesFromTokens]] on the resulting ATTRIBUTE — slicing a
+    * materialized array is O(n), re-splitting a string per shingle is
+    * O(tokens × shingles).
     */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = tokens(text)
+  def shingles(text: Column, n: Int = 3): Column =
+    shinglesFromTokens(tokens(text), n)
+
+  /** Shingles over an already-tokenized array column (see [[shingles]]). */
+  def shinglesFromTokens(toks: Column, n: Int): Column =
     when(size(toks) < n, array(concat_ws(" ", toks)))
       .otherwise(transform(
         sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
-  }
 }

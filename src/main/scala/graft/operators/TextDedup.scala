@@ -47,8 +47,12 @@ object TextDedup {
     * inlines it — 32× the string work.)
     */
   def minHashSignature(text: Column, numHashes: Int, shingleSize: Int): Column =
+    minHashFromShingles(TextFunctions.shingles(text, shingleSize), numHashes)
+
+  /** MinHash signature over an existing shingle-array column. */
+  def minHashFromShingles(sh: Column, numHashes: Int): Column =
     aggregate(
-      TextFunctions.shingles(text, shingleSize),
+      sh,
       array_repeat(lit(Long.MaxValue), numHashes),
       (acc, s) => zip_with(acc,
         transform(sequence(lit(0), lit(numHashes - 1)), j => xxhash64(j, s)),
@@ -74,8 +78,18 @@ object TextDedup {
       threshold: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val sigs = df.select(col(idCol).as("__id"),
-      minHashSignature(col(textCol), numHashes, shingleSize).as("__sig"))
+    // tokenize → shingle → sign, one projection each: every stage's input
+    // is then an attribute referenced several times by the next, which
+    // stops CollapseProject from inlining (and thus re-evaluating) the
+    // expensive expression per consuming element
+    val sigs = df
+      .select(col(idCol).as("__id"),
+        TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col("__id"),
+        TextFunctions.shinglesFromTokens(col("__toks"), shingleSize)
+          .as("__sh"))
+      .select(col("__id"),
+        minHashFromShingles(col("__sh"), numHashes).as("__sig"))
     // Band array as `bands` STATIC references to __sig: CollapseProject
     // refuses to inline a non-cheap alias referenced more than once, so
     // the signature materializes once per row instead of once per band.
@@ -84,24 +98,43 @@ object TextDedup {
         .cast("string"), lit(b))): _*)
     val banded = sigs
       .select(col("__id"), posexplode(bandArray).as(Seq("__band", "__bandsig")))
-    val left = banded.select(col("__band"), col("__bandsig"),
-      col("__id").as("id_a"))
-    val right = banded.select(col("__band"), col("__bandsig"),
-      col("__id").as("id_b"))
+    // SELF-join via aliases of the SAME plan: both shuffle children
+    // canonicalize identically, so ReuseExchange computes the signatures
+    // and the band exchange once, not twice.
+    val candidates = banded.as("l").join(banded.as("r"),
+        col("l.__band") === col("r.__band")
+          && col("l.__bandsig") === col("r.__bandsig")
+          && col("l.__id") < col("r.__id"))
+      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
+      .distinct() // same pair can collide in several bands
     // candidate pairs carry only ids through the shuffle; texts re-join
     // after the distinct, so document payloads never ride the band join
-    val candidates = left.join(right, Seq("__band", "__bandsig"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct() // same pair can collide in several bands
-    val texts = df.select(col(idCol), col(textCol))
+    // Each doc's distinct shingle SET is computed once here and joined to
+    // every candidate pair it appears in — the expensive lambda-built
+    // shingling never runs per pair; the per-pair work is only the
+    // codegen'd intersect/union.
+    val shingleSets = df
+      .select(col(idCol).as("__sid"),
+        TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col("__sid"),
+        array_distinct(TextFunctions.shinglesFromTokens(col("__toks"),
+          shingleSize)).as("__set"))
+    // Fixed-count repartition: the verification is compute-bound on few,
+    // tiny rows, which AQE would otherwise coalesce into one partition
+    // and serialize. An explicit numbered repartition is exempt from AQE
+    // coalescing and spreads the work.
+    val parallelism = df.sparkSession.sessionState.conf.numShufflePartitions
     candidates
-      .join(texts.select(col(idCol).as("id_a"), col(textCol).as("__ta")),
-        Seq("id_a"))
-      .join(texts.select(col(idCol).as("id_b"), col(textCol).as("__tb")),
-        Seq("id_b"))
-      .withColumn("jaccard",
-        jaccardShingles(col("__ta"), col("__tb"), shingleSize))
+      .join(shingleSets.select(col("__sid").as("id_a"),
+        col("__set").as("__sa")), Seq("id_a"))
+      .join(shingleSets.select(col("__sid").as("id_b"),
+        col("__set").as("__sb")), Seq("id_b"))
+      .repartition(parallelism)
+      .select(col("id_a"), col("id_b"),
+        when(size(array_union(col("__sa"), col("__sb"))) > 0,
+          size(array_intersect(col("__sa"), col("__sb"))).cast("double")
+            / size(array_union(col("__sa"), col("__sb"))).cast("double"))
+          .otherwise(lit(0.0)).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -127,15 +160,22 @@ object TextDedup {
     * pass per bit over the token hash array, all inside codegen, no
     * shuffle.
     */
-  def simHash(text: Column): Column = {
-    val hashes = transform(TextFunctions.tokens(text), t => xxhash64(t))
+  def simHash(text: Column): Column =
+    simHashFromHashes(transform(TextFunctions.tokens(text), t => xxhash64(t)))
+
+  /** SimHash over an already-hashed token array. Callers that evaluate
+    * this per row should materialize the hash array in a separate
+    * projection first: this expression references its input 62 times, and
+    * a separate projection makes that reference an attribute (computed
+    * once) rather than 62 inlined re-tokenizations.
+    */
+  def simHashFromHashes(hashes: Column): Column =
     (0 until simHashBits).map { b =>
       val votes = aggregate(hashes, lit(0L),
         (a, h) => a + when(shiftright(h, b).bitwiseAND(1) === 1, 1L)
           .otherwise(-1L))
       when(votes > 0, lit(1L << b)).otherwise(0L)
     }.reduce(_ + _)
-  }
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -150,20 +190,25 @@ object TextDedup {
       idCol: String,
       textCol: String,
       maxDist: Int = 3): DataFrame = {
-    val withSig = df.select(col(idCol).as("__id"),
-      simHash(col(textCol)).as("__sim"))
+    // stage 1 materializes token hashes (referenced 62× by the signature
+    // -> stays a real attribute); stage 2 the signature (referenced 4×
+    // by the chunks); stage 3 explodes chunks. ReuseExchange then makes
+    // the self-join compute it all once.
+    val hashed = df.select(col(idCol).as("__id"),
+      transform(TextFunctions.tokens(col(textCol)), t => xxhash64(t))
+        .as("__th"))
+    val withSig = hashed.select(col("__id"),
+      simHashFromHashes(col("__th")).as("__sim"))
     val chunked = withSig.select(col("__id"), col("__sim"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("__sim"), c * 16).bitwiseAND(0xFFFFL)): _*))
         .as(Seq("__chunk", "__chunkval")))
-    val left = chunked.select(col("__chunk"), col("__chunkval"),
-      col("__id").as("id_a"), col("__sim").as("sim_a"))
-    val right = chunked.select(col("__chunk"), col("__chunkval"),
-      col("__id").as("id_b"), col("__sim").as("sim_b"))
-    left.join(right, Seq("__chunk", "__chunkval"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        hammingDist(col("sim_a"), col("sim_b")).as("hamming"))
+    chunked.as("l").join(chunked.as("r"),
+        col("l.__chunk") === col("r.__chunk")
+          && col("l.__chunkval") === col("r.__chunkval")
+          && col("l.__id") < col("r.__id"))
+      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"),
+        hammingDist(col("l.__sim"), col("r.__sim")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
   }
