@@ -837,6 +837,85 @@ object Queries {
       |ON c_custkey = o_custkey
       |ORDER BY k""".stripMargin
 
+  /** Grouped top-k: rank within each group via row_number, keep k — the
+    * per-key analog of q17's global top-k; shuffle on the group key only.
+    */
+  def q36TopKPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+        col("l_linenumber"))
+    t(s, dir, "lineitem")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("l_returnflag"), col("rank"), col("l_orderkey"),
+        col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_returnflag"), col("rank"))
+  }
+
+  val q36Sql: String =
+    """SELECT l_returnflag, rank, l_orderkey, l_linenumber, l_extendedprice
+      |FROM (
+      |  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+      |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+      |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rank
+      |  FROM lineitem) x
+      |WHERE rank <= 3 ORDER BY l_returnflag, rank""".stripMargin
+
+  /** Sessionization: split each user's event stream at >30-minute gaps
+    * (lag + cumulative sum over an event-time window), then aggregate per
+    * session. Gap math on exact epoch-nanos so both engines cut sessions
+    * on identical boundaries.
+    */
+  def q37Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns"), col("event_id"))
+    val gapNs = 30L * 60 * 1000000000L
+    events(s, dir)
+      .withColumn("__new", when(
+        col("ts_ns") - lag(col("ts_ns"), 1).over(byUser) > gapNs
+          || lag(col("ts_ns"), 1).over(byUser).isNull, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("__new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val q37Sql: String =
+    """SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events FROM (
+      |  SELECT user_id, event_id,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM (
+      |    SELECT user_id, event_id, ts,
+      |      CASE WHEN epoch_ns(ts) - LAG(epoch_ns(ts)) OVER (
+      |             PARTITION BY user_id ORDER BY ts, event_id)
+      |             > 1800000000000
+      |           OR LAG(epoch_ns(ts)) OVER (
+      |             PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |        THEN 1 ELSE 0 END AS is_new
+      |    FROM events) g) x
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  /** Exact interpolated percentiles per group (Spark `percentile` and
+    * DuckDB `quantile_cont` share the linear-interpolation definition —
+    * verified bit-identical).
+    */
+  def q38Percentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
+        percentile(col("l_extendedprice"), lit(0.95)).as("p95"))
+      .orderBy(col("l_returnflag"))
+
+  val q38Sql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_extendedprice, 0.5) AS p50,
+      |  quantile_cont(l_extendedprice, 0.95) AS p95
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -877,5 +956,8 @@ object Queries {
     "q32_asof_join" -> ((q32AsOfJoin _, Some(q32Sql))),
     "q33_json_extract" -> ((q33JsonExtract _, Some(q33Sql))),
     "q34_cube" -> ((q34Cube _, Some(q34Sql))),
-    "q35_full_outer" -> ((q35FullOuter _, Some(q35Sql))))
+    "q35_full_outer" -> ((q35FullOuter _, Some(q35Sql))),
+    "q36_topk_per_group" -> ((q36TopKPerGroup _, Some(q36Sql))),
+    "q37_sessionize" -> ((q37Sessionize _, Some(q37Sql))),
+    "q38_percentiles" -> ((q38Percentiles _, Some(q38Sql))))
 }

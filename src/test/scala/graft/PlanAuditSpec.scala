@@ -1,0 +1,76 @@
+package graft
+
+/** Physical-plan shape assertions: the optimizations the engine depends on
+  * at scale must actually appear in the executed plans, not just in
+  * comments. Each test pins one property from the scale design:
+  * filter/column pushdown to the scan, broadcast of small sides, map-side
+  * partial aggregation, and the top-k operator that avoids a global sort.
+  */
+class PlanAuditSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q03 range filters push down to the parquet scan") {
+    val p = plan("q03_validity_filter")
+    assert(p.contains("PushedFilters:"), p.take(500))
+    assert(p.contains("GreaterThanOrEqual(l_quantity,10.0)"), p.take(2000))
+  }
+
+  test("q03 scan reads only the projected columns") {
+    val p = plan("q03_validity_filter")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_discount"))
+    assert(!readSchema.contains("l_shipdate"),
+      s"scan reads columns the query never uses: $readSchema")
+  }
+
+  test("q13 dimension join broadcasts the small side") {
+    assert(plan("q13_join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("q15/q16 compile to semi/anti joins, not join+distinct") {
+    assert(plan("q15_semi_join").contains("LeftSemi"))
+    assert(plan("q16_anti_join").contains("LeftAnti"))
+  }
+
+  test("q01 aggregation is partial (map-side combine before the shuffle)") {
+    val p = plan("q01_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expected partial + final HashAggregate")
+  }
+
+  test("q17 global top-k uses TakeOrderedAndProject, never a global sort") {
+    val p = plan("q17_top_k")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q28 ANN broadcasts the query vectors (corpus side streams)") {
+    assert(plan("q28_ann_topk").contains("Broadcast"))
+  }
+
+  test("q20 pipeline whole-stage codegen covers the scalar tower") {
+    // AQE finalizes (and annotates codegen spans in) the plan only once
+    // THIS dataframe executes — count() would execute a derived plan
+    val df = SparkEntry.queries("q20_weather_pipeline")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p.take(200))
+    // AQE final plans mark whole-stage-codegen stages as "*(n) Op"
+    assert(p.contains("*(") , "no whole-stage codegen stage in plan")
+    assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("Project")
+      && l.contains("heat_index")),
+      "scalar tower (heat_index projection) fell out of codegen")
+    // dedup's row_number()=1 must use the WindowGroupLimit pushdown
+    // (partial per-partition limit before the shuffle)
+    assert(p.contains("WindowGroupLimit"))
+  }
+
+  test("q32 as-of join is one exchange per side + window, no cross product") {
+    val p = plan("q32_asof_join")
+    assert(p.contains("Window"))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      "as-of join must not degrade to a cross join")
+  }
+}
