@@ -916,6 +916,37 @@ object Queries {
       |  quantile_cont(l_extendedprice, 0.95) AS p95
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** The SQL-text surface: the reference's quality checks are SQL strings
+    * pushed to Postgres (py:483-531); this runs the same style of SQL
+    * through Spark's parser/Catalyst over a temp view — identical text on
+    * both engines.
+    */
+  def q39SqlQuality(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(q39Sql)
+  }
+
+  val q39Sql: String =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_orderkey) AS n_orders,
+      |  COUNT(CASE WHEN l_quantity IS NULL THEN 1 END) AS null_qty,
+      |  MIN(l_extendedprice) AS min_price,
+      |  MAX(l_extendedprice) AS max_price
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** HLL sketch distinct (approx_count_distinct): the constant-memory
+    * cardinality path for 100 TB group-bys. Sketches are engine-specific →
+    * rows-only oracle; the exact counterpart (q08) is hash-checked.
+    */
+  def q40ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .orderBy(col("event_type"))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -959,5 +990,7 @@ object Queries {
     "q35_full_outer" -> ((q35FullOuter _, Some(q35Sql))),
     "q36_topk_per_group" -> ((q36TopKPerGroup _, Some(q36Sql))),
     "q37_sessionize" -> ((q37Sessionize _, Some(q37Sql))),
-    "q38_percentiles" -> ((q38Percentiles _, Some(q38Sql))))
+    "q38_percentiles" -> ((q38Percentiles _, Some(q38Sql))),
+    "q39_sql_quality" -> ((q39SqlQuality _, Some(q39Sql))),
+    "q40_approx_distinct" -> ((q40ApproxDistinct _, None)))
 }
