@@ -395,8 +395,12 @@ object Queries {
     * per-key, not global; exact decimal accumulation.
     */
   def q18WindowRunning(s: SparkSession, dir: String): DataFrame = {
+    // l_quantity in the sort: (shipdate, okey, lineno) alone is not unique
+    // in the harness data, and an ambiguous order makes the running sum
+    // engine-dependent at the tie
     val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t(s, dir, "lineitem")
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
@@ -409,7 +413,7 @@ object Queries {
     """SELECT l_suppkey, l_orderkey, l_linenumber,
       |  SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
       |    PARTITION BY l_suppkey
-      |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
       |FROM lineitem
       |ORDER BY l_suppkey, l_orderkey, l_linenumber, running_qty""".stripMargin
@@ -724,7 +728,7 @@ object Queries {
     val scaled = emb.select((col("vec_id") + 1000000L).as("vec_id"),
       transform(col("embedding"), x => x * lit(1.5f)).as("embedding"))
     Similarity.cosineNearDup(emb.unionByName(scaled), "vec_id", "embedding",
-        threshold = 0.99, planes = 8)
+        dim = 64, threshold = 0.99, planes = 8)
       .orderBy(col("id_a"), col("id_b"))
   }
 

@@ -65,22 +65,25 @@ object Similarity {
         col("score_fp"))
   }
 
-  /** Deterministic pseudo-random unit-ish hyperplane component: a hash of
-    * (plane, dim) mapped into [-1, 1). Seeded → identical across runs and
-    * engines, no RNG state to ship.
+  /** Deterministic pseudo-random hyperplane, precomputed at PLAN TIME:
+    * the components depend only on (plane, dim index), so they ship as a
+    * literal array instead of being re-hashed per row per element — the
+    * projection is then a pure multiply-add pass over the vector.
     */
-  private def planeComponent(plane: Column, dim: Column): Column =
-    (pmod(xxhash64(plane, dim), lit(2000001L)).cast("double") / 1000000.0) - 1.0
+  private def planeVector(plane: Int, dim: Int): Array[Double] = {
+    val rnd = new scala.util.Random(1000003L * plane + 42)
+    Array.fill(dim)(rnd.nextDouble() * 2 - 1)
+  }
 
-  /** Sign-pattern LSH bucket id for a vector under `planes` hyperplanes.
-    * Planes unroll at expression-build time (literal shifts); each
-    * projection is one codegen'd pass over the vector.
+  /** Sign-pattern LSH bucket id for a `dim`-dimensional vector under
+    * `planes` hyperplanes. Planes unroll at expression-build time
+    * (literal shifts + literal plane arrays).
     */
-  def lshBucket(vec: Column, planes: Int): Column =
+  def lshBucket(vec: Column, planes: Int, dim: Int): Column =
     (0 until planes).map { p =>
       val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeComponent(lit(p), i)),
+        zip_with(vec, lit(planeVector(p, dim)),
+          (x, w) => x.cast("double") * w),
         lit(0.0), (a, x) => a + x)
       when(proj > 0, lit(1L << p)).otherwise(0L)
     }.reduce(_ + _)
@@ -90,11 +93,12 @@ object Similarity {
     */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int, planes: Int = 8): DataFrame = {
+      idCol: String, vecCol: String, k: Int, dim: Int,
+      planes: Int = 8): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
-      lshBucket(col(vecCol), planes).as("__bucket"))
+      lshBucket(col(vecCol), planes, dim).as("__bucket"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
-      lshBucket(col(vecCol), planes).as("__bucket"))
+      lshBucket(col(vecCol), planes, dim).as("__bucket"))
     val scored = c.join(broadcast(q), Seq("__bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("score_fp", dotFixed(col("__qv"), col("__cv")))
@@ -111,10 +115,10 @@ object Similarity {
     * [[TextDedup.minHashLsh]].
     */
   def cosineNearDup(
-      df: DataFrame, idCol: String, vecCol: String,
+      df: DataFrame, idCol: String, vecCol: String, dim: Int,
       threshold: Double = 0.95, planes: Int = 8): DataFrame = {
     val v = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
-      lshBucket(col(vecCol), planes).as("__bucket"))
+      lshBucket(col(vecCol), planes, dim).as("__bucket"))
     val left = v.select(col("__bucket"), col("__id").as("id_a"),
       col("__v").as("va"))
     val right = v.select(col("__bucket"), col("__id").as("id_b"),

@@ -163,11 +163,13 @@ object TextDedup {
   def simHash(text: Column): Column =
     simHashFromHashes(transform(TextFunctions.tokens(text), t => xxhash64(t)))
 
-  /** SimHash over an already-hashed token array. Callers that evaluate
-    * this per row should materialize the hash array in a separate
-    * projection first: this expression references its input 62 times, and
-    * a separate projection makes that reference an attribute (computed
-    * once) rather than 62 inlined re-tokenizations.
+  /** SimHash over an already-hashed token array: one scalar-accumulator
+    * aggregate per bit (62 passes, statically unrolled — Catalyst lambdas
+    * cannot variable-shift). Measured faster than the "one pass with a
+    * 62-wide vote array" transposition: interpreted higher-order
+    * functions pay per-element array allocation, which dominates the
+    * saved traversals. Callers should pass an ATTRIBUTE (materialized
+    * hash array), not an inline tokenization — see [[simHashPairs]].
     */
   def simHashFromHashes(hashes: Column): Column =
     (0 until simHashBits).map { b =>

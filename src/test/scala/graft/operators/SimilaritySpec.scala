@@ -41,7 +41,7 @@ class SimilaritySpec extends SparkSpec {
       .collect()(0).getLong(1)
     val lsh = Similarity.lshTopK(vecs,
         vecs.filter(col("vec_id") === 0), "vec_id", "embedding", k = 1,
-        planes = 2)
+        dim = 3, planes = 2)
       .collect()
     // with few planes the near-identical vector must land in the bucket
     assert(lsh.nonEmpty && lsh(0).getLong(1) === brute)
@@ -51,7 +51,7 @@ class SimilaritySpec extends SparkSpec {
     val scaled = vecs.select((col("vec_id") + 100L).as("vec_id"),
       transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
     val pairs = Similarity.cosineNearDup(vecs.unionByName(scaled),
-        "vec_id", "embedding", threshold = 0.999, planes = 4)
+        "vec_id", "embedding", dim = 3, threshold = 0.999, planes = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     (0 to 4).foreach { i =>
       assert(pairs.contains((i.toLong, i + 100L)), s"missing ($i, ${i + 100})")
@@ -60,8 +60,8 @@ class SimilaritySpec extends SparkSpec {
 
   test("lshBucket is deterministic and scale-invariant") {
     val b = vecs.select(col("vec_id"),
-      Similarity.lshBucket(col("embedding"), 8).as("b1"),
-      Similarity.lshBucket(transform(col("embedding"), x => x * lit(3.0f)), 8)
+      Similarity.lshBucket(col("embedding"), 8, 3).as("b1"),
+      Similarity.lshBucket(transform(col("embedding"), x => x * lit(3.0f)), 8, 3)
         .as("b2")).collect()
     b.foreach(r => assert(r.getLong(1) === r.getLong(2)))
   }

@@ -1,0 +1,36 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import graft.streaming.Sessionize.{Event, Session}
+
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stateful sessionization closes sessions on gap and carries state" +
+      " across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = Sessionize.sessionize(input.toDS(), gapMs = 1000L)
+    val q = sessions.writeStream.format("memory").queryName("sessions_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: user 1 has two events 100ms apart (same session), then a
+      // 5s gap inside the same batch -> first session closes
+      input.addData(Event(1L, 0L), Event(1L, 100L), Event(1L, 5100L))
+      q.processAllAvailable()
+      val afterB1 = spark.table("sessions_out").as[Session].collect()
+      assert(afterB1.toSeq === Seq(Session(1L, 0L, 100L, 2)))
+
+      // batch 2: user 1 continues the open session (within gap of 5100)
+      // and user 2 starts fresh; then a far event closes user 1's second
+      // session
+      input.addData(Event(1L, 5600L), Event(2L, 0L), Event(1L, 60000L))
+      q.processAllAvailable()
+      val afterB2 = spark.table("sessions_out").as[Session].collect()
+      assert(afterB2.toSet.contains(Session(1L, 5100L, 5600L, 2)))
+    } finally q.stop()
+  }
+}
