@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-resilient aggregation: two-phase salted combine.
+  *
+  * A hot grouping key sends all its rows to one reducer; AQE's skew
+  * handling only splits JOIN partitions, not aggregation keys. Salting
+  * fixes aggregation skew structurally: phase 1 aggregates on
+  * (key, salt) — spreading each hot key over `saltBuckets` reducers —
+  * phase 2 merges the per-salt partials on the key alone. Both phases
+  * are standard hash aggregates with map-side partials; the extra
+  * shuffle's cardinality is `distinct keys × saltBuckets`, tiny next to
+  * the input.
+  *
+  * Works for any algebraic aggregate (sum/count/min/max); the caller
+  * supplies both the per-salt aggregates and the merge aggregates.
+  */
+object Skew {
+
+  /** @param phase1 aggregates computed per (key, salt), e.g.
+    *               `Seq(sum(col("x")).as("s"), count(lit(1)).as("n"))`
+    * @param phase2 merge of the partials per key, e.g.
+    *               `Seq(sum(col("s")).as("s"), sum(col("n")).as("n"))`
+    */
+  def saltedAgg(
+      df: DataFrame,
+      keys: Seq[String],
+      saltBuckets: Int,
+      phase1: Seq[Column],
+      phase2: Seq[Column]): DataFrame = {
+    // deterministic salt: spread rows without an RNG (repeatable plans),
+    // keyed off a cheap hash of the whole row's partition position proxy
+    val salted = df.withColumn("__salt",
+      pmod(spark_partition_id() * 31 + monotonically_increasing_id(),
+        lit(saltBuckets)))
+    val partials = salted
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(phase1.head, phase1.tail: _*)
+    partials
+      .groupBy(keys.map(col): _*)
+      .agg(phase2.head, phase2.tail: _*)
+  }
+}
