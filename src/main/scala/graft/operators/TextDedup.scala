@@ -49,6 +49,26 @@ object TextDedup {
   def minHashSignature(text: Column, numHashes: Int, shingleSize: Int): Column =
     minHashFromShingles(TextFunctions.shingles(text, shingleSize), numHashes)
 
+  /** Relational MinHash: (id, array<long> signature) per input row via
+    * explode + grouped min aggregates (see [[minHashLsh]] scale note).
+    */
+  def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, shingleSize: Int): DataFrame = {
+    val exploded = df
+      .select(col(idCol).as("__id"),
+        TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col("__id"),
+        explode(TextFunctions.shinglesFromTokens(col("__toks"), shingleSize))
+          .as("__s"))
+    val minAggs = (0 until numHashes).map(j =>
+      min(xxhash64(lit(j), col("__s"))).as(s"__h$j"))
+    exploded
+      .groupBy(col("__id"))
+      .agg(minAggs.head, minAggs.tail: _*)
+      .select(col("__id"),
+        array((0 until numHashes).map(j => col(s"__h$j")): _*).as("__sig"))
+  }
+
   /** MinHash signature over an existing shingle-array column. */
   def minHashFromShingles(sh: Column, numHashes: Int): Column =
     aggregate(
@@ -78,18 +98,12 @@ object TextDedup {
       threshold: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    // tokenize → shingle → sign, one projection each: every stage's input
-    // is then an attribute referenced several times by the next, which
-    // stops CollapseProject from inlining (and thus re-evaluating) the
-    // expensive expression per consuming element
-    val sigs = df
-      .select(col(idCol).as("__id"),
-        TextFunctions.tokens(col(textCol)).as("__toks"))
-      .select(col("__id"),
-        TextFunctions.shinglesFromTokens(col("__toks"), shingleSize)
-          .as("__sh"))
-      .select(col("__id"),
-        minHashFromShingles(col("__sh"), numHashes).as("__sig"))
+    // RELATIONAL signature: explode shingles to rows and compute the k
+    // minima as one codegen'd hash aggregate (k static min() columns)
+    // with map-side partials — higher-order array functions evaluate
+    // interpreted, a grouped aggregate runs in whole-stage codegen, and
+    // the shuffle carries only (id, k minima) per doc.
+    val sigs = minHashSignatures(df, idCol, textCol, numHashes, shingleSize)
     // Band array as `bands` STATIC references to __sig: CollapseProject
     // refuses to inline a non-cheap alias referenced more than once, so
     // the signature materializes once per row instead of once per band.
@@ -192,15 +206,23 @@ object TextDedup {
       idCol: String,
       textCol: String,
       maxDist: Int = 3): DataFrame = {
-    // stage 1 materializes token hashes (referenced 62× by the signature
-    // -> stays a real attribute); stage 2 the signature (referenced 4×
-    // by the chunks); stage 3 explodes chunks. ReuseExchange then makes
-    // the self-join compute it all once.
-    val hashed = df.select(col(idCol).as("__id"),
-      transform(TextFunctions.tokens(col(textCol)), t => xxhash64(t))
-        .as("__th"))
-    val withSig = hashed.select(col("__id"),
-      simHashFromHashes(col("__th")).as("__sim"))
+    // RELATIONAL simhash (same rationale as minHashSignatures): explode
+    // token hashes to rows, compute the per-bit ±1 vote sums as one
+    // codegen'd grouped aggregate (62 static sum() columns, map-side
+    // partials), then fold votes into the fingerprint in a projection.
+    val tokenHashes = df.select(col(idCol).as("__id"),
+      explode(transform(TextFunctions.tokens(col(textCol)),
+        t => xxhash64(t))).as("__h"))
+    val voteAggs = (0 until simHashBits).map(b =>
+      sum(when(shiftright(col("__h"), b).bitwiseAND(1) === 1, 1L)
+        .otherwise(-1L)).as(s"__v$b"))
+    val withSig = tokenHashes
+      .groupBy(col("__id"))
+      .agg(voteAggs.head, voteAggs.tail: _*)
+      .select(col("__id"),
+        (0 until simHashBits).map(b =>
+          when(col(s"__v$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ + _).as("__sim"))
     val chunked = withSig.select(col("__id"), col("__sim"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("__sim"), c * 16).bitwiseAND(0xFFFFL)): _*))
