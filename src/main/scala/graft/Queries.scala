@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.WeatherFunctions
 import graft.functions.TextFunctions
-import graft.operators.{AsOfJoin, Dedup, Multimodal, Similarity, TextDedup}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, RangeJoin, Similarity, TextDedup}
 
 /** The oracle-checked query surface: every operator from SURVEY.md §2
   * exposed as a named query over the driver's parquet tables, with
@@ -951,6 +951,31 @@ object Queries {
         countDistinct(col("user_id")).as("exact_users"))
       .orderBy(col("event_type"))
 
+  /** Binned range join: events (point = value mod 100) against order
+    * intervals [totalprice mod 100, +5] — equi-join on bins, never a
+    * nested loop (see [[RangeJoin]]); per-event match counts.
+    */
+  def q41RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val points = events(s, dir)
+      .select(col("event_id"), (col("value") % 100.0).as("p"))
+    val intervals = t(s, dir, "orders")
+      .select(col("o_orderkey"), (col("o_totalprice") % 100.0).as("st"))
+      .withColumn("en", col("st") + 5.0)
+    RangeJoin.pointInInterval(points, "p", intervals, "st", "en",
+        binWidth = 5.0)
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_intervals"))
+      .orderBy(col("event_id"))
+  }
+
+  val q41Sql: String =
+    """SELECT event_id, COUNT(*) AS n_intervals
+      |FROM (SELECT event_id, value % 100.0 AS p FROM events) e
+      |JOIN (SELECT o_orderkey, o_totalprice % 100.0 AS st,
+      |        o_totalprice % 100.0 + 5.0 AS en FROM orders) o
+      |  ON e.p >= o.st AND e.p <= o.en
+      |GROUP BY event_id ORDER BY event_id""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -996,5 +1021,6 @@ object Queries {
     "q37_sessionize" -> ((q37Sessionize _, Some(q37Sql))),
     "q38_percentiles" -> ((q38Percentiles _, Some(q38Sql))),
     "q39_sql_quality" -> ((q39SqlQuality _, Some(q39Sql))),
-    "q40_approx_distinct" -> ((q40ApproxDistinct _, None)))
+    "q40_approx_distinct" -> ((q40ApproxDistinct _, None)),
+    "q41_range_join" -> ((q41RangeJoin _, Some(q41Sql))))
 }

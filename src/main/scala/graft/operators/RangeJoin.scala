@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scalable point-in-interval range join.
+  *
+  * Spark plans a raw `p BETWEEN s AND e` join condition as a broadcast
+  * nested loop — O(|L|·|R|) and a driver-memory hazard. The scalable
+  * composition bins the domain: each interval explodes to the bins it
+  * overlaps, each point lands in exactly one bin, the join becomes an
+  * EQUI-join on the bin id (hash shuffle, AQE-skew-splittable), and the
+  * exact predicate filters within the bin. Each (point, interval) match
+  * appears exactly once because a point has one bin and an interval is
+  * listed once per bin.
+  *
+  * `binWidth` trades duplication for selectivity: interval rows replicate
+  * `len/binWidth + 1` times; bins much wider than intervals degrade to
+  * more filtering, much narrower to more replication. Pick ≈ median
+  * interval length.
+  */
+object RangeJoin {
+
+  /** Inner join of `points` to every interval containing the point
+    * (inclusive bounds). Output: point columns ++ interval columns.
+    */
+  def pointInInterval(
+      points: DataFrame, pointCol: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      binWidth: Double): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val pb = points.withColumn("__bin",
+      floor(col(pointCol) / binWidth).cast("long"))
+    val ib = intervals
+      .withColumn("__bin", explode(sequence(
+        floor(col(startCol) / binWidth).cast("long"),
+        floor(col(endCol) / binWidth).cast("long"))))
+    pb.join(ib, Seq("__bin"))
+      .filter(col(pointCol) >= col(startCol)
+        && col(pointCol) <= col(endCol))
+      .drop("__bin")
+  }
+}
