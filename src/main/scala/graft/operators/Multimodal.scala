@@ -105,6 +105,24 @@ object Multimodal {
     }.toDF("media_id", "embedding")
   }
 
+  /** Resize plumbing: payload→payload map with target dimensions carried
+    * in the envelope mime. STUB transform (a real impl decodes, scales,
+    * re-encodes per batch); the dataflow contract — narrow partition-wise
+    * map, bytes never shuffled — is the real part.
+    */
+  def resize(ds: Dataset[MediaRecord], width: Int, height: Int)
+      : Dataset[MediaRecord] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      // real impl: init scaler once per partition
+      it.map { r =>
+        val n = math.max(1, math.min(r.bytes.length, width * height / 256))
+        r.copy(bytes = r.bytes.take(n),
+          mime = s"${r.mime};w=$width;h=$height")
+      }
+    }
+  }
+
   /** Frame sampling plumbing for video/audio: emit every `stride`-th
     * frame index up to the decoded frame count — demonstrates the 1→N
     * explode shape (flatMap) a real frame sampler uses.

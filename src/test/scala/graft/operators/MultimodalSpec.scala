@@ -30,6 +30,12 @@ class MultimodalSpec extends SparkSpec {
     f.foreach(r => assert(r.getSeq[Float](1).length === 8))
   }
 
+  test("resize maps payloads partition-wise and stamps target dims") {
+    val resized = Multimodal.resize(media, 640, 480).collect()
+    assert(resized.forall(_.mime.endsWith(";w=640;h=480")))
+    assert(resized.forall(r => r.bytes.nonEmpty))
+  }
+
   test("sampleFrames explodes stride-spaced frame indices") {
     val audio = Multimodal.fromBinaryColumn(
       Seq((9L, "payload")).toDF("id", "p"), "id", "p", "audio")
