@@ -72,6 +72,15 @@ class TextOpsSpec extends SparkSpec {
     assert(pairs.contains((1L, 4L)))
   }
 
+  test("relational and expression MinHash signatures agree") {
+    val rel = TextDedup.minHashSignatures(docs, "doc_id", "text", 16, 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val expr = docs.select(col("doc_id"),
+        TextDedup.minHashSignature(col("text"), 16, 2).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(rel === expr)
+  }
+
   test("langId picks the language with most marker hits, deterministic ties") {
     val got = Seq(
       "the cat and the dog is in that house",
