@@ -976,6 +976,94 @@ object Queries {
       |  ON e.p >= o.st AND e.p <= o.en
       |GROUP BY event_id ORDER BY event_id""".stripMargin
 
+  /** Pivot: per-returnflag quantity sums spread across linestatus columns
+    * (`groupBy().pivot()` with explicit values → static output schema,
+    * which is also what scales: no driver-side distinct scan).
+    */
+  def q42Pivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(dec(col("l_quantity"))))
+      .withColumnRenamed("F", "qty_f")
+      .withColumnRenamed("O", "qty_o")
+      .orderBy(col("l_returnflag"))
+
+  val q42Sql: String =
+    """SELECT l_returnflag,
+      |  SUM(CASE WHEN l_linestatus = 'F'
+      |      THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS qty_f,
+      |  SUM(CASE WHEN l_linestatus = 'O'
+      |      THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS qty_o
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Explode + re-aggregate: corpus-wide token frequencies (word count —
+    * the canonical 1→N generator exercise).
+    */
+  def q43WordCount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("tok"))
+
+  val q43Sql: String =
+    """SELECT tok, COUNT(*) AS n FROM (
+      |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      |  FROM documents) u
+      |GROUP BY tok ORDER BY tok""".stripMargin
+
+  /** Nested-type aggregation: per-user SORTED event-type list —
+    * `collect_list` is unordered across partitions, so the deterministic
+    * form is sort_array(collect_list(...)), mirrored by DuckDB's
+    * list_sort(list(...)).
+    */
+  def q44CollectSorted(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("event_type"))).as("types"))
+      .orderBy(col("user_id"))
+
+  val q44Sql: String =
+    """SELECT user_id, list_sort(list(event_type)) AS types
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Statistical aggregates with engine-independent results: mean /
+    * variance / stddev derived from EXACT fixed-point sums of x and x²
+    * (a direct stddev_samp would differ in the last ulp between engines'
+    * accumulation schemes).
+    */
+  def q45Stats(s: SparkSession, dir: String): DataFrame = {
+    val x = col("l_discount")
+    val sx = sum(floor(x * 1e6 + lit(0.5)).cast("long"))
+    val sxx = sum(floor(x * x * 1e12 + lit(0.5)).cast("long"))
+    val n = count(lit(1))
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(sx.as("__sx"), sxx.as("__sxx"), n.as("n"))
+      .select(col("l_returnflag"), col("n"),
+        (col("__sx").cast("double") / 1e6 / col("n")).as("mean_disc"),
+        ((col("__sxx").cast("double") / 1e12
+          - (col("__sx").cast("double") / 1e6)
+            * (col("__sx").cast("double") / 1e6) / col("n"))
+          / (col("n") - 1)).as("var_disc"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q45Sql: String =
+    """SELECT l_returnflag, n,
+      |  CAST(sx AS DOUBLE) / 1e6 / n AS mean_disc,
+      |  (CAST(sxx AS DOUBLE) / 1e12
+      |    - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sx AS DOUBLE) / 1e6) / n)
+      |    / (n - 1) AS var_disc
+      |FROM (
+      |  SELECT l_returnflag,
+      |    SUM(CAST(FLOOR(l_discount * 1e6 + 0.5) AS BIGINT)) AS sx,
+      |    SUM(CAST(FLOOR(l_discount * l_discount * 1e12 + 0.5) AS BIGINT)) AS sxx,
+      |    COUNT(*) AS n
+      |  FROM lineitem GROUP BY l_returnflag) a
+      |ORDER BY l_returnflag""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -1022,5 +1110,9 @@ object Queries {
     "q38_percentiles" -> ((q38Percentiles _, Some(q38Sql))),
     "q39_sql_quality" -> ((q39SqlQuality _, Some(q39Sql))),
     "q40_approx_distinct" -> ((q40ApproxDistinct _, None)),
-    "q41_range_join" -> ((q41RangeJoin _, Some(q41Sql))))
+    "q41_range_join" -> ((q41RangeJoin _, Some(q41Sql))),
+    "q42_pivot" -> ((q42Pivot _, Some(q42Sql))),
+    "q43_word_count" -> ((q43WordCount _, Some(q43Sql))),
+    "q44_collect_sorted" -> ((q44CollectSorted _, Some(q44Sql))),
+    "q45_stats" -> ((q45Stats _, Some(q45Sql))))
 }
