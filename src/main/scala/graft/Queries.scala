@@ -951,18 +951,21 @@ object Queries {
         countDistinct(col("user_id")).as("exact_users"))
       .orderBy(col("event_type"))
 
-  /** Binned range join: events (point = value mod 100) against order
-    * intervals [totalprice mod 100, +5] — equi-join on bins, never a
-    * nested loop (see [[RangeJoin]]); per-event match counts.
+  /** Binned range join: events (point = value mod 100) against supplier
+    * intervals [acctbal mod 100, +2] — equi-join on bins, never a nested
+    * loop (see [[RangeJoin]]); per-event match counts. The interval side
+    * is deliberately sparse (~2% domain coverage each over the small
+    * supplier table) so the TRUE match count — which no join algorithm
+    * can beat — stays linear in the point count as SF grows.
     */
   def q41RangeJoin(s: SparkSession, dir: String): DataFrame = {
     val points = events(s, dir)
       .select(col("event_id"), (col("value") % 100.0).as("p"))
-    val intervals = t(s, dir, "orders")
-      .select(col("o_orderkey"), (col("o_totalprice") % 100.0).as("st"))
-      .withColumn("en", col("st") + 5.0)
+    val intervals = t(s, dir, "supplier")
+      .select(col("s_suppkey"), (col("s_acctbal") % 100.0).as("st"))
+      .withColumn("en", col("st") + 2.0)
     RangeJoin.pointInInterval(points, "p", intervals, "st", "en",
-        binWidth = 5.0)
+        binWidth = 2.0)
       .groupBy(col("event_id"))
       .agg(count(lit(1)).as("n_intervals"))
       .orderBy(col("event_id"))
@@ -971,8 +974,8 @@ object Queries {
   val q41Sql: String =
     """SELECT event_id, COUNT(*) AS n_intervals
       |FROM (SELECT event_id, value % 100.0 AS p FROM events) e
-      |JOIN (SELECT o_orderkey, o_totalprice % 100.0 AS st,
-      |        o_totalprice % 100.0 + 5.0 AS en FROM orders) o
+      |JOIN (SELECT s_suppkey, s_acctbal % 100.0 AS st,
+      |        s_acctbal % 100.0 + 2.0 AS en FROM supplier) o
       |  ON e.p >= o.st AND e.p <= o.en
       |GROUP BY event_id ORDER BY event_id""".stripMargin
 
