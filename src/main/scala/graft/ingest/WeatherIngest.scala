@@ -1,6 +1,6 @@
 package graft.ingest
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.WeatherModel
@@ -46,6 +46,23 @@ object WeatherIngest {
     checks.foldRight(lit(null).cast("string")) { case ((pred, path), rest) =>
       when(pred, lit(s"missing $path")).otherwise(rest)
     }
+  }
+
+  /** Typed variant of [[flatten]]: `Dataset[WeatherRecord]` for callers
+    * that want compile-time field checks. Requires every region to
+    * resolve in the dim (non-null coordinates) — unknown regions belong
+    * on the untyped path with [[errorColumn]]-style handling.
+    */
+  def flattenTyped(
+      raw: DataFrame,
+      regionDim: DataFrame,
+      extractionTime: Column = current_timestamp())
+      : Dataset[WeatherModel.WeatherRecord] = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    flatten(raw, regionDim, extractionTime)
+      .filter(col("latitude").isNotNull)
+      .as[WeatherModel.WeatherRecord]
   }
 
   /** S3-S6: flatten one document row into the canonical flat record.

@@ -103,6 +103,21 @@ class WeatherIngestSpec extends SparkSpec {
     assert(err === "missing main.temp")
   }
 
+  test("typed flatten yields Dataset[WeatherRecord] with correct fields") {
+    val ds = WeatherIngest.flattenTyped(
+      Fixtures.df(spark, Fixtures.full, Fixtures.missingOptionals),
+      WeatherModel.regionDim(spark),
+      extractionTime = to_timestamp(lit("2023-11-15 06:00:00")))
+    val recs = ds.collect().sortBy(_.region)
+    assert(recs.map(_.region).toSeq === Seq("Meru", "Nakuru"))
+    val nakuru = recs.find(_.region == "Nakuru").get
+    assert(nakuru.temperature === 22.5)
+    assert(nakuru.visibility === Some(10000))
+    val meru = recs.find(_.region == "Meru").get
+    assert(meru.visibility === None)
+    assert(meru.rainfall_1h === 0.0)
+  }
+
   test("unknown region keeps the row with null coordinates (left join)") {
     val doc = Fixtures.full.replace("\"Nakuru\"", "\"Atlantis\"")
     val r = flat(doc).collect()(0)
