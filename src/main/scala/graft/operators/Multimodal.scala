@@ -58,7 +58,7 @@ object Multimodal {
       */
     def decode(r: MediaRecord): MediaMeta = {
       val c = checksum(r.bytes)
-      val pos = math.abs(c)
+      val pos = c & Long.MaxValue // nonneg; math.abs(Long.MinValue) is negative
       r.kind match {
         case "image" => MediaMeta(r.media_id, r.kind, r.bytes.length.toLong, c,
           Some((pos % 1920 + 64).toInt), Some((pos % 1080 + 64).toInt),

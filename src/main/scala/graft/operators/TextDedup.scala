@@ -196,16 +196,24 @@ object TextDedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: bucket by the four 16-bit chunks (a pair
-    * within Hamming distance 3 of a 64-bit hash shares at least one exact
-    * chunk — pigeonhole), join within buckets, verify Hamming ≤ maxDist.
-    * Same no-O(n²) shape as MinHash LSH.
+  /** SimHash near-dup pairs: bucket by `maxDist + 1` bit chunks — by
+    * pigeonhole, a pair within Hamming distance `maxDist` shares at least
+    * one exact chunk, so recall is GUARANTEED (not probabilistic) at the
+    * configured distance. Join within buckets, verify Hamming ≤ maxDist.
+    * Same no-O(n²) shape as MinHash LSH. Cost note: more chunks → narrower
+    * chunks → more random bucket collisions; keep maxDist small (≤7) on
+    * large corpora.
     */
   def simHashPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist < simHashBits / 2,
+      s"maxDist must be in [0, ${simHashBits / 2})")
+    val nChunks = maxDist + 1
+    val chunkWidth = (simHashBits + nChunks - 1) / nChunks
+    val chunkMask = (1L << chunkWidth) - 1
     // RELATIONAL simhash (same rationale as minHashSignatures): explode
     // token hashes to rows, compute the per-bit ±1 vote sums as one
     // codegen'd grouped aggregate (62 static sum() columns, map-side
@@ -224,8 +232,8 @@ object TextDedup {
           when(col(s"__v$b") > 0, lit(1L << b)).otherwise(0L))
           .reduce(_ + _).as("__sim"))
     val chunked = withSig.select(col("__id"), col("__sim"),
-      posexplode(array((0 until 4).map(c =>
-        shiftright(col("__sim"), c * 16).bitwiseAND(0xFFFFL)): _*))
+      posexplode(array((0 until nChunks).map(c =>
+        shiftright(col("__sim"), c * chunkWidth).bitwiseAND(chunkMask)): _*))
         .as(Seq("__chunk", "__chunkval")))
     chunked.as("l").join(chunked.as("r"),
         col("l.__chunk") === col("r.__chunk")

@@ -37,10 +37,17 @@ object WeatherPipeline {
     val raw = WeatherIngest.readDocuments(spark, documentsPath)
     val flat = WeatherIngest.flatten(raw, WeatherModel.regionDim(spark),
       extractionTime)
-    require(flat.head(1).nonEmpty, "No weather data was successfully extracted")
-    val transformed = WeatherTransform.transform(flat)
-    require(transformed.head(1).nonEmpty, "No data received from extraction task")
-    WeatherSink.upsertInto(spark, transformed, tablePath)
+    // cache across the two C2 guards and the sink write — without it the
+    // source scan + flatten re-execute three times
+    flat.persist()
+    try {
+      require(flat.head(1).nonEmpty,
+        "No weather data was successfully extracted")
+      val transformed = WeatherTransform.transform(flat)
+      require(transformed.head(1).nonEmpty,
+        "No data received from extraction task")
+      WeatherSink.upsertInto(spark, transformed, tablePath)
+    } finally flat.unpersist()
     val table = spark.read.parquet(tablePath)
     val report = QualityChecks.report(table, checkDate)
     report.warnings.foreach(w => System.err.println(s"[quality] WARN: $w"))

@@ -61,7 +61,10 @@ object Sessionize {
             sorted.foreach { e =>
               open match {
                 case Some(s) if e.ts_ms - s.end_ms <= gapMs =>
-                  open = Some(OpenSession(s.start_ms, e.ts_ms, s.n + 1))
+                  // min/max: a late event from a previous micro-batch must
+                  // extend the session bounds, never rewind them
+                  open = Some(OpenSession(math.min(s.start_ms, e.ts_ms),
+                    math.max(s.end_ms, e.ts_ms), s.n + 1))
                 case Some(s) =>
                   closed += Session(userId, s.start_ms, s.end_ms, s.n)
                   open = Some(OpenSession(e.ts_ms, e.ts_ms, 1))

@@ -33,4 +33,24 @@ class SessionizeSpec extends SparkSpec {
       assert(afterB2.toSet.contains(Session(1L, 5100L, 5600L, 2)))
     } finally q.stop()
   }
+
+  test("late cross-batch event extends session bounds instead of rewinding") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = Sessionize.sessionize(input.toDS(), gapMs = 1000L)
+    val q = sessions.writeStream.format("memory").queryName("sessions_late")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    try {
+      input.addData(Event(7L, 1000L))
+      q.processAllAvailable()
+      // late event 400 merges (gap from end 1000 is negative), then 1600
+      // continues: one session 400..1600 — a rewound end would have split it
+      input.addData(Event(7L, 400L), Event(7L, 1600L))
+      q.processAllAvailable()
+      input.addData(Event(7L, 99999L)) // far event closes the open session
+      q.processAllAvailable()
+      val got = spark.table("sessions_late").as[Session].collect().toSet
+      assert(got.contains(Session(7L, 400L, 1600L, 3)), got)
+    } finally q.stop()
+  }
 }
