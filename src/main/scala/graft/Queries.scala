@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.WeatherFunctions
 import graft.functions.TextFunctions
-import graft.operators.{AsOfJoin, Dedup, Multimodal, RangeJoin, Similarity, TextDedup}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, RangeJoin, Sampling, Similarity, TextChunker, TextDedup}
 
 /** The oracle-checked query surface: every operator from SURVEY.md §2
   * exposed as a named query over the driver's parquet tables, with
@@ -1076,6 +1076,43 @@ object Queries {
       |  FROM lineitem GROUP BY l_returnflag) a
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Document chunking: 32-token windows with 8-token overlap over every
+    * document — the training-data unit-of-work generator
+    * ([[TextChunker]]), fully oracle-checked including chunk text.
+    */
+  def q46Chunking(s: SparkSession, dir: String): DataFrame =
+    TextChunker.chunk(t(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = 32, overlap = 8)
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  val q46Sql: String =
+    """SELECT doc_id, chunk_id,
+      |  array_to_string(toks[CAST(chunk_id*24 + 1 AS BIGINT)
+      |    : CAST(chunk_id*24 + 32 AS BIGINT)], ' ') AS chunk_text,
+      |  LEAST(32, n - chunk_id*24) AS chunk_tokens
+      |FROM (
+      |  SELECT doc_id, toks, n,
+      |    unnest(range(0, CASE WHEN n <= 32 THEN 1
+      |      ELSE CAST(CEIL(CAST(n - 32 AS DOUBLE) / 24) AS BIGINT) + 1
+      |      END)) AS chunk_id
+      |  FROM (
+      |    SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+      |    FROM (SELECT doc_id,
+      |            list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |          FROM documents) i) w) c
+      |ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** Deterministic train/val/test split counts per split and language —
+    * [[Sampling.hashSplit]] assignment is a pure function of doc_id
+    * (seeded xxhash64 → rows-only oracle; determinism and disjointness
+    * asserted in SamplingSpec).
+    */
+  def q47HashSplit(s: SparkSession, dir: String): DataFrame =
+    Sampling.hashSplit(t(s, dir, "documents"), "doc_id", 80, 10)
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("split"), col("lang"))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -1126,5 +1163,7 @@ object Queries {
     "q42_pivot" -> ((q42Pivot _, Some(q42Sql))),
     "q43_word_count" -> ((q43WordCount _, Some(q43Sql))),
     "q44_collect_sorted" -> ((q44CollectSorted _, Some(q44Sql))),
-    "q45_stats" -> ((q45Stats _, Some(q45Sql))))
+    "q45_stats" -> ((q45Stats _, Some(q45Sql))),
+    "q46_chunking" -> ((q46Chunking _, Some(q46Sql))),
+    "q47_hash_split" -> ((q47HashSplit _, None)))
 }

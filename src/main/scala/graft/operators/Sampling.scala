@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset splitting and sampling for training pipelines.
+  *
+  * Assignment is a pure function of the row's ID (seeded xxhash64), so
+  * splits are: stable across runs and cluster layouts, disjoint by
+  * construction, and reproducible from the id alone — the properties
+  * that matter when 100 TB of training data must never leak val rows
+  * into train between pipeline versions. No RNG state, no
+  * `randomSplit` (whose assignment depends on partitioning).
+  */
+object Sampling {
+
+  private def bucket(id: Column, seed: Int, buckets: Int): Column =
+    pmod(xxhash64(lit(seed), id), lit(buckets))
+
+  /** Append a `split` column: "train" / "val" / "test" with the given
+    * percentages (test gets the remainder).
+    */
+  def hashSplit(df: DataFrame, idCol: String, trainPct: Int, valPct: Int,
+      seed: Int = 42): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      "percentages must be within [0, 100]")
+    val b = bucket(col(idCol), seed, 100)
+    df.withColumn("split",
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  /** Deterministic ~`pct`% sample (basis points of precision). */
+  def hashSample(df: DataFrame, idCol: String, pct: Double,
+      seed: Int = 42): DataFrame = {
+    require(pct >= 0 && pct <= 100, "pct in [0, 100]")
+    df.filter(bucket(col(idCol), seed, 10000) < (pct * 100).toInt)
+  }
+
+  /** Per-stratum deterministic sampling rates, e.g. downsample one
+    * over-represented language: unlisted strata keep everything.
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+      rates: Map[String, Double], seed: Int = 42): DataFrame = {
+    val b = bucket(col(idCol), seed, 10000)
+    val keep = rates.foldLeft(lit(true)) { case (acc, (stratum, pct)) =>
+      when(col(strataCol) === stratum, b < (pct * 100).toInt).otherwise(acc)
+    }
+    df.filter(keep)
+  }
+}

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("hashSplit is deterministic, disjoint, and near the target ratios") {
+    val s1 = Sampling.hashSplit(docs, "doc_id", 80, 10)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val s2 = Sampling.hashSplit(docs, "doc_id", 80, 10)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s1 === s2) // stable across runs
+    assert(s1.values.sum === 500)
+    assert(s1("train") > 350 && s1("train") < 450) // ~80% of 500
+    assert(s1.getOrElse("val", 0L) + s1.getOrElse("test", 0L) === 500 - s1("train"))
+  }
+
+  test("hashSplit assignment is a pure function of the id") {
+    val a = Sampling.hashSplit(docs, "doc_id", 50, 25)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // same ids through a differently-partitioned frame -> same assignment
+    val b = Sampling.hashSplit(docs.repartition(17), "doc_id", 50, 25)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a === b)
+  }
+
+  test("stratifiedSample downsamples only the listed strata") {
+    val before = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val after = Sampling.stratifiedSample(docs, "lang", "doc_id",
+        Map("en" -> 10.0))
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after("en") < before("en") / 4) // ~10% kept
+    (before.keySet - "en").foreach(l => assert(after(l) === before(l)))
+  }
+
+  test("hashSample rate is approximately honored") {
+    val n = Sampling.hashSample(docs, "doc_id", 20.0).count()
+    assert(n > 50 && n < 150) // ~100 of 500
+  }
+}
