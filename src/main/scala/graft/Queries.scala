@@ -1113,6 +1113,44 @@ object Queries {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("split"), col("lang"))
 
+  /** Sequence packing on top of q46's chunks: assign chunks to 256-token
+    * context windows and report per-pack fill — chunk → pack is the last
+    * hop of the training-data pipeline. Fully oracle-checked.
+    */
+  def q48Packing(s: SparkSession, dir: String): DataFrame = {
+    val chunks = TextChunker.chunk(t(s, dir, "documents"), "doc_id", "text",
+      chunkTokens = 32, overlap = 8)
+    TextChunker.pack(chunks,
+        Seq(col("doc_id"), col("chunk_id")), "chunk_tokens", maxTokens = 256)
+      .groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("chunk_tokens")).as("n_tokens"))
+      .orderBy(col("pack_id"))
+  }
+
+  val q48Sql: String =
+    """SELECT pack_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+      |  CAST(SUM(chunk_tokens) AS BIGINT) AS n_tokens
+      |FROM (
+      |  SELECT CAST(FLOOR(CAST((SUM(chunk_tokens) OVER (
+      |      ORDER BY doc_id, chunk_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      - chunk_tokens) AS DOUBLE) / 256) AS BIGINT) AS pack_id,
+      |    chunk_tokens
+      |  FROM (
+      |    SELECT doc_id, chunk_id,
+      |      LEAST(32, n - chunk_id*24) AS chunk_tokens
+      |    FROM (
+      |      SELECT doc_id, n,
+      |        unnest(range(0, CASE WHEN n <= 32 THEN 1
+      |          ELSE CAST(CEIL(CAST(n - 32 AS DOUBLE) / 24) AS BIGINT) + 1
+      |          END)) AS chunk_id
+      |      FROM (SELECT doc_id,
+      |              CAST(len(list_filter(string_split(text, ' '),
+      |                x -> x <> '')) AS BIGINT) AS n
+      |            FROM documents) i) w) c) p
+      |GROUP BY pack_id ORDER BY pack_id""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -1165,5 +1203,6 @@ object Queries {
     "q44_collect_sorted" -> ((q44CollectSorted _, Some(q44Sql))),
     "q45_stats" -> ((q45Stats _, Some(q45Sql))),
     "q46_chunking" -> ((q46Chunking _, Some(q46Sql))),
-    "q47_hash_split" -> ((q47HashSplit _, None)))
+    "q47_hash_split" -> ((q47HashSplit _, None)),
+    "q48_packing" -> ((q48Packing _, Some(q48Sql))))
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -42,5 +43,30 @@ object TextChunker {
         least(lit(chunkTokens),
           col("__n") - col("chunk_id") * stride).cast("long")
           .as("chunk_tokens"))
+  }
+
+  /** Sequence packing: assign token-counted items to ≤`maxTokens` context
+    * windows by exclusive running sum (`pack_id = floor(cum_before /
+    * maxTokens)`) — the deterministic, order-preserving first-fit
+    * approximation used at scale (items are never split; a pack may
+    * overflow by at most one item, the price of a single-pass streaming
+    * assignment).
+    *
+    * `partitionCols` shard the packing: empty means one global sequence
+    * (fine for an oracle query, a global sort at scale); at 100 TB pass a
+    * shard key so each shard packs independently with a per-key sort
+    * only.
+    */
+  def pack(df: DataFrame, orderCols: Seq[Column], tokensCol: String,
+      maxTokens: Int, partitionCols: Seq[Column] = Nil): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    val w0 = if (partitionCols.isEmpty) Window.partitionBy()
+      else Window.partitionBy(partitionCols: _*)
+    val w = w0.orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum",
+        sum(col(tokensCol)).over(w) - col(tokensCol))
+      .withColumn("pack_id", floor(col("__cum") / maxTokens).cast("long"))
+      .drop("__cum")
   }
 }

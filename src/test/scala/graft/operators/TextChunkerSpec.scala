@@ -25,6 +25,17 @@ class TextChunkerSpec extends SparkSpec {
     assert(doc3 === Seq(("", 0L)))
   }
 
+  test("packing assigns items to windows by running sum, never splitting") {
+    import org.apache.spark.sql.functions._
+    val items = Seq((1L, 100L), (2L, 100L), (3L, 100L), (4L, 60L), (5L, 10L))
+      .toDF("item", "toks")
+    val got = TextChunker.pack(items, Seq(col("item")), "toks", 200)
+      .orderBy("item").collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("pack_id")).toSeq
+    // cum_before: 0,100,200,300,360 -> packs 0,0,1,1,1
+    assert(got === Seq(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
   test("no overlap: chunks partition the token stream") {
     val got = TextChunker.chunk(docs.filter($"doc_id" === 1L), "doc_id",
         "text", chunkTokens = 4)
