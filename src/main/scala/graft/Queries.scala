@@ -1151,6 +1151,33 @@ object Queries {
       |            FROM documents) i) w) c) p
       |GROUP BY pack_id ORDER BY pack_id""".stripMargin
 
+  /** Corpus scrubbing: PII-style masking over documents with injected
+    * emails/URLs/ids (the harness text contains none, so matches are
+    * synthesized deterministically from doc_id — the regexes are
+    * exercised on every row, oracle-checked on the masked text).
+    */
+  def q49Scrub(s: SparkSession, dir: String): DataFrame = {
+    val dirty = t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"), lit(" contact user"), col("doc_id"),
+        lit("@example.com or https://example.com/d/"), col("doc_id"),
+        lit(" ref "), col("doc_id") + 1000000L).as("text"))
+    dirty.select(col("doc_id"),
+        TextFunctions.scrub(col("text")).as("clean"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q49Sql: String =
+    """SELECT doc_id,
+      |  regexp_replace(regexp_replace(regexp_replace(
+      |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+      |      || '@example.com or https://example.com/d/'
+      |      || CAST(doc_id AS VARCHAR) || ' ref '
+      |      || CAST(doc_id + 1000000 AS VARCHAR),
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    'https?://[^ ]+', '<URL>', 'g'),
+      |    '[0-9]{6,}', '<NUM>', 'g') AS clean
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -1204,5 +1231,6 @@ object Queries {
     "q45_stats" -> ((q45Stats _, Some(q45Sql))),
     "q46_chunking" -> ((q46Chunking _, Some(q46Sql))),
     "q47_hash_split" -> ((q47HashSplit _, None)),
-    "q48_packing" -> ((q48Packing _, Some(q48Sql))))
+    "q48_packing" -> ((q48Packing _, Some(q48Sql))),
+    "q49_scrub" -> ((q49Scrub _, Some(q49Sql))))
 }

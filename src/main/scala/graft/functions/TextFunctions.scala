@@ -105,6 +105,19 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "\\s+", " "))
 
+  /** PII/noise scrubbing for corpus cleaning: mask emails, URLs, and long
+    * digit runs with stable placeholder tokens. Patterns stay in the
+    * RE2-compatible subset (no backreferences/lookaround) so the same
+    * regex text runs identically on any engine.
+    */
+  def scrub(text: Column): Column = {
+    val noEmail = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val noUrl = regexp_replace(noEmail,
+      "https?://[^ ]+", "<URL>")
+    regexp_replace(noUrl, "[0-9]{6,}", "<NUM>")
+  }
+
   /** Word n-gram shingles (default trigrams) — the unit set for MinHash /
     * Jaccard near-dup. `sequence` + `slice` keeps it inside codegen.
     *
