@@ -22,19 +22,34 @@ import org.apache.spark.sql.functions._
 object RangeJoin {
 
   /** Inner join of `points` to every interval containing the point
-    * (inclusive bounds). Output: point columns ++ interval columns.
+    * (inclusive bounds). Output: point columns ++ interval columns —
+    * the two sides must not share column names.
+    *
+    * @param maxBinsPerInterval fail-fast ceiling on interval replication:
+    *        one corrupt row with a huge [start, end] would otherwise ask
+    *        sequence() for an unbounded array and kill the job with an
+    *        opaque limit/OOM error deep in the shuffle
     */
   def pointInInterval(
       points: DataFrame, pointCol: String,
       intervals: DataFrame, startCol: String, endCol: String,
-      binWidth: Double): DataFrame = {
+      binWidth: Double, maxBinsPerInterval: Int = 10000): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    val shared = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(shared.isEmpty,
+      s"points and intervals must not share column names: $shared")
+    require(!(points.columns ++ intervals.columns).contains("__bin"),
+      "__bin is reserved")
     val pb = points.withColumn("__bin",
       floor(col(pointCol) / binWidth).cast("long"))
-    val ib = intervals
-      .withColumn("__bin", explode(sequence(
-        floor(col(startCol) / binWidth).cast("long"),
-        floor(col(endCol) / binWidth).cast("long"))))
+    val loBin = floor(col(startCol) / binWidth).cast("long")
+    val hiBin = floor(col(endCol) / binWidth).cast("long")
+    val guarded = when(hiBin - loBin >= maxBinsPerInterval,
+      raise_error(concat(lit(s"interval spans more than $maxBinsPerInterval "
+        + "bins (corrupt bounds or binWidth too small): start="),
+        col(startCol), lit(" end="), col(endCol))))
+      .otherwise(hiBin)
+    val ib = intervals.withColumn("__bin", explode(sequence(loBin, guarded)))
     pb.join(ib, Seq("__bin"))
       .filter(col(pointCol) >= col(startCol)
         && col(pointCol) <= col(endCol))

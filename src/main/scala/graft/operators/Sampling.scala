@@ -11,11 +11,22 @@ import org.apache.spark.sql.functions._
   * that matter when 100 TB of training data must never leak val rows
   * into train between pipeline versions. No RNG state, no
   * `randomSplit` (whose assignment depends on partitioning).
+  *
+  * The bucket count participates in the hash, so operators with
+  * different granularities (percent vs basis-point) draw INDEPENDENT
+  * hashes — composing hashSample with hashSplit does not correlate
+  * (nested-moduli hashing would make a 50% sample land entirely in
+  * "train").
   */
 object Sampling {
 
   private def bucket(id: Column, seed: Int, buckets: Int): Column =
-    pmod(xxhash64(lit(seed), id), lit(buckets))
+    pmod(xxhash64(lit(seed), lit(buckets), id), lit(buckets))
+
+  /** Basis points from a percentage, rounded (truncation would undercut
+    * e.g. 0.29% — 0.29*100 is 28.999... as a double).
+    */
+  private def basisPoints(pct: Double): Int = math.round(pct * 100).toInt
 
   /** Append a `split` column: "train" / "val" / "test" with the given
     * percentages (test gets the remainder).
@@ -35,7 +46,7 @@ object Sampling {
   def hashSample(df: DataFrame, idCol: String, pct: Double,
       seed: Int = 42): DataFrame = {
     require(pct >= 0 && pct <= 100, "pct in [0, 100]")
-    df.filter(bucket(col(idCol), seed, 10000) < (pct * 100).toInt)
+    df.filter(bucket(col(idCol), seed, 10000) < basisPoints(pct))
   }
 
   /** Per-stratum deterministic sampling rates, e.g. downsample one
@@ -43,9 +54,11 @@ object Sampling {
     */
   def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
       rates: Map[String, Double], seed: Int = 42): DataFrame = {
+    require(rates.values.forall(p => p >= 0 && p <= 100),
+      "every rate must be in [0, 100]")
     val b = bucket(col(idCol), seed, 10000)
     val keep = rates.foldLeft(lit(true)) { case (acc, (stratum, pct)) =>
-      when(col(strataCol) === stratum, b < (pct * 100).toInt).otherwise(acc)
+      when(col(strataCol) === stratum, b < basisPoints(pct)).otherwise(acc)
     }
     df.filter(keep)
   }

@@ -30,11 +30,13 @@ object Skew {
       saltBuckets: Int,
       phase1: Seq[Column],
       phase2: Seq[Column]): DataFrame = {
-    // deterministic salt: spread rows without an RNG (repeatable plans),
-    // keyed off a cheap hash of the whole row's partition position proxy
+    require(saltBuckets > 0, "saltBuckets must be positive")
+    // RNG-free salt from the row's position. Aggregate RESULTS are
+    // layout-independent (any salt assignment merges to the same totals);
+    // the assignment itself varies with partitioning, so phase-1 partials
+    // are not comparable across runs.
     val salted = df.withColumn("__salt",
-      pmod(spark_partition_id() * 31 + monotonically_increasing_id(),
-        lit(saltBuckets)))
+      pmod(monotonically_increasing_id(), lit(saltBuckets.toLong)))
     val partials = salted
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(phase1.head, phase1.tail: _*)

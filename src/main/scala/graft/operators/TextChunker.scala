@@ -27,8 +27,10 @@ object TextChunker {
     require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
       "need 0 <= overlap < chunkTokens")
     val stride = chunkTokens - overlap
+    // coalesce: a NULL text must behave like an empty document (one empty
+    // chunk), not silently vanish through null-propagating array ops
     val tokenized = df.select(col(idCol),
-      TextFunctions.tokens(col(textCol)).as("__toks"))
+      TextFunctions.tokens(coalesce(col(textCol), lit(""))).as("__toks"))
     val withN = tokenized.withColumn("__n", size(col("__toks")))
     // 1 chunk for short docs; else 1 + ceil((n - chunk) / stride)
     val nChunks = when(col("__n") <= chunkTokens, 1L).otherwise(

@@ -31,9 +31,30 @@ object Bucketing {
 
   /** Join two tables bucketed on the same key with the same bucket count:
     * planner sees compatible output partitioning on both sides and elides
-    * both exchanges.
+    * both exchanges. Verifies the bucket specs up front — on mismatched
+    * or unbucketed tables the join would silently reintroduce full
+    * shuffles, defeating the function's purpose.
     */
   def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
-      key: String): DataFrame =
+      key: String): DataFrame = {
+    val l = bucketSpec(spark, leftTable)
+    val r = bucketSpec(spark, rightTable)
+    require(l.exists(_._2.contains(key)) && l == r,
+      s"$leftTable and $rightTable must both be bucketed on '$key' with " +
+        s"equal bucket counts (got $l vs $r)")
     spark.table(leftTable).join(spark.table(rightTable), Seq(key))
+  }
+
+  /** (numBuckets, bucketColumns) of a catalog table, if bucketed. */
+  def bucketSpec(spark: SparkSession, table: String)
+      : Option[(Int, Seq[String])] = {
+    val rows = spark.sql(s"DESCRIBE FORMATTED $table").collect()
+    def field(name: String): Option[String] =
+      rows.find(_.getString(0).trim == name).map(_.getString(1).trim)
+    for {
+      n <- field("Num Buckets").map(_.toInt)
+      cols <- field("Bucket Columns")
+    } yield (n, cols.stripPrefix("[").stripSuffix("]")
+      .split(",").map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq)
+  }
 }
