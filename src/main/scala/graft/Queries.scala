@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.WeatherFunctions
-import graft.functions.TextFunctions
+import graft.functions.{TextFeatures, TextFunctions}
 import graft.operators.{AsOfJoin, Dedup, Multimodal, RangeJoin, Sampling, Similarity, TextChunker, TextDedup}
 
 /** The oracle-checked query surface: every operator from SURVEY.md §2
@@ -1178,6 +1178,24 @@ object Queries {
       |    '[0-9]{6,}', '<NUM>', 'g') AS clean
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** End-to-end text→vector→ANN: feature-hash documents into 32-dim
+    * embeddings ([[TextFeatures.hashEmbed]]) and find each mutated copy's
+    * nearest neighbor — closing the loop from raw text to similarity
+    * search with zero external models. Rows-only oracle (xxhash64);
+    * the invariant (each copy's top-1 is its source) is asserted in
+    * TextFeaturesSpec and holds here by construction.
+    */
+  def q50TextAnn(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val corpus = docs.unionByName(mutatedCopy(docs))
+    val emb = TextFeatures.hashEmbed(corpus, "doc_id", "text", dim = 32)
+    Similarity.bruteForceTopK(emb,
+        emb.filter(col("doc_id") >= 1000000L && col("doc_id") < 1000005L),
+        "doc_id", "embedding", k = 1)
+      .select(col("query_id"), col("neighbor_id"), col("score_fp"))
+      .orderBy(col("query_id"))
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -1232,5 +1250,6 @@ object Queries {
     "q46_chunking" -> ((q46Chunking _, Some(q46Sql))),
     "q47_hash_split" -> ((q47HashSplit _, None)),
     "q48_packing" -> ((q48Packing _, Some(q48Sql))),
-    "q49_scrub" -> ((q49Scrub _, Some(q49Sql))))
+    "q49_scrub" -> ((q49Scrub _, Some(q49Sql))),
+    "q50_text_ann" -> ((q50TextAnn _, None)))
 }
