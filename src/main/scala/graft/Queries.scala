@@ -1196,6 +1196,43 @@ object Queries {
       .orderBy(col("query_id"))
   }
 
+  /** Event-time tumbling windows in BATCH mode — the same `window()`
+    * groups the streaming path uses (WeatherStream.qualityByWindow),
+    * oracle-checked against date_trunc bucketing.
+    */
+  def q51TumblingWindow(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"),
+        (sum(cents(col("value"))).cast("double") / 100).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("n"), col("sum_value"))
+      .orderBy(col("window_start"))
+
+  val q51Sql: String =
+    """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100
+      |    AS sum_value
+      |FROM events GROUP BY 1 ORDER BY window_start""".stripMargin
+
+  /** Filtered distinct aggregation: per event type, distinct high-value
+    * users — `countDistinct(when(...))` ≡ `COUNT(DISTINCT CASE ...)`.
+    */
+  def q52FilteredDistinct(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(when(col("value") > 100, col("user_id")))
+          .as("big_spenders"),
+        countDistinct(col("user_id")).as("all_users"))
+      .orderBy(col("event_type"))
+
+  val q52Sql: String =
+    """SELECT event_type,
+      |  COUNT(DISTINCT CASE WHEN value > 100 THEN user_id END) AS big_spenders,
+      |  COUNT(DISTINCT user_id) AS all_users
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -1251,5 +1288,7 @@ object Queries {
     "q47_hash_split" -> ((q47HashSplit _, None)),
     "q48_packing" -> ((q48Packing _, Some(q48Sql))),
     "q49_scrub" -> ((q49Scrub _, Some(q49Sql))),
-    "q50_text_ann" -> ((q50TextAnn _, None)))
+    "q50_text_ann" -> ((q50TextAnn _, None)),
+    "q51_tumbling_window" -> ((q51TumblingWindow _, Some(q51Sql))),
+    "q52_filtered_distinct" -> ((q52FilteredDistinct _, Some(q52Sql))))
 }
