@@ -641,20 +641,56 @@ object Queries {
       |WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
   /** MinHash+LSH near-dup over a corpus with planted near-duplicates
-    * (each doc unioned with a copy missing its last 2 tokens). xxhash64
-    * signatures are not DuckDB-expressible → rows-only oracle; pair
-    * recall is asserted in ScalaTest instead.
+    * (each doc unioned with a copy missing its last 2 tokens), ORACLE-
+    * CHECKED on the planted subset: the output keeps pairs
+    * (d, d+1000000), whose exact shingle Jaccard — and therefore
+    * membership above the threshold — IS SQL-expressible (the q27
+    * kernel), so DuckDB predicts the full result. Equality then proves
+    * LSH recall = 1.0 on every planted pair, not just row counts.
+    *
+    * 32 bands x 4 rows: per-pair miss probability (1-j^4)^32 is ~5e-6
+    * even at the corpus's weakest planted pair (j = 0.75; measured
+    * distribution min across sf0.001/0.01/0.1), so the equality check is
+    * deterministic in practice while rows-per-band=4 keeps the candidate
+    * probability curve steep (random-overlap docs don't flood the join).
+    * Cross-doc dup pairs are still found by the same plan; the planted
+    * filter only selects the oracle-predictable subset for output.
     */
   def q26MinHashNearDup(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
     val corpus = docs.unionByName(mutatedCopy(docs))
-    // 8 bands x 4 rows: candidate probability ~(1-(1-j^4)^8), steep
-    // around j~0.6 - tight enough that random-overlap docs do not flood
-    // the candidate join at scale, with ~full recall above j~0.8
     TextDedup.minHashLsh(corpus, "doc_id", "text",
-        numHashes = 32, bands = 8, shingleSize = 3, threshold = 0.5)
+        numHashes = 128, bands = 32, shingleSize = 3, threshold = 0.5)
+      .filter(col("id_b") === col("id_a") + 1000000L)
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  val q26Sql: String =
+    """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+      |  CASE WHEN CAST(len(list_distinct(sa)) + len(list_distinct(sb))
+      |         - len(list_filter(list_distinct(sa), x -> list_contains(list_distinct(sb), x))) AS DOUBLE) > 0
+      |    THEN CAST(len(list_filter(list_distinct(sa), x -> list_contains(list_distinct(sb), x))) AS DOUBLE)
+      |       / CAST(len(list_distinct(sa)) + len(list_distinct(sb))
+      |         - len(list_filter(list_distinct(sa), x -> list_contains(list_distinct(sb), x))) AS DOUBLE)
+      |    ELSE 0.0 END AS jaccard
+      |FROM (
+      |  SELECT doc_id,
+      |    CASE WHEN len(ta) < 3 THEN [array_to_string(ta, ' ')]
+      |         ELSE list_transform(range(1, len(ta) - 1),
+      |                i -> ta[i] || ' ' || ta[i+1] || ' ' || ta[i+2]) END AS sa,
+      |    CASE WHEN len(tb) < 3 THEN [array_to_string(tb, ' ')]
+      |         ELSE list_transform(range(1, len(tb) - 1),
+      |                i -> tb[i] || ' ' || tb[i+1] || ' ' || tb[i+2]) END AS sb
+      |  FROM (
+      |    SELECT doc_id, ta, ta[1:GREATEST(len(ta) - 2, 1)] AS tb
+      |    FROM (SELECT doc_id,
+      |            list_filter(string_split(text, ' '), x -> x <> '') AS ta
+      |          FROM documents) i) m) o
+      |WHERE CAST(len(list_filter(list_distinct(sa), x -> list_contains(list_distinct(sb), x))) AS DOUBLE)
+      |    / NULLIF(CAST(len(list_distinct(sa)) + len(list_distinct(sb))
+      |      - len(list_filter(list_distinct(sa), x -> list_contains(list_distinct(sb), x))) AS DOUBLE), 0)
+      |    >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
 
   /** Companion of q26: a copy of each doc with the last 2 tokens dropped,
     * ids offset by 1,000,000.
@@ -734,18 +770,31 @@ object Queries {
       |    JOIN embeddings e ON e.vec_id <> q.vec_id) s) r
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
-  /** Embedding-cosine near-dup with planted duplicates (scaled copies —
-    * cosine-invariant, same LSH bucket). xxhash64 bucketing → rows-only
-    * oracle; recall asserted in ScalaTest.
+  /** Embedding-cosine near-dup with planted duplicates (scaled copies),
+    * ORACLE-CHECKED: a positively-scaled copy has the same hyperplane
+    * sign pattern as its source in EVERY band (sign(w·cv) = sign(w·v)
+    * for c > 0 up to float rounding of c·v, and cosine ≈ 1 ≫ threshold),
+    * so the planted subset of the output is deterministic and DuckDB
+    * predicts it exactly: one pair (v, v+1000000) per embedding. The
+    * banded-LSH plan (candidate union over 4 independent 12-plane
+    * families + bucket-size fail-fast) is exercised end to end; the
+    * cosine value itself is engine-local float math and stays out of the
+    * hashed output.
     */
   def q29CosineNearDup(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val scaled = emb.select((col("vec_id") + 1000000L).as("vec_id"),
       transform(col("embedding"), x => x * lit(1.5f)).as("embedding"))
     Similarity.cosineNearDup(emb.unionByName(scaled), "vec_id", "embedding",
-        dim = 64, threshold = 0.99, planes = 8)
+        dim = 64, threshold = 0.99, planes = 12, bands = 4)
+      .filter(col("id_b") === col("id_a") + 1000000L)
+      .select(col("id_a"), col("id_b"))
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  val q29Sql: String =
+    """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b
+      |FROM embeddings ORDER BY id_a, id_b""".stripMargin
 
   // ---------------------------------------------------------------------
   // Multimodal plumbing
@@ -958,15 +1007,27 @@ object Queries {
       |ORDER BY l_returnflag""".stripMargin
 
   /** HLL sketch distinct (approx_count_distinct): the constant-memory
-    * cardinality path for 100 TB group-bys. Sketches are engine-specific →
-    * rows-only oracle; the exact counterpart (q08) is hash-checked.
+    * cardinality path for 100 TB group-bys. The sketch estimate is
+    * engine-specific, so the ORACLE-CHECKED output is the exact count
+    * plus an error-band boolean: |approx-exact|/exact ≤ 0.1 with the
+    * sketch at rsd 0.02 (5σ margin — deterministic in practice; DuckDB
+    * mirrors the bound as literal TRUE). The sketch still runs in the
+    * same aggregate as the exact count.
     */
   def q40ApproxDistinct(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-        countDistinct(col("user_id")).as("exact_users"))
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.02).as("__approx"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("__approx") - col("exact_users")).cast("double")
+          / col("exact_users") <= 0.1).as("approx_ok"))
       .orderBy(col("event_type"))
+
+  val q40Sql: String =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+      |  TRUE AS approx_ok
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Binned range join: events (point = value mod 100) against supplier
     * intervals [acctbal mod 100, +2] — equi-join on bins, never a nested
@@ -1117,16 +1178,31 @@ object Queries {
       |          FROM documents) i) w) c
       |ORDER BY doc_id, chunk_id""".stripMargin
 
-  /** Deterministic train/val/test split counts per split and language —
-    * [[Sampling.hashSplit]] assignment is a pure function of doc_id
-    * (seeded xxhash64 → rows-only oracle; determinism and disjointness
-    * asserted in SamplingSpec).
+  /** Deterministic train/val/test split, ORACLE-CHECKED on its
+    * invariants: per language, the split counts must sum back to the
+    * corpus count (totality + disjointness — a doc in two splits would
+    * overshoot, a dropped doc undershoot), all three splits must be
+    * populated, and the train share must sit in a wide uniformity band
+    * around the requested 80% (±4σ at the smallest language bucket).
+    * DuckDB predicts all three from the raw table; the split assignment
+    * itself ([[Sampling.hashSplit]], seeded xxhash64) remains
+    * hash-determinism-tested in SamplingSpec.
     */
   def q47HashSplit(s: SparkSession, dir: String): DataFrame =
     Sampling.hashSplit(t(s, dir, "documents"), "doc_id", 80, 10)
-      .groupBy(col("split"), col("lang"))
-      .agg(count(lit(1)).as("n"))
-      .orderBy(col("split"), col("lang"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("split")).as("n_splits"),
+        count(when(col("split") === "train", lit(1))).as("__n_train"))
+      .select(col("lang"), col("n_docs"), col("n_splits"),
+        (col("__n_train").cast("double") / col("n_docs"))
+          .between(0.6, 0.95).as("train_frac_ok"))
+      .orderBy(col("lang"))
+
+  val q47Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs, CAST(3 AS BIGINT) AS n_splits,
+      |  TRUE AS train_frac_ok
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
   /** Sequence packing on top of q46's chunks: assign chunks to 256-token
     * context windows and report per-pack fill — chunk → pack is the last
@@ -1206,20 +1282,34 @@ object Queries {
   /** End-to-end text→vector→ANN: feature-hash documents into 32-dim
     * embeddings ([[TextFeatures.hashEmbed]]) and find each mutated copy's
     * nearest neighbor — closing the loop from raw text to similarity
-    * search with zero external models. Rows-only oracle (xxhash64);
-    * the invariant (each copy's top-1 is its source) is asserted in
-    * TextFeaturesSpec and holds here by construction.
+    * search with zero external models. ORACLE-CHECKED: the planted
+    * copies here are VERBATIM (same text, offset id), so each query's
+    * embedding equals its source's exactly, the source's cosine is
+    * strictly maximal (the corpus has no two docs with proportional
+    * term-count vectors — truncated copies are NOT enough: at sf0.001
+    * doc 50 is a near-dup of doc 0 and out-scores the truncated copy's
+    * own source), and ties resolve to the smallest neighbor id, which
+    * the sources (ids 0-4, the corpus minimum) win. DuckDB therefore
+    * predicts the literal (d+1000000, d) pairing. The xxhash64-derived
+    * score stays out of the hashed output; near-dup (truncated-copy)
+    * retrieval is property-tested in TextFeaturesSpec instead.
     */
   def q50TextAnn(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    val corpus = docs.unionByName(mutatedCopy(docs))
+    val copies = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+      col("text"))
+    val corpus = docs.unionByName(copies)
     val emb = TextFeatures.hashEmbed(corpus, "doc_id", "text", dim = 32)
     Similarity.bruteForceTopK(emb,
         emb.filter(col("doc_id") >= 1000000L && col("doc_id") < 1000005L),
         "doc_id", "embedding", k = 1)
-      .select(col("query_id"), col("neighbor_id"), col("score_fp"))
+      .select(col("query_id"), col("neighbor_id"))
       .orderBy(col("query_id"))
   }
+
+  val q50Sql: String =
+    """SELECT doc_id + 1000000 AS query_id, doc_id AS neighbor_id
+      |FROM documents WHERE doc_id < 5 ORDER BY query_id""".stripMargin
 
   /** Event-time tumbling windows in BATCH mode — the same `window()`
     * groups the streaming path uses (WeatherStream.qualityByWindow),
@@ -1289,10 +1379,10 @@ object Queries {
     "q23_quality_score" -> ((q23QualityScore _, Some(q23Sql))),
     "q24_lang_id" -> ((q24LangId _, Some(q24Sql))),
     "q25_exact_dedup" -> ((q25ExactDedup _, Some(q25Sql))),
-    "q26_minhash_neardup" -> ((q26MinHashNearDup _, None)),
+    "q26_minhash_neardup" -> ((q26MinHashNearDup _, Some(q26Sql))),
     "q27_ngram_jaccard" -> ((q27NgramJaccard _, Some(q27Sql))),
     "q28_ann_topk" -> ((q28AnnTopK _, Some(q28Sql))),
-    "q29_cosine_neardup" -> ((q29CosineNearDup _, None)),
+    "q29_cosine_neardup" -> ((q29CosineNearDup _, Some(q29Sql))),
     "q30_multimodal_meta" -> ((q30MultimodalMeta _, Some(q30Sql))),
     "q31_simhash_neardup" -> ((q31SimHashNearDup _, None)),
     "q32_asof_join" -> ((q32AsOfJoin _, Some(q32Sql))),
@@ -1303,17 +1393,17 @@ object Queries {
     "q37_sessionize" -> ((q37Sessionize _, Some(q37Sql))),
     "q38_percentiles" -> ((q38Percentiles _, Some(q38Sql))),
     "q39_sql_quality" -> ((q39SqlQuality _, Some(q39Sql))),
-    "q40_approx_distinct" -> ((q40ApproxDistinct _, None)),
+    "q40_approx_distinct" -> ((q40ApproxDistinct _, Some(q40Sql))),
     "q41_range_join" -> ((q41RangeJoin _, Some(q41Sql))),
     "q42_pivot" -> ((q42Pivot _, Some(q42Sql))),
     "q43_word_count" -> ((q43WordCount _, Some(q43Sql))),
     "q44_collect_sorted" -> ((q44CollectSorted _, Some(q44Sql))),
     "q45_stats" -> ((q45Stats _, Some(q45Sql))),
     "q46_chunking" -> ((q46Chunking _, Some(q46Sql))),
-    "q47_hash_split" -> ((q47HashSplit _, None)),
+    "q47_hash_split" -> ((q47HashSplit _, Some(q47Sql))),
     "q48_packing" -> ((q48Packing _, Some(q48Sql))),
     "q49_scrub" -> ((q49Scrub _, Some(q49Sql))),
-    "q50_text_ann" -> ((q50TextAnn _, None)),
+    "q50_text_ann" -> ((q50TextAnn _, Some(q50Sql))),
     "q51_tumbling_window" -> ((q51TumblingWindow _, Some(q51Sql))),
     "q52_filtered_distinct" -> ((q52FilteredDistinct _, Some(q52Sql))))
 }

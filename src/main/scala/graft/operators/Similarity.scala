@@ -77,12 +77,14 @@ object Similarity {
 
   /** Sign-pattern LSH bucket id for a `dim`-dimensional vector under
     * `planes` hyperplanes. Planes unroll at expression-build time
-    * (literal shifts + literal plane arrays).
+    * (literal shifts + literal plane arrays). `band` selects an
+    * independent plane family (band b uses planes b*planes..b*planes+
+    * planes-1), so banded callers get uncorrelated buckets per band.
     */
-  def lshBucket(vec: Column, planes: Int, dim: Int): Column =
+  def lshBucket(vec: Column, planes: Int, dim: Int, band: Int = 0): Column =
     (0 until planes).map { p =>
       val proj = aggregate(
-        zip_with(vec, lit(planeVector(p, dim)),
+        zip_with(vec, lit(planeVector(band * planes + p, dim)),
           (x, w) => x.cast("double") * w),
         lit(0.0), (a, x) => a + x)
       when(proj > 0, lit(1L << p)).otherwise(0L)
@@ -110,22 +112,65 @@ object Similarity {
         col("score_fp"))
   }
 
-  /** Embedding-cosine near-duplicate pairs via LSH buckets: vectors in the
-    * same bucket whose cosine ≥ threshold. The embedding-space analog of
-    * [[TextDedup.minHashLsh]].
+  /** Embedding-cosine near-duplicate pairs via BANDED LSH buckets: each of
+    * `bands` independent plane families buckets every vector; candidate
+    * pairs share a bucket in AT LEAST ONE band (MinHash-style candidate
+    * union), then exact cosine verifies. The embedding-space analog of
+    * [[TextDedup.minHashLsh]], and the same scale shape: candidates carry
+    * ids only through the (band, bucket) equi-join, vectors re-join after
+    * the distinct.
+    *
+    * Recall vs the round-1 single-family version: a near-dup pair missed
+    * by one family (one plane happens to split the pair) is caught by any
+    * other, so recall at fixed bucket granularity rises from p to
+    * 1-(1-p)^bands, while bucket size — the quadratic-blowup knob — is
+    * governed by `planes` alone (2^planes buckets per band). Pairs with
+    * IDENTICAL sign patterns (e.g. scaled copies) collide in every band
+    * deterministically.
+    *
+    * @param maxBucketRows fail-fast ceiling on a single (band, bucket)
+    *        population: a degenerate corpus (all-equal vectors, planes
+    *        too few) makes the within-bucket join quadratic; better to
+    *        fail with the bucket id than OOM in the shuffle
+    *        (same rationale as [[RangeJoin]]'s maxBinsPerInterval).
     */
   def cosineNearDup(
       df: DataFrame, idCol: String, vecCol: String, dim: Int,
-      threshold: Double = 0.95, planes: Int = 8): DataFrame = {
-    val v = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
-      lshBucket(col(vecCol), planes, dim).as("__bucket"))
-    val left = v.select(col("__bucket"), col("__id").as("id_a"),
-      col("__v").as("va"))
-    val right = v.select(col("__bucket"), col("__id").as("id_b"),
-      col("__v").as("vb"))
-    left.join(right, Seq("__bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", cosine(col("va"), col("vb")))
+      threshold: Double = 0.95, planes: Int = 12, bands: Int = 4,
+      maxBucketRows: Long = 1000000L): DataFrame = {
+    val bucketArr = array((0 until bands).map(b =>
+      lshBucket(col(vecCol), planes, dim, band = b)): _*)
+    val banded = df
+      .select(col(idCol).as("__id"), bucketArr.as("__buckets"))
+      .select(col("__id"),
+        posexplode(col("__buckets")).as(Seq("__band", "__bucket")))
+    // Per-(band, bucket) population guard: the count window shuffles on
+    // the same key as the candidate join below, so the exchange is
+    // computed once and reused, not added.
+    val wcnt = Window.partitionBy(col("__band"), col("__bucket"))
+    val guarded = banded
+      .withColumn("__bn", count(lit(1)).over(wcnt))
+      .withColumn("__bucket",
+        when(col("__bn") > maxBucketRows,
+          raise_error(concat(
+            lit(s"LSH bucket exceeds $maxBucketRows rows (band="),
+            col("__band"), lit(", bucket="), col("__bucket"),
+            lit(") - raise planes or dedup exact copies first"))))
+          .otherwise(col("__bucket")))
+      .select(col("__id"), col("__band"), col("__bucket"))
+    val candidates = guarded.as("l").join(guarded.as("r"),
+        col("l.__band") === col("r.__band")
+          && col("l.__bucket") === col("r.__bucket")
+          && col("l.__id") < col("r.__id"))
+      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
+      .distinct() // a pair can collide in several bands
+    val vecs = df.select(col(idCol).as("__vid"), col(vecCol).as("__vec"))
+    candidates
+      .join(vecs.select(col("__vid").as("id_a"), col("__vec").as("__va")),
+        Seq("id_a"))
+      .join(vecs.select(col("__vid").as("id_b"), col("__vec").as("__vb")),
+        Seq("id_b"))
+      .withColumn("cosine", cosine(col("__va"), col("__vb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }

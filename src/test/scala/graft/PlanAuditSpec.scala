@@ -67,6 +67,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"))
   }
 
+  test("q48 packing window is partitioned (no single-partition global sort)") {
+    val p = plan("q48_packing")
+    val windowLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windowLines.nonEmpty, "no Window operator in packing plan")
+    assert(windowLines.exists(_.contains("shard")),
+      s"packing window is not partitioned by shard:\n${windowLines.mkString("\n")}")
+  }
+
+  test("q29 banded cosine LSH joins on buckets, never a cross product") {
+    val p = plan("q29_cosine_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      "banded LSH must stay an equi-join on (band, bucket)")
+    // the bucket-population guard rides the same (band, bucket) key
+    assert(p.contains("Window"), "bucket-size guard window missing")
+  }
+
   test("q32 as-of join is one exchange per side + window, no cross product") {
     val p = plan("q32_asof_join")
     assert(p.contains("Window"))

@@ -58,6 +58,40 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("cosineNearDup banded recall: every planted pair found across bands") {
+    // 16-dim random-ish vectors + scaled copies; banding must find every
+    // scaled copy (identical sign pattern in every band) regardless of
+    // how individual planes slice the space
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 40L).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val dups = base.map { case (i, v) => (i + 100L, v.map(_ * 0.5f)) }
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDup(df, "vec_id", "embedding",
+        dim = 16, threshold = 0.999, planes = 6, bands = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    base.foreach { case (i, _) =>
+      assert(pairs.contains((i, i + 100L)), s"missing planted pair ($i, ${i + 100})")
+    }
+  }
+
+  test("cosineNearDup bucket guard fails fast on a degenerate corpus") {
+    // all-identical vectors: every row lands in the same bucket of every
+    // band -> the within-bucket join would be O(n^2); the guard must
+    // raise before the quadratic join, not OOM inside it
+    val same = (0L until 50L).map(i => (i, Array(1.0f, 2.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.cosineNearDup(same, "vec_id", "embedding", dim = 3,
+        threshold = 0.9, planes = 4, bands = 2, maxBucketRows = 10L)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null && m.contains("LSH bucket exceeds")),
+      s"wrong failure: ${e.getMessage}")
+  }
+
   test("lshBucket is deterministic and scale-invariant") {
     val b = vecs.select(col("vec_id"),
       Similarity.lshBucket(col("embedding"), 8, 3).as("b1"),
