@@ -704,15 +704,34 @@ object Queries {
 
   /** Exact n-gram Jaccard between each doc and its mutated copy — the
     * verification kernel of near-dup, oracle-checked end to end.
+    *
+    * Staged formulation (matches the oracle SQL's structure): tokenize
+    * once, slice the token array for the mutated side (no text
+    * round-trip join), then shingle-sets, then sizes, then the ratio —
+    * each stage's aliases are referenced ≥2 times by the next, so
+    * CollapseProject cannot inline the interpreted array lambdas into
+    * multiple evaluation sites (the inline [[TextDedup.jaccardShingles]]
+    * kernel re-built both shingle arrays per reference: measured 21 s →
+    * ~1 s at sf0.1 under full materialization).
     */
   def q27NgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    val pairs = docs.join(
-      mutatedCopy(docs).select((col("doc_id") - 1000000L).as("doc_id"),
-        col("text").as("text_b")),
-      Seq("doc_id"))
-    pairs.select(col("doc_id"),
-        TextDedup.jaccardShingles(col("text"), col("text_b"), 3).as("jaccard"))
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__ta"))
+    val withB = toks.select(col("doc_id"), col("__ta"),
+      slice(col("__ta"), lit(1), greatest(size(col("__ta")) - 2, lit(1)))
+        .as("__tb"))
+    val sets = withB.select(col("doc_id"),
+      array_distinct(TextFunctions.shinglesFromTokens(col("__ta"), 3))
+        .as("__sa"),
+      array_distinct(TextFunctions.shinglesFromTokens(col("__tb"), 3))
+        .as("__sb"))
+    val sizes = sets.select(col("doc_id"),
+      size(array_intersect(col("__sa"), col("__sb"))).as("__i"),
+      size(array_union(col("__sa"), col("__sb"))).as("__u"))
+    sizes.select(col("doc_id"),
+        when(col("__u") > 0,
+          col("__i").cast("double") / col("__u").cast("double"))
+          .otherwise(lit(0.0)).as("jaccard"))
       .orderBy(col("doc_id"))
   }
 
