@@ -54,9 +54,12 @@ object TextDedup {
     */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, shingleSize: Int): DataFrame = {
+    // coalesce: null text behaves like an empty document (no signature
+    // rows) rather than null-propagating through the shingle lambdas —
+    // the policy TextChunker/TextFeatures already follow
     val exploded = df
       .select(col(idCol).as("__id"),
-        TextFunctions.tokens(col(textCol)).as("__toks"))
+        TextFunctions.tokens(coalesce(col(textCol), lit(""))).as("__toks"))
       .select(col("__id"),
         explode(TextFunctions.shinglesFromTokens(col("__toks"), shingleSize))
           .as("__s"))
@@ -129,7 +132,7 @@ object TextDedup {
     // codegen'd intersect/union.
     val shingleSets = df
       .select(col(idCol).as("__sid"),
-        TextFunctions.tokens(col(textCol)).as("__toks"))
+        TextFunctions.tokens(coalesce(col(textCol), lit(""))).as("__toks"))
       .select(col("__sid"),
         array_distinct(TextFunctions.shinglesFromTokens(col("__toks"),
           shingleSize)).as("__set"))
@@ -219,7 +222,8 @@ object TextDedup {
     // codegen'd grouped aggregate (62 static sum() columns, map-side
     // partials), then fold votes into the fingerprint in a projection.
     val tokenHashes = df.select(col(idCol).as("__id"),
-      explode(transform(TextFunctions.tokens(col(textCol)),
+      explode(transform(
+        TextFunctions.tokens(coalesce(col(textCol), lit(""))),
         t => xxhash64(t))).as("__h"))
     val voteAggs = (0 until simHashBits).map(b =>
       sum(when(shiftright(col("__h"), b).bitwiseAND(1) === 1, 1L)

@@ -60,9 +60,17 @@ object Sessionize {
             var open = state.getOption
             sorted.foreach { e =>
               open match {
+                case Some(s) if e.ts_ms < s.start_ms - gapMs =>
+                  // out-of-order event older than the open session by more
+                  // than the gap: batch semantics (q37) put it in its own
+                  // session — without this bound it would merge (negative
+                  // distance to end_ms is trivially <= gapMs) and rewind
+                  // start_ms arbitrarily far back
+                  closed += Session(userId, e.ts_ms, e.ts_ms, 1)
                 case Some(s) if e.ts_ms - s.end_ms <= gapMs =>
                   // min/max: a late event from a previous micro-batch must
-                  // extend the session bounds, never rewind them
+                  // extend the session bounds, never rewind them (bounded
+                  // by the gap check above)
                   open = Some(OpenSession(math.min(s.start_ms, e.ts_ms),
                     math.max(s.end_ms, e.ts_ms), s.n + 1))
                 case Some(s) =>

@@ -53,4 +53,27 @@ class SessionizeSpec extends SparkSpec {
       assert(got.contains(Session(7L, 400L, 1600L, 3)), got)
     } finally q.stop()
   }
+
+  test("out-of-order event older than the open session by > gap splits," +
+      " never merges backwards") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = Sessionize.sessionize(input.toDS(), gapMs = 1000L)
+    val q = sessions.writeStream.format("memory").queryName("sessions_ooo")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Event(9L, 100000L))
+      q.processAllAvailable()
+      // 5000 precedes the open session's start by 95s >> gap: batch q37
+      // semantics give it its own session; the unbounded backward merge
+      // would instead have produced one session spanning 5000..100000
+      input.addData(Event(9L, 5000L))
+      q.processAllAvailable()
+      input.addData(Event(9L, 999999L)) // close the still-open session
+      q.processAllAvailable()
+      val got = spark.table("sessions_ooo").as[Session].collect().toSet
+      assert(got.contains(Session(9L, 5000L, 5000L, 1)), got)
+      assert(got.contains(Session(9L, 100000L, 100000L, 1)), got)
+    } finally q.stop()
+  }
 }
