@@ -835,16 +835,65 @@ object Queries {
       |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
       |FROM documents ORDER BY media_id""".stripMargin
 
-  /** SimHash near-dup pairs over the planted-near-dup corpus (rows-only:
-    * xxhash64 fingerprints).
+  /** SimHash near-dup pairs over the planted-near-dup corpus, ORACLE-
+    * CHECKED deterministically: the gate query runs the same relational
+    * plan (explode → per-bit vote sums → chunk-bucket join → Hamming
+    * verify) on the PORTABLE md5-derived token hash
+    * ([[TextDedup.md5Hash60]]), which DuckDB reproduces bit-for-bit —
+    * so the oracle computes every planted pair's fingerprint and keeps
+    * those within Hamming ≤ 3, and pigeonhole bucketing (4 chunks of 15
+    * bits) GUARANTEES the engine finds exactly that set: equality is
+    * deterministic, no LSH luck involved. xxhash64 remains the
+    * operator's fast default (SimHashSpec covers it); the hash source
+    * is orthogonal to the plan shape.
     */
   def q31SimHashNearDup(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
     val corpus = docs.unionByName(mutatedCopy(docs))
-    // maxDist 3 → 4 chunks of 16 bits: guaranteed recall at distance ≤ 3
-    // with wide chunks (few random bucket collisions at corpus scale)
-    TextDedup.simHashPairs(corpus, "doc_id", "text", maxDist = 3)
+    TextDedup.simHashPairs(corpus, "doc_id", "text", maxDist = 3,
+        tokenHash = TextDedup.md5Hash60, bits = 60)
+      .filter(col("id_b") === col("id_a") + 1000000L)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long")
+        .as("hamming"))
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** DuckDB mirror of q31: same md5-60 token hash, same ±1 votes per
+    * bit, same fingerprint fold; planted pairs joined directly (the
+    * oracle needs no LSH — recall at Hamming ≤ 3 is guaranteed engine-
+    * side, so the sets must be equal).
+    */
+  val q31Sql: String = {
+    val votes = (0 until 60).map(b =>
+      s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
+      .mkString(",\n          ")
+    val fold = (0 until 60).map(b =>
+      s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH fp AS (
+       |  SELECT doc_id, $fold AS sim FROM (
+       |    SELECT doc_id,
+       |          $votes
+       |    FROM (
+       |      SELECT doc_id,
+       |        CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+       |      FROM (
+       |        SELECT doc_id, unnest(toks) AS tok FROM (
+       |          SELECT doc_id,
+       |            list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |          FROM documents
+       |          UNION ALL
+       |          SELECT doc_id + 1000000 AS doc_id,
+       |            ta[1:GREATEST(len(ta) - 2, 1)] AS toks
+       |          FROM (SELECT doc_id,
+       |                  list_filter(string_split(text, ' '), x -> x <> '') AS ta
+       |                FROM documents) m) u) e) hh
+       |    GROUP BY doc_id) v)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+       |FROM fp a JOIN fp b ON b.doc_id = a.doc_id + 1000000
+       |WHERE bit_count(xor(a.sim, b.sim)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
   }
 
   // ---------------------------------------------------------------------
@@ -1403,7 +1452,7 @@ object Queries {
     "q28_ann_topk" -> ((q28AnnTopK _, Some(q28Sql))),
     "q29_cosine_neardup" -> ((q29CosineNearDup _, Some(q29Sql))),
     "q30_multimodal_meta" -> ((q30MultimodalMeta _, Some(q30Sql))),
-    "q31_simhash_neardup" -> ((q31SimHashNearDup _, None)),
+    "q31_simhash_neardup" -> ((q31SimHashNearDup _, Some(q31Sql))),
     "q32_asof_join" -> ((q32AsOfJoin _, Some(q32Sql))),
     "q33_json_extract" -> ((q33JsonExtract _, Some(q33Sql))),
     "q34_cube" -> ((q34Cube _, Some(q34Sql))),

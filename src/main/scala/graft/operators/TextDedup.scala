@@ -51,6 +51,13 @@ object TextDedup {
 
   /** Relational MinHash: (id, array<long> signature) per input row via
     * explode + grouped min aggregates (see [[minHashLsh]] scale note).
+    *
+    * The k families hash a PRE-HASHED 8-byte shingle key, not the
+    * shingle string: one string hash per (doc, shingle) row, then k
+    * hashes of a fixed-width long inside the aggregate — the variable-
+    * length string would otherwise be re-hashed k times per row, which
+    * dominates the whole operator as k grows (inner-hash collisions are
+    * a 2^-64 non-event next to MinHash's own estimator variance).
     */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, shingleSize: Int): DataFrame = {
@@ -63,8 +70,9 @@ object TextDedup {
       .select(col("__id"),
         explode(TextFunctions.shinglesFromTokens(col("__toks"), shingleSize))
           .as("__s"))
+      .select(col("__id"), xxhash64(col("__s")).as("__sh"))
     val minAggs = (0 until numHashes).map(j =>
-      min(xxhash64(lit(j), col("__s"))).as(s"__h$j"))
+      min(xxhash64(lit(j), col("__sh"))).as(s"__h$j"))
     exploded
       .groupBy(col("__id"))
       .agg(minAggs.head, minAggs.tail: _*)
@@ -72,13 +80,17 @@ object TextDedup {
         array((0 until numHashes).map(j => col(s"__h$j")): _*).as("__sig"))
   }
 
-  /** MinHash signature over an existing shingle-array column. */
+  /** MinHash signature over an existing shingle-array column. Same
+    * double-hash scheme as [[minHashSignatures]] (string hashed once via
+    * the inner transform, the k families hash the resulting long), so
+    * the two formulations produce identical signatures.
+    */
   def minHashFromShingles(sh: Column, numHashes: Int): Column =
     aggregate(
-      sh,
+      transform(sh, s => xxhash64(s)),
       array_repeat(lit(Long.MaxValue), numHashes),
-      (acc, s) => zip_with(acc,
-        transform(sequence(lit(0), lit(numHashes - 1)), j => xxhash64(j, s)),
+      (acc, hs) => zip_with(acc,
+        transform(sequence(lit(0), lit(numHashes - 1)), j => xxhash64(j, hs)),
         (a, h) => least(a, h)))
 
   /** MinHash + LSH near-duplicate pairs.
@@ -170,6 +182,17 @@ object TextDedup {
     */
   val simHashBits: Int = 62
 
+  /** PORTABLE 60-bit token hash: the top 15 hex chars of md5, parsed as
+    * an integer — reproducible on any engine with md5 (DuckDB:
+    * `CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)`, bit-identical;
+    * verified cross-engine), unlike Spark-specific xxhash64. 60 bits
+    * stay positive in a signed long. Use as [[simHashPairs]]'
+    * `tokenHash` with `bits = 60` when the fingerprint itself must be
+    * externally checkable; xxhash64 remains the fast default.
+    */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** SimHash of the token set: per bit, sum +1/-1 votes over tokens by
     * that bit of the token hash; bit set iff the vote is positive. The
     * per-bit shift amounts must be literals (Catalyst lambdas cannot
@@ -207,32 +230,41 @@ object TextDedup {
     * chunks → more random bucket collisions; keep maxDist small (≤7) on
     * large corpora.
     */
+  /** @param tokenHash per-token hash feeding the bit votes; xxhash64 by
+    *        default, [[md5Hash60]] (with `bits = 60`) when cross-engine
+    *        reproducibility matters
+    * @param bits       fingerprint width ≤ the hash's usable bits
+    */
   def simHashPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxDist: Int = 3): DataFrame = {
-    require(maxDist >= 0 && maxDist < simHashBits / 2,
-      s"maxDist must be in [0, ${simHashBits / 2})")
+      maxDist: Int = 3,
+      tokenHash: Column => Column = xxhash64(_),
+      bits: Int = simHashBits): DataFrame = {
+    require(bits > 0 && bits <= simHashBits,
+      s"bits must be in (0, $simHashBits]")
+    require(maxDist >= 0 && maxDist < bits / 2,
+      s"maxDist must be in [0, ${bits / 2})")
     val nChunks = maxDist + 1
-    val chunkWidth = (simHashBits + nChunks - 1) / nChunks
+    val chunkWidth = (bits + nChunks - 1) / nChunks
     val chunkMask = (1L << chunkWidth) - 1
     // RELATIONAL simhash (same rationale as minHashSignatures): explode
     // token hashes to rows, compute the per-bit ±1 vote sums as one
-    // codegen'd grouped aggregate (62 static sum() columns, map-side
+    // codegen'd grouped aggregate (`bits` static sum() columns, map-side
     // partials), then fold votes into the fingerprint in a projection.
     val tokenHashes = df.select(col(idCol).as("__id"),
       explode(transform(
         TextFunctions.tokens(coalesce(col(textCol), lit(""))),
-        t => xxhash64(t))).as("__h"))
-    val voteAggs = (0 until simHashBits).map(b =>
+        t => tokenHash(t))).as("__h"))
+    val voteAggs = (0 until bits).map(b =>
       sum(when(shiftright(col("__h"), b).bitwiseAND(1) === 1, 1L)
         .otherwise(-1L)).as(s"__v$b"))
     val withSig = tokenHashes
       .groupBy(col("__id"))
       .agg(voteAggs.head, voteAggs.tail: _*)
       .select(col("__id"),
-        (0 until simHashBits).map(b =>
+        (0 until bits).map(b =>
           when(col(s"__v$b") > 0, lit(1L << b)).otherwise(0L))
           .reduce(_ + _).as("__sim"))
     val chunked = withSig.select(col("__id"), col("__sim"),
