@@ -8,10 +8,13 @@ import org.apache.spark.sql.functions._
   * plumbing.
   *
   * The Spark-side contract (schema, partitioning, batch shape) is real
-  * and tested; the actual codec calls are STUBBED with deterministic
-  * fakes — media libraries are not available in this container, and the
-  * engine must not depend on them. Swap [[MediaCodec]] for a real codec
-  * (JNI/FFI) without touching the dataflow.
+  * and tested, and so is container-HEADER decoding — PNG/JPEG/GIF/BMP
+  * dimensions and WAV sample-rate/frame-count are parsed from the raw
+  * bytes with no external library. Only pixel/sample decode, resize and
+  * the feature model are STUBBED with deterministic fakes (media codecs
+  * are not available in this container, and the engine must not depend
+  * on them); swap [[MediaCodec]]'s stubs for a real codec (JNI/FFI)
+  * without touching the dataflow.
   *
   * Scale notes: media bytes never pass through a shuffle here — decode
   * and feature extraction are narrow `mapPartitions` over the scan, so
@@ -40,9 +43,12 @@ object Multimodal {
       sample_rate: Option[Int], // audio
       n_frames: Option[Int]) // video/audio frames
 
-  /** The codec seam. Every method is a deterministic fake over the raw
-    * bytes (STUB — replace with real decoders); signatures and batch
-    * iteration are the real contract.
+  /** The codec seam. Container-HEADER parsing (dimensions, sample rate,
+    * frame counts) is REAL — pure byte inspection of PNG/JPEG/GIF/BMP/WAV,
+    * no external libraries. Only pixel/sample DECODE and the feature
+    * model are deterministic fakes (STUB — swap for a real codec/model
+    * per partition); signatures and batch iteration are the real
+    * contract either way.
     */
   object MediaCodec {
     /** Cheap rolling checksum standing in for content decode. */
@@ -53,20 +59,106 @@ object Multimodal {
       h
     }
 
-    /** STUB decode: derives plausible dimensions from the checksum
-      * instead of parsing a real container format.
+    private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
+    private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+    private def be32(b: Array[Byte], i: Int): Int =
+      (u8(b, i) << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+    private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+    private def le32(b: Array[Byte], i: Int): Int =
+      u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
+
+    private def startsWith(b: Array[Byte], sig: Seq[Int], at: Int = 0): Boolean =
+      b.length >= at + sig.length && sig.indices.forall(i => u8(b, at + i) == sig(i))
+
+    /** REAL image-dimension extraction from container headers:
+      * PNG (IHDR), GIF87a/89a (logical screen), BMP (BITMAPINFOHEADER),
+      * JPEG (first SOF marker scan). None for unrecognized payloads.
+      */
+    def imageDims(b: Array[Byte]): Option[(Int, Int)] = {
+      if (startsWith(b, Seq(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A))
+          && b.length >= 24)
+        Some((be32(b, 16), be32(b, 20)))
+      else if ((startsWith(b, "GIF87a".map(_.toInt)) ||
+          startsWith(b, "GIF89a".map(_.toInt))) && b.length >= 10)
+        Some((le16(b, 6), le16(b, 8)))
+      else if (startsWith(b, Seq('B'.toInt, 'M'.toInt)) && b.length >= 26)
+        Some((le32(b, 18), math.abs(le32(b, 22)))) // height may be negative (top-down)
+      else if (startsWith(b, Seq(0xFF, 0xD8))) jpegDims(b)
+      else None
+    }
+
+    /** JPEG marker walk to the first start-of-frame (SOF0..15 minus
+      * DHT/JPG/DAC), which carries the sample dimensions.
+      */
+    private def jpegDims(b: Array[Byte]): Option[(Int, Int)] = {
+      var i = 2
+      while (i + 9 < b.length) {
+        if (u8(b, i) != 0xFF) return None // desynced: not a marker
+        val marker = u8(b, i + 1)
+        if (marker == 0xFF) { i += 1 } // fill byte padding
+        else if (marker >= 0xC0 && marker <= 0xCF
+            && marker != 0xC4 && marker != 0xC8 && marker != 0xCC)
+          return Some((be16(b, i + 7), be16(b, i + 5))) // (width, height)
+        else if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD7)) i += 2
+        else if (marker == 0xD9 || marker == 0xDA) return None // EOI/SOS: no SOF seen
+        else i += 2 + be16(b, i + 2) // segment with length
+      }
+      None
+    }
+
+    /** REAL WAV header parse: (sample rate, frame count) from the fmt
+      * and data chunks of a RIFF/WAVE container.
+      */
+    def wavInfo(b: Array[Byte]): Option[(Int, Int)] = {
+      if (!startsWith(b, "RIFF".map(_.toInt)) ||
+          !startsWith(b, "WAVE".map(_.toInt), at = 8)) return None
+      var i = 12
+      var rate = 0
+      var blockAlign = 0
+      var dataLen = -1
+      while (i + 8 <= b.length) {
+        val id = new String(b.slice(i, i + 4), "US-ASCII")
+        val len = le32(b, i + 4)
+        if (id == "fmt " && i + 8 + 16 <= b.length) {
+          rate = le32(b, i + 12)
+          blockAlign = le16(b, i + 20)
+        } else if (id == "data") dataLen = len
+        i += 8 + len + (len & 1) // chunks are word-aligned
+      }
+      if (rate > 0 && blockAlign > 0 && dataLen >= 0)
+        Some((rate, dataLen / blockAlign))
+      else None
+    }
+
+    /** Decode metadata: REAL header parse first (see [[imageDims]] /
+      * [[wavInfo]]); payloads in no recognized container fall back to
+      * the deterministic checksum-derived fake (STUB) so synthetic
+      * harness bytes still flow through the same dataflow.
       */
     def decode(r: MediaRecord): MediaMeta = {
       val c = checksum(r.bytes)
+      val n = r.bytes.length.toLong
       val pos = c & Long.MaxValue // nonneg; math.abs(Long.MinValue) is negative
+      imageDims(r.bytes) match {
+        case Some((w, h)) =>
+          return MediaMeta(r.media_id, r.kind, n, c, Some(w), Some(h),
+            None, None)
+        case None => ()
+      }
+      wavInfo(r.bytes) match {
+        case Some((rate, frames)) =>
+          return MediaMeta(r.media_id, r.kind, n, c, None, None,
+            Some(rate), Some(frames))
+        case None => ()
+      }
       r.kind match {
-        case "image" => MediaMeta(r.media_id, r.kind, r.bytes.length.toLong, c,
+        case "image" => MediaMeta(r.media_id, r.kind, n, c,
           Some((pos % 1920 + 64).toInt), Some((pos % 1080 + 64).toInt),
           None, None)
-        case "audio" => MediaMeta(r.media_id, r.kind, r.bytes.length.toLong, c,
+        case "audio" => MediaMeta(r.media_id, r.kind, n, c,
           None, None, Some(Seq(16000, 22050, 44100)((pos % 3).toInt)),
           Some((pos % 10000).toInt))
-        case _ => MediaMeta(r.media_id, r.kind, r.bytes.length.toLong, c,
+        case _ => MediaMeta(r.media_id, r.kind, n, c,
           Some((pos % 1920 + 64).toInt), Some((pos % 1080 + 64).toInt),
           None, Some((pos % 86400).toInt))
       }

@@ -36,6 +36,64 @@ class MultimodalSpec extends SparkSpec {
     assert(resized.forall(r => r.bytes.nonEmpty))
   }
 
+  // --- real container-header parsing (no external codec libs) ---
+
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    def be32(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    (Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+      ++ be32(13) ++ "IHDR".getBytes ++ be32(w) ++ be32(h)
+      ++ Array[Byte](8, 6, 0, 0, 0))
+  }
+
+  private def jpegBytes(w: Int, h: Int): Array[Byte] = {
+    def be16(v: Int) = Array((v >> 8).toByte, v.toByte)
+    (Array(0xFF, 0xD8).map(_.toByte) // SOI
+      ++ Array(0xFF, 0xE0).map(_.toByte) ++ be16(16) // APP0, len 16
+      ++ "JFIF".getBytes ++ Array.fill[Byte](10)(0)
+      ++ Array(0xFF, 0xC0).map(_.toByte) ++ be16(17) // SOF0, len 17
+      ++ Array[Byte](8) ++ be16(h) ++ be16(w) ++ Array.fill[Byte](10)(0))
+  }
+
+  private def gifBytes(w: Int, h: Int): Array[Byte] = {
+    def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
+    "GIF89a".getBytes ++ le16(w) ++ le16(h) ++ Array[Byte](0, 0, 0)
+  }
+
+  private def wavBytes(rate: Int, blockAlign: Int, dataLen: Int): Array[Byte] = {
+    def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte,
+      (v >> 24).toByte)
+    ("RIFF".getBytes ++ le32(36 + dataLen) ++ "WAVE".getBytes
+      ++ "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(2)
+      ++ le32(rate) ++ le32(rate * blockAlign) ++ le16(blockAlign) ++ le16(16)
+      ++ "data".getBytes ++ le32(dataLen) ++ Array.fill[Byte](dataLen)(0))
+  }
+
+  test("decodeMeta parses real PNG/JPEG/GIF headers for dimensions") {
+    assert(Multimodal.MediaCodec.imageDims(pngBytes(640, 360)) === Some((640, 360)))
+    assert(Multimodal.MediaCodec.imageDims(jpegBytes(1024, 768)) === Some((1024, 768)))
+    assert(Multimodal.MediaCodec.imageDims(gifBytes(320, 200)) === Some((320, 200)))
+    assert(Multimodal.MediaCodec.imageDims("not an image".getBytes) === None)
+    // end to end through the Spark dataflow
+    val df = Seq((1L, pngBytes(640, 360)), (2L, jpegBytes(1024, 768)))
+      .toDF("id", "payload")
+    val metas = Multimodal.decodeMeta(
+        Multimodal.fromBinaryColumn(df, "id", "payload", "image"))
+      .collect().sortBy(_.media_id)
+    assert(metas(0).width === Some(640) && metas(0).height === Some(360))
+    assert(metas(1).width === Some(1024) && metas(1).height === Some(768))
+  }
+
+  test("decodeMeta parses real WAV headers for rate and frame count") {
+    val b = wavBytes(rate = 44100, blockAlign = 4, dataLen = 400)
+    assert(Multimodal.MediaCodec.wavInfo(b) === Some((44100, 100)))
+    val meta = Multimodal.decodeMeta(Multimodal.fromBinaryColumn(
+        Seq((5L, b)).toDF("id", "p"), "id", "p", "audio"))
+      .collect()(0)
+    assert(meta.sample_rate === Some(44100) && meta.n_frames === Some(100))
+  }
+
   test("sampleFrames explodes stride-spaced frame indices") {
     val audio = Multimodal.fromBinaryColumn(
       Seq((9L, "payload")).toDF("id", "p"), "id", "p", "audio")
