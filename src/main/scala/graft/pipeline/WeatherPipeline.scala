@@ -61,4 +61,39 @@ object WeatherPipeline {
       extractionTime: Column = current_timestamp()): DataFrame =
     WeatherTransform.transform(
       WeatherIngest.flatten(raw, WeatherModel.regionDim(spark), extractionTime))
+
+  /** The reference DAG's operational retry/alert envelope
+    * (daily_weather_etl_kenya.py:50-53: 2 retries, 5-minute delay,
+    * email_on_failure; README rm:133-142): re-run the whole pipeline up
+    * to `retries` extra times with `retryDelayMs` between attempts, and
+    * deliver a failure alert (the email analog — injectable; default
+    * stderr) when the budget is exhausted. Airflow owns this around the
+    * reference; here it is a plain function so the driver program has
+    * the same operational semantics without a scheduler.
+    *
+    * @param sleep injectable clock for tests (the 5-minute delay must be
+    *              assertable, not slept)
+    */
+  def runWithRetry(
+      spark: SparkSession, documentsPath: String, tablePath: String,
+      checkDate: Column, extractionTime: Column = current_timestamp(),
+      retries: Int = 2, retryDelayMs: Long = 300000L,
+      alert: String => Unit = m => System.err.println(s"[alert] $m"),
+      sleep: Long => Unit = Thread.sleep): Result = {
+    var attempt = 0
+    while (true) {
+      try return run(spark, documentsPath, tablePath, checkDate,
+        extractionTime)
+      catch {
+        case e: Exception if attempt < retries =>
+          attempt += 1
+          sleep(retryDelayMs)
+        case e: Exception =>
+          alert(s"weather pipeline failed after ${attempt + 1} attempts: "
+            + e.getMessage)
+          throw e
+      }
+    }
+    sys.error("unreachable")
+  }
 }

@@ -64,4 +64,20 @@ class WeatherPipelineSpec extends SparkSpec {
     assert(rep.maxTemp.get === 30.0)
     assert(rep.warnings.exists(_.contains("Expected 15 regions, found 2")))
   }
+
+  test("runWithRetry retries the DAG 2x with the 5-min delay, then alerts (C3)") {
+    var slept = Vector.empty[Long]
+    var alerts = Vector.empty[String]
+    // nonexistent documents path -> empty extract -> C2 guard throws on
+    // every attempt; the envelope must retry twice and then alert
+    val e = intercept[Exception] {
+      WeatherPipeline.runWithRetry(spark,
+        documentsPath = "/nonexistent/docs.json",
+        tablePath = java.nio.file.Files.createTempDirectory("wp").toString,
+        checkDate = lit("2023-11-14").cast("date"),
+        sleep = d => slept :+= d, alert = m => alerts :+= m)
+    }
+    assert(slept === Vector(300000L, 300000L), "2 retries, 5 min apart (py:52-53)")
+    assert(alerts.size === 1 && alerts.head.contains("after 3 attempts"))
+  }
 }
