@@ -253,10 +253,14 @@ object TextDedup {
     // token hashes to rows, compute the per-bit ±1 vote sums as one
     // codegen'd grouped aggregate (`bits` static sum() columns, map-side
     // partials), then fold votes into the fingerprint in a projection.
-    val tokenHashes = df.select(col(idCol).as("__id"),
-      explode(transform(
-        TextFunctions.tokens(coalesce(col(textCol), lit(""))),
-        t => tokenHash(t))).as("__h"))
+    // explode FIRST, hash in the following projection: the hash then
+    // runs per row inside whole-stage codegen instead of per element
+    // inside an interpreted transform() lambda
+    val tokenHashes = df
+      .select(col(idCol).as("__id"),
+        explode(TextFunctions.tokens(coalesce(col(textCol), lit(""))))
+          .as("__t"))
+      .select(col("__id"), tokenHash(col("__t")).as("__h"))
     val voteAggs = (0 until bits).map(b =>
       sum(when(shiftright(col("__h"), b).bitwiseAND(1) === 1, 1L)
         .otherwise(-1L)).as(s"__v$b"))
