@@ -1379,6 +1379,35 @@ object Queries {
     """SELECT doc_id + 1000000 AS query_id, doc_id AS neighbor_id
       |FROM documents WHERE doc_id < 5 ORDER BY query_id""".stripMargin
 
+  /** IVF ANN end-to-end: train a spherical k-means coarse quantizer on
+    * the corpus (deterministic hash-sample init, fixed-point exact
+    * centroid means), assign inverted lists, probe per query — the
+    * data-ADAPTIVE scale path next to LSH's fixed hyperplane cuts.
+    * ORACLE-CHECKED via the verbatim-copy invariant (q50's argument,
+    * independent of centroid quality): an identical query vector lands
+    * in its source's cell by construction, the source's dot score is
+    * strictly maximal, ties resolve to the smallest id which the
+    * sources (0-4) hold — so DuckDB predicts the (d+1000000, d)
+    * pairing exactly, whatever the trained centroids are.
+    */
+  def q53IvfAnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val copies = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+      col("embedding"))
+    val corpus = emb.unionByName(copies)
+    val centroids = Similarity.trainIvfCentroids(corpus, "vec_id",
+      "embedding", dim = 64, nlist = 8, iters = 1)
+    Similarity.ivfTopK(corpus,
+        corpus.filter(col("vec_id") >= 1000000L && col("vec_id") < 1000005L),
+        "vec_id", "embedding", k = 1, centroids, nprobe = 2)
+      .select(col("query_id"), col("neighbor_id"))
+      .orderBy(col("query_id"))
+  }
+
+  val q53Sql: String =
+    """SELECT vec_id + 1000000 AS query_id, vec_id AS neighbor_id
+      |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin
+
   /** Event-time tumbling windows in BATCH mode — the same `window()`
     * groups the streaming path uses (WeatherStream.qualityByWindow),
     * oracle-checked against date_trunc bucketing.
@@ -1473,5 +1502,6 @@ object Queries {
     "q49_scrub" -> ((q49Scrub _, Some(q49Sql))),
     "q50_text_ann" -> ((q50TextAnn _, Some(q50Sql))),
     "q51_tumbling_window" -> ((q51TumblingWindow _, Some(q51Sql))),
-    "q52_filtered_distinct" -> ((q52FilteredDistinct _, Some(q52Sql))))
+    "q52_filtered_distinct" -> ((q52FilteredDistinct _, Some(q52Sql))),
+    "q53_ivf_ann" -> ((q53IvfAnn _, Some(q53Sql))))
 }

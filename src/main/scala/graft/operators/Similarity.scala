@@ -134,6 +134,139 @@ object Similarity {
     *        fail with the bucket id than OOM in the shuffle
     *        (same rationale as [[RangeJoin]]'s maxBinsPerInterval).
     */
+  // -------------------------------------------------------------------
+  // IVF: data-adaptive coarse quantization (complement of the
+  // data-oblivious LSH buckets)
+  // -------------------------------------------------------------------
+
+  /** Train a spherical k-means coarse quantizer: `nlist` unit centroids
+    * over (assumed L2-normalized) vectors. Standard IVF training shape:
+    * the model is tiny (nlist × dim doubles) and lives on the driver;
+    * each Lloyd iteration is one distributed pass — assignment via
+    * `nlist` static codegen'd dot-product aggregates over exploded
+    * (id, dim, value) rows, then per-(cell, dim) FIXED-POINT sums (exact
+    * longs → order-independent → deterministic centroids run to run).
+    *
+    * Initialization is a deterministic hash-sample: the `nlist` rows
+    * with the smallest seeded xxhash64(id) — reproducible, no RNG state,
+    * same property set as [[Sampling]].
+    */
+  def trainIvfCentroids(
+      df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      nlist: Int, iters: Int = 3, seed: Int = 42): Array[Array[Double]] = {
+    require(nlist > 0 && dim > 0 && iters >= 0, "nlist/dim/iters invalid")
+    def normalized(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n > 0) v.map(_ / n) else v
+    }
+    var centroids: Array[Array[Double]] = df
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .orderBy(xxhash64(lit(seed), col("__id")), col("__id"))
+      .limit(nlist)
+      .collect()
+      .map(r => normalized(
+        r.getSeq[Float](1).toArray.map(_.toDouble)))
+    val exploded = df.select(col(idCol).as("__id"),
+      posexplode(col(vecCol)).as(Seq("__d", "__x")))
+    for (_ <- 0 until iters) {
+      val cells = assignCells(exploded, centroids)
+      // exact per-(cell, dim) mean via fixed-point longs: both the sum
+      // and the count are order-independent, so centroid floats are
+      // identical regardless of partition merge order
+      val sums = exploded.join(cells, Seq("__id"))
+        .groupBy(col("__cell"), col("__d"))
+        .agg(sum(floor(col("__x").cast("double") * 1e9 + lit(0.5))
+          .cast("long")).as("__s"), count(lit(1)).as("__n"))
+        .collect()
+      val next = Array.fill(centroids.length)(Array.fill(dim)(0.0))
+      sums.foreach { r =>
+        next(r.getAs[Int]("__cell"))(r.getAs[Int]("__d")) =
+          r.getAs[Long]("__s").toDouble / 1e9 / r.getAs[Long]("__n")
+      }
+      // empty cells keep their previous centroid
+      centroids = centroids.indices.map { c =>
+        if (next(c).exists(_ != 0.0)) normalized(next(c)) else centroids(c)
+      }.toArray
+    }
+    centroids
+  }
+
+  /** (id → nearest-centroid cell) via `nlist` static dot-product sum
+    * aggregates; argmax ties break to the lowest cell id.
+    */
+  private def assignCells(
+      exploded: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+    val dots = centroids.zipWithIndex.map { case (cvec, c) =>
+      sum(col("__x").cast("double")
+        * element_at(lit(cvec), col("__d") + 1)).as(s"__dot$c")
+    }
+    val scored = exploded.groupBy(col("__id"))
+      .agg(dots.head, dots.tail: _*)
+    val best = centroids.indices
+      .map(c => struct(col(s"__dot$c").as("s"),
+        lit(-c).cast("int").as("negc")))
+      .reduce((a, b) => when(b > a, b).otherwise(a)) // struct max: score, then lower cell
+    scored.select(col("__id"), (-best.getField("negc")).as("__cell"))
+  }
+
+  /** IVF cell assignment of a vector table: (idCol, cell). */
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame = {
+    val exploded = df.select(col(idCol).as("__id"),
+      posexplode(col(vecCol)).as(Seq("__d", "__x")))
+    assignCells(exploded, centroids)
+      .select(col("__id").as(idCol), col("__cell").as("cell"))
+  }
+
+  /** IVF ANN top-k: corpus vectors live in their nearest centroid's
+    * inverted list; each query probes its `nprobe` closest cells and
+    * scores only those lists — the data-ADAPTIVE 100 TB path (cells
+    * follow the embedding distribution, where LSH buckets are fixed
+    * hyperplane cuts). Same output shape as [[bruteForceTopK]]; recall
+    * is tuned by nprobe (probing every cell = exact).
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      centroids: Array[Array[Double]], nprobe: Int = 2): DataFrame = {
+    require(nprobe > 0, "nprobe must be positive")
+    val cells = ivfAssign(corpus, idCol, vecCol, centroids)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .join(cells.select(col(idCol).as("neighbor_id"), col("cell")),
+        Seq("neighbor_id"))
+    // per-query top-nprobe cells: nlist static dots, ranked in a projection
+    val qexp = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .select(col("query_id"), col("__qv"),
+        posexplode(col("__qv")).as(Seq("__d", "__x")))
+    val dots = centroids.zipWithIndex.map { case (cvec, i) =>
+      sum(col("__x").cast("double")
+        * element_at(lit(cvec), col("__d") + 1)).as(s"__dot$i")
+    }
+    val qcells = qexp.groupBy(col("query_id"), col("__qv"))
+      .agg(dots.head, dots.tail: _*)
+      .select(col("query_id"), col("__qv"), posexplode(
+        array(centroids.indices.map(i =>
+          struct(col(s"__dot$i").as("s"), lit(i).as("cell"))): _*))
+        .as(Seq("__pos", "__sc")))
+      .select(col("query_id"), col("__qv"),
+        col("__sc.s").as("__s"), col("__sc.cell").as("cell"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("__s").desc, col("cell").asc)
+    val probed = qcells
+      .withColumn("__pr", row_number().over(probeW))
+      .filter(col("__pr") <= nprobe)
+      .select(col("query_id"), col("__qv"), col("cell"))
+    val scored = c.join(broadcast(probed), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score_fp", dotFixed(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_fp").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("score_fp"))
+  }
+
   /** Relational banded bucketing: explode each vector to (id, dim, x)
     * rows, compute all bands×planes projections as STATIC codegen'd sum
     * aggregates with map-side partials (the higher-order-function

@@ -92,6 +92,60 @@ class SimilaritySpec extends SparkSpec {
       s"wrong failure: ${e.getMessage}")
   }
 
+  test("IVF: centroids are unit norm; assignment is scale-invariant") {
+    val rnd = new scala.util.Random(11)
+    def unit(): Array[Float] = {
+      val v = Array.fill(8)(rnd.nextFloat() * 2 - 1)
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / n)
+    }
+    val df = (0L until 60L).map(i => (i, unit())).toDF("vec_id", "embedding")
+    val cents = Similarity.trainIvfCentroids(df, "vec_id", "embedding",
+      dim = 8, nlist = 4, iters = 2)
+    assert(cents.length === 4)
+    cents.foreach { c =>
+      assert(math.abs(math.sqrt(c.map(x => x * x).sum) - 1.0) < 1e-9)
+    }
+    val scaled = df.select(col("vec_id"),
+      transform(col("embedding"), x => x * lit(3.0f)).as("embedding"))
+    val a = Similarity.ivfAssign(df, "vec_id", "embedding", cents)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b = Similarity.ivfAssign(scaled, "vec_id", "embedding", cents)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a === b, "cell assignment must be scale-invariant (argmax dot)")
+  }
+
+  test("IVF topK with all cells probed matches brute force; nprobe=1 finds copies") {
+    val rnd = new scala.util.Random(13)
+    // L2-normalized, like the harness embeddings: dot = cosine, so an
+    // identical copy's score is strictly maximal (the operator contract)
+    val base = (0L until 30L).map { i =>
+      val v = Array.fill(8)(rnd.nextFloat() * 2 - 1)
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      (i, v.map(_ / n))
+    }
+    val dups = base.map { case (i, v) => (i + 100L, v.clone()) }
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    val cents = Similarity.trainIvfCentroids(df, "vec_id", "embedding",
+      dim = 8, nlist = 4, iters = 2)
+    val queries = df.filter(col("vec_id") >= 100L && col("vec_id") < 105L)
+    // exhaustive probing == brute force
+    val ivf = Similarity.ivfTopK(df, queries, "vec_id", "embedding",
+        k = 3, cents, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(1))).toSet
+    val brute = Similarity.bruteForceTopK(df, queries, "vec_id", "embedding",
+        k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(1))).toSet
+    assert(ivf === brute)
+    // a verbatim copy shares its source's cell: nprobe=1 already finds it
+    val top1 = Similarity.ivfTopK(df, queries, "vec_id", "embedding",
+        k = 1, cents, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (100L until 105L).foreach { q =>
+      assert(top1.contains((q, q - 100L)), s"copy $q must retrieve its source")
+    }
+  }
+
   test("lshBucket is deterministic and scale-invariant") {
     val b = vecs.select(col("vec_id"),
       Similarity.lshBucket(col("embedding"), 8, 3).as("b1"),
