@@ -553,26 +553,34 @@ object Queries {
       |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Token statistics: counts, vocabulary, characters, stopword hits. */
+  /** Token statistics: whitespace and BPE-style pre-tokenizer counts,
+    * vocabulary, characters, stopword hits. The BPE segment count uses
+    * an RE2-safe regex ([[TextFunctions.bpePattern]]) so both engines
+    * count the same matches (verified incl. Unicode letter classes).
+    */
   def q22TokenStats(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"),
         TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.bpeTokenCount(col("text")).as("n_bpe"),
         TextFunctions.uniqueTokenCount(col("text")).as("n_unique"),
         TextFunctions.tokenChars(col("text")).as("n_chars_tok"),
         TextFunctions.stopwordCount(col("text")).as("n_stop"))
       .orderBy(col("doc_id"))
 
-  val q22Sql: String =
-    """SELECT doc_id,
-      |  CAST(len(toks) AS BIGINT) AS n_tokens,
-      |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique,
-      |  CAST(COALESCE(list_aggregate(list_transform(toks, x -> length(x)), 'sum'), 0) AS BIGINT) AS n_chars_tok,
-      |  CAST(len(list_filter(toks, x -> list_contains(['the','a','an','of','to','and','in','is','on','for','it','with','as','at','by'], x))) AS BIGINT) AS n_stop
-      |FROM (SELECT doc_id,
-      |        list_filter(string_split(text, ' '), x -> x <> '') AS toks
-      |      FROM documents) a
-      |ORDER BY doc_id""".stripMargin
+  val q22Sql: String = {
+    val sqlPat = TextFunctions.bpePattern.replace("'", "''")
+    s"""SELECT doc_id,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(len(regexp_extract_all(text, '$sqlPat')) AS BIGINT) AS n_bpe,
+       |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique,
+       |  CAST(COALESCE(list_aggregate(list_transform(toks, x -> length(x)), 'sum'), 0) AS BIGINT) AS n_chars_tok,
+       |  CAST(len(list_filter(toks, x -> list_contains(['the','a','an','of','to','and','in','is','on','for','it','with','as','at','by'], x))) AS BIGINT) AS n_stop
+       |FROM (SELECT doc_id, text,
+       |        list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |      FROM documents) a
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** Quality score: richness + stopword/length bands (unrounded double —
     * see TextFunctions scaladoc for why no rounding).

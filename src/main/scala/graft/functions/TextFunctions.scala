@@ -25,6 +25,23 @@ object TextFunctions {
   /** Token count (whitespace tokenization). */
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
+  /** BPE-style pre-tokenizer segmentation pattern: contraction
+    * suffixes, optionally space-prefixed letter runs / digit runs /
+    * punctuation runs, residual whitespace runs — the GPT-2
+    * pre-tokenization family, restricted to the RE2-compatible subset
+    * (no lookahead) so match counts reproduce identically on engines
+    * with RE2 regexes. A BPE vocabulary merges WITHIN these segments,
+    * so the segment count is the standard model-free "how many tokens
+    * will this roughly cost" estimator.
+    */
+  val bpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Subword-aware token count over [[bpePattern]] (null text = 0). */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(coalesce(text, lit("")), lit(bpePattern),
+      lit(0))).cast("long")
+
   /** Distinct-token count — vocabulary richness component. */
   def uniqueTokenCount(text: Column): Column =
     size(array_distinct(tokens(text))).cast("long")

@@ -23,6 +23,19 @@ class TextEdgeSpec extends SparkSpec {
     assert(r.map(_.getDouble(2)).toSeq === Seq(0.0, 0.0, 0.75, 0.0))
   }
 
+  test("BPE pre-tokenizer count segments contractions/digits/punct") {
+    val cases = Seq(
+      (1L, "it's a test-case, with 123 numbers  and   spaces!"),
+      (2L, "hello world"), (3L, ""), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = cases.select(col("doc_id"),
+        TextFunctions.bpeTokenCount(col("text")).as("n"))
+      .orderBy("doc_id").collect().map(_.getLong(1)).toSeq
+    // "it"+"'s"+" a"+" test"+"-"+"case"+","+" with"+" 123"+" numbers"+
+    // " "+" and"+"  "+" spaces"+"!" = 15 (verified equal in DuckDB RE2)
+    assert(got === Seq(15L, 2L, 0L, 0L))
+  }
+
   test("exact dedup collides empty with whitespace-only (normalized)") {
     val got = TextDedup.exact(docs, "text", Seq(col("doc_id").asc))
       .select("doc_id").collect().map(_.getLong(0)).sorted
