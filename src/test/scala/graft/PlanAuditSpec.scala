@@ -83,6 +83,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Window"), "bucket-size guard window missing")
   }
 
+  test("q53 IVF probe is a broadcast equi-join on cells, no cross product") {
+    val p = plan("q53_ivf_ann")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      "IVF probe must stay an equi-join on the cell id")
+    assert(p.contains("Broadcast"), "probed query cells should broadcast")
+  }
+
   test("q32 as-of join is one exchange per side + window, no cross product") {
     val p = plan("q32_asof_join")
     assert(p.contains("Window"))
