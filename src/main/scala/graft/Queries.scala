@@ -661,6 +661,10 @@ object Queries {
     * distribution min across sf0.001/0.01/0.1), so the equality check is
     * deterministic in practice while rows-per-band=4 keeps the candidate
     * probability curve steep (random-overlap docs don't flood the join).
+    * The 0.7 output threshold (vs the distribution min 0.75) keeps the
+    * compared subset inside the near-certain-recall regime even if the
+    * corpus generator shifts: a hypothetical j ∈ [0.5, 0.7) planted pair
+    * would fall outside the comparison instead of gambling its recall.
     * Cross-doc dup pairs are still found by the same plan; the planted
     * filter only selects the oracle-predictable subset for output.
     */
@@ -668,7 +672,7 @@ object Queries {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
     val corpus = docs.unionByName(mutatedCopy(docs))
     TextDedup.minHashLsh(corpus, "doc_id", "text",
-        numHashes = 128, bands = 32, shingleSize = 3, threshold = 0.5)
+        numHashes = 128, bands = 32, shingleSize = 3, threshold = 0.7)
       .filter(col("id_b") === col("id_a") + 1000000L)
       .orderBy(col("id_a"), col("id_b"))
   }
@@ -697,7 +701,7 @@ object Queries {
       |WHERE CAST(len(list_filter(list_distinct(sa), x -> list_contains(list_distinct(sb), x))) AS DOUBLE)
       |    / NULLIF(CAST(len(list_distinct(sa)) + len(list_distinct(sb))
       |      - len(list_filter(list_distinct(sa), x -> list_contains(list_distinct(sb), x))) AS DOUBLE), 0)
-      |    >= 0.5
+      |    >= 0.7
       |ORDER BY id_a, id_b""".stripMargin
 
   /** Companion of q26: a copy of each doc with the last 2 tokens dropped,
