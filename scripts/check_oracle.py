@@ -9,6 +9,7 @@ written). Usage:
 
     python3 scripts/check_oracle.py /root/testdata/sf0.001 /tmp/verify_out
 """
+import glob
 import json
 import math
 import struct
@@ -42,6 +43,10 @@ def main(sf_dir, out_dir):
     failures = 0
     for name, sql in sorted(oracle.items()):
         try:
+            # NOTE: the oracle runs twice (fetchdf for values, .arrow()
+            # below for the schema) ON PURPOSE — arrow().to_pandas()
+            # normalizes decimals/dates differently from fetchdf and
+            # breaks the value compare, so the two reads are not fungible
             want = con.execute(sql).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
@@ -58,8 +63,7 @@ def main(sf_dir, out_dir):
         # decimal(28,2) vs decimal(38,2) mismatch fails it even when every
         # value is equal — round-1 judge finding)
         warrow = con.execute(sql).arrow().schema
-        import glob as _glob
-        gfile = sorted(_glob.glob(f"{out_dir}/{name}/*.parquet"))[0]
+        gfile = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))[0]
         garrow = pq.read_schema(gfile)
         def tnorm(t):
             # Spark timestamps carry tz=UTC, DuckDB's are naive; DuckDB may

@@ -572,7 +572,7 @@ object Queries {
     val sqlPat = TextFunctions.bpePattern.replace("'", "''")
     s"""SELECT doc_id,
        |  CAST(len(toks) AS BIGINT) AS n_tokens,
-       |  CAST(len(regexp_extract_all(text, '$sqlPat')) AS BIGINT) AS n_bpe,
+       |  CAST(len(regexp_extract_all(COALESCE(text, ''), '$sqlPat')) AS BIGINT) AS n_bpe,
        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique,
        |  CAST(COALESCE(list_aggregate(list_transform(toks, x -> length(x)), 'sum'), 0) AS BIGINT) AS n_chars_tok,
        |  CAST(len(list_filter(toks, x -> list_contains(['the','a','an','of','to','and','in','is','on','for','it','with','as','at','by'], x))) AS BIGINT) AS n_stop

@@ -72,8 +72,10 @@ object WeatherFetch {
       conn.setReadTimeout(cfg.timeoutMs)
       conn.setRequestMethod("GET")
       val code = conn.getResponseCode
+      // never echo the URL: its query string carries the API key, and
+      // this message propagates into FetchResult.error -> logs/alerts
       if (code < 200 || code >= 300)
-        throw new IOException(s"HTTP $code for $url")
+        throw new IOException(s"HTTP $code")
       new String(conn.getInputStream.readAllBytes, StandardCharsets.UTF_8)
     } finally conn.disconnect()
   }

@@ -99,9 +99,14 @@ object Multimodal {
         else if (marker >= 0xC0 && marker <= 0xCF
             && marker != 0xC4 && marker != 0xC8 && marker != 0xCC)
           return Some((be16(b, i + 7), be16(b, i + 5))) // (width, height)
-        else if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD7)) i += 2
+        else if (marker == 0xD8 || marker == 0x01
+            || (marker >= 0xD0 && marker <= 0xD7)) i += 2 // standalone markers
         else if (marker == 0xD9 || marker == 0xDA) return None // EOI/SOS: no SOF seen
-        else i += 2 + be16(b, i + 2) // segment with length
+        else {
+          val segLen = be16(b, i + 2)
+          if (segLen < 2) return None // malformed length: never walk backwards
+          i += 2 + segLen
+        }
       }
       None
     }
@@ -119,6 +124,10 @@ object Multimodal {
       while (i + 8 <= b.length) {
         val id = new String(b.slice(i, i + 4), "US-ASCII")
         val len = le32(b, i + 4)
+        // malformed chunk length (negative, or overflowing the buffer
+        // index) would loop forever or walk out of bounds — decode()
+        // runs on arbitrary bytes in executor tasks, so bail out instead
+        if (len < 0 || len > b.length) return None
         if (id == "fmt " && i + 8 + 16 <= b.length) {
           rate = le32(b, i + 12)
           blockAlign = le16(b, i + 20)

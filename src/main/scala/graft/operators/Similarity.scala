@@ -112,28 +112,6 @@ object Similarity {
         col("score_fp"))
   }
 
-  /** Embedding-cosine near-duplicate pairs via BANDED LSH buckets: each of
-    * `bands` independent plane families buckets every vector; candidate
-    * pairs share a bucket in AT LEAST ONE band (MinHash-style candidate
-    * union), then exact cosine verifies. The embedding-space analog of
-    * [[TextDedup.minHashLsh]], and the same scale shape: candidates carry
-    * ids only through the (band, bucket) equi-join, vectors re-join after
-    * the distinct.
-    *
-    * Recall vs the round-1 single-family version: a near-dup pair missed
-    * by one family (one plane happens to split the pair) is caught by any
-    * other, so recall at fixed bucket granularity rises from p to
-    * 1-(1-p)^bands, while bucket size — the quadratic-blowup knob — is
-    * governed by `planes` alone (2^planes buckets per band). Pairs with
-    * IDENTICAL sign patterns (e.g. scaled copies) collide in every band
-    * deterministically.
-    *
-    * @param maxBucketRows fail-fast ceiling on a single (band, bucket)
-    *        population: a degenerate corpus (all-equal vectors, planes
-    *        too few) makes the within-bucket join quadratic; better to
-    *        fail with the bucket id than OOM in the shuffle
-    *        (same rationale as [[RangeJoin]]'s maxBinsPerInterval).
-    */
   // -------------------------------------------------------------------
   // IVF: data-adaptive coarse quantization (complement of the
   // data-oblivious LSH buckets)
@@ -164,8 +142,8 @@ object Similarity {
       .orderBy(xxhash64(lit(seed), col("__id")), col("__id"))
       .limit(nlist)
       .collect()
-      .map(r => normalized(
-        r.getSeq[Float](1).toArray.map(_.toDouble)))
+      .map(r => normalized(r.getSeq[Any](1).toArray
+        .map(x => x.asInstanceOf[Number].doubleValue()))) // float OR double vectors
     val exploded = df.select(col(idCol).as("__id"),
       posexplode(col(vecCol)).as(Seq("__d", "__x")))
     for (_ <- 0 until iters) {
@@ -297,6 +275,29 @@ object Similarity {
       posexplode(array(bucketCols: _*)).as(Seq("__band", "__bucket")))
   }
 
+  /** Embedding-cosine near-duplicate pairs via BANDED LSH buckets: each
+    * of `bands` independent plane families buckets every vector
+    * (relationally, see [[bandedBuckets]]); candidate pairs share a
+    * bucket in AT LEAST ONE band (MinHash-style candidate union), then
+    * exact cosine verifies. The embedding-space analog of
+    * [[TextDedup.minHashLsh]], and the same scale shape: candidates
+    * carry ids only through the (band, bucket) equi-join, vectors
+    * re-join after the distinct.
+    *
+    * Recall vs a single plane family: a near-dup pair missed by one
+    * family (one plane happens to split the pair) is caught by any
+    * other, so recall at fixed bucket granularity rises from p to
+    * 1-(1-p)^bands, while bucket size — the quadratic-blowup knob — is
+    * governed by `planes` alone (2^planes buckets per band). Pairs with
+    * IDENTICAL sign patterns (e.g. positively scaled copies) collide in
+    * every band deterministically.
+    *
+    * @param maxBucketRows fail-fast ceiling on a single (band, bucket)
+    *        population: a degenerate corpus (all-equal vectors, planes
+    *        too few) makes the within-bucket join quadratic; better to
+    *        fail with the bucket id than OOM in the shuffle
+    *        (same rationale as [[RangeJoin]]'s maxBinsPerInterval).
+    */
   def cosineNearDup(
       df: DataFrame, idCol: String, vecCol: String, dim: Int,
       threshold: Double = 0.95, planes: Int = 12, bands: Int = 4,

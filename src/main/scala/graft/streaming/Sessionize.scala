@@ -58,15 +58,26 @@ object Sessionize {
             val sorted = batch.toSeq.sortBy(_.ts_ms)
             val closed = List.newBuilder[Session]
             var open = state.getOption
+            // pending session built from out-of-order events that precede
+            // the open session by more than the gap: consecutive such
+            // events within gapMs of each other form ONE session (batch
+            // q37 semantics), not singletons; closed at batch end
+            var ooo: Option[OpenSession] = None
             sorted.foreach { e =>
               open match {
                 case Some(s) if e.ts_ms < s.start_ms - gapMs =>
-                  // out-of-order event older than the open session by more
-                  // than the gap: batch semantics (q37) put it in its own
-                  // session — without this bound it would merge (negative
-                  // distance to end_ms is trivially <= gapMs) and rewind
-                  // start_ms arbitrarily far back
-                  closed += Session(userId, e.ts_ms, e.ts_ms, 1)
+                  // older than the open session by more than the gap:
+                  // without this bound it would merge (negative distance
+                  // to end_ms is trivially <= gapMs) and rewind start_ms
+                  // arbitrarily far back
+                  ooo = ooo match {
+                    case Some(o) if e.ts_ms - o.end_ms <= gapMs =>
+                      Some(OpenSession(o.start_ms, e.ts_ms, o.n + 1))
+                    case Some(o) =>
+                      closed += Session(userId, o.start_ms, o.end_ms, o.n)
+                      Some(OpenSession(e.ts_ms, e.ts_ms, 1))
+                    case None => Some(OpenSession(e.ts_ms, e.ts_ms, 1))
+                  }
                 case Some(s) if e.ts_ms - s.end_ms <= gapMs =>
                   // min/max: a late event from a previous micro-batch must
                   // extend the session bounds, never rewind them (bounded
@@ -80,6 +91,12 @@ object Sessionize {
                   open = Some(OpenSession(e.ts_ms, e.ts_ms, 1))
               }
             }
+            // the pending out-of-order session closes with the batch —
+            // an accepted approximation (analogous to a watermark
+            // lateness bound): a later batch's even-more-out-of-order
+            // event, or an open session whose start later extends back
+            // toward it, would merge in exact batch semantics
+            ooo.foreach(o => closed += Session(userId, o.start_ms, o.end_ms, o.n))
             open.foreach { s =>
               state.update(s)
               if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)

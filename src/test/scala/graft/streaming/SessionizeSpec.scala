@@ -76,4 +76,22 @@ class SessionizeSpec extends SparkSpec {
       assert(got.contains(Session(9L, 100000L, 100000L, 1)), got)
     } finally q.stop()
   }
+
+  test("consecutive out-of-order events within gap form one session") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = Sessionize.sessionize(input.toDS(), gapMs = 1000L)
+    val q = sessions.writeStream.format("memory").queryName("sessions_ooo2")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Event(11L, 100000L))
+      q.processAllAvailable()
+      // both precede the open session by >> gap but are 500ms apart:
+      // batch q37 semantics -> ONE session (5000, 5500, 2), not singletons
+      input.addData(Event(11L, 5000L), Event(11L, 5500L))
+      q.processAllAvailable()
+      val got = spark.table("sessions_ooo2").as[Session].collect().toSet
+      assert(got.contains(Session(11L, 5000L, 5500L, 2)), got)
+    } finally q.stop()
+  }
 }
