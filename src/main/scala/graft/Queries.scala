@@ -1420,6 +1420,35 @@ object Queries {
     """SELECT vec_id + 1000000 AS query_id, vec_id AS neighbor_id
       |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin
 
+  /** Heavy-hitter tokens via the frequent-items sketch, ORACLE-CHECKED
+    * on the sketch's DETERMINISTIC guarantee: every token whose exact
+    * share exceeds 1% must appear in a sketch run at 0.5% support
+    * (Karp-Papadimitriou-Shenker admits false positives, never false
+    * negatives), so `in_sketch` mirrors as literal TRUE while the exact
+    * counts hash-match DuckDB directly. The sketch pass is the
+    * constant-memory scale path; the exact groupBy is its ground truth
+    * here.
+    */
+  def q54FreqItems(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+    graft.operators.Sketches.heavyHittersChecked(toks, "tok",
+        minShare = 0.01, support = 0.005)
+      .orderBy(col("tok"))
+  }
+
+  val q54Sql: String =
+    """SELECT tok, CAST(COUNT(*) AS BIGINT) AS n, TRUE AS in_sketch
+      |FROM (
+      |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      |  FROM documents) u
+      |GROUP BY tok
+      |HAVING COUNT(*) > 0.01 * (
+      |  SELECT COUNT(*) FROM (
+      |    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+      |    FROM documents) i)
+      |ORDER BY tok""".stripMargin
+
   /** Event-time tumbling windows in BATCH mode — the same `window()`
     * groups the streaming path uses (WeatherStream.qualityByWindow),
     * oracle-checked against date_trunc bucketing.
@@ -1515,5 +1544,6 @@ object Queries {
     "q50_text_ann" -> ((q50TextAnn _, Some(q50Sql))),
     "q51_tumbling_window" -> ((q51TumblingWindow _, Some(q51Sql))),
     "q52_filtered_distinct" -> ((q52FilteredDistinct _, Some(q52Sql))),
-    "q53_ivf_ann" -> ((q53IvfAnn _, Some(q53Sql))))
+    "q53_ivf_ann" -> ((q53IvfAnn _, Some(q53Sql))),
+    "q54_freq_items" -> ((q54FreqItems _, Some(q54Sql))))
 }

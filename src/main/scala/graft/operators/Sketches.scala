@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate frequent-items (heavy-hitters) sketching — with HLL
+  * (`approx_count_distinct`, q40) the second classic constant-memory
+  * sketch a 100 TB corpus pipeline leans on: "which tokens/domains/
+  * n-grams dominate" without a full groupBy when the domain is huge.
+  *
+  * Backed by Spark's single-pass frequent-items implementation
+  * (`DataFrameStatFunctions.freqItems`, a distributed Karp-
+  * Papadimitriou-Shenker variant): one narrow pass, per-partition
+  * summaries merged on the driver, memory O(1/support) — and its
+  * guarantee is DETERMINISTIC, not probabilistic: every item with
+  * frequency > support·N is in the result (false positives possible,
+  * false negatives not). That asymmetry is what the oracle checks.
+  */
+object Sketches {
+
+  /** Items with observed share > `support` per the sketch (superset
+    * semantics — may include false positives below the threshold).
+    */
+  def frequentItems(df: DataFrame, itemCol: String,
+      support: Double): Seq[Any] = {
+    require(support > 0 && support < 1, "support in (0, 1)")
+    df.stat.freqItems(Seq(itemCol), support)
+      .collect()(0).getSeq[Any](0)
+  }
+
+  /** EXACT heavy hitters with sketch-membership flag: items whose exact
+    * share exceeds `minShare`, each tagged with whether the sketch (run
+    * at `support` < `minShare`) contained it. By the KPS guarantee the
+    * flag is always true when support < minShare — the oracle-checkable
+    * invariant; the exact side is one groupBy (the path you avoid at
+    * full scale, retained here as the sketch's ground truth).
+    */
+  def heavyHittersChecked(df: DataFrame, itemCol: String,
+      minShare: Double, support: Double): DataFrame = {
+    require(support < minShare,
+      "sketch support must be below the exact threshold for the guarantee")
+    val total = df.count()
+    val sketch = frequentItems(df, itemCol, support)
+    df.groupBy(col(itemCol))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > lit(total) * minShare)
+      .select(col(itemCol), col("n"),
+        col(itemCol).isin(sketch: _*).as("in_sketch"))
+  }
+}
