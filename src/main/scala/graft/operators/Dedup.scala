@@ -62,4 +62,36 @@ object Dedup {
       Seq(col(versionCol).desc, col("__graft_src").desc) ++ tiebreak)
       .drop("__graft_src")
   }
+
+  /** CDC-style merge with DELETE support: the incoming batch carries a
+    * boolean tombstone column; per key the winner is picked exactly as
+    * in [[upsert]] (latest version, incoming wins ties), and keys whose
+    * winning row is a tombstone are then DROPPED from the result — the
+    * `MERGE ... WHEN MATCHED AND deleted THEN DELETE` pattern on an
+    * immutable columnar store. A tombstone only deletes if it is the
+    * newest version of its key: a late-arriving delete older than the
+    * current row is correctly ignored.
+    *
+    * Same plan shape as [[upsert]] (one keyed shuffle + per-key
+    * window) — the tombstone filter is a post-window predicate, no
+    * extra exchange.
+    */
+  def upsertWithDeletes(
+      existing: DataFrame,
+      incoming: DataFrame,
+      keys: Seq[String],
+      versionCol: String,
+      deletedCol: String,
+      tiebreak: Seq[Column] = Nil): DataFrame = {
+    require(incoming.columns.contains(deletedCol),
+      s"incoming must carry the '$deletedCol' tombstone column")
+    val tagged = existing
+      .withColumn(deletedCol, lit(false))
+      .withColumn("__graft_src", lit(0))
+      .unionByName(incoming.withColumn("__graft_src", lit(1)))
+    keepFirst(tagged, keys,
+      Seq(col(versionCol).desc, col("__graft_src").desc) ++ tiebreak)
+      .filter(!coalesce(col(deletedCol), lit(false)))
+      .drop(deletedCol, "__graft_src")
+  }
 }

@@ -31,6 +31,22 @@ object TextDedup {
       df.withColumn("__fp", TextFunctions.fingerprint(col(textCol))),
       Seq("__fp"), tiebreak).drop("__fp")
 
+  /** Streaming exact dedup: the unbounded-corpus counterpart of
+    * [[exact]] — fingerprint each document and drop duplicates within
+    * the event-time watermark, so state holds one fingerprint per
+    * distinct document seen inside the lateness window instead of
+    * growing with the stream (the property that survives a continuous
+    * 100 TB/day ingest; a duplicate arriving later than the watermark
+    * is admitted, the documented trade of bounded state).
+    */
+  def exactStreaming(df: DataFrame, textCol: String, eventTimeCol: String,
+      watermark: String): DataFrame =
+    df.withColumn("__fp",
+        TextFunctions.fingerprint(coalesce(col(textCol), lit(""))))
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   /** Seeded 64-bit token/shingle hash: xxhash64 with the seed mixed in as
     * a literal column — k independent-enough hash families without UDFs.
     */

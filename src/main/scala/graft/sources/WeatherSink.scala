@@ -57,6 +57,34 @@ object WeatherSink {
     deleteRecursively(Paths.get(old))
   }
 
+  /** Compact the table's small files: every incremental upsert rewrites
+    * the table as `shuffle.partitions` files per date partition, and a
+    * year of daily batches leaves thousands of KB-sized files whose
+    * open/footer overhead dominates scans at 100 TB. Rewrites the table
+    * to ≈ `targetFileBytes` per file (estimated from current on-disk
+    * size) with the same stage-and-swap as [[upsertInto]]; rows are
+    * hash-distributed on the partition column so each date directory
+    * compacts toward a single file.
+    */
+  def compact(spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val target = Paths.get(path)
+    if (!Files.exists(target)) return
+    val onDisk = Files.walk(target).filter(Files.isRegularFile(_))
+      .mapToLong(Files.size(_)).sum()
+    val nFiles = math.max(1L, (onDisk + targetFileBytes - 1) / targetFileBytes)
+    val df = spark.read.parquet(path)
+      .repartition(nFiles.toInt, org.apache.spark.sql.functions.col("date"))
+    val staged = path.stripSuffix("/") + ".__staging__"
+    df.write.mode("overwrite").partitionBy("date").parquet(staged)
+    val old = path.stripSuffix("/") + ".__old__"
+    deleteRecursively(Paths.get(old))
+    Files.move(target, Paths.get(old), StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(staged), target, StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(Paths.get(old))
+  }
+
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())

@@ -31,6 +31,24 @@ class DedupSpec extends SparkSpec {
     assert(got === Seq(("k1", "i1"), ("k2", "i2"), ("k3", "e3")))
   }
 
+  test("upsertWithDeletes: newest tombstone removes the key; stale ones don't") {
+    val existing = Seq(("k1", 10L, "e1"), ("k2", 10L, "e2"), ("k3", 10L, "e3"))
+      .toDF("k", "ver", "payload")
+    val incoming = Seq(
+      ("k1", 20L, "del", true),   // newer tombstone -> k1 gone
+      ("k2", 5L, "late-del", true), // OLDER than existing -> ignored
+      ("k3", 20L, "i3", false))   // plain update
+      .toDF("k", "ver", "payload", "deleted")
+    val got = Dedup.upsertWithDeletes(existing, incoming, Seq("k"), "ver",
+        "deleted")
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getString(2))).toSeq
+    assert(got === Seq(("k2", "e2"), ("k3", "i3")))
+    // result schema carries neither the tombstone nor internal columns
+    assert(Dedup.upsertWithDeletes(existing, incoming, Seq("k"), "ver",
+      "deleted").columns.toSeq === Seq("k", "ver", "payload"))
+  }
+
   test("upsert preserves schema and row count = distinct keys") {
     val existing = Seq(("a", 1L, 1.0), ("b", 1L, 2.0)).toDF("k", "ver", "x")
     val incoming = Seq(("b", 2L, 3.0), ("c", 1L, 4.0)).toDF("k", "ver", "x")

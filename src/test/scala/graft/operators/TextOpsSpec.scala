@@ -81,6 +81,28 @@ class TextOpsSpec extends SparkSpec {
     assert(rel === expr)
   }
 
+  test("exactStreaming dedups identical texts across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val deduped = TextDedup.exactStreaming(
+      input.toDF().toDF("doc_id", "text", "ts"), "text", "ts", "1 hour")
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      input.addData((1L, "same doc", ts(0)), (2L, "other doc", ts(1)))
+      q.processAllAvailable()
+      // duplicate text in a LATER batch, within the watermark -> dropped
+      input.addData((3L, "same doc", ts(5)), (4L, "third doc", ts(6)))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").collect()
+        .map(_.getLong(0)).toSet
+      assert(ids === Set(1L, 2L, 4L), s"doc 3 is a duplicate of 1: $ids")
+    } finally q.stop()
+  }
+
   test("langId picks the language with most marker hits, deterministic ties") {
     val got = Seq(
       "the cat and the dog is in that house",

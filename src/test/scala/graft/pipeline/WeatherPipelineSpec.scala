@@ -55,6 +55,26 @@ class WeatherPipelineSpec extends SparkSpec {
     assert(table.select("temperature").collect()(0).getDouble(0) === 25.0)
   }
 
+  test("compact rewrites small files without changing the data") {
+    val dir = Files.createTempDirectory("graft_compact").toString + "/t"
+    // 8-way repartition of a tiny table -> many near-empty files
+    val df = spark.range(0, 1000)
+      .selectExpr("id", "CAST(date_add('2024-01-01', CAST(id % 3 AS INT)) AS DATE) AS date")
+      .repartition(8)
+    df.write.mode("overwrite").partitionBy("date").parquet(dir)
+    def parquetFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+    val before = parquetFiles
+    val beforeRows = spark.read.parquet(dir).orderBy("id")
+      .collect().map(_.getLong(0)).toSeq
+    WeatherSink.compact(spark, dir) // default 128 MB target -> 1 shuffle partition
+    assert(parquetFiles < before,
+      s"compaction must reduce file count (before=$before after=$parquetFiles)")
+    val afterRows = spark.read.parquet(dir).orderBy("id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(afterRows === beforeRows)
+  }
+
   test("quality report mirrors the reference's three checks (A1-A3)") {
     val got = transformed(Fixtures.full, Fixtures.missingOptionals)
     val rep = QualityChecks.report(got, lit("2023-11-14").cast("date"))
