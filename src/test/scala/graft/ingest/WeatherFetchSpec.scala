@@ -56,6 +56,35 @@ class WeatherFetchSpec extends SparkSpec {
     assert(results(1).error.isDefined)
   }
 
+  test("httpGet against a local server: 200 returns body, 5xx raises, key not echoed") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def reply(ex: HttpExchange, code: Int, body: String): Unit = {
+      val bytes = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(code, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    }
+    server.createContext("/ok",
+      (ex: HttpExchange) => reply(ex, 200, """{"cod":200}"""))
+    server.createContext("/boom",
+      (ex: HttpExchange) => reply(ex, 503, "unavailable"))
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val localCfg = cfg.copy(timeoutMs = 5000)
+      assert(WeatherFetch.httpGet(localCfg)(
+        s"$base/ok?appid=SECRET") === """{"cod":200}""")
+      val e = intercept[java.io.IOException] {
+        WeatherFetch.httpGet(localCfg)(s"$base/boom?appid=SECRET")
+      }
+      assert(e.getMessage === "HTTP 503",
+        "error must not echo the URL (the query string carries the API key)")
+      assert(!e.getMessage.contains("SECRET"))
+    } finally server.stop(0)
+  }
+
   test("fetched documents flow through flatten like fixture documents") {
     val results = WeatherFetch.fetchAll(cfg, threeRegions,
       get = Some(_ => cannedBody("ignored-by-adapter")))
