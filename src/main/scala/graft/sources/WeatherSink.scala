@@ -57,6 +57,39 @@ object WeatherSink {
     deleteRecursively(Paths.get(old))
   }
 
+  /** Partition-scoped upsert — the shape that holds at 100 TB: only the
+    * DATE PARTITIONS present in the incoming batch are read, merged and
+    * rewritten (via dynamic partition overwrite), so a 15-row daily
+    * batch costs one partition's worth of IO regardless of table size.
+    * [[upsertInto]] rewrites the whole table and remains the
+    * full-refresh / schema-change path; this is the daily-increment
+    * path. The touched-partition list is collected to the driver —
+    * bounded by the batch's distinct dates (1 for a daily run), never
+    * by table cardinality.
+    */
+  def upsertPartitions(spark: SparkSession, incoming: DataFrame,
+      path: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    if (!Files.exists(Paths.get(path))) {
+      write(incoming, path)
+      return
+    }
+    val touched = incoming.select(col("date")).distinct()
+      .collect().map(_.get(0))
+    val existingTouched = spark.read.parquet(path)
+      .filter(col("date").isin(touched: _*))
+    val merged = Dedup.upsert(existingTouched, incoming, naturalKey,
+      versionCol = "extraction_timestamp")
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic") // overwrite ONLY partitions we write
+    try merged.write.mode("overwrite").partitionBy("date").parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Compact the table's small files: every incremental upsert rewrites
     * the table as `shuffle.partitions` files per date partition, and a
     * year of daily batches leaves thousands of KB-sized files whose

@@ -55,6 +55,42 @@ class WeatherPipelineSpec extends SparkSpec {
     assert(table.select("temperature").collect()(0).getDouble(0) === 25.0)
   }
 
+  test("upsertPartitions touches only the incoming batch's partitions") {
+    val dir = Files.createTempDirectory("graft_dynpart").toString + "/t"
+    val day1 = transformed(Fixtures.full)        // date 2023-11-14
+    val day2raw = Fixtures.df(spark,
+      Fixtures.full.replace("1700000000", "1700090000")) // next day
+    val day2 = WeatherTransform.transform(
+      graft.ingest.WeatherIngest.flatten(day2raw, WeatherModel.regionDim(spark),
+        extractionTime = to_timestamp(lit("2023-11-15 06:00:00"))))
+    WeatherSink.write(day1.unionByName(day2), dir)
+    def filesOf(datePart: String) = {
+      val d = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.walk(d).filter(_.toString.contains(datePart))
+        .filter(_.toString.endsWith(".parquet"))
+        .map[(String, java.nio.file.attribute.FileTime)](p =>
+          (p.toString, java.nio.file.Files.getLastModifiedTime(p)))
+        .toArray.toSeq
+    }
+    val day1FilesBefore = filesOf("date=2023-11-14")
+    assert(day1FilesBefore.nonEmpty)
+    // incoming touches ONLY day 2 with a changed temperature
+    val day2v2raw = Fixtures.df(spark, Fixtures.full
+      .replace("1700000000", "1700090000").replace("22.5", "30.5"))
+    val day2v2 = WeatherTransform.transform(
+      graft.ingest.WeatherIngest.flatten(day2v2raw, WeatherModel.regionDim(spark),
+        extractionTime = to_timestamp(lit("2023-11-15 07:00:00"))))
+    WeatherSink.upsertPartitions(spark, day2v2, dir)
+    // day-1 partition untouched (same files, same mtimes); day-2 updated
+    assert(filesOf("date=2023-11-14") === day1FilesBefore,
+      "untouched partition must not be rewritten")
+    val table = spark.read.parquet(dir)
+    assert(table.count() === 2)
+    val newTemp = table.filter(col("date") === lit("2023-11-15"))
+      .select("temperature").collect()(0).getDouble(0)
+    assert(newTemp === 30.5)
+  }
+
   test("compact rewrites small files without changing the data") {
     val dir = Files.createTempDirectory("graft_compact").toString + "/t"
     // 8-way repartition of a tiny table -> many near-empty files
