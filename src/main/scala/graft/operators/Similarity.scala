@@ -31,9 +31,23 @@ object Similarity {
 
   /** Fixed-point dot product: per-term products quantized to 1e-9 before
     * an exact long sum — order-independent, hence engine-independent
-    * (same trick as money cents; see Queries scaladoc).
+    * (same trick as money cents; see Queries scaladoc). Backed by the
+    * native codegen'd [[graft.expressions.FixedDot]] — this is the
+    * per-candidate-pair scoring kernel of every ANN path, and a compiled
+    * loop beats the interpreted lambda tower ([[dotFixedHof]], kept as
+    * the semantics reference) on exactly that hot path.
     */
   def dotFixed(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.FixedDot(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b)))
+
+  /** Higher-order-function formulation of [[dotFixed]] — same values and
+    * null semantics, interpreted evaluation; the equivalence is asserted
+    * in SimilaritySpec.
+    */
+  def dotFixedHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b,
         (x, y) => floor(x.cast("double") * y.cast("double") * 1e9 + 0.5)
           .cast("long")),

@@ -92,6 +92,44 @@ class SimilaritySpec extends SparkSpec {
       s"wrong failure: ${e.getMessage}")
   }
 
+  test("native FixedDot matches the HOF formulation incl. null semantics") {
+    val rnd = new scala.util.Random(17)
+    val pairs = (0L until 50L).map { i =>
+      (i, Array.fill(64)(rnd.nextFloat() * 2 - 1),
+        Array.fill(64)(rnd.nextFloat() * 2 - 1))
+    }.toDF("id", "a", "b")
+    val both = pairs.select(
+        Similarity.dotFixed(col("a"), col("b")).as("native"),
+        Similarity.dotFixedHof(col("a"), col("b")).as("hof"))
+      .collect()
+    both.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // edge cases: length mismatch and null element -> null on both paths
+    val edges = Seq(
+      (Array(1.0f, 2.0f), Array(1.0f)), // mismatch
+      (Array(1.0f), Array(1.0f)),       // fine
+      (Array[Float](), Array[Float]())  // empty -> 0
+    ).toDF("a", "b")
+    val e = edges.select(Similarity.dotFixed(col("a"), col("b")).as("n"),
+      Similarity.dotFixedHof(col("a"), col("b")).as("h")).collect()
+    e.foreach { r =>
+      assert(r.isNullAt(0) === r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getLong(0) === r.getLong(1))
+    }
+  }
+
+  test("GraftExtensions registers dot_fixed with a working builder") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val (name, builder, _) = new graft.expressions.GraftExtensions().functions.head
+    assert(name === "dot_fixed")
+    val e = builder(Seq(
+      Literal.create(Array(1.0f, 2.0f), ArrayType(FloatType)),
+      Literal.create(Array(3.0f, 4.0f), ArrayType(FloatType))))
+    // 1*3 + 2*4 = 11 -> 11e9 in fixed point
+    assert(e.eval(null) === 11000000000L)
+    intercept[IllegalArgumentException] { builder(Seq.empty) }
+  }
+
   test("IVF: centroids are unit norm; assignment is scale-invariant") {
     val rnd = new scala.util.Random(11)
     def unit(): Array[Float] = {
