@@ -27,7 +27,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "dot_fixed takes exactly 2 arguments")
         FixedDot(children.head, children(1))
       },
-      "dot_fixed(a, b) - exact fixed-point dot product of two float arrays"))
+      "dot_fixed(a, b) - exact fixed-point dot product of two float arrays"),
+    ("cosine_sim",
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "cosine_sim takes exactly 2 arguments")
+        CosineSim(children.head, children(1))
+      },
+      "cosine_sim(a, b) - cosine similarity of two float arrays"))
 
   override def apply(ext: SparkSessionExtensions): Unit =
     functions.foreach { case (name, builder, usage) =>

@@ -55,7 +55,20 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity, backed by the native single-loop
+    * [[graft.expressions.CosineSim]] (one fused pass vs three
+    * interpreted HOF towers); [[cosineHof]] is the semantics reference.
+    */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.CosineSim(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b)))
+
+  /** HOF formulation of [[cosine]] — same values bit for bit (asserted
+    * in SimilaritySpec), interpreted evaluation.
+    */
+  def cosineHof(a: Column, b: Column): Column = {
     val d = norm(a) * norm(b)
     when(d > 0, dot(a, b) / d).otherwise(lit(0.0))
   }

@@ -103,6 +103,12 @@ class SimilaritySpec extends SparkSpec {
         Similarity.dotFixedHof(col("a"), col("b")).as("hof"))
       .collect()
     both.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    val cos = pairs.select(
+        Similarity.cosine(col("a"), col("b")).as("native"),
+        Similarity.cosineHof(col("a"), col("b")).as("hof"))
+      .collect()
+    cos.foreach(r => assert(r.getDouble(0) === r.getDouble(1),
+      "native cosine must be bit-identical to the HOF formulation"))
     // edge cases: length mismatch and null element -> null on both paths
     val edges = Seq(
       (Array(1.0f, 2.0f), Array(1.0f)), // mismatch
