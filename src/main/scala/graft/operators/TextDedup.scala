@@ -129,12 +129,31 @@ object TextDedup {
       threshold: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    // RELATIONAL signature: explode shingles to rows and compute the k
-    // minima as one codegen'd hash aggregate (k static min() columns)
-    // with map-side partials — higher-order array functions evaluate
-    // interpreted, a grouped aggregate runs in whole-stage codegen, and
-    // the shuffle carries only (id, k minima) per doc.
-    val sigs = minHashSignatures(df, idCol, textCol, numHashes, shingleSize)
+    // RELATIONAL signature: explode shingles to rows, hash each shingle
+    // string ONCE to a 64-bit key, and compute in a SINGLE codegen'd
+    // grouped aggregate both the k family minima (k static min()
+    // columns) and the doc's distinct hashed-shingle SET for exact
+    // verification. One pass over the shingled corpus serves signatures
+    // AND verification sets; shingle STRINGS never leave the scan
+    // stage — the exchange carries (id, k minima, set<long>) per doc.
+    // Jaccard on hashed shingles equals Jaccard on the strings up to
+    // 64-bit collisions (~(shingles/doc)²/2⁶⁴ — a non-event next to the
+    // banding's own false-negative rate).
+    val exploded = df
+      .select(col(idCol).as("__id"),
+        TextFunctions.tokens(coalesce(col(textCol), lit(""))).as("__toks"))
+      .select(col("__id"),
+        explode(TextFunctions.shinglesFromTokens(col("__toks"), shingleSize))
+          .as("__s"))
+      .select(col("__id"), xxhash64(col("__s")).as("__sh"))
+    val minAggs = (0 until numHashes).map(j =>
+      min(xxhash64(lit(j), col("__sh"))).as(s"__h$j"))
+    val aggregated = exploded
+      .groupBy(col("__id"))
+      .agg(minAggs.head, (minAggs.tail :+
+        collect_set(col("__sh")).as("__set")): _*)
+    val sigs = aggregated.select(col("__id"),
+      array((0 until numHashes).map(j => col(s"__h$j")): _*).as("__sig"))
     // Band array as `bands` STATIC references to __sig: CollapseProject
     // refuses to inline a non-cheap alias referenced more than once, so
     // the signature materializes once per row instead of once per band.
@@ -144,26 +163,19 @@ object TextDedup {
     val banded = sigs
       .select(col("__id"), posexplode(bandArray).as(Seq("__band", "__bandsig")))
     // SELF-join via aliases of the SAME plan: both shuffle children
-    // canonicalize identically, so ReuseExchange computes the signatures
-    // and the band exchange once, not twice.
+    // canonicalize identically, so ReuseExchange computes the shingle
+    // pass and the aggregate exchange once, not twice.
     val candidates = banded.as("l").join(banded.as("r"),
         col("l.__band") === col("r.__band")
           && col("l.__bandsig") === col("r.__bandsig")
           && col("l.__id") < col("r.__id"))
       .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
       .distinct() // same pair can collide in several bands
-    // candidate pairs carry only ids through the shuffle; texts re-join
-    // after the distinct, so document payloads never ride the band join
-    // Each doc's distinct shingle SET is computed once here and joined to
-    // every candidate pair it appears in — the expensive lambda-built
-    // shingling never runs per pair; the per-pair work is only the
-    // codegen'd intersect/union.
-    val shingleSets = df
-      .select(col(idCol).as("__sid"),
-        TextFunctions.tokens(coalesce(col(textCol), lit(""))).as("__toks"))
-      .select(col("__sid"),
-        array_distinct(TextFunctions.shinglesFromTokens(col("__toks"),
-          shingleSize)).as("__set"))
+    // candidate pairs carry only ids through the band join; the hashed
+    // sets re-join after the distinct (same reused aggregate), so the
+    // per-pair work is only the codegen'd long-array intersect/union.
+    val shingleSets = aggregated.select(col("__id").as("__sid"),
+      col("__set"))
     // Fixed-count repartition: the verification is compute-bound on few,
     // tiny rows, which AQE would otherwise coalesce into one partition
     // and serialize. An explicit numbered repartition is exempt from AQE
