@@ -83,6 +83,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Window"), "bucket-size guard window missing")
   }
 
+  test("q26 computes the shingle aggregate once (exchange reused)") {
+    // banding and exact-Jaccard verification both consume the single
+    // (minima + hashed-shingle-set) aggregate; if the reuse breaks, the
+    // corpus is tokenized and shingled multiple times
+    val df = SparkEntry.queries("q26_minhash_neardup")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"),
+      "the shingle aggregate's exchange must be computed once and reused")
+  }
+
   test("q53 IVF probe is a broadcast equi-join on cells, no cross product") {
     val p = plan("q53_ivf_ann")
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
