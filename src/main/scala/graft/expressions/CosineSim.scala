@@ -6,79 +6,119 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Native codegen'd cosine similarity over two `array<float>` columns —
-  * one loop accumulating dot and both squared norms, replacing three
-  * interpreted higher-order towers (zip_with+aggregate × dot, norm(a),
-  * norm(b)) on the near-dup verification hot path
+/** Native codegen'd cosine similarity over two float/double array
+  * columns — one fused pass accumulating dot and both squared norms,
+  * replacing three interpreted higher-order towers (zip_with+aggregate
+  * × dot, norm(a), norm(b)) on the near-dup verification hot path
   * ([[graft.operators.Similarity.cosineNearDup]] runs it once per
   * candidate pair).
   *
-  * Bit-exact mirror of the HOF formulation including its edge
-  * semantics and float-op order: `sqrt(na2) * sqrt(nb2)` (NOT
-  * `sqrt(na2*nb2)` — differs in the last ulp), zero denominator → 0.0,
-  * a null ELEMENT → 0.0 (null norms make the `when(d > 0)` guard fall
-  * through to otherwise), mismatched lengths → null (zip_with pads with
-  * null, nulling the dot while the guard stays true).
+  * Mirrors the HOF formulation's values and edge semantics exactly
+  * (spec-asserted against [[graft.operators.Similarity.cosineHof]]):
+  *   - float-op order `sqrt(na2) * sqrt(nb2)` (NOT `sqrt(na2*nb2)` —
+  *     differs in the last ulp);
+  *   - a null ELEMENT in either array → 0.0 (the null norm makes the
+  *     HOF's `when(d > 0)` guard fall through to `otherwise(0.0)`);
+  *   - zero norm product (either side empty or all-zero) → 0.0,
+  *     REGARDLESS of length mismatch — the d=0 guard wins;
+  *   - mismatched lengths with both norms positive → null (`zip_with`
+  *     pads with null, nulling the dot while the guard stays true).
   */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+      case (ArrayType(FloatType | DoubleType, _),
+            ArrayType(FloatType | DoubleType, _)) =>
         TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires two array<float> arguments, got ($l, $r)")
+        s"$prettyName requires two array<float|double> arguments, got ($l, $r)")
     }
 
   override def dataType: DataType = DoubleType
+
+  // introduces nulls (length mismatch with positive norms) even over
+  // non-nullable children — see FixedDot.nullable
+  override def nullable: Boolean = true
 
   override def nullIntolerant: Boolean = true
 
   override def prettyName: String = "cosine_sim"
 
+  private def elemIsDouble(t: DataType): Boolean =
+    t.asInstanceOf[ArrayType].elementType == DoubleType
+
+  private def elemAt(arr: ArrayData, i: Int, isDouble: Boolean): Double =
+    if (isDouble) arr.getDouble(i) else arr.getFloat(i).toDouble
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = x.numElements()
-    if (y.numElements() != n) return null
-    var dot = 0.0
+    val xd = elemIsDouble(left.dataType)
+    val yd = elemIsDouble(right.dataType)
+    val na = x.numElements()
+    val nb = y.numElements()
+    // norms scan their FULL arrays (the HOF's norm(a) does); a null
+    // element anywhere nulls that norm -> guard falls through to 0.0
     var na2 = 0.0
-    var nb2 = 0.0
     var i = 0
-    while (i < n) {
-      if (x.isNullAt(i) || y.isNullAt(i)) return 0.0
-      val xv = x.getFloat(i).toDouble
-      val yv = y.getFloat(i).toDouble
-      dot += xv * yv
-      na2 += xv * xv
-      nb2 += yv * yv
-      i += 1
+    while (i < na) {
+      if (x.isNullAt(i)) return 0.0
+      val v = elemAt(x, i, xd); na2 += v * v; i += 1
+    }
+    var nb2 = 0.0
+    i = 0
+    while (i < nb) {
+      if (y.isNullAt(i)) return 0.0
+      val v = elemAt(y, i, yd); nb2 += v * v; i += 1
     }
     val d = math.sqrt(na2) * math.sqrt(nb2)
-    if (d > 0) dot / d else 0.0
+    if (!(d > 0)) return 0.0 // empty / all-zero (either side) -> 0.0
+    if (na != nb) return null // padded dot is null while the guard held
+    var dot = 0.0
+    i = 0
+    while (i < na) {
+      dot += elemAt(x, i, xd) * elemAt(y, i, yd); i += 1
+    }
+    dot / d
   }
+
+  private def getter(side: Expression, arr: String): String =
+    if (elemIsDouble(side.dataType)) s"$arr.getDouble(i)"
+    else s"(double) $arr.getFloat(i)"
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
-         |int n = $a.numElements();
-         |if ($b.numElements() != n) {
-         |  ${ev.isNull} = true;
-         |} else {
-         |  double dot = 0.0, na2 = 0.0, nb2 = 0.0;
-         |  boolean nullElem = false;
-         |  for (int i = 0; i < n; i++) {
-         |    if ($a.isNullAt(i) || $b.isNullAt(i)) { nullElem = true; break; }
-         |    double xv = (double) $a.getFloat(i);
-         |    double yv = (double) $b.getFloat(i);
-         |    dot += xv * yv; na2 += xv * xv; nb2 += yv * yv;
+         |int na = $a.numElements();
+         |int nb = $b.numElements();
+         |double na2 = 0.0, nb2 = 0.0;
+         |boolean nullElem = false;
+         |for (int i = 0; i < na; i++) {
+         |  if ($a.isNullAt(i)) { nullElem = true; break; }
+         |  double v = ${getter(left, a)}; na2 += v * v;
+         |}
+         |if (!nullElem) {
+         |  for (int i = 0; i < nb; i++) {
+         |    if ($b.isNullAt(i)) { nullElem = true; break; }
+         |    double v = ${getter(right, b)}; nb2 += v * v;
          |  }
-         |  if (nullElem) {
+         |}
+         |if (nullElem) {
+         |  ${ev.value} = 0.0;
+         |} else {
+         |  double d = Math.sqrt(na2) * Math.sqrt(nb2);
+         |  if (!(d > 0)) {
          |    ${ev.value} = 0.0;
+         |  } else if (na != nb) {
+         |    ${ev.isNull} = true;
          |  } else {
-         |    double d = Math.sqrt(na2) * Math.sqrt(nb2);
-         |    ${ev.value} = d > 0 ? dot / d : 0.0;
+         |    double dot = 0.0;
+         |    for (int i = 0; i < na; i++) {
+         |      dot += ${getter(left, a)} * ${getter(right, b)};
+         |    }
+         |    ${ev.value} = dot / d;
          |  }
          |}
        """.stripMargin

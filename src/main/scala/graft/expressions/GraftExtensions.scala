@@ -20,15 +20,15 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  /** name → (builder, usage) for every injected function. */
-  val functions: Seq[(String, Seq[Expression] => Expression, String)] = Seq(
-    ("dot_fixed",
+  /** name → (implementing class, builder, usage) per injected function. */
+  val functions: Seq[(String, String, Seq[Expression] => Expression, String)] = Seq(
+    ("dot_fixed", classOf[FixedDot].getName,
       (children: Seq[Expression]) => {
         require(children.length == 2, "dot_fixed takes exactly 2 arguments")
         FixedDot(children.head, children(1))
       },
       "dot_fixed(a, b) - exact fixed-point dot product of two float arrays"),
-    ("cosine_sim",
+    ("cosine_sim", classOf[CosineSim].getName,
       (children: Seq[Expression]) => {
         require(children.length == 2, "cosine_sim takes exactly 2 arguments")
         CosineSim(children.head, children(1))
@@ -36,10 +36,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "cosine_sim(a, b) - cosine similarity of two float arrays"))
 
   override def apply(ext: SparkSessionExtensions): Unit =
-    functions.foreach { case (name, builder, usage) =>
+    functions.foreach { case (name, className, builder, usage) =>
       ext.injectFunction((
         FunctionIdentifier(name),
-        new ExpressionInfo("graft.expressions.FixedDot", null, name, usage, ""),
+        new ExpressionInfo(className, null, name, usage, ""),
         builder))
     }
 }

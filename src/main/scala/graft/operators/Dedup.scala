@@ -85,6 +85,12 @@ object Dedup {
       tiebreak: Seq[Column] = Nil): DataFrame = {
     require(incoming.columns.contains(deletedCol),
       s"incoming must carry the '$deletedCol' tombstone column")
+    // existing must be a MATERIALIZED table (tombstones already applied,
+    // as this function's own output is); silently treating a live
+    // tombstone column as all-false would resurrect deleted rows
+    require(!existing.columns.contains(deletedCol),
+      s"existing already has a '$deletedCol' column - apply its " +
+        "tombstones first (this function's output is tombstone-free)")
     val tagged = existing
       .withColumn(deletedCol, lit(false))
       .withColumn("__graft_src", lit(0))

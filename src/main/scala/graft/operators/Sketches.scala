@@ -39,11 +39,14 @@ object Sketches {
       minShare: Double, support: Double): DataFrame = {
     require(support < minShare,
       "sketch support must be below the exact threshold for the guarantee")
-    val total = df.count()
     val sketch = frequentItems(df, itemCol, support)
-    df.groupBy(col(itemCol))
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") > lit(total) * minShare)
+    // total derived from the per-item counts via a broadcast single-row
+    // aggregate over the SAME groupBy (exchange reused) — a dedicated
+    // df.count() would be a third full scan of the corpus
+    val counts = df.groupBy(col(itemCol)).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("__total"))
+    counts.crossJoin(broadcast(total))
+      .filter(col("n") > col("__total") * minShare)
       .select(col(itemCol), col("n"),
         col(itemCol).isin(sketch: _*).as("in_sketch"))
   }

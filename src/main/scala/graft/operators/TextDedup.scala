@@ -75,25 +75,38 @@ object TextDedup {
     * dominates the whole operator as k grows (inner-hash collisions are
     * a 2^-64 non-event next to MinHash's own estimator variance).
     */
-  def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int, shingleSize: Int): DataFrame = {
-    // coalesce: null text behaves like an empty document (no signature
-    // rows) rather than null-propagating through the shingle lambdas —
-    // the policy TextChunker/TextFeatures already follow
-    val exploded = df
-      .select(col(idCol).as("__id"),
+  /** (id, hashed shingle) rows: tokenize → shingle → explode → one
+    * string hash per row. The shared front of [[minHashSignatures]] and
+    * [[minHashLsh]] — the double-hash scheme lives HERE and in
+    * [[familyMinAggs]] only, so the formulations cannot drift apart.
+    * coalesce: null text behaves like an empty document (no signature
+    * rows) rather than null-propagating through the shingle lambdas —
+    * the policy TextChunker/TextFeatures already follow.
+    */
+  private def shingleHashRows(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int): DataFrame =
+    df.select(col(idCol).as("__id"),
         TextFunctions.tokens(coalesce(col(textCol), lit(""))).as("__toks"))
       .select(col("__id"),
         explode(TextFunctions.shinglesFromTokens(col("__toks"), shingleSize))
           .as("__s"))
       .select(col("__id"), xxhash64(col("__s")).as("__sh"))
-    val minAggs = (0 until numHashes).map(j =>
+
+  /** The k family min-aggregates over [[shingleHashRows]]' `__sh`. */
+  private def familyMinAggs(numHashes: Int): Seq[Column] =
+    (0 until numHashes).map(j =>
       min(xxhash64(lit(j), col("__sh"))).as(s"__h$j"))
-    exploded
+
+  private def sigArray(numHashes: Int): Column =
+    array((0 until numHashes).map(j => col(s"__h$j")): _*)
+
+  def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, shingleSize: Int): DataFrame = {
+    val minAggs = familyMinAggs(numHashes)
+    shingleHashRows(df, idCol, textCol, shingleSize)
       .groupBy(col("__id"))
       .agg(minAggs.head, minAggs.tail: _*)
-      .select(col("__id"),
-        array((0 until numHashes).map(j => col(s"__h$j")): _*).as("__sig"))
+      .select(col("__id"), sigArray(numHashes).as("__sig"))
   }
 
   /** MinHash signature over an existing shingle-array column. Same
@@ -139,21 +152,12 @@ object TextDedup {
     // Jaccard on hashed shingles equals Jaccard on the strings up to
     // 64-bit collisions (~(shingles/doc)²/2⁶⁴ — a non-event next to the
     // banding's own false-negative rate).
-    val exploded = df
-      .select(col(idCol).as("__id"),
-        TextFunctions.tokens(coalesce(col(textCol), lit(""))).as("__toks"))
-      .select(col("__id"),
-        explode(TextFunctions.shinglesFromTokens(col("__toks"), shingleSize))
-          .as("__s"))
-      .select(col("__id"), xxhash64(col("__s")).as("__sh"))
-    val minAggs = (0 until numHashes).map(j =>
-      min(xxhash64(lit(j), col("__sh"))).as(s"__h$j"))
-    val aggregated = exploded
+    val minAggs = familyMinAggs(numHashes)
+    val aggregated = shingleHashRows(df, idCol, textCol, shingleSize)
       .groupBy(col("__id"))
       .agg(minAggs.head, (minAggs.tail :+
         collect_set(col("__sh")).as("__set")): _*)
-    val sigs = aggregated.select(col("__id"),
-      array((0 until numHashes).map(j => col(s"__h$j")): _*).as("__sig"))
+    val sigs = aggregated.select(col("__id"), sigArray(numHashes).as("__sig"))
     // Band array as `bands` STATIC references to __sig: CollapseProject
     // refuses to inline a non-cheap alias referenced more than once, so
     // the signature materializes once per row instead of once per band.

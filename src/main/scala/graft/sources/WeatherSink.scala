@@ -104,8 +104,10 @@ object WeatherSink {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val target = Paths.get(path)
     if (!Files.exists(target)) return
-    val onDisk = Files.walk(target).filter(Files.isRegularFile(_))
-      .mapToLong(Files.size(_)).sum()
+    val walk = Files.walk(target)
+    val onDisk =
+      try walk.filter(Files.isRegularFile(_)).mapToLong(Files.size(_)).sum()
+      finally walk.close() // the stream holds directory handles
     val nFiles = math.max(1L, (onDisk + targetFileBytes - 1) / targetFileBytes)
     val df = spark.read.parquet(path)
       .repartition(nFiles.toInt, org.apache.spark.sql.functions.col("date"))
@@ -120,7 +122,9 @@ object WeatherSink {
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
         .forEach(f => Files.delete(f))
+      finally walk.close()
     }
 }

@@ -126,14 +126,37 @@ class SimilaritySpec extends SparkSpec {
   test("GraftExtensions registers dot_fixed with a working builder") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types.{ArrayType, FloatType}
-    val (name, builder, _) = new graft.expressions.GraftExtensions().functions.head
+    val (name, className, builder, _) =
+      new graft.expressions.GraftExtensions().functions.head
     assert(name === "dot_fixed")
+    assert(className === "graft.expressions.FixedDot")
     val e = builder(Seq(
       Literal.create(Array(1.0f, 2.0f), ArrayType(FloatType)),
       Literal.create(Array(3.0f, 4.0f), ArrayType(FloatType))))
     // 1*3 + 2*4 = 11 -> 11e9 in fixed point
     assert(e.eval(null) === 11000000000L)
     intercept[IllegalArgumentException] { builder(Seq.empty) }
+  }
+
+  test("native cosine matches HOF on edges: empty, mismatch, zero, double arrays") {
+    val edges = Seq(
+      (Array[Float](), Array(1.0f)),        // empty vs non-empty -> 0.0
+      (Array(1.0f, 2.0f), Array(1.0f)),     // mismatch, norms > 0 -> null
+      (Array(0.0f, 0.0f), Array(1.0f, 1.0f)), // zero norm -> 0.0
+      (Array[Float](), Array[Float]())      // both empty -> 0.0
+    ).toDF("a", "b")
+    val e = edges.select(Similarity.cosine(col("a"), col("b")).as("n"),
+      Similarity.cosineHof(col("a"), col("b")).as("h")).collect()
+    e.foreach { r =>
+      assert(r.isNullAt(0) === r.isNullAt(1), r.toString)
+      if (!r.isNullAt(0)) assert(r.getDouble(0) === r.getDouble(1), r.toString)
+    }
+    // double-typed vectors are accepted by both native kernels
+    val dbl = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+    val r = dbl.select(Similarity.dotFixed(col("a"), col("b")).as("d"),
+      Similarity.cosine(col("a"), col("b")).as("c")).collect()(0)
+    assert(r.getLong(0) === 11000000000L)
+    assert(math.abs(r.getDouble(1) - 11.0 / (math.sqrt(5) * math.sqrt(25))) < 1e-12)
   }
 
   test("IVF: centroids are unit norm; assignment is scale-invariant") {
