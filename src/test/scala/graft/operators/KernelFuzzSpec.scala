@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Seeded fuzz coverage for the native kernels and byte-level parsers:
+  * the native expressions must agree with their HOF reference on
+  * arbitrary finite inputs (values, nullness, lengths), and the media
+  * header parsers must return cleanly on arbitrary bytes — they run on
+  * untrusted payloads inside executor tasks, where an exception or a
+  * non-terminating loop takes the stage down.
+  */
+class KernelFuzzSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dotFixed/cosine fuzz: native == HOF over random lengths and nulls") {
+    val rnd = new scala.util.Random(101)
+    def vec(): Array[java.lang.Float] = {
+      val n = rnd.nextInt(8) // 0..7, frequent mismatches
+      Array.fill[java.lang.Float](n) {
+        if (rnd.nextInt(20) == 0) null
+        else java.lang.Float.valueOf(rnd.nextFloat() * 20 - 10)
+      }
+    }
+    val pairs = (0 until 400).map(_ => (vec(), vec())).toDF("a", "b")
+    val rows = pairs.select(
+      Similarity.dotFixed(col("a"), col("b")).as("dn"),
+      Similarity.dotFixedHof(col("a"), col("b")).as("dh"),
+      Similarity.cosine(col("a"), col("b")).as("cn"),
+      Similarity.cosineHof(col("a"), col("b")).as("ch")).collect()
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.isNullAt(0) === r.isNullAt(1), s"dot nullness diverged row $i: $r")
+      if (!r.isNullAt(0)) assert(r.getLong(0) === r.getLong(1), s"dot row $i")
+      assert(r.isNullAt(2) === r.isNullAt(3), s"cos nullness diverged row $i: $r")
+      if (!r.isNullAt(2))
+        assert(r.getDouble(2) === r.getDouble(3), s"cos row $i: $r")
+    }
+  }
+
+  test("media header parsers never throw on arbitrary or truncated bytes") {
+    val rnd = new scala.util.Random(202)
+    val magics = Seq(
+      Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte),
+      Array(0xFF, 0xD8).map(_.toByte),
+      "GIF89a".getBytes, "BM".getBytes, "RIFF1234WAVE".getBytes)
+    val cases = (0 until 3000).map { i =>
+      val n = rnd.nextInt(64)
+      val noise = Array.fill[Byte](n)(rnd.nextInt(256).toByte)
+      if (i % 3 == 0) magics(i % magics.length) ++ noise else noise
+    } ++ Seq(Array.emptyByteArray)
+    cases.foreach { b =>
+      Multimodal.MediaCodec.imageDims(b) // must return, not throw/hang
+      Multimodal.MediaCodec.wavInfo(b)
+      val meta = Multimodal.MediaCodec.decode(
+        Multimodal.MediaRecord(1L, "image", b, "application/octet-stream", "fuzz"))
+      assert(meta.n_bytes === b.length.toLong)
+    }
+  }
+}
