@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The harness parses the ONE JSON metric line from Bench's stdout; sbt's
+// default LoggedOutput strategy prefixes every forked-process line with
+// "[info] ", which defeats that parse (BENCH_r01/r02 both recorded
+// "parsed": null). StdoutOutput inherits the raw streams instead.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

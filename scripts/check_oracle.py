@@ -88,6 +88,22 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: arrow types differ: {'; '.join(tdiff)}")
             failures += 1
             continue
+        # HARD LINT: no decimal-typed output column on either side. This
+        # mirror reads the Spark result through DuckDB, which normalizes
+        # decimals the same way on both sides — so a decimal output can
+        # pass HERE yet hash-fail the DRIVER, whose Spark-parquet (arrow/
+        # pandas) and DuckDB-oracle conversions represent decimals
+        # differently at ANY width (r1: 28,2 vs 38,2 failed; r2: pinned
+        # 38,2 on both sides STILL failed). Money goes through cents
+        # BIGINT sums -> one double division instead.
+        dcols = [c for c in wcols
+                 if "decimal" in str(garrow.field(c).type).lower()
+                 or "decimal" in str(warrow.field(c).type).lower()]
+        if dcols:
+            print(f"FAIL {name}: decimal output columns (driver-unsafe "
+                  f"at any width): {dcols}")
+            failures += 1
+            continue
         if len(want) != len(got):
             print(f"FAIL {name}: rows differ: spark={len(got)} oracle={len(want)}")
             failures += 1
