@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.WeatherFunctions
 import graft.functions.{TextFeatures, TextFunctions}
-import graft.operators.{AsOfJoin, Dedup, Multimodal, RangeJoin, Sampling, Similarity, TextChunker, TextDedup}
+import graft.operators.{AsOfJoin, Dedup, Graph, Multimodal, RangeJoin, Sampling, Similarity, TextChunker, TextDedup}
 
 /** The oracle-checked query surface: every operator from SURVEY.md §2
   * exposed as a named query over the driver's parquet tables, with
@@ -1485,6 +1485,113 @@ object Queries {
       |  COUNT(DISTINCT user_id) AS all_users
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Dup-cluster resolution: near-dup EDGES → per-document CLUSTER id
+    * via distributed connected components ([[Graph.connectedComponents]],
+    * alternating large-star/small-star — the O(log n)-round shape that
+    * survives 100 TB where driver-side union-find cannot).
+    *
+    * The graph: two planted generations per doc — B = doc minus its last
+    * 2 tokens (id+1e6), C = doc minus its last 4 tokens (id+2e6) — with
+    * an edge where exact 3-gram Jaccard ≥ 0.7 (A–B and B–C; A–C is NOT
+    * an edge, so labels must propagate TRANSITIVELY through B, which is
+    * precisely what CC adds over pairwise dedup). Both engines compute
+    * the same deterministic edge set (the q27 kernel); DuckDB resolves
+    * components independently via a recursive-CTE min-label closure, so
+    * hash equality proves the star-contraction loop labels every node
+    * with its true component minimum. Docs whose edges fall below the
+    * threshold stay singletons — the oracle must agree on those too.
+    */
+  def q55DupClusters(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__ta"))
+    val sliced = toks.select(col("doc_id"), col("__ta"),
+      slice(col("__ta"), lit(1), greatest(size(col("__ta")) - 2, lit(1)))
+        .as("__tb"),
+      slice(col("__ta"), lit(1), greatest(size(col("__ta")) - 4, lit(1)))
+        .as("__tc"))
+    val sets = sliced.select(col("doc_id"),
+      array_distinct(TextFunctions.shinglesFromTokens(col("__ta"), 3))
+        .as("__sa"),
+      array_distinct(TextFunctions.shinglesFromTokens(col("__tb"), 3))
+        .as("__sb"),
+      array_distinct(TextFunctions.shinglesFromTokens(col("__tc"), 3))
+        .as("__sc"))
+    val sizes = sets.select(col("doc_id"),
+      size(array_intersect(col("__sa"), col("__sb"))).as("__iab"),
+      size(array_union(col("__sa"), col("__sb"))).as("__uab"),
+      size(array_intersect(col("__sb"), col("__sc"))).as("__ibc"),
+      size(array_union(col("__sb"), col("__sc"))).as("__ubc"))
+    val jacs = sizes.select(col("doc_id"),
+      when(col("__uab") > 0,
+        col("__iab").cast("double") / col("__uab").cast("double"))
+        .otherwise(lit(0.0)).as("__jab"),
+      when(col("__ubc") > 0,
+        col("__ibc").cast("double") / col("__ubc").cast("double"))
+        .otherwise(lit(0.0)).as("__jbc"))
+    val e1 = jacs.where(col("__jab") >= 0.7)
+      .select(col("doc_id").as("src"), (col("doc_id") + 1000000L).as("dst"))
+    val e2 = jacs.where(col("__jbc") >= 0.7)
+      .select((col("doc_id") + 1000000L).as("src"),
+        (col("doc_id") + 2000000L).as("dst"))
+    val cc = Graph.connectedComponents(e1.unionByName(e2), "src", "dst")
+    val ids = t(s, dir, "documents").select(col("doc_id"))
+    val nodes = ids.select(col("doc_id").as("node"))
+      .unionByName(ids.select((col("doc_id") + 1000000L).as("node")))
+      .unionByName(ids.select((col("doc_id") + 2000000L).as("node")))
+    nodes.join(cc, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("component"), col("node")).as("component"))
+      .orderBy(col("node"))
+  }
+
+  val q55Sql: String =
+    """WITH RECURSIVE base AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ta
+      |  FROM documents),
+      |sl AS (
+      |  SELECT doc_id, ta,
+      |    ta[1:GREATEST(len(ta) - 2, 1)] AS tb,
+      |    ta[1:GREATEST(len(ta) - 4, 1)] AS tc
+      |  FROM base),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(ta) < 3 THEN [array_to_string(ta, ' ')]
+      |      ELSE list_transform(range(1, len(ta) - 1),
+      |             i -> ta[i] || ' ' || ta[i+1] || ' ' || ta[i+2]) END) AS sa,
+      |    list_distinct(CASE WHEN len(tb) < 3 THEN [array_to_string(tb, ' ')]
+      |      ELSE list_transform(range(1, len(tb) - 1),
+      |             i -> tb[i] || ' ' || tb[i+1] || ' ' || tb[i+2]) END) AS sb,
+      |    list_distinct(CASE WHEN len(tc) < 3 THEN [array_to_string(tc, ' ')]
+      |      ELSE list_transform(range(1, len(tc) - 1),
+      |             i -> tc[i] || ' ' || tc[i+1] || ' ' || tc[i+2]) END) AS sc
+      |  FROM sl),
+      |jac AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(sa) + len(sb) - len(list_filter(sa, x -> list_contains(sb, x))) > 0
+      |      THEN CAST(len(list_filter(sa, x -> list_contains(sb, x))) AS DOUBLE)
+      |         / CAST(len(sa) + len(sb) - len(list_filter(sa, x -> list_contains(sb, x))) AS DOUBLE)
+      |      ELSE 0.0 END AS jab,
+      |    CASE WHEN len(sb) + len(sc) - len(list_filter(sb, x -> list_contains(sc, x))) > 0
+      |      THEN CAST(len(list_filter(sb, x -> list_contains(sc, x))) AS DOUBLE)
+      |         / CAST(len(sb) + len(sc) - len(list_filter(sb, x -> list_contains(sc, x))) AS DOUBLE)
+      |      ELSE 0.0 END AS jbc
+      |  FROM sh),
+      |edges AS (
+      |  SELECT doc_id AS u, doc_id + 1000000 AS v FROM jac WHERE jab >= 0.7
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS u, doc_id + 2000000 AS v FROM jac WHERE jbc >= 0.7),
+      |sym AS (SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges),
+      |nodes AS (
+      |  SELECT doc_id AS n FROM documents
+      |  UNION ALL SELECT doc_id + 1000000 FROM documents
+      |  UNION ALL SELECT doc_id + 2000000 FROM documents),
+      |reach AS (
+      |  SELECT n, n AS l FROM nodes
+      |  UNION
+      |  SELECT s.v AS n, r.l FROM reach r JOIN sym s ON s.u = r.n)
+      |SELECT n AS node, MIN(l) AS component FROM reach
+      |GROUP BY n ORDER BY node""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -1544,5 +1651,6 @@ object Queries {
     "q51_tumbling_window" -> ((q51TumblingWindow _, Some(q51Sql))),
     "q52_filtered_distinct" -> ((q52FilteredDistinct _, Some(q52Sql))),
     "q53_ivf_ann" -> ((q53IvfAnn _, Some(q53Sql))),
-    "q54_freq_items" -> ((q54FreqItems _, Some(q54Sql))))
+    "q54_freq_items" -> ((q54FreqItems _, Some(q54Sql))),
+    "q55_dup_clusters" -> ((q55DupClusters _, Some(q55Sql))))
 }

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph operators for dedup-cluster resolution.
+  *
+  * Near-dup detection (MinHash/SimHash/cosine LSH) emits PAIRS; a
+  * training-data pipeline then needs each document's CLUSTER so it can
+  * keep one canonical doc per group. Pair→cluster is connected
+  * components, and at 100 TB the graph (billions of nodes, skewed
+  * degree) rules out driver-side union-find — the standard distributed
+  * answer is the alternating large-star / small-star algorithm
+  * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  * SoCC 2014), which converges in O(log n) rounds of pure
+  * groupBy+join relational steps.
+  *
+  * Reference scope note: the reference pipeline
+  * (daily_weather_etl_kenya.py) has no graph stage — this operator
+  * serves the LLM-data-pipeline surface (SURVEY §2.6) where near-dup
+  * pairs must be resolved to canonical representatives.
+  */
+object Graph {
+
+  /** Canonical undirected edge form: (u, v) with u < v, no self-loops,
+    * no duplicates. Node ids must be a numeric orderable type; the
+    * component label each node receives is the MINIMUM id in its
+    * component (so labels are stable, meaningful and reproducible).
+    */
+  private def canon(e: DataFrame): DataFrame =
+    e.select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+
+  /** (edge count, order-independent content checksum) — one cheap pass
+    * used as the convergence test between rounds. XOR of the 64-bit
+    * edge hashes is order-independent and cannot overflow (a SUM would
+    * throw under Spark 4's default ANSI mode); duplicate-cancellation
+    * is moot because the input is post-`canon` distinct. Count + xor
+    * collide with negligible probability.
+    */
+  private def signature(e: DataFrame): (Long, Long) = {
+    val r = e.select(xxhash64(col("u"), col("v")).as("__h"))
+      .agg(count(lit(1)), coalesce(expr("bit_xor(__h)"), lit(0L))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** large-star(u): link every strictly LARGER neighbor of u to the
+    * smallest member of u's closed neighborhood. Detaches tall
+    * subtrees onto small labels; per the paper this halves component
+    * heights geometrically.
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy(col("u")).agg(min(col("v")).as("__mn"))
+      .select(col("u").as("__su"),
+        least(col("__mn"), col("u")).as("__m"))
+    sym.join(mins, col("u") === col("__su"))
+      .where(col("v") > col("u"))
+      .select(col("v").as("u"), col("__m").as("v"))
+  }
+
+  /** small-star(u): link every smaller-or-equal neighbor of u (and u
+    * itself) to the smallest of them.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val oriented = e.select(greatest(col("u"), col("v")).as("u"),
+      least(col("u"), col("v")).as("v"))
+    val mins = oriented.groupBy(col("u")).agg(min(col("v")).as("__m"))
+    val relinked = oriented
+      .join(mins.select(col("u").as("__su"), col("__m")),
+        col("u") === col("__su"))
+      .select(col("v").as("u"), col("__m").as("v"))
+    val selfLink = mins.select(col("u"), col("__m").as("v"))
+    relinked.union(selfLink)
+  }
+
+  /** Connected components of the undirected graph given as an edge
+    * list. Returns one row per node THAT APPEARS IN AN EDGE:
+    * `(node, component)` where `component` is the minimum node id of
+    * the node's component. Isolated nodes never enter the edge list —
+    * callers union them back with `component = node` (see q55).
+    *
+    * Scale shape: every round is two groupBy(min)+equi-join passes
+    * over the edge list — no driver-side state, no collect, partition
+    * count follows `spark.sql.shuffle.partitions`. `localCheckpoint`
+    * truncates the per-iteration lineage so the plan does not grow
+    * exponentially across rounds (on a real cluster with an HDFS
+    * checkpoint dir, `checkpoint()` would also survive executor loss;
+    * local mode has no reliable storage, so the local variant is used).
+    * Rounds needed: O(log n) with high probability; `maxIter` is a
+    * guard against adversarial inputs, and hitting it raises rather
+    * than returning a silently-unconverged labeling.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String,
+      dstCol: String, maxIter: Int = 25): DataFrame = {
+    var e = canon(edges.select(col(srcCol).as("u"), col(dstCol).as("v")))
+      .localCheckpoint()
+    var sig = signature(e)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxIter) {
+      val next = canon(smallStar(largeStar(e))).localCheckpoint()
+      val nsig = signature(next)
+      converged = nsig == sig
+      sig = nsig
+      e = next
+      rounds += 1
+    }
+    require(converged || rounds < maxIter,
+      s"connectedComponents did not converge in $maxIter rounds")
+    // The fixpoint is a star forest in canonical (min, child) form:
+    // u = component root (minimum id), v = member.
+    e.select(col("v").as("node"), col("u").as("component"))
+      .union(e.select(col("u").as("node"), col("u").as("component"))
+        .distinct())
+  }
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import scala.util.Random
+
+import graft.SparkSpec
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Driver-side union-find ground truth (path compression). */
+  private def bruteCC(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x
+      else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // one more pass so every root is the MIN of its component
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val byRoot = nodes.groupBy(find)
+    byRoot.flatMap { case (_, ns) =>
+      val m = ns.min; ns.map(_ -> m)
+    }.toMap
+  }
+
+  private def run(edges: Seq[(Long, Long)], maxIter: Int = 25): Map[Long, Long] =
+    Graph.connectedComponents(edges.toDF("src", "dst"), "src", "dst", maxIter)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("random graphs match driver-side union-find") {
+    val rnd = new Random(42)
+    for (trial <- 0 until 5) {
+      val n = 40 + trial * 10
+      val m = n * (trial + 1) / 2
+      val edges = Seq.fill(m)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      assert(run(edges) === bruteCC(edges), s"trial $trial")
+    }
+  }
+
+  test("chain graph (worst case for naive propagation) converges in O(log n) rounds") {
+    val edges = (0L until 63L).map(i => (i, i + 1))
+    // naive min-propagation needs 63 rounds; star-contraction must do
+    // it well inside 25 (paper bound ~ log2(64) + slack)
+    val got = run(edges, maxIter = 25)
+    assert(got === (0L to 63L).map(_ -> 0L).toMap)
+  }
+
+  test("two components with interleaved ids stay separate") {
+    val a = Seq((0L, 2L), (2L, 4L), (4L, 6L))
+    val b = Seq((1L, 3L), (3L, 5L))
+    val got = run(a ++ b)
+    assert(got === Map(0L -> 0L, 2L -> 0L, 4L -> 0L, 6L -> 0L,
+      1L -> 1L, 3L -> 1L, 5L -> 1L))
+  }
+
+  test("self-loops and duplicate/reversed edges are ignored") {
+    val edges = Seq((5L, 5L), (1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L))
+    val got = run(edges)
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("empty edge list yields empty mapping") {
+    assert(run(Seq.empty[(Long, Long)]) === Map.empty)
+  }
+
+  test("already-star input is a fixpoint") {
+    val edges = Seq((0L, 7L), (0L, 8L), (0L, 9L))
+    assert(run(edges, maxIter = 3) ===
+      Map(0L -> 0L, 7L -> 0L, 8L -> 0L, 9L -> 0L))
+  }
+}
