@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.WeatherFunctions
 import graft.functions.{TextFeatures, TextFunctions}
-import graft.operators.{AsOfJoin, Dedup, Graph, Multimodal, RangeJoin, Sampling, Similarity, TextChunker, TextDedup}
+import graft.operators.{AsOfJoin, Decontam, Dedup, Graph, Multimodal, RangeJoin, Retrieval, Sampling, Similarity, TextChunker, TextDedup}
 
 /** The oracle-checked query surface: every operator from SURVEY.md §2
   * exposed as a named query over the driver's parquet tables, with
@@ -1592,6 +1592,121 @@ object Queries {
       |SELECT n AS node, MIN(l) AS component FROM reach
       |GROUP BY n ORDER BY node""".stripMargin
 
+  /** BM25 ranked retrieval ([[Retrieval.bm25TopK]]): every 100th doc's
+    * first 4 tokens become a query; top-5 docs per query. The scoring
+    * uses the log-free rational idf (scaladoc on the operator) so every
+    * arithmetic step is a correctly-rounded IEEE op that DuckDB
+    * reproduces bit-for-bit, and per-term contributions are quantized
+    * to BIGINT micro-units before summation — the oracle recomputes the
+    * ENTIRE ranking independently (postings, df, avgdl, scores, ranks)
+    * from the raw table, so equality checks the whole inverted-index
+    * pipeline, not a planted subset.
+    */
+  def q56Bm25(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__ta"))
+    val queries = base.where(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("qid"),
+        concat_ws(" ",
+          slice(col("__ta"), lit(1), least(lit(4), size(col("__ta")))))
+          .as("qtext"))
+    Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        queries, "qid", "qtext", k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val q56Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ta
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, unnest(ta) AS term FROM base) e
+      |  GROUP BY doc_id, term),
+      |dl AS (SELECT doc_id, len(ta) AS dl FROM base),
+      |stats AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(len(ta)) AS DOUBLE) / COUNT(*) AS avgdl
+      |  FROM base),
+      |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+      |q AS (
+      |  SELECT doc_id AS query_id,
+      |    unnest(list_distinct(ta[1:LEAST(4, len(ta))])) AS term
+      |  FROM base WHERE doc_id % 100 = 0),
+      |contrib AS (
+      |  SELECT q.query_id, tf.doc_id,
+      |    CAST(FLOOR(
+      |      (((CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+      |       * ((CAST(tf AS DOUBLE) * (1.2 + 1))
+      |          / (CAST(tf AS DOUBLE)
+      |             + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))))
+      |      * 1000000 + 0.5) AS BIGINT) AS c
+      |  FROM q
+      |  JOIN tf ON tf.term = q.term
+      |  JOIN df ON df.term = q.term
+      |  JOIN dl ON dl.doc_id = tf.doc_id
+      |  CROSS JOIN stats),
+      |scores AS (
+      |  SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS score_micro
+      |  FROM contrib GROUP BY query_id, doc_id),
+      |ranked AS (
+      |  SELECT query_id, doc_id,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank,
+      |    score_micro
+      |  FROM scores)
+      |SELECT query_id, doc_id, rank, score_micro FROM ranked
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** Eval-set decontamination ([[Decontam.contaminationReport]]): the
+    * eval set is the mutated copy (last 2 tokens dropped, id+1e6) of
+    * every 50th doc, so contamination is planted by construction; the
+    * oracle rebuilds the identical report from the raw table — same
+    * 5-gram sets, same PORTABLE md5-60 hashes (q31's cross-engine
+    * validated hash), same distinct counts — so hash equality checks
+    * the full explode→hash→join→aggregate pipeline including any
+    * NATURAL contamination from exact-duplicate docs in the corpus,
+    * not just the planted rows.
+    */
+  def q57Decontam(s: SparkSession, dir: String): DataFrame = {
+    val evalCopies = mutatedCopy(
+      t(s, dir, "documents").where(col("doc_id") % 50 === 0)
+        .select(col("doc_id"), col("text")))
+    Decontam.contaminationReport(
+        t(s, dir, "documents"), "doc_id", "text",
+        evalCopies, "doc_id", "text", n = 5)
+      .orderBy(col("doc_id"))
+  }
+
+  val q57Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ta
+      |  FROM documents),
+      |ev AS (
+      |  SELECT doc_id + 1000000 AS eid, ta[1:GREATEST(len(ta) - 2, 1)] AS tb
+      |  FROM base WHERE doc_id % 50 = 0),
+      |evh AS (
+      |  SELECT DISTINCT eid, CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS h
+      |  FROM (
+      |    SELECT eid, unnest(CASE WHEN len(tb) < 5 THEN [array_to_string(tb, ' ')]
+      |      ELSE list_transform(range(1, len(tb) - 3),
+      |             i -> tb[i] || ' ' || tb[i+1] || ' ' || tb[i+2] || ' '
+      |               || tb[i+3] || ' ' || tb[i+4]) END) AS sh
+      |    FROM ev) u),
+      |trh AS (
+      |  SELECT DISTINCT doc_id, CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS h
+      |  FROM (
+      |    SELECT doc_id, unnest(CASE WHEN len(ta) < 5 THEN [array_to_string(ta, ' ')]
+      |      ELSE list_transform(range(1, len(ta) - 3),
+      |             i -> ta[i] || ' ' || ta[i+1] || ' ' || ta[i+2] || ' '
+      |               || ta[i+3] || ' ' || ta[i+4]) END) AS sh
+      |    FROM base) u)
+      |SELECT t.doc_id,
+      |  CAST(COUNT(DISTINCT e.eid) AS BIGINT) AS n_eval_docs,
+      |  CAST(COUNT(DISTINCT t.h) AS BIGINT) AS n_shared_ngrams
+      |FROM trh t JOIN evh e ON t.h = e.h
+      |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -1652,5 +1767,7 @@ object Queries {
     "q52_filtered_distinct" -> ((q52FilteredDistinct _, Some(q52Sql))),
     "q53_ivf_ann" -> ((q53IvfAnn _, Some(q53Sql))),
     "q54_freq_items" -> ((q54FreqItems _, Some(q54Sql))),
-    "q55_dup_clusters" -> ((q55DupClusters _, Some(q55Sql))))
+    "q55_dup_clusters" -> ((q55DupClusters _, Some(q55Sql))),
+    "q56_bm25_topk" -> ((q56Bm25 _, Some(q56Sql))),
+    "q57_decontam" -> ((q57Decontam _, Some(q57Sql))))
 }

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Ranked lexical retrieval over a document corpus — the "find the
+  * passages that match this query" primitive a training-data pipeline
+  * uses for eval-set curation, hard-negative mining and corpus
+  * inspection.
+  *
+  * Reference scope note: the reference has no retrieval stage; this
+  * serves the LLM-data-pipeline surface (SURVEY §2.6) next to the
+  * embedding-space ANN operators (Similarity/IVF) as their exact
+  * lexical counterpart.
+  */
+object Retrieval {
+
+  /** BM25 top-k: for each query, the k best-scoring documents.
+    *
+    * Scoring uses the BM25 shape `idf(t) * tf·(k1+1) / (tf + k1·(1−b +
+    * b·dl/avgdl))` with a LOG-FREE rational idf `(N − df + 0.5) /
+    * (df + 0.5)` (the exponential of the classic Robertson–Sparck Jones
+    * idf). Rationale: `ln` is evaluated by different libm
+    * implementations across engines and is not guaranteed correctly
+    * rounded, so scores containing it cannot be reproduced bit-for-bit
+    * by an independent engine; the rational form uses only IEEE
+    * add/mul/div (all correctly rounded), keeps the identical document
+    * ORDER per query term count, and makes the whole score
+    * deterministic. Per-term contributions are quantized to exact
+    * micro-units (`FLOOR(c·1e6 + 0.5) AS BIGINT`) before the cross-term
+    * sum, so accumulation is integer — order-independent across any
+    * partitioning — and the output column is a hash-safe BIGINT.
+    *
+    * Scale shape: one explode+groupBy over the corpus builds the
+    * (doc, term, tf) postings; `df` is a second narrow aggregate of the
+    * postings; the query side is exploded, DISTINCT-ed and broadcast
+    * (query sets are small by construction), so the only wide state is
+    * postings keyed by term — exactly an inverted index, shuffled once.
+    * No all-pairs stage; top-k is a per-query WindowGroupLimit.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, qtextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val dtoks = docs.select(col(idCol).as("__did"),
+      TextFunctions.tokens(col(textCol)).as("__dt"))
+    val tf = dtoks
+      .select(col("__did"), explode(col("__dt")).as("__term"))
+      .groupBy(col("__did"), col("__term"))
+      .agg(count(lit(1)).as("__tf"))
+    val dl = dtoks.select(col("__did").as("__ldid"),
+      size(col("__dt")).cast("long").as("__dl"))
+    val stats = dtoks.agg(count(lit(1)).as("__n"),
+      (sum(size(col("__dt"))).cast("double") / count(lit(1))).as("__avgdl"))
+    val df_ = tf.groupBy(col("__term")).agg(count(lit(1)).as("__df"))
+      .withColumnRenamed("__term", "__dfterm")
+    val qterms = queries.select(col(qidCol).as("query_id"),
+      explode(array_distinct(TextFunctions.tokens(col(qtextCol))))
+        .as("__qterm"))
+    val joined = tf
+      .join(broadcast(qterms), col("__term") === col("__qterm"))
+      .join(df_, col("__term") === col("__dfterm"))
+      .join(dl, col("__did") === col("__ldid"))
+      .crossJoin(broadcast(stats))
+    // operand order below is mirrored verbatim by q56's oracle SQL —
+    // identical IEEE operations on identical operands are bit-identical
+    val idf = ((col("__n") - col("__df")).cast("double") + lit(0.5)) /
+      (col("__df").cast("double") + lit(0.5))
+    val tfNorm = (col("__tf").cast("double") * lit(k1 + 1)) /
+      (col("__tf").cast("double") +
+        lit(k1) * (lit(1 - b) +
+          lit(b) * (col("__dl").cast("double") / col("__avgdl"))))
+    val contrib = joined.select(col("query_id"), col("__did"),
+      floor(idf * tfNorm * lit(1000000) + lit(0.5)).cast("long").as("__c"))
+    val scores = contrib.groupBy(col("query_id"), col("__did"))
+      .agg(sum(col("__c")).as("score_micro"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("__did").asc)
+    scores.select(col("query_id"), col("__did").as("doc_id"),
+        row_number().over(w).cast("long").as("rank"), col("score_micro"))
+      .where(col("rank") <= k)
+  }
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "apple banana cherry"),
+    (2L, "apple apple banana banana date egg fig"),
+    (3L, "banana banana banana"),
+    (4L, "grape kiwi lemon mango"),
+    (5L, "apple")).toDF("doc_id", "text")
+
+  private def topk(qs: Seq[(Long, String)], k: Int) =
+    Retrieval.bm25TopK(docs, "doc_id", "text",
+        qs.toDF("qid", "qtext"), "qid", "qtext", k)
+      .orderBy("query_id", "rank")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+  /** Driver-side reimplementation of the exact scoring formula. */
+  private def brute(query: Seq[String], k1: Double = 1.2, b: Double = 0.75)
+      : Map[Long, Long] = {
+    val toks = docs.collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty).toSeq)
+      .toMap
+    val n = toks.size.toLong
+    val avgdl = toks.values.map(_.size).sum.toDouble / n
+    val dfm = toks.values.flatMap(_.distinct).groupBy(identity)
+      .map { case (t, xs) => t -> xs.size.toLong }
+    toks.flatMap { case (id, ts) =>
+      val tfs = ts.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+      val c = query.distinct.flatMap { t =>
+        tfs.get(t).map { tf =>
+          val df = dfm(t)
+          val idf = ((n - df).toDouble + 0.5) / (df.toDouble + 0.5)
+          val tfn = (tf.toDouble * (k1 + 1)) /
+            (tf.toDouble + k1 * ((1 - b) + b * (ts.size.toDouble / avgdl)))
+          math.floor(idf * tfn * 1000000 + 0.5).toLong
+        }
+      }.sum
+      if (c > 0 || query.distinct.exists(tfs.contains)) Some(id -> c) else None
+    }
+  }
+
+  test("scores match a driver-side reimplementation exactly") {
+    val got = topk(Seq((10L, "apple banana")), 5)
+      .map { case (_, d, _, s) => d -> s }.toMap
+    assert(got === brute(Seq("apple", "banana")))
+  }
+
+  test("doc with unique rare terms ranks first for them") {
+    val got = topk(Seq((1L, "grape mango")), 3)
+    assert(got.head._2 === 4L && got.head._3 === 1L)
+    assert(got.length === 1) // nothing else contains the terms
+  }
+
+  test("k bound respected and ties broken by ascending doc_id") {
+    val got = topk(Seq((1L, "banana")), 2)
+    assert(got.length === 2)
+    assert(got.map(_._3).toSeq === Seq(1L, 2L))
+    // higher tf with short dl should win: doc 3 is all banana
+    assert(got.head._2 === 3L)
+  }
+
+  test("duplicate query terms count once") {
+    val once = topk(Seq((1L, "apple")), 5)
+    val twice = topk(Seq((1L, "apple apple")), 5)
+    assert(once.map(t => (t._2, t._4)).toSeq ===
+      twice.map(t => (t._2, t._4)).toSeq)
+  }
+
+  test("query with no matching terms returns no rows") {
+    assert(topk(Seq((1L, "zebra")), 5).isEmpty)
+  }
+}
