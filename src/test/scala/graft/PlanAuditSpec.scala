@@ -107,4 +107,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
       "as-of join must not degrade to a cross join")
   }
+
+  test("q55 connected components: equi-joins only, checkpointed lineage") {
+    val df = SparkEntry.queries("q55_dup_clusters")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      "star-contraction rounds must stay equi-joins on the node id")
+    // the converged edge set enters the final plan as a checkpointed
+    // scan, not as the unrolled multi-round join tree
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
+      "iteration lineage was not truncated by localCheckpoint")
+  }
+
+  test("q56 BM25 broadcasts query terms and stats; postings never cross-join") {
+    val p = plan("q56_bm25_topk")
+    assert(!p.contains("CartesianProduct"),
+      "BM25 must stay equi-joins on term/doc keys")
+    assert(p.contains("BroadcastHashJoin"),
+      "query-term side should broadcast against the postings")
+    // top-k per query must use the rank-filter pushdown
+    assert(p.contains("WindowGroupLimit"))
+  }
+
+  test("q57 decontamination joins on the fixed-width hash, eval broadcast") {
+    val p = plan("q57_decontam")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
+    assert(p.contains("BroadcastHashJoin"),
+      "eval n-gram side should broadcast (corpus side must stream)")
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("n_chars"),
+      s"decontamination reads columns it never uses: $readSchema")
+  }
 }
