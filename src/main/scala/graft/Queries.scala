@@ -1528,12 +1528,25 @@ object Queries {
       when(col("__ubc") > 0,
         col("__ibc").cast("double") / col("__ubc").cast("double"))
         .otherwise(lit(0.0)).as("__jbc"))
-    val e1 = jacs.where(col("__jab") >= 0.7)
-      .select(col("doc_id").as("src"), (col("doc_id") + 1000000L).as("dst"))
-    val e2 = jacs.where(col("__jbc") >= 0.7)
-      .select((col("doc_id") + 1000000L).as("src"),
-        (col("doc_id") + 2000000L).as("dst"))
-    val cc = Graph.connectedComponents(e1.unionByName(e2), "src", "dst")
+    // Edge derivation must NOT use where(__jab >= 0.7) over the staged
+    // tower: predicate pushdown substitutes aliases into the filter
+    // condition UNCONDITIONALLY (unlike CollapseProject it ignores the
+    // multi-reference barrier), so the shingle-set expressions duplicate
+    // exponentially stage by stage — measured 23 s vs 2.3 s at sf0.1.
+    // Emitting nullable edge structs in the projection and exploding
+    // puts a Generate between the tower and the null filter, which
+    // blocks the pushdown and evaluates the tower once per row for both
+    // edge types.
+    val edges = jacs.select(explode(array(
+        when(col("__jab") >= 0.7, struct(
+          col("doc_id").as("src"),
+          (col("doc_id") + 1000000L).as("dst"))),
+        when(col("__jbc") >= 0.7, struct(
+          (col("doc_id") + 1000000L).as("src"),
+          (col("doc_id") + 2000000L).as("dst"))))).as("__e"))
+      .where(col("__e").isNotNull)
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
+    val cc = Graph.connectedComponents(edges, "src", "dst")
     val ids = t(s, dir, "documents").select(col("doc_id"))
     val nodes = ids.select(col("doc_id").as("node"))
       .unionByName(ids.select((col("doc_id") + 1000000L).as("node")))
