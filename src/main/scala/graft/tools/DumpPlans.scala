@@ -14,9 +14,9 @@ object DumpPlans {
   private val showcase: Seq[(String, String)] = Seq(
     "q01_pricing_summary" ->
       ("Flagship aggregation: two-phase HashAggregate (map-side partials "
-        + "before one shuffle on the group key); decimal sums pinned to "
-        + "(38,2) for oracle-hash parity; exact cents arithmetic for the "
-        + "computed products."),
+        + "before one shuffle on the group key); every money sum is exact "
+        + "cents arithmetic (BIGINT) finished by one double division — no "
+        + "decimal-typed output column anywhere (driver-hash unsafe)."),
     "q03_validity_filter" ->
       ("Both range predicates reach the parquet scan (PushedFilters) and "
         + "the scan reads only the four projected columns (ReadSchema) — "
@@ -70,7 +70,25 @@ object DumpPlans {
       ("Sequence packing: the running-sum window is PARTITIONED by the "
         + "doc-id shard, so packing parallelizes per shard instead of "
         + "collapsing to one global-order partition (the round-1 WARN); "
-        + "chunking itself is a no-shuffle 1→N generator."))
+        + "chunking itself is a no-shuffle 1→N generator."),
+    "q55_dup_clusters" ->
+      ("Dup-cluster resolution: near-dup edges derive from the staged "
+        + "Jaccard tower through an explode barrier (a Generate blocks "
+        + "predicate pushdown from re-inlining the tower — 23 s → 2.8 s); "
+        + "the large-star/small-star rounds are groupBy(min)+equi-joins "
+        + "whose converged edge set enters the final plan as a "
+        + "checkpointed scan, not an unrolled join tree."),
+    "q56_bm25_topk" ->
+      ("BM25: one explode+groupBy builds the (doc, term, tf) postings — "
+        + "an inverted index, shuffled once on the term; df is a narrow "
+        + "second aggregate; query terms and corpus stats broadcast; "
+        + "per-query top-k uses the WindowGroupLimit rank pushdown."),
+    "q57_decontam" ->
+      ("Decontamination: both sides explode to distinct n-grams hashed "
+        + "to fixed-width 60-bit keys in the post-explode projection "
+        + "(codegen, shingle text never shuffles); the eval side "
+        + "broadcasts so the corpus streams map-side; per-doc distinct "
+        + "counts aggregate with partials."))
 
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
