@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.WeatherFunctions
 import graft.functions.{TextFeatures, TextFunctions}
-import graft.operators.{AsOfJoin, Decontam, Dedup, Graph, Multimodal, RangeJoin, Retrieval, Sampling, Similarity, TextChunker, TextDedup}
+import graft.operators.{AsOfJoin, Decontam, Dedup, Graph, Multimodal, Quantize, RangeJoin, Retrieval, Sampling, Similarity, TextChunker, TextDedup}
 
 /** The oracle-checked query surface: every operator from SURVEY.md §2
   * exposed as a named query over the driver's parquet tables, with
@@ -1501,14 +1501,25 @@ object Queries {
     * with its true component minimum. Docs whose edges fall below the
     * threshold stay singletons — the oracle must agree on those too.
     */
-  def q55DupClusters(s: SparkSession, dir: String): DataFrame = {
-    val toks = t(s, dir, "documents")
+  def q55DupClusters(s: SparkSession, dir: String): DataFrame =
+    dupClusterAssignments(s, dir).orderBy(col("node"))
+
+  /** The two-generation planted corpus as token slices: __ta = doc
+    * tokens, __tb = minus last 2, __tc = minus last 4 (ids +1e6/+2e6
+    * when materialized as nodes). Shared by q55/q59.
+    */
+  private def plantedSlices(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__ta"))
-    val sliced = toks.select(col("doc_id"), col("__ta"),
-      slice(col("__ta"), lit(1), greatest(size(col("__ta")) - 2, lit(1)))
-        .as("__tb"),
-      slice(col("__ta"), lit(1), greatest(size(col("__ta")) - 4, lit(1)))
-        .as("__tc"))
+      .select(col("doc_id"), col("__ta"),
+        slice(col("__ta"), lit(1), greatest(size(col("__ta")) - 2, lit(1)))
+          .as("__tb"),
+        slice(col("__ta"), lit(1), greatest(size(col("__ta")) - 4, lit(1)))
+          .as("__tc"))
+
+  /** (node, component) for every node of the planted dup graph. */
+  private def dupClusterAssignments(s: SparkSession, dir: String): DataFrame = {
+    val sliced = plantedSlices(s, dir)
     val sets = sliced.select(col("doc_id"),
       array_distinct(TextFunctions.shinglesFromTokens(col("__ta"), 3))
         .as("__sa"),
@@ -1554,7 +1565,6 @@ object Queries {
     nodes.join(cc, Seq("node"), "left")
       .select(col("node"),
         coalesce(col("component"), col("node")).as("component"))
-      .orderBy(col("node"))
   }
 
   val q55Sql: String =
@@ -1720,6 +1730,125 @@ object Queries {
       |FROM trh t JOIN evh e ON t.h = e.h
       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 
+  /** Symmetric int8 embedding quantization ([[Quantize.int8Summary]]).
+    * Every arithmetic step (float→double cast, max|x|, /127, per-element
+    * FLOOR(x/scale + 0.5)) is a correctly-rounded IEEE op in mirrored
+    * order, so DuckDB recomputes every quantized element bit-for-bit;
+    * the BIGINT aggregates (sum / L1 / max) pin all of them — one
+    * diverging element shifts the sums.
+    */
+  def q58Int8Quant(s: SparkSession, dir: String): DataFrame =
+    Quantize.int8Summary(t(s, dir, "embeddings"), "vec_id", "embedding")
+      .orderBy(col("vec_id"))
+
+  val q58Sql: String =
+    """WITH r AS (
+      |  SELECT vec_id, ABS(CAST(x AS DOUBLE)) AS ax, CAST(x AS DOUBLE) AS x
+      |  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) u),
+      |m AS (SELECT vec_id, MAX(ax) / 127.0 AS scale FROM r GROUP BY vec_id),
+      |q AS (
+      |  SELECT r.vec_id,
+      |    m.scale,
+      |    CASE WHEN m.scale > 0
+      |      THEN CAST(FLOOR(r.x / m.scale + 0.5) AS BIGINT)
+      |      ELSE CAST(0 AS BIGINT) END AS qv
+      |  FROM r JOIN m ON r.vec_id = m.vec_id)
+      |SELECT vec_id, MIN(scale) AS scale,
+      |  CAST(SUM(qv) AS BIGINT) AS q_sum,
+      |  CAST(SUM(ABS(qv)) AS BIGINT) AS q_l1,
+      |  MAX(qv) AS q_max,
+      |  COUNT(*) AS dim
+      |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  /** End-to-end dedup resolution: q55's cluster assignments joined with
+    * per-node token counts; each cluster keeps its LONGEST member
+    * (ties → smallest id) — "which document survives dedup", the final
+    * step a training pipeline actually ships. Window rank per component
+    * + cluster size riding the same exchange; oracle mirrors the whole
+    * chain (clusters via recursive CTE + the same ranking).
+    */
+  def q59DedupSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val sliced = plantedSlices(s, dir)
+    val lens = sliced.select(col("doc_id").as("node"),
+        size(col("__ta")).cast("long").as("n_tokens"))
+      .unionByName(sliced.select((col("doc_id") + 1000000L).as("node"),
+        size(col("__tb")).cast("long").as("n_tokens")))
+      .unionByName(sliced.select((col("doc_id") + 2000000L).as("node"),
+        size(col("__tc")).cast("long").as("n_tokens")))
+    val assigned = dupClusterAssignments(s, dir).join(lens, Seq("node"))
+    val w = Window.partitionBy(col("component"))
+    val ranked = assigned.select(col("component"), col("node"),
+      col("n_tokens"),
+      row_number().over(w.orderBy(col("n_tokens").desc, col("node").asc))
+        .as("__rn"),
+      count(lit(1)).over(w).as("cluster_size"))
+    ranked.where(col("__rn") === 1)
+      .select(col("component"), col("node").as("canonical"),
+        col("n_tokens"), col("cluster_size"))
+      .orderBy(col("component"))
+  }
+
+  val q59Sql: String =
+    """WITH RECURSIVE base AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ta
+      |  FROM documents),
+      |sl AS (
+      |  SELECT doc_id, ta,
+      |    ta[1:GREATEST(len(ta) - 2, 1)] AS tb,
+      |    ta[1:GREATEST(len(ta) - 4, 1)] AS tc
+      |  FROM base),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(ta) < 3 THEN [array_to_string(ta, ' ')]
+      |      ELSE list_transform(range(1, len(ta) - 1),
+      |             i -> ta[i] || ' ' || ta[i+1] || ' ' || ta[i+2]) END) AS sa,
+      |    list_distinct(CASE WHEN len(tb) < 3 THEN [array_to_string(tb, ' ')]
+      |      ELSE list_transform(range(1, len(tb) - 1),
+      |             i -> tb[i] || ' ' || tb[i+1] || ' ' || tb[i+2]) END) AS sb,
+      |    list_distinct(CASE WHEN len(tc) < 3 THEN [array_to_string(tc, ' ')]
+      |      ELSE list_transform(range(1, len(tc) - 1),
+      |             i -> tc[i] || ' ' || tc[i+1] || ' ' || tc[i+2]) END) AS sc
+      |  FROM sl),
+      |jac AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(sa) + len(sb) - len(list_filter(sa, x -> list_contains(sb, x))) > 0
+      |      THEN CAST(len(list_filter(sa, x -> list_contains(sb, x))) AS DOUBLE)
+      |         / CAST(len(sa) + len(sb) - len(list_filter(sa, x -> list_contains(sb, x))) AS DOUBLE)
+      |      ELSE 0.0 END AS jab,
+      |    CASE WHEN len(sb) + len(sc) - len(list_filter(sb, x -> list_contains(sc, x))) > 0
+      |      THEN CAST(len(list_filter(sb, x -> list_contains(sc, x))) AS DOUBLE)
+      |         / CAST(len(sb) + len(sc) - len(list_filter(sb, x -> list_contains(sc, x))) AS DOUBLE)
+      |      ELSE 0.0 END AS jbc
+      |  FROM sh),
+      |edges AS (
+      |  SELECT doc_id AS u, doc_id + 1000000 AS v FROM jac WHERE jab >= 0.7
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS u, doc_id + 2000000 AS v FROM jac WHERE jbc >= 0.7),
+      |sym AS (SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges),
+      |nodes AS (
+      |  SELECT doc_id AS n FROM documents
+      |  UNION ALL SELECT doc_id + 1000000 FROM documents
+      |  UNION ALL SELECT doc_id + 2000000 FROM documents),
+      |reach AS (
+      |  SELECT n, n AS l FROM nodes
+      |  UNION
+      |  SELECT s.v AS n, r.l FROM reach r JOIN sym s ON s.u = r.n),
+      |comp AS (SELECT n AS node, MIN(l) AS component FROM reach GROUP BY n),
+      |lens AS (
+      |  SELECT doc_id AS node, len(ta) AS n_tokens FROM sl
+      |  UNION ALL SELECT doc_id + 1000000, len(tb) FROM sl
+      |  UNION ALL SELECT doc_id + 2000000, len(tc) FROM sl),
+      |ranked AS (
+      |  SELECT c.component, c.node, ln.n_tokens,
+      |    ROW_NUMBER() OVER (PARTITION BY c.component
+      |      ORDER BY ln.n_tokens DESC, c.node) AS rn,
+      |    COUNT(*) OVER (PARTITION BY c.component) AS cluster_size
+      |  FROM comp c JOIN lens ln ON ln.node = c.node)
+      |SELECT component, node AS canonical,
+      |  CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(cluster_size AS BIGINT) AS cluster_size
+      |FROM ranked WHERE rn = 1 ORDER BY component""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -1782,5 +1911,7 @@ object Queries {
     "q54_freq_items" -> ((q54FreqItems _, Some(q54Sql))),
     "q55_dup_clusters" -> ((q55DupClusters _, Some(q55Sql))),
     "q56_bm25_topk" -> ((q56Bm25 _, Some(q56Sql))),
-    "q57_decontam" -> ((q57Decontam _, Some(q57Sql))))
+    "q57_decontam" -> ((q57Decontam _, Some(q57Sql))),
+    "q58_int8_quant" -> ((q58Int8Quant _, Some(q58Sql))),
+    "q59_dedup_survivors" -> ((q59DedupSurvivors _, Some(q59Sql))))
 }
