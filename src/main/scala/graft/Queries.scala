@@ -1849,6 +1849,58 @@ object Queries {
       |  CAST(cluster_size AS BIGINT) AS cluster_size
       |FROM ranked WHERE rn = 1 ORDER BY component""".stripMargin
 
+  /** Per-dimension embedding-column profiling (mean/variance/min/max per
+    * coordinate) — the drift/health check a vector pipeline runs before
+    * training an IVF quantizer or shipping embeddings to serving. Exact
+    * fixed-point moment sums (the q45 pattern: micro-unit and
+    * pico-unit BIGINT sums, one double division at the end) keep the
+    * aggregates order-independent and bit-identical cross-engine.
+    */
+  def q60EmbeddingStats(s: SparkSession, dir: String): DataFrame = {
+    val rows = t(s, dir, "embeddings")
+      .select(posexplode(col("embedding")).as(Seq("__i", "__xf")))
+      .select(col("__i").cast("long").as("dim"),
+        col("__xf").cast("double").as("__x"))
+    rows.groupBy(col("dim"))
+      .agg(
+        sum(floor(col("__x") * 1e6 + lit(0.5)).cast("long")).as("__sx"),
+        sum(floor(col("__x") * col("__x") * 1e12 + lit(0.5)).cast("long"))
+          .as("__sxx"),
+        count(lit(1)).as("n"),
+        min(col("__x")).as("min_x"),
+        max(col("__x")).as("max_x"))
+      .select(col("dim"), col("n"),
+        (col("__sx").cast("double") / 1e6 / col("n")).as("mean_x"),
+        when(col("n") > 1,
+          (col("__sxx").cast("double") / 1e12
+            - (col("__sx").cast("double") / 1e6)
+              * (col("__sx").cast("double") / 1e6) / col("n"))
+            / (col("n") - 1)).as("var_x"),
+        col("min_x"), col("max_x"))
+      .orderBy(col("dim"))
+  }
+
+  val q60Sql: String =
+    """SELECT dim, n,
+      |  CAST(sx AS DOUBLE) / 1e6 / n AS mean_x,
+      |  CASE WHEN n > 1 THEN (CAST(sxx AS DOUBLE) / 1e12
+      |    - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sx AS DOUBLE) / 1e6) / n)
+      |    / (n - 1) END AS var_x,
+      |  min_x, max_x
+      |FROM (
+      |  SELECT dim,
+      |    SUM(CAST(FLOOR(x * 1e6 + 0.5) AS BIGINT)) AS sx,
+      |    SUM(CAST(FLOOR(x * x * 1e12 + 0.5) AS BIGINT)) AS sxx,
+      |    COUNT(*) AS n, MIN(x) AS min_x, MAX(x) AS max_x
+      |  FROM (
+      |    SELECT CAST(i - 1 AS BIGINT) AS dim,
+      |      CAST(embedding[i] AS DOUBLE) AS x
+      |    FROM (SELECT embedding,
+      |            unnest(range(1, len(embedding) + 1)) AS i
+      |          FROM embeddings) u) r
+      |  GROUP BY dim) a
+      |ORDER BY dim""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -1913,5 +1965,6 @@ object Queries {
     "q56_bm25_topk" -> ((q56Bm25 _, Some(q56Sql))),
     "q57_decontam" -> ((q57Decontam _, Some(q57Sql))),
     "q58_int8_quant" -> ((q58Int8Quant _, Some(q58Sql))),
-    "q59_dedup_survivors" -> ((q59DedupSurvivors _, Some(q59Sql))))
+    "q59_dedup_survivors" -> ((q59DedupSurvivors _, Some(q59Sql))),
+    "q60_embedding_stats" -> ((q60EmbeddingStats _, Some(q60Sql))))
 }
