@@ -58,6 +58,13 @@ object Queries {
     * order-independent BIGINT sum, then one correctly-rounded double
     * division — bit-identical on both engines. SQL mirror:
     * `CAST(SUM(CAST(FLOOR(x*100+0.5) AS BIGINT)) AS DOUBLE) / 100`.
+    *
+    * Scale note: a signed-long cents accumulator holds ~9.2e16 dollars,
+    * comfortably above any per-group money total even at 100 TB; if a
+    * workload ever exceeded it, the ACCUMULATOR would switch to
+    * `sum(cents.cast(DecimalType(38,0)))` while the OUTPUT stays the
+    * final double cast — decimal may appear inside the plan, never in
+    * an output column.
     */
   private def moneySum(c: Column): Column =
     sum(cents(c)).cast("double") / 100
@@ -79,19 +86,16 @@ object Queries {
     */
   def q01PricingSummary(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
-    val qtyCents = cents(col("l_quantity"))
-    val baseCents = cents(col("l_extendedprice"))
-    val disc = cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
-    val charge = cents(col("l_extendedprice") * (lit(1) - col("l_discount"))
-      * (lit(1) + col("l_tax")))
+    val discounted = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    val charged = discounted * (lit(1) + col("l_tax"))
     li.groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         moneySum(col("l_quantity")).as("sum_qty"),
         moneySum(col("l_extendedprice")).as("sum_base_price"),
-        (sum(disc).cast("double") / 100).as("sum_disc_price"),
-        (sum(charge).cast("double") / 100).as("sum_charge"),
-        (sum(qtyCents).cast("double") / 100 / count(lit(1))).as("avg_qty"),
-        (sum(baseCents).cast("double") / 100 / count(lit(1))).as("avg_price"),
+        moneySum(discounted).as("sum_disc_price"),
+        moneySum(charged).as("sum_charge"),
+        (moneySum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (moneySum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
@@ -405,7 +409,8 @@ object Queries {
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
 
   /** Window running sum — the window partitions by supplier so the sort is
-    * per-key, not global; exact decimal accumulation.
+    * per-key, not global; exact cents (BIGINT) accumulation finished by
+    * one double division, like every money sum in this file.
     */
   def q18WindowRunning(s: SparkSession, dir: String): DataFrame = {
     // l_quantity in the sort: (shipdate, okey, lineno) alone is not unique
@@ -1567,7 +1572,12 @@ object Queries {
         coalesce(col("component"), col("node")).as("component"))
   }
 
-  val q55Sql: String =
+  /** Shared CTE prefix of q55Sql/q59Sql: the planted dup graph (token
+    * slices → shingle sets → Jaccard edges → symmetric closure →
+    * recursive min-label reachability). ONE definition so the two
+    * oracles can never disagree about the graph they resolve.
+    */
+  private val dupGraphCtes: String =
     """WITH RECURSIVE base AS (
       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ta
       |  FROM documents),
@@ -1611,19 +1621,25 @@ object Queries {
       |reach AS (
       |  SELECT n, n AS l FROM nodes
       |  UNION
-      |  SELECT s.v AS n, r.l FROM reach r JOIN sym s ON s.u = r.n)
+      |  SELECT s.v AS n, r.l FROM reach r JOIN sym s ON s.u = r.n)""".stripMargin
+
+  val q55Sql: String = dupGraphCtes +
+    """
       |SELECT n AS node, MIN(l) AS component FROM reach
       |GROUP BY n ORDER BY node""".stripMargin
 
-  /** BM25 ranked retrieval ([[Retrieval.bm25TopK]]): every 100th doc's
-    * first 4 tokens become a query; top-5 docs per query. The scoring
-    * uses the log-free rational idf (scaladoc on the operator) so every
-    * arithmetic step is a correctly-rounded IEEE op that DuckDB
-    * reproduces bit-for-bit, and per-term contributions are quantized
-    * to BIGINT micro-units before summation — the oracle recomputes the
+  /** BM25-family ranked retrieval ([[Retrieval.bm25TopK]]): every 100th
+    * doc's first 4 tokens become a query; top-5 docs per query. The
+    * gate query opts into the operator's `rationalIdf` variant (the
+    * log-free exponential of RSJ idf — see the operator scaladoc for
+    * exactly how its multi-term ranking can differ from true BM25) so
+    * every arithmetic step is a correctly-rounded IEEE op that DuckDB
+    * reproduces bit-for-bit; per-term contributions are quantized to
+    * BIGINT micro-units before summation. The oracle recomputes the
     * ENTIRE ranking independently (postings, df, avgdl, scores, ranks)
     * from the raw table, so equality checks the whole inverted-index
-    * pipeline, not a planted subset.
+    * pipeline, not a planted subset; RetrievalSpec separately pins the
+    * default log-idf path against a driver-side true-BM25 oracle.
     */
   def q56Bm25(s: SparkSession, dir: String): DataFrame = {
     val base = t(s, dir, "documents")
@@ -1634,7 +1650,7 @@ object Queries {
           slice(col("__ta"), lit(1), least(lit(4), size(col("__ta")))))
           .as("qtext"))
     Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
-        queries, "qid", "qtext", k = 5)
+        queries, "qid", "qtext", k = 5, rationalIdf = true)
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -1715,7 +1731,7 @@ object Queries {
       |      ELSE list_transform(range(1, len(tb) - 3),
       |             i -> tb[i] || ' ' || tb[i+1] || ' ' || tb[i+2] || ' '
       |               || tb[i+3] || ' ' || tb[i+4]) END) AS sh
-      |    FROM ev) u),
+      |    FROM ev WHERE len(tb) > 0) u),
       |trh AS (
       |  SELECT DISTINCT doc_id, CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS h
       |  FROM (
@@ -1723,7 +1739,7 @@ object Queries {
       |      ELSE list_transform(range(1, len(ta) - 3),
       |             i -> ta[i] || ' ' || ta[i+1] || ' ' || ta[i+2] || ' '
       |               || ta[i+3] || ' ' || ta[i+4]) END) AS sh
-      |    FROM base) u)
+      |    FROM base WHERE len(ta) > 0) u)
       |SELECT t.doc_id,
       |  CAST(COUNT(DISTINCT e.eid) AS BIGINT) AS n_eval_docs,
       |  CAST(COUNT(DISTINCT t.h) AS BIGINT) AS n_shared_ngrams
@@ -1788,51 +1804,8 @@ object Queries {
       .orderBy(col("component"))
   }
 
-  val q59Sql: String =
-    """WITH RECURSIVE base AS (
-      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ta
-      |  FROM documents),
-      |sl AS (
-      |  SELECT doc_id, ta,
-      |    ta[1:GREATEST(len(ta) - 2, 1)] AS tb,
-      |    ta[1:GREATEST(len(ta) - 4, 1)] AS tc
-      |  FROM base),
-      |sh AS (
-      |  SELECT doc_id,
-      |    list_distinct(CASE WHEN len(ta) < 3 THEN [array_to_string(ta, ' ')]
-      |      ELSE list_transform(range(1, len(ta) - 1),
-      |             i -> ta[i] || ' ' || ta[i+1] || ' ' || ta[i+2]) END) AS sa,
-      |    list_distinct(CASE WHEN len(tb) < 3 THEN [array_to_string(tb, ' ')]
-      |      ELSE list_transform(range(1, len(tb) - 1),
-      |             i -> tb[i] || ' ' || tb[i+1] || ' ' || tb[i+2]) END) AS sb,
-      |    list_distinct(CASE WHEN len(tc) < 3 THEN [array_to_string(tc, ' ')]
-      |      ELSE list_transform(range(1, len(tc) - 1),
-      |             i -> tc[i] || ' ' || tc[i+1] || ' ' || tc[i+2]) END) AS sc
-      |  FROM sl),
-      |jac AS (
-      |  SELECT doc_id,
-      |    CASE WHEN len(sa) + len(sb) - len(list_filter(sa, x -> list_contains(sb, x))) > 0
-      |      THEN CAST(len(list_filter(sa, x -> list_contains(sb, x))) AS DOUBLE)
-      |         / CAST(len(sa) + len(sb) - len(list_filter(sa, x -> list_contains(sb, x))) AS DOUBLE)
-      |      ELSE 0.0 END AS jab,
-      |    CASE WHEN len(sb) + len(sc) - len(list_filter(sb, x -> list_contains(sc, x))) > 0
-      |      THEN CAST(len(list_filter(sb, x -> list_contains(sc, x))) AS DOUBLE)
-      |         / CAST(len(sb) + len(sc) - len(list_filter(sb, x -> list_contains(sc, x))) AS DOUBLE)
-      |      ELSE 0.0 END AS jbc
-      |  FROM sh),
-      |edges AS (
-      |  SELECT doc_id AS u, doc_id + 1000000 AS v FROM jac WHERE jab >= 0.7
-      |  UNION ALL
-      |  SELECT doc_id + 1000000 AS u, doc_id + 2000000 AS v FROM jac WHERE jbc >= 0.7),
-      |sym AS (SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges),
-      |nodes AS (
-      |  SELECT doc_id AS n FROM documents
-      |  UNION ALL SELECT doc_id + 1000000 FROM documents
-      |  UNION ALL SELECT doc_id + 2000000 FROM documents),
-      |reach AS (
-      |  SELECT n, n AS l FROM nodes
-      |  UNION
-      |  SELECT s.v AS n, r.l FROM reach r JOIN sym s ON s.u = r.n),
+  val q59Sql: String = dupGraphCtes +
+    """,
       |comp AS (SELECT n AS node, MIN(l) AS component FROM reach GROUP BY n),
       |lens AS (
       |  SELECT doc_id AS node, len(ta) AS n_tokens FROM sl

@@ -26,6 +26,10 @@ object Decontam {
       outId: String, n: Int): DataFrame = {
     val toks = df.select(col(idCol).as(outId),
       TextFunctions.tokens(col(textCol)).as("__t"))
+      // empty/whitespace-only docs produce no grams: the size<n
+      // whole-text fallback would otherwise emit the "" gram and make
+      // two empty docs count as sharing a verbatim n-gram
+      .where(size(col("__t")) > 0)
     val grams = toks.select(col(outId),
       explode(array_distinct(TextFunctions.shinglesFromTokens(col("__t"), n)))
         .as("__sh"))

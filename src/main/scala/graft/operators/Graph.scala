@@ -108,7 +108,7 @@ object Graph {
       e = next
       rounds += 1
     }
-    require(converged || rounds < maxIter,
+    require(converged,
       s"connectedComponents did not converge in $maxIter rounds")
     // The fixpoint is a star forest in canonical (min, child) form:
     // u = component root (minimum id), v = member.

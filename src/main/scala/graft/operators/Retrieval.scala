@@ -20,19 +20,27 @@ object Retrieval {
 
   /** BM25 top-k: for each query, the k best-scoring documents.
     *
-    * Scoring uses the BM25 shape `idf(t) * tf·(k1+1) / (tf + k1·(1−b +
-    * b·dl/avgdl))` with a LOG-FREE rational idf `(N − df + 0.5) /
-    * (df + 0.5)` (the exponential of the classic Robertson–Sparck Jones
-    * idf). Rationale: `ln` is evaluated by different libm
-    * implementations across engines and is not guaranteed correctly
-    * rounded, so scores containing it cannot be reproduced bit-for-bit
-    * by an independent engine; the rational form uses only IEEE
-    * add/mul/div (all correctly rounded), keeps the identical document
-    * ORDER per query term count, and makes the whole score
-    * deterministic. Per-term contributions are quantized to exact
-    * micro-units (`FLOOR(c·1e6 + 0.5) AS BIGINT`) before the cross-term
-    * sum, so accumulation is integer — order-independent across any
-    * partitioning — and the output column is a hash-safe BIGINT.
+    * Scoring is `idf(t) * tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))`.
+    * By default `idf` is the classic Robertson–Sparck Jones
+    * `ln((N − df + 0.5) / (df + 0.5))` — true BM25 ranking.
+    *
+    * `rationalIdf = true` drops the `ln` and uses the raw rational
+    * `(N − df + 0.5) / (df + 0.5)` (the exponential of RSJ idf). This
+    * exists for cross-engine reproducibility: `ln` is a libm call that
+    * is not guaranteed correctly rounded, so log-based scores cannot be
+    * recomputed bit-for-bit by an independent engine, while the
+    * rational form is pure correctly-rounded IEEE add/mul/div. The
+    * transform is strictly monotone PER TERM (single-term rankings are
+    * identical to BM25), but it re-weights terms relative to each
+    * other — exp(idf) amplifies rare terms — so multi-term rankings
+    * can legitimately differ from true BM25; callers that need BM25's
+    * exact trade-off must use the default. q56 uses the rational
+    * variant because its DuckDB oracle must reproduce every score.
+    *
+    * Per-term contributions are quantized to exact micro-units
+    * (`FLOOR(c·1e6 + 0.5) AS BIGINT`) before the cross-term sum, so
+    * accumulation is integer — order-independent across any
+    * partitioning — and the score column is a hash-safe BIGINT.
     *
     * Scale shape: one explode+groupBy over the corpus builds the
     * (doc, term, tf) postings; `df` is a second narrow aggregate of the
@@ -43,7 +51,8 @@ object Retrieval {
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qidCol: String, qtextCol: String,
-      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      rationalIdf: Boolean = false): DataFrame = {
     val dtoks = docs.select(col(idCol).as("__did"),
       TextFunctions.tokens(col(textCol)).as("__dt"))
     val tf = dtoks
@@ -66,8 +75,9 @@ object Retrieval {
       .crossJoin(broadcast(stats))
     // operand order below is mirrored verbatim by q56's oracle SQL —
     // identical IEEE operations on identical operands are bit-identical
-    val idf = ((col("__n") - col("__df")).cast("double") + lit(0.5)) /
+    val rational = ((col("__n") - col("__df")).cast("double") + lit(0.5)) /
       (col("__df").cast("double") + lit(0.5))
+    val idf = if (rationalIdf) rational else log(rational)
     val tfNorm = (col("__tf").cast("double") * lit(k1 + 1)) /
       (col("__tf").cast("double") +
         lit(k1) * (lit(1 - b) +

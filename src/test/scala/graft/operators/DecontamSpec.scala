@@ -41,6 +41,14 @@ class DecontamSpec extends SparkSpec {
     assert(report(train, ev) === Seq((1L, 1L, 1L)))
   }
 
+  test("empty and whitespace-only docs are never counted as contaminated") {
+    val train = Seq((1L, ""), (2L, "   "), (3L, "real content here"))
+    val ev = Seq((100L, ""), (101L, "unrelated eval text"))
+    // without the empty-doc guard, docs 1/2 would share the "" fallback
+    // gram with eval 100 and appear as vacuously contaminated
+    assert(report(train, ev).isEmpty)
+  }
+
   test("docs shorter than n match on whole-text fallback only") {
     val train = Seq((1L, "tiny doc"), (2L, "tiny"))
     val ev = Seq((100L, "tiny doc"))

@@ -12,16 +12,18 @@ class RetrievalSpec extends SparkSpec {
     (4L, "grape kiwi lemon mango"),
     (5L, "apple")).toDF("doc_id", "text")
 
-  private def topk(qs: Seq[(Long, String)], k: Int) =
+  private def topk(qs: Seq[(Long, String)], k: Int,
+      rationalIdf: Boolean = true) =
     Retrieval.bm25TopK(docs, "doc_id", "text",
-        qs.toDF("qid", "qtext"), "qid", "qtext", k)
+        qs.toDF("qid", "qtext"), "qid", "qtext", k,
+        rationalIdf = rationalIdf)
       .orderBy("query_id", "rank")
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
 
   /** Driver-side reimplementation of the exact scoring formula. */
-  private def brute(query: Seq[String], k1: Double = 1.2, b: Double = 0.75)
-      : Map[Long, Long] = {
+  private def brute(query: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      logIdf: Boolean = false): Map[Long, Long] = {
     val toks = docs.collect()
       .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty).toSeq)
       .toMap
@@ -34,7 +36,8 @@ class RetrievalSpec extends SparkSpec {
       val c = query.distinct.flatMap { t =>
         tfs.get(t).map { tf =>
           val df = dfm(t)
-          val idf = ((n - df).toDouble + 0.5) / (df.toDouble + 0.5)
+          val rational = ((n - df).toDouble + 0.5) / (df.toDouble + 0.5)
+          val idf = if (logIdf) math.log(rational) else rational
           val tfn = (tf.toDouble * (k1 + 1)) /
             (tf.toDouble + k1 * ((1 - b) + b * (ts.size.toDouble / avgdl)))
           math.floor(idf * tfn * 1000000 + 0.5).toLong
@@ -44,10 +47,16 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
-  test("scores match a driver-side reimplementation exactly") {
+  test("rational-idf scores match a driver-side reimplementation exactly") {
     val got = topk(Seq((10L, "apple banana")), 5)
       .map { case (_, d, _, s) => d -> s }.toMap
     assert(got === brute(Seq("apple", "banana")))
+  }
+
+  test("default log idf matches driver-side true BM25 (same JVM libm)") {
+    val got = topk(Seq((10L, "apple banana date")), 5, rationalIdf = false)
+      .map { case (_, d, _, s) => d -> s }.toMap
+    assert(got === brute(Seq("apple", "banana", "date"), logIdf = true))
   }
 
   test("doc with unique rare terms ranks first for them") {
