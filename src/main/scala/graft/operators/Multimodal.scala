@@ -173,6 +173,47 @@ object Multimodal {
       }
     }
 
+    /** REAL PCM sample statistics from a 16-bit integer WAV payload:
+      * `(n_samples, peak_abs, sum_sq)` over every sample in the data
+      * chunk (all channels interleaved). `sqrt(sum_sq / n)` is the RMS
+      * level; peak/RMS is the crest factor — the loudness/clipping
+      * screen an audio-corpus pipeline runs before training. Returns
+      * None for non-WAV bytes, non-16-bit encodings, or a data chunk
+      * that overruns the buffer (arbitrary executor-side bytes must
+      * never throw). Sample decode here is genuine DSP on the raw
+      * bytes — only the learned-model feature extractor below remains
+      * a stub.
+      */
+    def pcmStats(b: Array[Byte]): Option[(Long, Int, Long)] = {
+      if (!startsWith(b, "RIFF".map(_.toInt)) ||
+          !startsWith(b, "WAVE".map(_.toInt), at = 8)) return None
+      var i = 12
+      var bits = 0
+      var dataAt = -1
+      var dataLen = -1
+      while (i + 8 <= b.length) {
+        val id = new String(b.slice(i, i + 4), "US-ASCII")
+        val len = le32(b, i + 4)
+        if (len < 0 || len > b.length) return None
+        if (id == "fmt " && i + 8 + 16 <= b.length) bits = le16(b, i + 22)
+        else if (id == "data") { dataAt = i + 8; dataLen = len }
+        i += 8 + len + (len & 1)
+      }
+      if (bits != 16 || dataAt < 0 || dataAt + dataLen > b.length) return None
+      val n = dataLen / 2
+      var peak = 0
+      var sumSq = 0L
+      var j = 0
+      while (j < n) {
+        val s = (le16(b, dataAt + 2 * j) << 16) >> 16 // sign-extend i16
+        val a = math.abs(s)
+        if (a > peak) peak = a
+        sumSq += s.toLong * s
+        j += 1
+      }
+      Some((n.toLong, peak, sumSq))
+    }
+
     /** STUB feature extractor: 8-dim deterministic embedding of the
       * payload (a real one would run a vision/audio model per batch).
       */
@@ -194,6 +235,23 @@ object Multimodal {
       // real impl: init codec once here, reuse across the partition
       it.map(MediaCodec.decode)
     }
+  }
+
+  /** Audio loudness screen: REAL PCM statistics per asset —
+    * `(media_id, n_samples, peak_abs, sum_sq)`, null stats for payloads
+    * that are not 16-bit integer WAV. Same partition-wise shape as
+    * [[decodeMeta]]: bytes never shuffle, the sample loop streams
+    * within each task. RMS = sqrt(sum_sq / n_samples); crest factor =
+    * peak / RMS — both derivable downstream in plain Column algebra.
+    */
+  def audioStats(ds: Dataset[MediaRecord]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { r =>
+        val st = MediaCodec.pcmStats(r.bytes)
+        (r.media_id, st.map(_._1), st.map(_._2), st.map(_._3))
+      }
+    }.toDF("media_id", "n_samples", "peak_abs", "sum_sq")
   }
 
   /** Feature extraction: (media_id, embedding) per asset, ready for

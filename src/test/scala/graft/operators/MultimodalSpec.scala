@@ -85,6 +85,42 @@ class MultimodalSpec extends SparkSpec {
     assert(metas(1).width === Some(1024) && metas(1).height === Some(768))
   }
 
+  private def wavWithSamples(rate: Int, samples: Seq[Short]): Array[Byte] = {
+    def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte,
+      (v >> 24).toByte)
+    val data = samples.toArray.flatMap(s => le16(s & 0xFFFF))
+    ("RIFF".getBytes ++ le32(36 + data.length) ++ "WAVE".getBytes
+      ++ "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1)
+      ++ le32(rate) ++ le32(rate * 2) ++ le16(2) ++ le16(16)
+      ++ "data".getBytes ++ le32(data.length) ++ data)
+  }
+
+  test("pcmStats decodes real 16-bit samples: n, peak, sum of squares") {
+    val samples = Seq[Short](0, 1000, -2000, 32767, -32768, 5)
+    val got = Multimodal.MediaCodec.pcmStats(wavWithSamples(8000, samples))
+    val expSumSq = samples.map(s => s.toLong * s).sum
+    assert(got === Some((6L, 32768, expSumSq)))
+    // non-WAV and truncated payloads never throw
+    assert(Multimodal.MediaCodec.pcmStats("nope".getBytes) === None)
+    assert(Multimodal.MediaCodec.pcmStats(
+      wavWithSamples(8000, samples).dropRight(3)) === None)
+  }
+
+  test("audioStats flows PCM statistics through the Spark dataflow") {
+    val quiet = wavWithSamples(8000, Seq[Short](10, -10, 10, -10))
+    val loud = wavWithSamples(8000, Seq[Short](30000, -30000))
+    val df = Seq((1L, quiet), (2L, loud), (3L, "not audio".getBytes))
+      .toDF("id", "p")
+    val got = Multimodal.audioStats(
+        Multimodal.fromBinaryColumn(df, "id", "p", "audio"))
+      .orderBy("media_id").collect()
+    assert(got(0).getLong(1) === 4L && got(0).getInt(2) === 10)
+    assert(got(0).getLong(3) === 400L)
+    assert(got(1).getLong(1) === 2L && got(1).getInt(2) === 30000)
+    assert(got(2).isNullAt(1) && got(2).isNullAt(2) && got(2).isNullAt(3))
+  }
+
   test("decodeMeta parses real WAV headers for rate and frame count") {
     val b = wavBytes(rate = 44100, blockAlign = 4, dataLen = 400)
     assert(Multimodal.MediaCodec.wavInfo(b) === Some((44100, 100)))
