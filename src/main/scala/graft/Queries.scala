@@ -1829,11 +1829,19 @@ object Queries {
     * pico-unit BIGINT sums, one double division at the end) keep the
     * aggregates order-independent and bit-identical cross-engine.
     */
-  def q60EmbeddingStats(s: SparkSession, dir: String): DataFrame = {
-    val rows = t(s, dir, "embeddings")
-      .select(posexplode(col("embedding")).as(Seq("__i", "__xf")))
-      .select(col("__i").cast("long").as("dim"),
+  /** (vec_id, dim, __x): embeddings exploded to double-typed element
+    * rows — shared by q60/q61.
+    */
+  private def embeddingRows(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("__i", "__xf")))
+      .select(col("vec_id"), col("__i").cast("long").as("dim"),
         col("__xf").cast("double").as("__x"))
+
+  /** Per-dimension exact moment sums → (dim, n, mean_x, var_x) with the
+    * q45 fixed-point pattern; var is sample variance, null for n ≤ 1.
+    */
+  private def dimMoments(rows: DataFrame): DataFrame =
     rows.groupBy(col("dim"))
       .agg(
         sum(floor(col("__x") * 1e6 + lit(0.5)).cast("long")).as("__sx"),
@@ -1850,8 +1858,12 @@ object Queries {
               * (col("__sx").cast("double") / 1e6) / col("n"))
             / (col("n") - 1)).as("var_x"),
         col("min_x"), col("max_x"))
+
+  def q60EmbeddingStats(s: SparkSession, dir: String): DataFrame =
+    dimMoments(embeddingRows(s, dir))
+      .select(col("dim"), col("n"), col("mean_x"), col("var_x"),
+        col("min_x"), col("max_x"))
       .orderBy(col("dim"))
-  }
 
   val q60Sql: String =
     """SELECT dim, n,
@@ -1873,6 +1885,60 @@ object Queries {
       |          FROM embeddings) u) r
       |  GROUP BY dim) a
       |ORDER BY dim""".stripMargin
+
+  /** Per-dimension z-score outlier screen over the embedding corpus:
+    * count of |z| > 4 coordinates and the worst |z| per vector — the
+    * anomaly filter run before embeddings feed an ANN index or a
+    * training batch. Deterministic cross-engine because `sqrt` (unlike
+    * `ln`) is an IEEE-754 REQUIRED correctly-rounded operation: every
+    * z is identical double arithmetic on both engines. Dim stats ride
+    * the q60 fixed-point moments and broadcast-join back onto the
+    * element rows (64 rows against the streamed corpus — no second
+    * wide shuffle).
+    */
+  def q61EmbeddingOutliers(s: SparkSession, dir: String): DataFrame = {
+    val rows = embeddingRows(s, dir)
+    val st = dimMoments(rows).select(col("dim").as("__sdim"),
+      col("mean_x").as("__mean"), col("var_x").as("__var"))
+    val z = rows.join(broadcast(st), col("dim") === col("__sdim"))
+      .select(col("vec_id"),
+        when(col("__var") > 0,
+          abs((col("__x") - col("__mean")) / sqrt(col("__var"))))
+          .as("__az"))
+    z.groupBy(col("vec_id"))
+      .agg(count(when(col("__az") > 4.0, lit(1))).as("n_outlier_dims"),
+        max(col("__az")).as("max_abs_z"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q61Sql: String =
+    """WITH r AS (
+      |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+      |    CAST(embedding[i] AS DOUBLE) AS x
+      |  FROM (SELECT vec_id, embedding,
+      |          unnest(range(1, len(embedding) + 1)) AS i
+      |        FROM embeddings) u),
+      |agg AS (
+      |  SELECT dim,
+      |    SUM(CAST(FLOOR(x * 1e6 + 0.5) AS BIGINT)) AS sx,
+      |    SUM(CAST(FLOOR(x * x * 1e12 + 0.5) AS BIGINT)) AS sxx,
+      |    COUNT(*) AS n
+      |  FROM r GROUP BY dim),
+      |st AS (
+      |  SELECT dim, CAST(sx AS DOUBLE) / 1e6 / n AS mean_x,
+      |    CASE WHEN n > 1 THEN (CAST(sxx AS DOUBLE) / 1e12
+      |      - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sx AS DOUBLE) / 1e6) / n)
+      |      / (n - 1) END AS var_x
+      |  FROM agg),
+      |z AS (
+      |  SELECT r.vec_id,
+      |    CASE WHEN st.var_x > 0
+      |      THEN ABS((r.x - st.mean_x) / SQRT(st.var_x)) END AS az
+      |  FROM r JOIN st ON r.dim = st.dim)
+      |SELECT vec_id,
+      |  CAST(COUNT(CASE WHEN az > 4.0 THEN 1 END) AS BIGINT) AS n_outlier_dims,
+      |  MAX(az) AS max_abs_z
+      |FROM z GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
   // ---------------------------------------------------------------------
   // Registry
@@ -1939,5 +2005,6 @@ object Queries {
     "q57_decontam" -> ((q57Decontam _, Some(q57Sql))),
     "q58_int8_quant" -> ((q58Int8Quant _, Some(q58Sql))),
     "q59_dedup_survivors" -> ((q59DedupSurvivors _, Some(q59Sql))),
-    "q60_embedding_stats" -> ((q60EmbeddingStats _, Some(q60Sql))))
+    "q60_embedding_stats" -> ((q60EmbeddingStats _, Some(q60Sql))),
+    "q61_embedding_outliers" -> ((q61EmbeddingOutliers _, Some(q61Sql))))
 }
