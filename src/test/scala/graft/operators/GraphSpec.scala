@@ -43,6 +43,31 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("seeded sweep over graph shapes: sparse/dense/stars/paths mixtures") {
+    // the star-contraction fixpoint argument is the algorithmically
+    // riskiest part of the engine — sweep many structures against the
+    // union-find oracle (chains favor depth, cliques favor width,
+    // sparse graphs leave many singleton-adjacent pairs)
+    val rnd = new Random(20260812L)
+    for (trial <- 0 until 8) {
+      val n = 10 + rnd.nextInt(60)
+      val density = (trial % 4) match {
+        case 0 => 0.5   // sparse: forest-ish
+        case 1 => 1.0   // near the connectivity threshold
+        case 2 => 2.5   // several big components
+        case _ => 0.2   // mostly isolated edges
+      }
+      val m = math.max(1, (n * density).toInt)
+      val ids = Array.fill(n)(rnd.nextLong().abs % 1000000L)
+      val edges = Seq.fill(m)(
+        (ids(rnd.nextInt(n)), ids(rnd.nextInt(n))))
+        .filter(e => e._1 != e._2)
+      if (edges.nonEmpty)
+        assert(run(edges) === bruteCC(edges),
+          s"trial $trial n=$n m=$m")
+    }
+  }
+
   test("chain graph (worst case for naive propagation) converges in O(log n) rounds") {
     val edges = (0L until 63L).map(i => (i, i + 1))
     // naive min-propagation needs 63 rounds; star-contraction must do
