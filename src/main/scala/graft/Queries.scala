@@ -1940,6 +1940,28 @@ object Queries {
       |  MAX(az) AS max_abs_z
       |FROM z GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
+  /** Source-weighted corpus mixing ([[Sampling.weightedMix]]): drop
+    * src3 entirely, halve src1, quarter src5, keep 80% of everything
+    * else — a training-data mixing recipe whose EXACT kept set the
+    * oracle reproduces row for row (portable md5-60 uniform; the
+    * xxhash64 samplers in q47 can only be invariant-checked). Seed 42.
+    */
+  def q62WeightedMix(s: SparkSession, dir: String): DataFrame =
+    Sampling.weightedMix(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        "doc_id", "source",
+        Map("src1" -> 0.5, "src3" -> 0.0, "src5" -> 0.25),
+        seed = 42L, defaultWeight = 0.8)
+      .orderBy(col("doc_id"))
+
+  val q62Sql: String =
+    """SELECT doc_id, source FROM documents
+      |WHERE CAST(CAST('0x' || substr(md5(42 || ':' || doc_id), 1, 15) AS BIGINT) AS DOUBLE)
+      |      / 1152921504606846976.0
+      |  < CASE source WHEN 'src1' THEN 0.5 WHEN 'src3' THEN 0.0
+      |      WHEN 'src5' THEN 0.25 ELSE 0.8 END
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2006,5 +2028,6 @@ object Queries {
     "q58_int8_quant" -> ((q58Int8Quant _, Some(q58Sql))),
     "q59_dedup_survivors" -> ((q59DedupSurvivors _, Some(q59Sql))),
     "q60_embedding_stats" -> ((q60EmbeddingStats _, Some(q60Sql))),
-    "q61_embedding_outliers" -> ((q61EmbeddingOutliers _, Some(q61Sql))))
+    "q61_embedding_outliers" -> ((q61EmbeddingOutliers _, Some(q61Sql))),
+    "q62_weighted_mix" -> ((q62WeightedMix _, Some(q62Sql))))
 }

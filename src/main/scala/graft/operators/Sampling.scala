@@ -52,6 +52,30 @@ object Sampling {
   /** Per-stratum deterministic sampling rates, e.g. downsample one
     * over-represented language: unlisted strata keep everything.
     */
+  /** Deterministic source-weighted corpus mixing ("data mixing"): keep
+    * each row with probability `weights(source)` — upsample/downsample
+    * corpus sources to a target recipe, the knob every training-data
+    * pipeline turns last. Membership is a pure function of a PORTABLE
+    * hash of (seed, id): the top-60 md5 bits scaled by 2^-60 give a
+    * uniform in [0,1) that any engine with md5 reproduces bit-for-bit
+    * (2^60 is a power of two, so the scaling is exact; the long→double
+    * round is identical on both sides), unlike the xxhash64 samplers
+    * above whose kept sets are only invariant-checkable. Unlisted
+    * sources fall back to `defaultWeight`; weight 0 drops a source
+    * entirely, 1 keeps it whole.
+    */
+  def weightedMix(df: DataFrame, idCol: String, sourceCol: String,
+      weights: Map[String, Double], seed: Long,
+      defaultWeight: Double = 1.0): DataFrame = {
+    val u = graft.operators.TextDedup
+      .md5Hash60(concat_ws(":", lit(seed), col(idCol)))
+      .cast("double") / lit(math.pow(2, 60))
+    val w = weights.toSeq.sortBy(_._1).foldLeft(lit(defaultWeight)) {
+      case (acc, (k, v)) => when(col(sourceCol) === k, lit(v)).otherwise(acc)
+    }
+    df.where(u < w)
+  }
+
   def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
       rates: Map[String, Double], seed: Int = 42): DataFrame = {
     require(rates.values.forall(p => p >= 0 && p <= 100),

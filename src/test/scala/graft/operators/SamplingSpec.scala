@@ -6,6 +6,26 @@ import graft.SparkSpec
 
 class SamplingSpec extends SparkSpec {
 
+  test("weightedMix: weight 0 drops, weight 1 keeps, rates track weights") {
+    import spark.implicits._
+    val df = (0L until 2000L).map(i => (i, s"s${i % 4}")).toDF("id", "src")
+    val kept = Sampling.weightedMix(df, "id", "src",
+        Map("s0" -> 1.0, "s1" -> 0.0, "s2" -> 0.5), seed = 7L,
+        defaultWeight = 0.25)
+      .groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("s0") === 500L) // weight 1: every row
+    assert(!kept.contains("s1")) // weight 0: none
+    assert(kept("s2") > 180L && kept("s2") < 320L) // ~250
+    assert(kept("s3") > 70L && kept("s3") < 180L) // ~125 via default
+    // determinism: the same seed reproduces the identical kept set
+    val a = Sampling.weightedMix(df, "id", "src", Map("s2" -> 0.5), 7L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val b = Sampling.weightedMix(df, "id", "src", Map("s2" -> 0.5), 7L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(a === b)
+  }
+
   private lazy val docs =
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
 
