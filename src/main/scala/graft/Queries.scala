@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.WeatherFunctions
 import graft.functions.{TextFeatures, TextFunctions}
-import graft.operators.{AsOfJoin, Decontam, Dedup, Graph, Multimodal, Quantize, RangeJoin, Retrieval, Sampling, Similarity, TextChunker, TextDedup}
+import graft.operators.{AsOfJoin, Decontam, Dedup, Graph, Multimodal, Quantize, RangeJoin, Retrieval, Sampling, Similarity, Skew, TextChunker, TextDedup}
 
 /** The oracle-checked query surface: every operator from SURVEY.md §2
   * exposed as a named query over the driver's parquet tables, with
@@ -1962,6 +1962,29 @@ object Queries {
       |      WHEN 'src5' THEN 0.25 ELSE 0.8 END
       |ORDER BY doc_id""".stripMargin
 
+  /** Skew-salted two-phase aggregation ([[Skew.saltedAgg]]) as an
+    * oracle-checked query: the oracle is the PLAIN `GROUP BY` — salting
+    * is only correct if it is invisible in the result, and exact cents
+    * sums make the equality bit-level (a double sum would vary with the
+    * salt-induced accumulation order). The salt spreads each hot key
+    * over 8 reducers in phase 1; phase 2 merges `keys × 8` partials.
+    */
+  def q63SaltedAgg(s: SparkSession, dir: String): DataFrame =
+    Skew.saltedAgg(t(s, dir, "lineitem"), Seq("l_returnflag"),
+        saltBuckets = 8,
+        phase1 = Seq(sum(cents(col("l_quantity"))).as("__qc"),
+          count(lit(1)).as("__n")),
+        phase2 = Seq(sum(col("__qc")).as("__qc"), sum(col("__n")).as("n")))
+      .select(col("l_returnflag"),
+        (col("__qc").cast("double") / 100).as("sum_qty"), col("n"))
+      .orderBy(col("l_returnflag"))
+
+  val q63Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2029,5 +2052,6 @@ object Queries {
     "q59_dedup_survivors" -> ((q59DedupSurvivors _, Some(q59Sql))),
     "q60_embedding_stats" -> ((q60EmbeddingStats _, Some(q60Sql))),
     "q61_embedding_outliers" -> ((q61EmbeddingOutliers _, Some(q61Sql))),
-    "q62_weighted_mix" -> ((q62WeightedMix _, Some(q62Sql))))
+    "q62_weighted_mix" -> ((q62WeightedMix _, Some(q62Sql))),
+    "q63_salted_agg" -> ((q63SaltedAgg _, Some(q63Sql))))
 }
