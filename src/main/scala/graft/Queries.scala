@@ -1897,7 +1897,9 @@ object Queries {
     * wide shuffle).
     */
   def q61EmbeddingOutliers(s: SparkSession, dir: String): DataFrame = {
-    val rows = embeddingRows(s, dir)
+    // two consumers (stats side and probe side) — checkpoint so the
+    // scan+posexplode runs once, not once per consumer
+    val rows = embeddingRows(s, dir).localCheckpoint()
     val st = dimMoments(rows).select(col("dim").as("__sdim"),
       col("mean_x").as("__mean"), col("var_x").as("__var"))
     val z = rows.join(broadcast(st), col("dim") === col("__sdim"))

@@ -111,30 +111,47 @@ object Multimodal {
       None
     }
 
+    /** Safe RIFF/WAVE chunk walk: calls `f(id, bodyOffset, len)` per
+      * chunk and returns false for non-WAV or malformed containers.
+      * The cursor is a LONG — near-2 GB payloads with large declared
+      * chunk lengths must end the walk, not wrap an Int index into a
+      * negative array access (decode runs on arbitrary executor-side
+      * bytes and must never throw). Chunk lengths are validated against
+      * the buffer; bodies may still be truncated — callers bound-check
+      * before reading.
+      */
+    private def walkRiffChunks(b: Array[Byte])(
+        f: (String, Int, Int) => Unit): Boolean = {
+      if (!startsWith(b, "RIFF".map(_.toInt)) ||
+          !startsWith(b, "WAVE".map(_.toInt), at = 8)) return false
+      var i: Long = 12L
+      while (i + 8 <= b.length) {
+        val at = i.toInt
+        val id = new String(b.slice(at, at + 4), "US-ASCII")
+        val len = le32(b, at + 4)
+        if (len < 0 || len > b.length) return false
+        f(id, at + 8, len)
+        i += 8L + len + (len & 1) // chunks are word-aligned
+      }
+      true
+    }
+
     /** REAL WAV header parse: (sample rate, frame count) from the fmt
-      * and data chunks of a RIFF/WAVE container.
+      * and data chunks of a RIFF/WAVE container. The fmt chunk must
+      * declare the full 16-byte PCM header — fields are never read
+      * from a truncated chunk's neighbors.
       */
     def wavInfo(b: Array[Byte]): Option[(Int, Int)] = {
-      if (!startsWith(b, "RIFF".map(_.toInt)) ||
-          !startsWith(b, "WAVE".map(_.toInt), at = 8)) return None
-      var i = 12
       var rate = 0
       var blockAlign = 0
       var dataLen = -1
-      while (i + 8 <= b.length) {
-        val id = new String(b.slice(i, i + 4), "US-ASCII")
-        val len = le32(b, i + 4)
-        // malformed chunk length (negative, or overflowing the buffer
-        // index) would loop forever or walk out of bounds — decode()
-        // runs on arbitrary bytes in executor tasks, so bail out instead
-        if (len < 0 || len > b.length) return None
-        if (id == "fmt " && i + 8 + 16 <= b.length) {
-          rate = le32(b, i + 12)
-          blockAlign = le16(b, i + 20)
+      val ok = walkRiffChunks(b) { (id, at, len) =>
+        if (id == "fmt " && len >= 16 && at + 16 <= b.length) {
+          rate = le32(b, at + 4)
+          blockAlign = le16(b, at + 12)
         } else if (id == "data") dataLen = len
-        i += 8 + len + (len & 1) // chunks are word-aligned
       }
-      if (rate > 0 && blockAlign > 0 && dataLen >= 0)
+      if (ok && rate > 0 && blockAlign > 0 && dataLen >= 0)
         Some((rate, dataLen / blockAlign))
       else None
     }
@@ -185,21 +202,18 @@ object Multimodal {
       * a stub.
       */
     def pcmStats(b: Array[Byte]): Option[(Long, Int, Long)] = {
-      if (!startsWith(b, "RIFF".map(_.toInt)) ||
-          !startsWith(b, "WAVE".map(_.toInt), at = 8)) return None
-      var i = 12
+      var audioFormat = 0
       var bits = 0
       var dataAt = -1
       var dataLen = -1
-      while (i + 8 <= b.length) {
-        val id = new String(b.slice(i, i + 4), "US-ASCII")
-        val len = le32(b, i + 4)
-        if (len < 0 || len > b.length) return None
-        if (id == "fmt " && i + 8 + 16 <= b.length) bits = le16(b, i + 22)
-        else if (id == "data") { dataAt = i + 8; dataLen = len }
-        i += 8 + len + (len & 1)
+      val ok = walkRiffChunks(b) { (id, at, len) =>
+        if (id == "fmt " && len >= 16 && at + 16 <= b.length) {
+          audioFormat = le16(b, at) // 1 = integer PCM
+          bits = le16(b, at + 14)
+        } else if (id == "data") { dataAt = at; dataLen = len }
       }
-      if (bits != 16 || dataAt < 0 || dataAt + dataLen > b.length) return None
+      if (!ok || audioFormat != 1 || bits != 16 || dataAt < 0 ||
+          dataAt.toLong + dataLen > b.length) return None
       val n = dataLen / 2
       var peak = 0
       var sumSq = 0L

@@ -49,9 +49,6 @@ object Sampling {
     df.filter(bucket(col(idCol), seed, 10000) < basisPoints(pct))
   }
 
-  /** Per-stratum deterministic sampling rates, e.g. downsample one
-    * over-represented language: unlisted strata keep everything.
-    */
   /** Deterministic source-weighted corpus mixing ("data mixing"): keep
     * each row with probability `weights(source)` — upsample/downsample
     * corpus sources to a target recipe, the knob every training-data
@@ -62,11 +59,16 @@ object Sampling {
     * round is identical on both sides), unlike the xxhash64 samplers
     * above whose kept sets are only invariant-checkable. Unlisted
     * sources fall back to `defaultWeight`; weight 0 drops a source
-    * entirely, 1 keeps it whole.
+    * entirely, 1 keeps it whole. NB: weights are PROBABILITIES in
+    * [0, 1], not the percent scale of [[hashSample]]/[[stratifiedSample]]
+    * — validated here so a percent-scale 50.0 fails fast instead of
+    * silently keeping everything.
     */
   def weightedMix(df: DataFrame, idCol: String, sourceCol: String,
       weights: Map[String, Double], seed: Long,
       defaultWeight: Double = 1.0): DataFrame = {
+    (weights.values.toSeq :+ defaultWeight).foreach(w =>
+      require(w >= 0 && w <= 1, s"every weight must be in [0, 1], got $w"))
     val u = graft.operators.TextDedup
       .md5Hash60(concat_ws(":", lit(seed), col(idCol)))
       .cast("double") / lit(math.pow(2, 60))
@@ -76,6 +78,9 @@ object Sampling {
     df.where(u < w)
   }
 
+  /** Per-stratum deterministic sampling rates, e.g. downsample one
+    * over-represented language: unlisted strata keep everything.
+    */
   def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
       rates: Map[String, Double], seed: Int = 42): DataFrame = {
     require(rates.values.forall(p => p >= 0 && p <= 100),

@@ -60,15 +60,22 @@ class MultimodalSpec extends SparkSpec {
     "GIF89a".getBytes ++ le16(w) ++ le16(h) ++ Array[Byte](0, 0, 0)
   }
 
-  private def wavBytes(rate: Int, blockAlign: Int, dataLen: Int): Array[Byte] = {
+  /** One WAV header builder for every test: zero-filled data of
+    * `dataLen` bytes by default, or explicit 16-bit samples.
+    */
+  private def wavContainer(rate: Int, channels: Int, blockAlign: Int,
+      data: Array[Byte]): Array[Byte] = {
     def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
     def le32(v: Int) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte,
       (v >> 24).toByte)
-    ("RIFF".getBytes ++ le32(36 + dataLen) ++ "WAVE".getBytes
-      ++ "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(2)
+    ("RIFF".getBytes ++ le32(36 + data.length) ++ "WAVE".getBytes
+      ++ "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(channels)
       ++ le32(rate) ++ le32(rate * blockAlign) ++ le16(blockAlign) ++ le16(16)
-      ++ "data".getBytes ++ le32(dataLen) ++ Array.fill[Byte](dataLen)(0))
+      ++ "data".getBytes ++ le32(data.length) ++ data)
   }
+
+  private def wavBytes(rate: Int, blockAlign: Int, dataLen: Int): Array[Byte] =
+    wavContainer(rate, channels = 2, blockAlign, Array.fill[Byte](dataLen)(0))
 
   test("decodeMeta parses real PNG/JPEG/GIF headers for dimensions") {
     assert(Multimodal.MediaCodec.imageDims(pngBytes(640, 360)) === Some((640, 360)))
@@ -85,16 +92,10 @@ class MultimodalSpec extends SparkSpec {
     assert(metas(1).width === Some(1024) && metas(1).height === Some(768))
   }
 
-  private def wavWithSamples(rate: Int, samples: Seq[Short]): Array[Byte] = {
-    def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
-    def le32(v: Int) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte,
-      (v >> 24).toByte)
-    val data = samples.toArray.flatMap(s => le16(s & 0xFFFF))
-    ("RIFF".getBytes ++ le32(36 + data.length) ++ "WAVE".getBytes
-      ++ "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1)
-      ++ le32(rate) ++ le32(rate * 2) ++ le16(2) ++ le16(16)
-      ++ "data".getBytes ++ le32(data.length) ++ data)
-  }
+  private def wavWithSamples(rate: Int, samples: Seq[Short]): Array[Byte] =
+    wavContainer(rate, channels = 1, blockAlign = 2,
+      samples.toArray.flatMap(s =>
+        Array(s.toByte, ((s & 0xFFFF) >> 8).toByte)))
 
   test("pcmStats decodes real 16-bit samples: n, peak, sum of squares") {
     val samples = Seq[Short](0, 1000, -2000, 32767, -32768, 5)
@@ -105,6 +106,26 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.MediaCodec.pcmStats("nope".getBytes) === None)
     assert(Multimodal.MediaCodec.pcmStats(
       wavWithSamples(8000, samples).dropRight(3)) === None)
+  }
+
+  test("pcmStats rejects truncated fmt chunks and non-integer-PCM formats") {
+    def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte,
+      (v >> 24).toByte)
+    // fmt chunk declares only 2 bytes — bits-per-sample must NOT be
+    // read from the neighboring chunk's bytes
+    val truncatedFmt =
+      ("RIFF".getBytes ++ le32(100) ++ "WAVE".getBytes
+        ++ "fmt ".getBytes ++ le32(2) ++ le16(1)
+        ++ "data".getBytes ++ le32(4) ++ Array.fill[Byte](4)(1))
+    assert(Multimodal.MediaCodec.pcmStats(truncatedFmt) === None)
+    // audioFormat 3 = IEEE float: 16-bit integer decode would be garbage
+    val floatFmt =
+      ("RIFF".getBytes ++ le32(100) ++ "WAVE".getBytes
+        ++ "fmt ".getBytes ++ le32(16) ++ le16(3) ++ le16(1)
+        ++ le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16)
+        ++ "data".getBytes ++ le32(4) ++ Array.fill[Byte](4)(1))
+    assert(Multimodal.MediaCodec.pcmStats(floatFmt) === None)
   }
 
   test("audioStats flows PCM statistics through the Spark dataflow") {
