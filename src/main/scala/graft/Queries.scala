@@ -1987,6 +1987,40 @@ object Queries {
       |  COUNT(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Approximate quantiles — the sketch that replaces q38's exact
+    * percentile at 100 TB (exact needs the full value multiset per
+    * group; the KLL-style sketch is mergeable, bounded-memory, one
+    * pass). Oracle pattern (like q40's HLL): the approx VALUE is
+    * sketch-internal, but its rank-error GUARANTEE (≤ 1/accuracy
+    * regardless of merge order) is checkable — the query emits the
+    * exact quantiles plus booleans asserting each approx value lies
+    * within the exact [p−ε, p+ε] quantile envelope (ε = 2/accuracy,
+    * double the bound, so the check never flakes on boundary
+    * interpolation); DuckDB mirrors the exact values and literal TRUE.
+    */
+  def q64ApproxQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val x = col("l_extendedprice")
+    def band(p: Double, name: String) = Seq(
+      percentile(x, lit(p)).as(s"exact_$name"),
+      ((percentile_approx(x, lit(p), lit(100)) >=
+          percentile(x, lit(math.max(0.0, p - 0.02)))) &&
+        (percentile_approx(x, lit(p), lit(100)) <=
+          percentile(x, lit(math.min(1.0, p + 0.02)))))
+        .as(s"ok_$name"))
+    val aggs = band(0.25, "25") ++ band(0.5, "50") ++ band(0.95, "95")
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q64Sql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_extendedprice, 0.25) AS exact_25, TRUE AS ok_25,
+      |  quantile_cont(l_extendedprice, 0.5) AS exact_50, TRUE AS ok_50,
+      |  quantile_cont(l_extendedprice, 0.95) AS exact_95, TRUE AS ok_95
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2055,5 +2089,6 @@ object Queries {
     "q60_embedding_stats" -> ((q60EmbeddingStats _, Some(q60Sql))),
     "q61_embedding_outliers" -> ((q61EmbeddingOutliers _, Some(q61Sql))),
     "q62_weighted_mix" -> ((q62WeightedMix _, Some(q62Sql))),
-    "q63_salted_agg" -> ((q63SaltedAgg _, Some(q63Sql))))
+    "q63_salted_agg" -> ((q63SaltedAgg _, Some(q63Sql))),
+    "q64_approx_quantiles" -> ((q64ApproxQuantiles _, Some(q64Sql))))
 }
