@@ -1058,10 +1058,15 @@ object Queries {
     * verified bit-identical).
     */
   def q38Percentiles(s: SparkSession, dir: String): DataFrame =
+    // One array-probability buffer: `Percentile` shares a single value
+    // multiset across the array, vs one full multiset per scalar call.
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
-        percentile(col("l_extendedprice"), lit(0.95)).as("p95"))
+      .agg(percentile(col("l_extendedprice"), array(lit(0.5), lit(0.95)))
+        .as("__p"))
+      .select(col("l_returnflag"),
+        element_at(col("__p"), 1).as("p50"),
+        element_at(col("__p"), 2).as("p95"))
       .orderBy(col("l_returnflag"))
 
   val q38Sql: String =
@@ -1997,20 +2002,31 @@ object Queries {
     * within the exact [p−ε, p+ε] quantile envelope (ε = 2/accuracy,
     * double the bound, so the check never flakes on boundary
     * interpolation); DuckDB mirrors the exact values and literal TRUE.
+    *
+    * Perf: ONE exact-percentile buffer (array of all 9 probes — Spark's
+    * `Percentile` shares a single value multiset across an array of
+    * percentages) and ONE approx sketch, instead of 12 independent
+    * aggregates each collecting the column (12 buffers measured 10.9 s
+    * at sf0.1; 2 buffers ≈ 2 s). Same interpolation, same values.
     */
   def q64ApproxQuantiles(s: SparkSession, dir: String): DataFrame = {
     val x = col("l_extendedprice")
-    def band(p: Double, name: String) = Seq(
-      percentile(x, lit(p)).as(s"exact_$name"),
-      ((percentile_approx(x, lit(p), lit(100)) >=
-          percentile(x, lit(math.max(0.0, p - 0.02)))) &&
-        (percentile_approx(x, lit(p), lit(100)) <=
-          percentile(x, lit(math.min(1.0, p + 0.02)))))
-        .as(s"ok_$name"))
-    val aggs = band(0.25, "25") ++ band(0.5, "50") ++ band(0.95, "95")
+    val ps = Seq(0.25 -> "25", 0.5 -> "50", 0.95 -> "95")
+    val probes = ps.flatMap { case (p, _) =>
+      Seq(math.max(0.0, p - 0.02), p, math.min(1.0, p + 0.02)) }
+    val outCols = ps.zipWithIndex.flatMap { case ((_, name), i) =>
+      val lo = element_at(col("__ex"), i * 3 + 1)
+      val ex = element_at(col("__ex"), i * 3 + 2)
+      val hi = element_at(col("__ex"), i * 3 + 3)
+      val ap = element_at(col("__ap"), i + 1)
+      Seq(ex.as(s"exact_$name"), (ap >= lo && ap <= hi).as(s"ok_$name"))
+    }
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(aggs.head, aggs.tail: _*)
+      .agg(percentile(x, array(probes.map(lit): _*)).as("__ex"),
+        percentile_approx(x, array(ps.map(p => lit(p._1)): _*), lit(100))
+          .as("__ap"))
+      .select(col("l_returnflag") +: outCols: _*)
       .orderBy(col("l_returnflag"))
   }
 
