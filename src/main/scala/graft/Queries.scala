@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.WeatherFunctions
 import graft.functions.{TextFeatures, TextFunctions}
-import graft.operators.{AsOfJoin, Decontam, Dedup, Graph, Multimodal, Quantize, RangeJoin, Retrieval, Sampling, Similarity, Skew, TextChunker, TextDedup}
+import graft.operators.{AsOfJoin, Decontam, Dedup, Graph, Multimodal, Quantize, RangeJoin, Repetition, Retrieval, Sampling, Similarity, Skew, TextChunker, TextDedup}
 
 /** The oracle-checked query surface: every operator from SURVEY.md §2
   * exposed as a named query over the driver's parquet tables, with
@@ -2037,6 +2037,51 @@ object Queries {
       |  quantile_cont(l_extendedprice, 0.95) AS exact_95, TRUE AS ok_95
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Gopher-style within-document repetition filter ([[Repetition]]):
+    * top-2-gram occupancy + duplicated-5-gram mass per document, fully
+    * oracle-checked — every count is an exact long, each fraction is a
+    * single correctly-rounded double division, so DuckDB reproduces the
+    * entire report including the keep verdicts bit-for-bit.
+    */
+  def q65Repetition(s: SparkSession, dir: String): DataFrame =
+    Repetition.stats(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  val q65Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      |  FROM documents
+      |), grams AS (
+      |  SELECT doc_id, 2 AS n,
+      |    unnest(CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+      |      ELSE list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) END) AS gram
+      |  FROM toks
+      |  UNION ALL
+      |  SELECT doc_id, 5 AS n,
+      |    unnest(CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+      |      ELSE list_transform(range(1, len(t) - 3),
+      |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]) END) AS gram
+      |  FROM toks
+      |), occ AS (
+      |  SELECT doc_id, n, gram, COUNT(*) AS c FROM grams GROUP BY doc_id, n, gram
+      |), per_doc AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN n = 2 THEN c END) AS BIGINT) AS total_2grams,
+      |    CAST(COUNT(CASE WHEN n = 2 THEN 1 END) AS BIGINT) AS distinct_2grams,
+      |    CAST(MAX(CASE WHEN n = 2 THEN c END) AS BIGINT) AS top_2gram_count,
+      |    CAST(SUM(CASE WHEN n = 5 THEN c END) AS BIGINT) AS total_5grams,
+      |    CAST(COALESCE(SUM(CASE WHEN n = 5 AND c > 1 THEN c END), 0) AS BIGINT) AS dup_5gram_tokens
+      |  FROM occ GROUP BY doc_id
+      |)
+      |SELECT doc_id, total_2grams, distinct_2grams, top_2gram_count,
+      |  CAST(top_2gram_count AS DOUBLE) / CAST(total_2grams AS DOUBLE) AS top_2gram_frac,
+      |  total_5grams, dup_5gram_tokens,
+      |  CAST(dup_5gram_tokens AS DOUBLE) / CAST(total_5grams AS DOUBLE) AS dup_5gram_frac,
+      |  (CAST(top_2gram_count AS DOUBLE) / CAST(total_2grams AS DOUBLE)) <= 0.20
+      |    AND (CAST(dup_5gram_tokens AS DOUBLE) / CAST(total_5grams AS DOUBLE)) <= 0.30 AS keep
+      |FROM per_doc
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2106,5 +2151,6 @@ object Queries {
     "q61_embedding_outliers" -> ((q61EmbeddingOutliers _, Some(q61Sql))),
     "q62_weighted_mix" -> ((q62WeightedMix _, Some(q62Sql))),
     "q63_salted_agg" -> ((q63SaltedAgg _, Some(q63Sql))),
-    "q64_approx_quantiles" -> ((q64ApproxQuantiles _, Some(q64Sql))))
+    "q64_approx_quantiles" -> ((q64ApproxQuantiles _, Some(q64Sql))),
+    "q65_repetition" -> ((q65Repetition _, Some(q65Sql))))
 }
