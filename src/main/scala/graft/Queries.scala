@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.WeatherFunctions
 import graft.functions.{TextFeatures, TextFunctions}
-import graft.operators.{AsOfJoin, Decontam, Dedup, Graph, Multimodal, Quantize, RangeJoin, Repetition, Retrieval, Sampling, Similarity, Skew, TextChunker, TextDedup}
+import graft.operators.{AsOfJoin, Bloom, Decontam, Dedup, Graph, Multimodal, Quantize, RangeJoin, Repetition, Resample, Retrieval, Sampling, Similarity, Skew, TextChunker, TextDedup}
 
 /** The oracle-checked query surface: every operator from SURVEY.md §2
   * exposed as a named query over the driver's parquet tables, with
@@ -2082,6 +2082,254 @@ object Queries {
       |FROM per_doc
       |ORDER BY doc_id""".stripMargin
 
+  /** Time-series resample + forward-fill ([[Resample.gridFill]]): hourly
+    * grid per event type, gaps carry the last observed hour's value —
+    * the regularization step before any windowed feature extraction.
+    * Fully oracle-checked: the grid is integer arithmetic, cell sums are
+    * exact cents, and the ffill is `last(ignoreNulls)` on both engines.
+    */
+  def q66Resample(s: SparkSession, dir: String): DataFrame = {
+    val stepNs = 3600L * 1000 * 1000 * 1000
+    val obs = events(s, dir)
+      .select(col("event_type"), Resample.cell("ts_ns", stepNs).as("cell"),
+        col("value"))
+      .groupBy(col("event_type"), col("cell"))
+      .agg(count(lit(1)).as("n_obs"), sum(cents(col("value"))).as("__vc"))
+    Resample.gridFill(obs, Seq("event_type"), "cell", Seq("n_obs", "__vc"))
+      .select(col("event_type"), col("cell"),
+        timestamp_micros(col("cell") * lit(3600L * 1000 * 1000)).as("cell_ts"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        (col("__vc").cast("double") / 100).as("val_sum"),
+        (col("__vc_ffill").cast("double") / 100).as("val_ffill"),
+        col("is_gap"))
+      .orderBy(col("event_type"), col("cell"))
+  }
+
+  val q66Sql: String =
+    """WITH obs AS (
+      |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS cell,
+      |    COUNT(*) AS n_obs,
+      |    SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS vc
+      |  FROM events GROUP BY 1, 2
+      |), span AS (
+      |  SELECT event_type, MIN(cell) AS lo, MAX(cell) AS hi FROM obs GROUP BY 1
+      |), grid AS (
+      |  SELECT event_type, unnest(range(lo, hi + 1)) AS cell FROM span
+      |)
+      |SELECT g.event_type, g.cell,
+      |  make_timestamp(g.cell * 3600000000) AS cell_ts,
+      |  CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n_obs,
+      |  CAST(o.vc AS DOUBLE) / 100 AS val_sum,
+      |  CAST(last_value(o.vc IGNORE NULLS) OVER (
+      |      PARTITION BY g.event_type ORDER BY g.cell
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100
+      |    AS val_ffill,
+      |  o.n_obs IS NULL AS is_gap
+      |FROM grid g LEFT JOIN obs o ON g.event_type = o.event_type AND g.cell = o.cell
+      |ORDER BY g.event_type, g.cell""".stripMargin
+
+  /** Bloom-filter semi-join ([[Bloom]]): build the filter from urgent
+    * orders, probe every distinct lineitem order key, and report the
+    * membership census. The md5-portable hashing means the oracle
+    * reproduces the EXACT filter — the false-positive count is
+    * deterministic replication, not a tolerance band — and the
+    * impossible-false-negatives invariant rides along as a boolean.
+    * The word table is ≤ m/32 rows regardless of build-side
+    * cardinality — broadcastable by construction; the probe side never
+    * shuffles. That is the runtime-filter story at 100 TB: a saturated
+    * filter degrades recall of the PRE-filter, never correctness.
+    */
+  def q67BloomSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val m = 1 << 20
+    val k = 4
+    val urgent = t(s, dir, "orders")
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("key"))
+    val bloom = Bloom.build(urgent, "key", m, k)
+    val probed = Bloom.probe(
+      t(s, dir, "lineitem").select(col("l_orderkey").as("key")).distinct(),
+      "key", bloom, m, k)
+    probed
+      .join(urgent.withColumnRenamed("key", "__bk"),
+        col("key") === col("__bk"), "left")
+      .withColumn("actual", col("__bk").isNotNull)
+      .agg(
+        count(lit(1)).as("n_probe"),
+        count(when(col("actual"), 1)).as("n_actual"),
+        count(when(col("maybe_member"), 1)).as("n_maybe"),
+        count(when(col("maybe_member") && !col("actual"), 1)).as("n_false_pos"),
+        (count(when(col("actual") && !col("maybe_member"), 1)) === 0)
+          .as("no_false_negatives"))
+      .withColumn("fp_rate", col("n_false_pos").cast("double")
+        / (col("n_probe") - col("n_actual")).cast("double"))
+  }
+
+  val q67Sql: String =
+    """WITH bkeys AS (
+      |  SELECT o_orderkey AS key FROM orders WHERE o_orderpriority = '1-URGENT'
+      |), bits AS (
+      |  SELECT pos // 32 AS word_idx,
+      |    bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS word
+      |  FROM (
+      |    SELECT CAST('0x' || substr(md5(i || ':' || key), 1, 15) AS BIGINT) % 1048576 AS pos
+      |    FROM bkeys, unnest([0, 1, 2, 3]) t(i))
+      |  GROUP BY 1
+      |), probe AS (
+      |  SELECT DISTINCT l_orderkey AS key FROM lineitem
+      |), ph AS (
+      |  SELECT key,
+      |    CAST('0x' || substr(md5(i || ':' || key), 1, 15) AS BIGINT) % 1048576 AS pos
+      |  FROM probe, unnest([0, 1, 2, 3]) t(i)
+      |), hits AS (
+      |  SELECT ph.key,
+      |    bool_and(COALESCE(
+      |      (b.word & (CAST(1 AS BIGINT) << CAST(ph.pos % 32 AS INTEGER))) != 0,
+      |      FALSE)) AS maybe
+      |  FROM ph LEFT JOIN bits b ON ph.pos // 32 = b.word_idx
+      |  GROUP BY ph.key
+      |), truth AS (
+      |  SELECT h.key, h.maybe, (o.key IS NOT NULL) AS actual
+      |  FROM hits h LEFT JOIN bkeys o ON h.key = o.key
+      |)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_probe,
+      |  CAST(COUNT(CASE WHEN actual THEN 1 END) AS BIGINT) AS n_actual,
+      |  CAST(COUNT(CASE WHEN maybe THEN 1 END) AS BIGINT) AS n_maybe,
+      |  CAST(COUNT(CASE WHEN maybe AND NOT actual THEN 1 END) AS BIGINT) AS n_false_pos,
+      |  COUNT(CASE WHEN actual AND NOT maybe THEN 1 END) = 0 AS no_false_negatives,
+      |  CAST(COUNT(CASE WHEN maybe AND NOT actual THEN 1 END) AS DOUBLE)
+      |    / CAST(COUNT(*) - COUNT(CASE WHEN actual THEN 1 END) AS DOUBLE) AS fp_rate
+      |FROM truth""".stripMargin
+
+  /** Exact Pearson correlation / covariance per group — q45's exact-
+    * moment pattern extended to CROSS moments: per-row integer cents
+    * products (each fits a long), decimal(38,0) accumulators (the
+    * price-squared sum is ~7e18 at sf0.1 — past both long range and
+    * a double's 2^53 exact-integer range), and the classic
+    * n·Sxy − Sx·Sy closed form evaluated exactly in 38-digit integer
+    * arithmetic before ONE correctly-rounded conversion to double.
+    *
+    * Oracle subtlety (measured, rounds 1-3): DuckDB's HUGEINT→DOUBLE
+    * cast is NOT correctly rounded (~1.4% of random >2^53 values are
+    * 1 ulp off; fuzzed 3000 values), while Spark's Decimal→double goes
+    * through BigDecimal.doubleValue which IS. The oracle therefore
+    * splits each exact integer as hi·2^36 + lo — both parts convert
+    * exactly, the one addition rounds once — making the SQL side
+    * correctly rounded too. Spark's plain decimal cast needs no split.
+    */
+  def q68Correlation(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val xq = cents(col("l_quantity"))
+    val yc = cents(col("l_extendedprice"))
+    val d = (c: Column) => c.cast(dec)
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"), xq.as("__x"), yc.as("__y"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(d(col("__x"))).as("__sx"), sum(d(col("__y"))).as("__sy"),
+        sum(d(col("__x") * col("__x"))).as("__sxx"),
+        sum(d(col("__y") * col("__y"))).as("__syy"),
+        sum(d(col("__x") * col("__y"))).as("__sxy"))
+      .withColumn("__a", d(col("n")) * col("__sxy") - col("__sx") * col("__sy"))
+      .withColumn("__b", d(col("n")) * col("__sxx") - col("__sx") * col("__sx"))
+      .withColumn("__c", d(col("n")) * col("__syy") - col("__sy") * col("__sy"))
+      .select(col("l_returnflag"), col("n"),
+        (col("__sx").cast("double") / 100 / col("n")).as("mean_qty"),
+        (col("__sy").cast("double") / 100 / col("n")).as("mean_price"),
+        // cents² scaling cancels in r; cov is rescaled to dollar² units
+        (col("__a").cast("double") / 10000 / col("n") / col("n")).as("cov_pop"),
+        (col("__a").cast("double")
+          / (sqrt(col("__b").cast("double")) * sqrt(col("__c").cast("double"))))
+          .as("corr_qty_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q68Sql: String = {
+    // correctly-rounded HUGEINT→DOUBLE: exact hi·2^36 + lo split (see q68 scaladoc)
+    def dbl(v: String): String =
+      s"(CASE WHEN $v < 0 THEN -1.0 ELSE 1.0 END * " +
+        s"(CAST(ABS($v) // 68719476736 AS DOUBLE) * 68719476736 + " +
+        s"CAST(ABS($v) % 68719476736 AS DOUBLE)))"
+    s"""WITH m AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS sx,
+      |    SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sy,
+      |    SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)
+      |      * CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS sxx,
+      |    SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+      |      * CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS syy,
+      |    SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)
+      |      * CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sxy
+      |  FROM lineitem GROUP BY l_returnflag
+      |), f AS (
+      |  SELECT l_returnflag, n, sx, sy,
+      |    n * sxy - sx * sy AS a,
+      |    n * sxx - sx * sx AS b,
+      |    n * syy - sy * sy AS c
+      |  FROM m
+      |)
+      |SELECT l_returnflag, n,
+      |  ${dbl("sx")} / 100 / n AS mean_qty,
+      |  ${dbl("sy")} / 100 / n AS mean_price,
+      |  ${dbl("a")} / 10000 / n / n AS cov_pop,
+      |  ${dbl("a")} / (SQRT(${dbl("b")}) * SQRT(${dbl("c")})) AS corr_qty_price
+      |FROM f ORDER BY l_returnflag""".stripMargin
+  }
+
+  /** Sliding (hopping) event-time windows — q51's tumbling `window()`
+    * with a slide shorter than the width, so every event lands in
+    * width/slide windows. Spark's Generate expands the window set per
+    * row (narrow), then one keyed aggregate; the oracle mirrors the
+    * expansion arithmetic directly.
+    */
+  def q69SlidingWindow(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("val_sum"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("val_sum"))
+      .orderBy(col("w_start"), col("event_type"))
+
+  val q69Sql: String =
+    """SELECT make_timestamp((epoch_ns(ts) // 3600000000000 - i) * 3600000000)
+      |    AS w_start,
+      |  event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100
+      |    AS val_sum
+      |FROM events, unnest([0, 1]) t(i)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Decile bucketing (`ntile`) — the quantile-assignment window the
+    * SQL standard defines by row counts, so it is exactly portable
+    * given a total tie-break order. Output is the per-decile summary
+    * (count + exact bounds + exact sum), the shape a feature-binning
+    * pipeline materializes.
+    */
+  def q70Ntile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(s, dir, "orders")
+      // LONG to match DuckDB's BIGINT ntile (file-header determinism rule)
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy(col("o_orderpriority"), col("decile"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"),
+        moneySum(col("o_totalprice")).as("price_sum"))
+      .orderBy(col("o_orderpriority"), col("decile"))
+  }
+
+  val q70Sql: String =
+    """SELECT o_orderpriority, decile, CAST(COUNT(*) AS BIGINT) AS n,
+      |  MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+      |  CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100
+      |    AS price_sum
+      |FROM (
+      |  SELECT o_orderpriority, o_totalprice,
+      |    ntile(10) OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice, o_orderkey) AS decile
+      |  FROM orders)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2152,5 +2400,10 @@ object Queries {
     "q62_weighted_mix" -> ((q62WeightedMix _, Some(q62Sql))),
     "q63_salted_agg" -> ((q63SaltedAgg _, Some(q63Sql))),
     "q64_approx_quantiles" -> ((q64ApproxQuantiles _, Some(q64Sql))),
-    "q65_repetition" -> ((q65Repetition _, Some(q65Sql))))
+    "q65_repetition" -> ((q65Repetition _, Some(q65Sql))),
+    "q66_resample_ffill" -> ((q66Resample _, Some(q66Sql))),
+    "q67_bloom_semijoin" -> ((q67BloomSemiJoin _, Some(q67Sql))),
+    "q68_correlation" -> ((q68Correlation _, Some(q68Sql))),
+    "q69_sliding_window" -> ((q69SlidingWindow _, Some(q69Sql))),
+    "q70_ntile_deciles" -> ((q70Ntile _, Some(q70Sql))))
 }
