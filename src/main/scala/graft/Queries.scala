@@ -2330,6 +2330,137 @@ object Queries {
       |  FROM orders)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Fixed-size per-stratum sampling ([[Sampling.stratumTopK]]): exactly
+    * 20 documents per source, ranked by the portable md5-60 uniform —
+    * the "k examples from every source" sampler whose EXACT kept set and
+    * ranks the oracle reproduces (reservoir sampling can't be
+    * cross-engine-checked; this can, and is also reproducible under any
+    * partitioning). WindowGroupLimit keeps per-stratum sort state O(k).
+    */
+  def q71StratumSample(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratumTopK(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        "source", "doc_id", k = 20, seed = 7L)
+      .orderBy(col("source"), col("sample_rank"))
+
+  val q71Sql: String =
+    """SELECT doc_id, source, sample_rank FROM (
+      |  SELECT doc_id, source,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY CAST('0x' || substr(md5(7 || ':' || doc_id), 1, 15) AS BIGINT),
+      |        doc_id) AS BIGINT) AS sample_rank
+      |  FROM documents)
+      |WHERE sample_rank <= 20
+      |ORDER BY source, sample_rank""".stripMargin
+
+  /** Moving 24-hour aggregate via a RANGE window frame over hourly
+    * cells — the time-based frame (`RANGE 23 PRECEDING`) rather than
+    * q18's row-based running frame, so missing hours shrink the frame
+    * instead of silently widening it to 24 observed rows. Exact cents
+    * keep the sliding sum bit-stable under any evaluation order.
+    */
+  def q72MovingWindow(s: SparkSession, dir: String): DataFrame = {
+    val stepNs = 3600L * 1000 * 1000 * 1000
+    val obs = events(s, dir)
+      .select(col("event_type"), Resample.cell("ts_ns", stepNs).as("cell"),
+        col("value"))
+      .groupBy(col("event_type"), col("cell"))
+      .agg(count(lit(1)).as("n_obs"), sum(cents(col("value"))).as("__vc"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("cell"))
+      .rangeBetween(-23, Window.currentRow)
+    obs.select(col("event_type"), col("cell"),
+        (col("__vc").cast("double") / 100).as("val_sum"),
+        (sum(col("__vc")).over(w).cast("double") / 100).as("mov24_sum"),
+        sum(col("n_obs")).over(w).as("mov24_n"))
+      .orderBy(col("event_type"), col("cell"))
+  }
+
+  val q72Sql: String =
+    """WITH obs AS (
+      |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS cell,
+      |    COUNT(*) AS n_obs,
+      |    SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS vc
+      |  FROM events GROUP BY 1, 2
+      |)
+      |SELECT event_type, cell,
+      |  CAST(vc AS DOUBLE) / 100 AS val_sum,
+      |  CAST(SUM(vc) OVER w AS DOUBLE) / 100 AS mov24_sum,
+      |  CAST(SUM(n_obs) OVER w AS BIGINT) AS mov24_n
+      |FROM obs
+      |WINDOW w AS (PARTITION BY event_type ORDER BY cell
+      |  RANGE BETWEEN 23 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_type, cell""".stripMargin
+
+  /** Set operations INTERSECT / EXCEPT (distinct semantics) — which
+    * customers ordered urgently in both halves of the data's date range,
+    * or only in the first. Spark rewrites both to joins (semi/anti over
+    * distinct), mirroring how they'd be spelled by hand; tagged rows
+    * union into one oracle-checked output.
+    */
+  def q73SetOps(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders").where(col("o_orderpriority") === "1-URGENT")
+    val early = orders.where(year(col("o_orderdate")) <= 1997)
+      .select(col("o_custkey").as("custkey"))
+    val late = orders.where(year(col("o_orderdate")) >= 1998)
+      .select(col("o_custkey").as("custkey"))
+    early.intersect(late).withColumn("tag", lit("both"))
+      .unionAll(early.except(late).withColumn("tag", lit("early_only")))
+      .orderBy(col("custkey"), col("tag"))
+  }
+
+  val q73Sql: String =
+    """WITH early AS (
+      |  SELECT o_custkey AS custkey FROM orders
+      |  WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) <= 1997
+      |), late AS (
+      |  SELECT o_custkey AS custkey FROM orders
+      |  WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) >= 1998
+      |)
+      |SELECT custkey, 'both' AS tag FROM (SELECT custkey FROM early INTERSECT SELECT custkey FROM late)
+      |UNION ALL
+      |SELECT custkey, 'early_only' AS tag FROM (SELECT custkey FROM early EXCEPT SELECT custkey FROM late)
+      |ORDER BY custkey, tag""".stripMargin
+
+  /** Levenshtein edit distance as a near-dup verification kernel —
+    * the character-level counterpart to q27's token-level Jaccard.
+    * Each doc's 120-char prefix is compared to its successor's
+    * (`lead` window): the O(len²) DP is the reason character-level
+    * verify runs on short prefixes/candidate pairs only, never
+    * all-pairs — exactly how this kernel slots in after LSH blocking.
+    * Both engines implement the textbook unit-cost DP, so the distances
+    * are exactly portable. Pairing is per-source (`lead` inside a
+    * PARTITIONED window — a global-order window would serialize onto
+    * one task at scale, the q48 lesson from round 1).
+    */
+  def q74EditDistance(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), substring(col("text"), 1, 120).as("__p"))
+      .withColumn("__np", lead(col("__p"), 1).over(w))
+      .withColumn("__nid", lead(col("doc_id"), 1).over(w))
+      .where(col("__np").isNotNull)
+      .select(col("doc_id"), col("source"), col("__nid").as("next_doc_id"),
+        levenshtein(col("__p"), col("__np")).cast("long").as("edit_dist"),
+        (lit(1.0) - levenshtein(col("__p"), col("__np")).cast("double")
+          / greatest(length(col("__p")), length(col("__np"))).cast("double"))
+          .as("prefix_sim"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q74Sql: String =
+    """WITH p AS (
+      |  SELECT doc_id, source, substr(text, 1, 120) AS pre,
+      |    lead(substr(text, 1, 120)) OVER (PARTITION BY source ORDER BY doc_id) AS npre,
+      |    lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS nid
+      |  FROM documents
+      |)
+      |SELECT doc_id, source, nid AS next_doc_id,
+      |  CAST(levenshtein(pre, npre) AS BIGINT) AS edit_dist,
+      |  1.0 - CAST(levenshtein(pre, npre) AS DOUBLE)
+      |    / CAST(GREATEST(len(pre), len(npre)) AS DOUBLE) AS prefix_sim
+      |FROM p WHERE npre IS NOT NULL
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2405,5 +2536,9 @@ object Queries {
     "q67_bloom_semijoin" -> ((q67BloomSemiJoin _, Some(q67Sql))),
     "q68_correlation" -> ((q68Correlation _, Some(q68Sql))),
     "q69_sliding_window" -> ((q69SlidingWindow _, Some(q69Sql))),
-    "q70_ntile_deciles" -> ((q70Ntile _, Some(q70Sql))))
+    "q70_ntile_deciles" -> ((q70Ntile _, Some(q70Sql))),
+    "q71_stratum_sample" -> ((q71StratumSample _, Some(q71Sql))),
+    "q72_moving_window" -> ((q72MovingWindow _, Some(q72Sql))),
+    "q73_set_ops" -> ((q73SetOps _, Some(q73Sql))),
+    "q74_edit_distance" -> ((q74EditDistance _, Some(q74Sql))))
 }

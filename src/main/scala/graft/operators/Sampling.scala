@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic dataset splitting and sampling for training pipelines.
@@ -90,5 +91,27 @@ object Sampling {
       when(col(strataCol) === stratum, b < basisPoints(pct)).otherwise(acc)
     }
     df.filter(keep)
+  }
+
+  /** Deterministic FIXED-SIZE sample per stratum — the distributed
+    * answer to "give me exactly k examples from every source/language":
+    * rank rows inside each stratum by the portable md5-60 uniform of
+    * (seed, id) with the id as tie-break, keep ranks ≤ k. Unlike a
+    * reservoir it is reproducible under any partitioning (the rank is a
+    * pure function of the data), composable (same seed → same sample on
+    * re-runs and across engines), and one shuffle on the stratum key.
+    * Spark's WindowGroupLimit pushes the rank≤k filter into the sort,
+    * so per-stratum state is O(k), not O(stratum). Strata far larger
+    * than k are the point; strata smaller than k pass through whole.
+    *
+    * Output keeps every input column plus `sample_rank` (1-based).
+    */
+  def stratumTopK(df: DataFrame, strataCol: String, idCol: String,
+      k: Int, seed: Long = 42L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val u = TextDedup.md5Hash60(concat_ws(":", lit(seed), col(idCol)))
+    val w = Window.partitionBy(col(strataCol)).orderBy(u, col(idCol))
+    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .where(col("sample_rank") <= k)
   }
 }

@@ -139,4 +139,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!readSchema.contains("n_chars"),
       s"decontamination reads columns it never uses: $readSchema")
   }
+
+  test("q67 bloom probe broadcasts the word table; probe side never cross-joins") {
+    val p = plan("q67_bloom_semijoin")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p.take(500))
+    assert(p.contains("BroadcastHashJoin"),
+      "the <=m/32-row word table must broadcast to the probe side")
+  }
+
+  test("q71 per-stratum sample pushes rank<=k into the sort (WindowGroupLimit)") {
+    assert(plan("q71_stratum_sample").contains("WindowGroupLimit"))
+  }
+
+  test("q74 edit-distance pairing window is partitioned, not global-order") {
+    val p = plan("q74_edit_distance")
+    assert(!p.contains("SinglePartition"),
+      s"global-order window would serialize at scale: ${p.take(800)}")
+  }
 }

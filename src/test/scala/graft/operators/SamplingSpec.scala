@@ -68,4 +68,33 @@ class SamplingSpec extends SparkSpec {
     val n = Sampling.hashSample(docs, "doc_id", 20.0).count()
     assert(n > 50 && n < 150) // ~100 of 500
   }
+
+  test("stratumTopK keeps exactly k per stratum (or all when smaller)") {
+    val sizes = Sampling.stratumTopK(docs, "source", "doc_id", k = 20)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    full.foreach { case (src, n) => assert(sizes(src) === math.min(n, 20L)) }
+  }
+
+  test("stratumTopK is partition-independent and ranks are 1..k") {
+    val a = Sampling.stratumTopK(docs, "source", "doc_id", 5, seed = 9L)
+      .select("source", "sample_rank", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val b = Sampling.stratumTopK(docs.repartition(17), "source", "doc_id", 5, seed = 9L)
+      .select("source", "sample_rank", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(a === b)
+    a.keys.groupBy(_._1).foreach { case (_, ks) =>
+      assert(ks.map(_._2).toSeq.sorted === (1L to 5L)) }
+  }
+
+  test("stratumTopK different seeds draw different samples") {
+    val a = Sampling.stratumTopK(docs, "source", "doc_id", 20, seed = 1L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.stratumTopK(docs, "source", "doc_id", 20, seed = 2L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a !== b)
+  }
 }
