@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.WeatherFunctions
 import graft.functions.{TextFeatures, TextFunctions}
-import graft.operators.{AsOfJoin, Bloom, Decontam, Dedup, Graph, Multimodal, Quantize, RangeJoin, Repetition, Resample, Retrieval, Sampling, Similarity, Skew, TextChunker, TextDedup}
+import graft.operators.{AsOfJoin, Bloom, Decontam, Dedup, Funnel, Graph, Incremental, Multimodal, Quantize, RangeJoin, Repetition, Resample, Retrieval, Sampling, Similarity, Skew, TextChunker, TextDedup}
 
 /** The oracle-checked query surface: every operator from SURVEY.md §2
   * exposed as a named query over the driver's parquet tables, with
@@ -2461,6 +2461,83 @@ object Queries {
       |FROM p WHERE npre IS NOT NULL
       |ORDER BY doc_id""".stripMargin
 
+  /** Incremental aggregate maintenance ([[Incremental.merge]]): the
+    * per-priority order aggregate is maintained from a base batch
+    * (≤ 1999) merged with a late delta batch (≥ 2000) — only partial
+    * states meet, the base is never rescanned. The oracle is the full
+    * recompute over the whole table: incremental maintenance is correct
+    * exactly when the merge is indistinguishable from it (exact cents
+    * make the equality bit-level; min/max merge losslessly).
+    */
+  def q75IncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("__pc"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+    val base = partial(orders.where(year(col("o_orderdate")) <= 1999))
+    val delta = partial(orders.where(year(col("o_orderdate")) >= 2000))
+    Incremental.merge(base, delta, Seq("o_orderpriority"), Seq(
+        "n" -> (sum(_)), "__pc" -> (sum(_)),
+        "min_price" -> (min(_)), "max_price" -> (max(_))))
+      .select(col("o_orderpriority"), col("n"),
+        (col("__pc").cast("double") / 100).as("price_sum"),
+        col("min_price"), col("max_price"),
+        (col("__pc").cast("double") / 100 / col("n")).as("avg_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q75Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100
+      |    AS price_sum,
+      |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+      |  CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100
+      |    / COUNT(*) AS avg_price
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Ordered funnel ([[Funnel.firstCompletion]]): per user, the greedy
+    * earliest view → click → purchase chain with strict inter-step
+    * ordering. Anchors are µs epochs (BIGINT on both engines): DuckDB's
+    * parquet reader truncates the ns file to µs TIMESTAMP, so the chain
+    * must be built at µs precision on BOTH sides or strict inter-step
+    * comparisons could disagree on ns-adjacent events; the oracle
+    * rebuilds the chain with correlated min-joins.
+    */
+  def q76Funnel(s: SparkSession, dir: String): DataFrame =
+    Funnel.firstCompletion(
+      events(s, dir).withColumn("ts_us", expr("ts_ns div 1000")),
+      "user_id", "ts_us", Seq(
+        col("event_type") === "view",
+        col("event_type") === "click",
+        col("event_type") === "purchase"))
+      .orderBy(col("user_id"))
+
+  val q76Sql: String =
+    """WITH v AS (
+      |  SELECT user_id, MIN(epoch_us(ts)) AS step_1_ts FROM events
+      |  WHERE event_type = 'view' GROUP BY 1
+      |), c AS (
+      |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS step_2_ts
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.step_1_ts
+      |  GROUP BY 1
+      |), p AS (
+      |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS step_3_ts
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.step_2_ts
+      |  GROUP BY 1
+      |)
+      |SELECT v.user_id, v.step_1_ts, c.step_2_ts, p.step_3_ts,
+      |  CAST(CASE WHEN c.step_2_ts IS NULL THEN 1
+      |    WHEN p.step_3_ts IS NULL THEN 2 ELSE 3 END AS BIGINT)
+      |    AS steps_completed,
+      |  p.step_3_ts IS NOT NULL AS completed
+      |FROM v LEFT JOIN c ON v.user_id = c.user_id
+      |  LEFT JOIN p ON v.user_id = p.user_id
+      |ORDER BY v.user_id""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2540,5 +2617,7 @@ object Queries {
     "q71_stratum_sample" -> ((q71StratumSample _, Some(q71Sql))),
     "q72_moving_window" -> ((q72MovingWindow _, Some(q72Sql))),
     "q73_set_ops" -> ((q73SetOps _, Some(q73Sql))),
-    "q74_edit_distance" -> ((q74EditDistance _, Some(q74Sql))))
+    "q74_edit_distance" -> ((q74EditDistance _, Some(q74Sql))),
+    "q75_incremental_agg" -> ((q75IncrementalAgg _, Some(q75Sql))),
+    "q76_funnel" -> ((q76Funnel _, Some(q76Sql))))
 }
