@@ -2423,7 +2423,7 @@ object Queries {
 
   /** Levenshtein edit distance as a near-dup verification kernel —
     * the character-level counterpart to q27's token-level Jaccard.
-    * Each doc's 120-char prefix is compared to its successor's
+    * Each doc's 80-char prefix is compared to its successor's
     * (`lead` window): the O(len²) DP is the reason character-level
     * verify runs on short prefixes/candidate pairs only, never
     * all-pairs — exactly how this kernel slots in after LSH blocking.
@@ -2435,7 +2435,7 @@ object Queries {
   def q74EditDistance(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
     t(s, dir, "documents")
-      .select(col("doc_id"), col("source"), substring(col("text"), 1, 120).as("__p"))
+      .select(col("doc_id"), col("source"), substring(col("text"), 1, 80).as("__p"))
       .withColumn("__np", lead(col("__p"), 1).over(w))
       .withColumn("__nid", lead(col("doc_id"), 1).over(w))
       .where(col("__np").isNotNull)
@@ -2449,8 +2449,8 @@ object Queries {
 
   val q74Sql: String =
     """WITH p AS (
-      |  SELECT doc_id, source, substr(text, 1, 120) AS pre,
-      |    lead(substr(text, 1, 120)) OVER (PARTITION BY source ORDER BY doc_id) AS npre,
+      |  SELECT doc_id, source, substr(text, 1, 80) AS pre,
+      |    lead(substr(text, 1, 80)) OVER (PARTITION BY source ORDER BY doc_id) AS npre,
       |    lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS nid
       |  FROM documents
       |)
