@@ -88,7 +88,22 @@ object DumpPlans {
         + "to fixed-width 60-bit keys in the post-explode projection "
         + "(codegen, shingle text never shuffles); the eval side "
         + "broadcasts so the corpus streams map-side; per-doc distinct "
-        + "counts aggregate with partials."))
+        + "counts aggregate with partials."),
+    "q67_bloom_semijoin" ->
+      ("Runtime-filter pattern: the bloom word table (≤ m/32 rows by "
+        + "construction, independent of build-side cardinality) builds "
+        + "with one bit_or groupBy and broadcasts to all k probe joins "
+        + "through a single reused exchange (ReusedExchange ×3); the "
+        + "probe side never shuffles for membership."),
+    "q71_stratum_sample" ->
+      ("Fixed-k per-stratum sampling: the rank≤k predicate pushes into "
+        + "the per-stratum sort as WindowGroupLimit, so sort state is "
+        + "O(k) per stratum — a stratum of a billion rows keeps 20."),
+    "q66_resample_ffill" ->
+      ("Grid densification: per-key spans reuse the bucketing "
+        + "aggregate's exchange; sequence+explode generates the dense "
+        + "grid distributed (Generate, no driver round-trip); the ffill "
+        + "window shuffles once on the key."))
 
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
