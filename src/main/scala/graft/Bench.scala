@@ -27,6 +27,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // NOTE (measured, do not "optimize"): AQE's
+      // coalescePartitions.parallelismFirst default (true) is correct
+      // here — size-based coalescing (false) packed the CPU-heavy
+      // window/percentile queries into 1-2 post-shuffle partitions at
+      // bench SFs (rows are small, work per row is not) and q18/q38
+      // regressed ~2-3×. Advisory-size coalescing only helps when
+      // bytes, not compute, dominate.
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM/codegen/parquet-footer paths AND the noop datasource

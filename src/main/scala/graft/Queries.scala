@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.WeatherFunctions
 import graft.functions.{TextFeatures, TextFunctions}
-import graft.operators.{AsOfJoin, Bloom, Decontam, Dedup, Funnel, Graph, Incremental, Multimodal, Quantize, RangeJoin, Repetition, Resample, Retrieval, Sampling, Similarity, Skew, TextChunker, TextDedup}
+import graft.operators.{AsOfJoin, Bloom, Decontam, Dedup, Funnel, Graph, Incremental, Multimodal, Percentiles, Quantize, RangeJoin, Repetition, Resample, Retrieval, Sampling, Similarity, Skew, TextChunker, TextDedup}
 
 /** The oracle-checked query surface: every operator from SURVEY.md §2
   * exposed as a named query over the driver's parquet tables, with
@@ -1058,15 +1058,13 @@ object Queries {
     * verified bit-identical).
     */
   def q38Percentiles(s: SparkSession, dir: String): DataFrame =
-    // One array-probability buffer: `Percentile` shares a single value
-    // multiset across the array, vs one full multiset per scalar call.
-    t(s, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
-      .agg(percentile(col("l_extendedprice"), array(lit(0.5), lit(0.95)))
-        .as("__p"))
-      .select(col("l_returnflag"),
-        element_at(col("__p"), 1).as("p50"),
-        element_at(col("__p"), 2).as("p95"))
+    // Sort-based exact percentiles ([[Percentiles.exact]]): same values
+    // as the `percentile` aggregate, without its per-group value-multiset
+    // buffer (rounds 1-3 used the buffer; it is the piece that cannot
+    // exist at 100 TB group sizes, and the sort path also measures ~2×
+    // faster at sf0.1).
+    Percentiles.exact(t(s, dir, "lineitem"), Seq("l_returnflag"),
+        "l_extendedprice", Seq(0.5 -> "50", 0.95 -> "95"))
       .orderBy(col("l_returnflag"))
 
   val q38Sql: String =
@@ -2003,29 +2001,31 @@ object Queries {
     * double the bound, so the check never flakes on boundary
     * interpolation); DuckDB mirrors the exact values and literal TRUE.
     *
-    * Perf: ONE exact-percentile buffer (array of all 9 probes — Spark's
-    * `Percentile` shares a single value multiset across an array of
-    * percentages) and ONE approx sketch, instead of 12 independent
-    * aggregates each collecting the column (12 buffers measured 10.9 s
-    * at sf0.1; 2 buffers ≈ 2 s). Same interpolation, same values.
+    * Perf history: 12 independent `percentile` aggregates measured
+    * 10.9 s at sf0.1; one shared array-probability buffer ≈ 2 s; the
+    * current sort-based exact side ([[Percentiles.exact]]) drops the
+    * value-multiset buffer entirely. Same interpolation, same values.
     */
   def q64ApproxQuantiles(s: SparkSession, dir: String): DataFrame = {
     val x = col("l_extendedprice")
     val ps = Seq(0.25 -> "25", 0.5 -> "50", 0.95 -> "95")
-    val probes = ps.flatMap { case (p, _) =>
-      Seq(math.max(0.0, p - 0.02), p, math.min(1.0, p + 0.02)) }
-    val outCols = ps.zipWithIndex.flatMap { case ((_, name), i) =>
-      val lo = element_at(col("__ex"), i * 3 + 1)
-      val ex = element_at(col("__ex"), i * 3 + 2)
-      val hi = element_at(col("__ex"), i * 3 + 3)
-      val ap = element_at(col("__ap"), i + 1)
-      Seq(ex.as(s"exact_$name"), (ap >= lo && ap <= hi).as(s"ok_$name"))
-    }
-    t(s, dir, "lineitem")
+    val probes = ps.flatMap { case (p, name) => Seq(
+      math.max(0.0, p - 0.02) -> s"lo_$name", p -> s"ex_$name",
+      math.min(1.0, p + 0.02) -> s"hi_$name") }
+    // exact side: sort-based ([[Percentiles.exact]], see q38) — the
+    // envelope bounds need exact quantiles but not the multiset buffer
+    val exact = Percentiles.exact(t(s, dir, "lineitem"),
+      Seq("l_returnflag"), "l_extendedprice", probes)
+    val approx = t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(percentile(x, array(probes.map(lit): _*)).as("__ex"),
-        percentile_approx(x, array(ps.map(p => lit(p._1)): _*), lit(100))
-          .as("__ap"))
+      .agg(percentile_approx(x, array(ps.map(p => lit(p._1)): _*), lit(100))
+        .as("__ap"))
+    val outCols = ps.zipWithIndex.flatMap { case ((_, name), i) =>
+      val ap = element_at(col("__ap"), i + 1)
+      Seq(col(s"pex_$name").as(s"exact_$name"),
+        (ap >= col(s"plo_$name") && ap <= col(s"phi_$name")).as(s"ok_$name"))
+    }
+    exact.join(approx, "l_returnflag")
       .select(col("l_returnflag") +: outCols: _*)
       .orderBy(col("l_returnflag"))
   }
@@ -2538,6 +2538,62 @@ object Queries {
       |  LEFT JOIN p ON v.user_id = p.user_id
       |ORDER BY v.user_id""".stripMargin
 
+  /** Winnowing passage-overlap detection ([[TextDedup.winnowFingerprints]],
+    * MOSS / Schleimer et al. SIGMOD 2003): k-gram hashes → per-doc
+    * sliding-window minima → distinct fingerprints → pairs sharing ≥ 5
+    * after dropping corpus-common fingerprints. The substring-overlap
+    * dedup class MinHash (whole-doc resemblance) and SimHash (token
+    * multiset) cannot express — it localizes copied passages. Portable
+    * md5-60 hashing makes the ENTIRE fingerprint selection
+    * deterministic, so the oracle re-derives every pair and containment
+    * fraction independently.
+    */
+  def q77Winnow(s: SparkSession, dir: String): DataFrame =
+    TextDedup.winnowPairs(
+        TextDedup.winnowFingerprints(t(s, dir, "documents"),
+          "doc_id", "text", k = 5, w = 8),
+        "doc_id", minShared = 5, maxDocFreq = 10)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val q77Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      |  FROM documents
+      |), g AS (
+      |  SELECT doc_id, u.pos AS pos, u.gram AS gram FROM (
+      |    SELECT doc_id, unnest(
+      |      CASE WHEN len(t) < 5 THEN [{'pos': 1, 'gram': array_to_string(t, ' ')}]
+      |        ELSE list_transform(range(1, len(t) - 3), i -> {'pos': i,
+      |          'gram': t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]})
+      |      END) AS u
+      |    FROM toks)
+      |), h AS (
+      |  SELECT doc_id, pos,
+      |    CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) AS hv
+      |  FROM g
+      |), wm AS (
+      |  SELECT doc_id, MIN(hv) OVER (PARTITION BY doc_id ORDER BY pos
+      |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp
+      |  FROM h
+      |), fps AS (
+      |  SELECT DISTINCT doc_id, fp FROM wm
+      |), rare AS (
+      |  SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 10
+      |), kept AS (
+      |  SELECT f.doc_id, f.fp FROM fps f JOIN rare USING (fp)
+      |), sizes AS (
+      |  SELECT doc_id, COUNT(*) AS n FROM fps GROUP BY 1
+      |), pairs AS (
+      |  SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS shared
+      |  FROM kept l JOIN kept r ON l.fp = r.fp AND l.doc_id < r.doc_id
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 5
+      |)
+      |SELECT id_a, id_b, CAST(shared AS BIGINT) AS shared,
+      |  CAST(shared AS DOUBLE) / CAST(LEAST(sa.n, sb.n) AS DOUBLE) AS containment
+      |FROM pairs JOIN sizes sa ON sa.doc_id = id_a
+      |  JOIN sizes sb ON sb.doc_id = id_b
+      |ORDER BY id_a, id_b""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2619,5 +2675,6 @@ object Queries {
     "q73_set_ops" -> ((q73SetOps _, Some(q73Sql))),
     "q74_edit_distance" -> ((q74EditDistance _, Some(q74Sql))),
     "q75_incremental_agg" -> ((q75IncrementalAgg _, Some(q75Sql))),
-    "q76_funnel" -> ((q76Funnel _, Some(q76Sql))))
+    "q76_funnel" -> ((q76Funnel _, Some(q76Sql))),
+    "q77_winnow_overlap" -> ((q77Winnow _, Some(q77Sql))))
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -315,5 +316,83 @@ object TextDedup {
         hammingDist(col("l.__sim"), col("r.__sim")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
+  }
+
+  // --- Winnowing (MOSS-style) fingerprints -----------------------------
+
+  /** Winnowed fingerprint set per document (Schleimer/Wilkerson/Aiken,
+    * SIGMOD 2003 — the MOSS algorithm): hash every k-token shingle,
+    * slide a w-position window over the hash sequence, keep each
+    * window's minimum. DISTINCT window-minima form the fingerprint set.
+    *
+    * The winnowing guarantee — any shared token run of length
+    * ≥ w + k − 1 produces at least one SHARED fingerprint — makes this
+    * the substring-overlap detector the set-based families (MinHash:
+    * whole-doc resemblance; SimHash: token multiset) cannot express:
+    * it localizes copied PASSAGES, the "quoted paragraph" class of
+    * near-duplication in a training corpus.
+    *
+    * Shapes: shingles posexplode to (doc, pos, hash) rows — narrow;
+    * the window min is per-doc ordered by pos (one shuffle on the doc
+    * key, O(w) running state); DISTINCT collapses to ~2·len/w
+    * fingerprints per doc. Density is tunable by w; the selection is a
+    * pure function of the text, so the set is partition-independent
+    * and cross-engine reproducible given a portable `hash`.
+    *
+    * `hash` defaults to [[md5Hash60]] (oracle-portable); swap in
+    * `xxhash64 _` for production at a fraction of the hash cost.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 8,
+      hash: Column => Column = md5Hash60): DataFrame = {
+    require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
+    val grams = df.select(col(idCol),
+      posexplode(TextFunctions.shinglesFromTokens(
+        TextFunctions.tokens(col(textCol)), k)).as(Seq("__pos", "__gram")))
+    val win = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .select(col(idCol), min(hash(col("__gram"))).over(win).as("fp"))
+      .distinct()
+  }
+
+  /** Candidate passage-overlap pairs: documents sharing ≥ `minShared`
+    * winnowed fingerprints, with the containment fraction relative to
+    * the smaller set. `maxDocFreq` drops fingerprints present in more
+    * than that many documents before the join — boilerplate/stop-gram
+    * removal, and the guard that keeps the self-join from going
+    * quadratic on corpus-wide phrases at scale.
+    */
+  def winnowPairs(fpsIn: DataFrame, idCol: String,
+      minShared: Int, maxDocFreq: Int): DataFrame = {
+    require(minShared >= 1 && maxDocFreq >= 2,
+      s"need minShared >= 1 and maxDocFreq >= 2, got $minShared/$maxDocFreq")
+    // The fingerprint table feeds three consumers (doc-frequency filter,
+    // join sides, per-doc sizes), but the exchange under its distinct()
+    // is reused across all of them (ReuseExchange), so the explode+window
+    // pipeline runs once — an eager localCheckpoint here was MEASURED
+    // slower (7.4 s vs 3.2 s at sf0.1): it pays materialization and cuts
+    // the reuse. At corpus scale, persist the fingerprint table to
+    // storage instead and feed this from the saved artifact.
+    val fps = fpsIn
+    val rare = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("__df"))
+      .where(col("__df") <= maxDocFreq)
+      .select(col("fp"))
+    val kept = fps.join(rare, "fp")
+    val sizes = fps.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+    kept.as("l").join(kept.as("r"),
+        col("l.fp") === col("r.fp")
+          && col(s"l.$idCol") < col(s"r.$idCol"))
+      .groupBy(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+      .join(sizes.withColumnRenamed(idCol, "id_a")
+        .withColumnRenamed("__n", "__na"), "id_a")
+      .join(sizes.withColumnRenamed(idCol, "id_b")
+        .withColumnRenamed("__n", "__nb"), "id_b")
+      .select(col("id_a"), col("id_b"), col("shared"),
+        (col("shared").cast("double")
+          / least(col("__na"), col("__nb")).cast("double")).as("containment"))
   }
 }

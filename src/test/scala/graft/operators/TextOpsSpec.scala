@@ -103,6 +103,48 @@ class TextOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("winnowing guarantee: a shared run of >= w+k-1 tokens yields a shared fp") {
+    // k=3, w=4: guarantee threshold is 6 shared tokens; the planted run
+    // "alpha beta gamma delta epsilon zeta" is exactly 6 long
+    val run = "alpha beta gamma delta epsilon zeta"
+    val df = Seq(
+      (1L, s"one two three $run four five six"),
+      (2L, s"seven eight $run nine ten eleven twelve"),
+      (3L, "totally unrelated words with nothing in common at all here")
+    ).toDF("doc_id", "text")
+    val fps = TextDedup.winnowFingerprints(df, "doc_id", "text", k = 3, w = 4)
+    val byDoc = fps.collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty, "guarantee violated")
+    assert((byDoc(1L) & byDoc(3L)).isEmpty && (byDoc(2L) & byDoc(3L)).isEmpty)
+  }
+
+  test("winnowing is partition-independent and identical docs share all fps") {
+    val df = Seq(
+      (1L, "a b c d e f g h i j k l m n o p"),
+      (2L, "a b c d e f g h i j k l m n o p")).toDF("doc_id", "text")
+    val a = TextDedup.winnowFingerprints(df, "doc_id", "text")
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(a(1L) === a(2L))
+    val b = TextDedup.winnowFingerprints(df.repartition(7), "doc_id", "text")
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(b === a)
+  }
+
+  test("winnowPairs reports full containment for an identical pair and " +
+      "drops corpus-common fingerprints") {
+    val common = "the the the the the the the the the the"
+    val df = Seq(
+      (1L, "x1 y1 z1 w1 v1 u1 t1 s1 r1 q1"),
+      (2L, "x1 y1 z1 w1 v1 u1 t1 s1 r1 q1"),
+      (3L, common), (4L, common), (5L, common)).toDF("doc_id", "text")
+    val fps = TextDedup.winnowFingerprints(df, "doc_id", "text", k = 3, w = 2)
+    // maxDocFreq=2: the 3-way common fp is dropped, the identical pair kept
+    val pairs = TextDedup.winnowPairs(fps, "doc_id", minShared = 1, maxDocFreq = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(pairs.toSeq === Seq((1L, 2L, 1.0)))
+  }
+
   test("langId picks the language with most marker hits, deterministic ties") {
     val got = Seq(
       "the cat and the dog is in that house",
