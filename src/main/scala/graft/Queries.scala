@@ -2594,6 +2594,152 @@ object Queries {
       |  JOIN sizes sb ON sb.doc_id = id_b
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Per-document keyword extraction ([[Retrieval.tfidfKeywords]]):
+    * top-3 tokens by rational tf-idf `tf·(N−df+1)/df` — the corpus
+    * labeling / cluster-naming primitive next to q56's retrieval.
+    * Log-free scoring (q56's rationalIdf argument) keeps every score
+    * one correctly-rounded double division over exact integers, so the
+    * oracle recomputes the full ranking independently. Per-doc ranking
+    * is order-identical to log tf-idf (strictly monotone per doc).
+    */
+  def q78Keywords(s: SparkSession, dir: String): DataFrame =
+    Retrieval.tfidfKeywords(t(s, dir, "documents"), "doc_id", "text", k = 3)
+      .orderBy(col("doc_id"), col("rank"))
+
+  val q78Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, tok AS token, COUNT(*) AS tf FROM (
+      |    SELECT doc_id, unnest(t) AS tok FROM toks) u
+      |  GROUP BY 1, 2
+      |), df AS (
+      |  SELECT token, COUNT(*) AS df FROM tf GROUP BY 1
+      |), n AS (
+      |  SELECT COUNT(*) AS n FROM toks
+      |), scored AS (
+      |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+      |    CAST(tf.tf * (n.n - df.df + 1) AS DOUBLE) / CAST(df.df AS DOUBLE)
+      |      AS score
+      |  FROM tf JOIN df USING (token) CROSS JOIN n
+      |), ranked AS (
+      |  SELECT doc_id, token, tf, df, score,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, token)
+      |      AS rank
+      |  FROM scored
+      |)
+      |SELECT doc_id, rank, token, tf, df, score FROM ranked
+      |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
+  /** Z-order layout clustering ([[Layout.zClusterStats]]): customers
+    * keyed by (nation, account-balance band) are Morton-interleaved and
+    * cut into 16 equal z-ranges ("files"); the report shows each
+    * range's span on BOTH dimensions — the file-skipping evidence a
+    * z-clustered 100 TB table stands on. Pure integer bit algebra; the
+    * oracle evaluates the SAME unrolled shift/mask expression
+    * ([[Layout.zValueSql]]). The balance band `floor((bal+1000)/64)`
+    * divides by a power of two — exact in IEEE doubles.
+    */
+  def q79ZOrder(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(
+      col("c_nationkey").cast("long").as("nat"),
+      least(greatest(floor((col("c_acctbal") + 1000) / 64).cast("long"),
+        lit(0L)), lit(255L)).as("bal"))
+    graft.operators.Layout.zClusterStats(c, "nat", "bal",
+      bits = 8, logBuckets = 4)
+  }
+
+  val q79Sql: String = {
+    val z = graft.operators.Layout.zValueSql("nat", "bal", 8)
+    s"""WITH c AS (
+       |  SELECT CAST(c_nationkey AS BIGINT) AS nat,
+       |    LEAST(GREATEST(CAST(FLOOR((c_acctbal + 1000) / 64) AS BIGINT), 0),
+       |      255) AS bal
+       |  FROM customer
+       |), z AS (
+       |  SELECT nat, bal, ($z) AS zv FROM c
+       |)
+       |SELECT (zv >> 12) AS bucket, COUNT(*) AS n,
+       |  MIN(zv) AS z_min, MAX(zv) AS z_max,
+       |  MIN(nat) AS a_min, MAX(nat) AS a_max,
+       |  MIN(bal) AS b_min, MAX(bal) AS b_max
+       |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** Key-skew diagnostic ([[Skew.skewReport]]): the 20 heaviest event
+    * users with exact ppm share and ×1000 skew factor vs the mean key —
+    * the report you read before choosing q63's salt bucket count. All
+    * integer division; bit-portable by construction.
+    */
+  def q80SkewReport(s: SparkSession, dir: String): DataFrame =
+    Skew.skewReport(events(s, dir), "user_id", topK = 20)
+
+  val q80Sql: String =
+    """WITH k AS (
+      |  SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1
+      |), t AS (
+      |  SELECT CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS n_keys FROM k
+      |)
+      |SELECT user_id, n,
+      |  (n * 1000000) // total AS share_ppm,
+      |  (n * n_keys * 1000) // total AS skew_x1000
+      |FROM k CROSS JOIN t
+      |ORDER BY n DESC, user_id LIMIT 20""".stripMargin
+
+  /** Robust outlier screen ([[Robust.madSummary]]): per-event-type
+    * median/MAD fences at 3×MAD — the 50%-breakdown complement to
+    * q61's mean/stddev z-scores (outliers cannot move the fence that
+    * hunts them). Exact sort-based medians (q38's interpolation, which
+    * DuckDB's quantile_cont matches bit-for-bit), IEEE subtract/abs/
+    * multiply only — no libm — so the oracle reproduces every verdict.
+    */
+  def q81MadOutliers(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Robust.madSummary(events(s, dir), "event_type",
+      "value", k = 3.0)
+
+  val q81Sql: String =
+    """WITH med AS (
+      |  SELECT event_type, quantile_cont(value, 0.5) AS median
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1
+      |), dev AS (
+      |  SELECT e.event_type, ABS(e.value - m.median) AS dev, m.median
+      |  FROM events e JOIN med m USING (event_type)
+      |  WHERE e.value IS NOT NULL
+      |), mad AS (
+      |  SELECT event_type, quantile_cont(dev, 0.5) AS mad
+      |  FROM dev GROUP BY 1
+      |)
+      |SELECT d.event_type, COUNT(*) AS n,
+      |  MIN(d.median) AS median, MIN(m.mad) AS mad,
+      |  COUNT(CASE WHEN d.dev > 3.0 * m.mad THEN 1 END) AS n_outliers,
+      |  MAX(d.dev) AS worst_dev
+      |FROM dev d JOIN mad m USING (event_type)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Cohort retention ([[Cohort.retention]]): users grouped by
+    * first-activity date, retained-user counts at day offsets 1 and 7.
+    * min-date cohorts + DISTINCT (user, day) + exact datediff — pure
+    * integer/date semantics, nothing engine-divergent.
+    */
+  def q82Cohort(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Cohort.retention(events(s, dir), "user_id", "ts",
+      Seq(1, 7))
+
+  val q82Sql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day FROM events
+      |), firsts AS (
+      |  SELECT u, MIN(day) AS cohort_day FROM days GROUP BY 1
+      |)
+      |SELECT f.cohort_day, COUNT(DISTINCT d.u) AS cohort_size,
+      |  COUNT(DISTINCT CASE WHEN date_diff('day', f.cohort_day, d.day) = 1
+      |    THEN d.u END) AS d1,
+      |  COUNT(DISTINCT CASE WHEN date_diff('day', f.cohort_day, d.day) = 7
+      |    THEN d.u END) AS d7
+      |FROM days d JOIN firsts f USING (u)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2676,5 +2822,10 @@ object Queries {
     "q74_edit_distance" -> ((q74EditDistance _, Some(q74Sql))),
     "q75_incremental_agg" -> ((q75IncrementalAgg _, Some(q75Sql))),
     "q76_funnel" -> ((q76Funnel _, Some(q76Sql))),
-    "q77_winnow_overlap" -> ((q77Winnow _, Some(q77Sql))))
+    "q77_winnow_overlap" -> ((q77Winnow _, Some(q77Sql))),
+    "q78_keywords" -> ((q78Keywords _, Some(q78Sql))),
+    "q79_zorder" -> ((q79ZOrder _, Some(q79Sql))),
+    "q80_skew_report" -> ((q80SkewReport _, Some(q80Sql))),
+    "q81_mad_outliers" -> ((q81MadOutliers _, Some(q81Sql))),
+    "q82_cohort" -> ((q82Cohort _, Some(q82Sql))))
 }

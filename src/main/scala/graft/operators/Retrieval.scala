@@ -92,4 +92,49 @@ object Retrieval {
         row_number().over(w).cast("long").as("rank"), col("score_micro"))
       .where(col("rank") <= k)
   }
+
+  /** Per-document keyword extraction: the `k` most distinctive tokens
+    * of each document by tf-idf — corpus labeling, topic inspection
+    * and dedup-cluster naming all start here.
+    *
+    * Scoring is the log-free rational form `tf · (N − df + 1) / df`
+    * (numerator integer-exact, ONE correctly-rounded double division),
+    * for the same reason as [[bm25TopK]]'s `rationalIdf`: `ln` is not
+    * correctly rounded, and per-document keyword RANKING only compares
+    * scores of the same document, where the rational form is strictly
+    * monotone in classic tf-idf — so rankings are identical to the log
+    * form while staying bit-reproducible on any engine. Ties break on
+    * token text.
+    *
+    * Scale shape: the same inverted-index skeleton as BM25 — one
+    * explode+groupBy builds (doc, token, tf), a narrow aggregate of it
+    * builds df, one shuffle-join keyed on token puts them together, and
+    * top-k per doc is a WindowGroupLimit (state O(k) per doc, never the
+    * full token list).
+    */
+  def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("__t"))
+    val tf = toks.select(col("doc_id"), explode(col("__t")).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .withColumnRenamed("token", "__dft")
+    val n = toks.agg(count(lit(1)).as("__n"))
+    val scored = tf
+      .join(df_, col("token") === col("__dft"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        (col("tf") * (col("__n") - col("df") + lit(1L))).cast("double") /
+          col("df").cast("double"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("token"), col("tf"),
+        col("df"), col("score"))
+  }
 }

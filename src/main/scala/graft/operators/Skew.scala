@@ -44,4 +44,31 @@ object Skew {
       .groupBy(keys.map(col): _*)
       .agg(phase2.head, phase2.tail: _*)
   }
+
+  /** Key-skew diagnostic: the `topK` heaviest keys with exact share and
+    * skew-factor numbers — what you run BEFORE deciding a join needs
+    * salting or a table needs a different partition key. All integer
+    * arithmetic (parts-per-million share, ×1000 skew factor vs the mean
+    * key load) so the report is engine-portable bit-for-bit; the skew
+    * factor is also the structurally-right salt bucket count for
+    * [[saltedAgg]] on that key.
+    *
+    * Scale shape: one hash aggregate on the key (map-side partials), a
+    * 2-row-ish global aggregate cross-joined back (broadcast), and a
+    * global top-k (TakeOrderedAndProject — never a full sort).
+    */
+  def skewReport(df: DataFrame, keyCol: String, topK: Int): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val perKey = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    val totals = perKey.agg(sum(col("n")).as("__total"),
+      count(lit(1)).as("__keys"))
+    perKey.crossJoin(broadcast(totals))
+      .select(
+        col(keyCol),
+        col("n"),
+        expr("n * 1000000L div __total").as("share_ppm"),
+        expr("n * __keys * 1000L div __total").as("skew_x1000"))
+      .orderBy(col("n").desc, col(keyCol))
+      .limit(topK)
+  }
 }

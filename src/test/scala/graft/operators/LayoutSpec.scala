@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Driver-side reference: textbook bit-interleave. */
+  private def morton(a: Long, b: Long, bits: Int): Long =
+    (0 until bits).foldLeft(0L) { (acc, i) =>
+      acc | (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+    }
+
+  test("zValue matches the reference interleave on a value grid") {
+    val pairs = for (a <- 0L to 40L by 3; b <- 0L to 250L by 17) yield (a, b)
+    val got = pairs.toDF("a", "b")
+      .select(col("a"), col("b"), Layout.zValue(col("a"), col("b"), 8).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pairs.foreach { case (a, b) =>
+      assert(got((a, b)) === morton(a, b, 8), s"mismatch at ($a,$b)")
+    }
+  }
+
+  test("zValue is monotone in each argument within fixed other-arg") {
+    // Not globally monotone (that's the point of interleaving) but for a
+    // fixed b, increasing a must never decrease z's a-bits extraction;
+    // spot-check full ordering along an axis.
+    val rows = (0L until 64L).map(a => (a, 5L)).toDF("a", "b")
+      .select(Layout.zValue(col("a"), col("b"), 8).as("z"))
+      .collect().map(_.getLong(0))
+    assert(rows.toSeq === rows.sorted.toSeq)
+  }
+
+  test("zValueSql text evaluates identically to the Column form in Spark") {
+    val df = Seq((13L, 200L), (0L, 255L), (31L, 0L)).toDF("a", "b")
+    val viaCol = df.select(Layout.zValue(col("a"), col("b"), 8).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    val viaSql = df.selectExpr(s"(${Layout.zValueSql("a", "b", 8)}) AS z")
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaCol === viaSql)
+  }
+
+  test("zClusterStats buckets partition the rows and bound the z ranges") {
+    val df = (0L until 1000L).map(i => (i % 25, (i * 7) % 256)).toDF("a", "b")
+    val stats = Layout.zClusterStats(df, "a", "b", bits = 8, logBuckets = 4)
+      .collect()
+    assert(stats.map(_.getAs[Long]("n")).sum === 1000L)
+    stats.foreach { r =>
+      val bucket = r.getAs[Long]("bucket")
+      assert(r.getAs[Long]("z_min") >> 12 === bucket)
+      assert(r.getAs[Long]("z_max") >> 12 === bucket)
+      assert(r.getAs[Long]("z_min") <= r.getAs[Long]("z_max"))
+    }
+  }
+
+  test("z-sorted layout keeps both dimension spans locally tight") {
+    // 2^16 z-space over 8-bit dims, 16 buckets: the top 4 z-bits are
+    // (b7, a7, b6, a6), so every bucket pins the top TWO bits of BOTH
+    // dimensions — each dim's span inside a bucket is at most 63. That
+    // bound is exactly the file-skipping guarantee the layout exists for.
+    val df = (0L until 4096L).map(i => (i % 256, (i * 31) % 256)).toDF("a", "b")
+    val stats = Layout.zClusterStats(df, "a", "b", bits = 8, logBuckets = 4)
+      .collect()
+    stats.foreach { r =>
+      assert(r.getAs[Long]("a_max") - r.getAs[Long]("a_min") <= 63,
+        s"bucket ${r.getAs[Long]("bucket")} a-span too wide")
+      assert(r.getAs[Long]("b_max") - r.getAs[Long]("b_min") <= 63,
+        s"bucket ${r.getAs[Long]("bucket")} b-span too wide")
+    }
+  }
+
+  test("bits/logBuckets bounds are enforced") {
+    val df = Seq((1L, 1L)).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      Layout.zValue(col("a"), col("b"), 0)
+    }
+    intercept[IllegalArgumentException] {
+      Layout.zClusterStats(df, "a", "b", bits = 8, logBuckets = 17)
+    }
+  }
+}
