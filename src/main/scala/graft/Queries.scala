@@ -2732,11 +2732,13 @@ object Queries {
       |), firsts AS (
       |  SELECT u, MIN(day) AS cohort_day FROM days GROUP BY 1
       |)
-      |SELECT f.cohort_day, COUNT(DISTINCT d.u) AS cohort_size,
-      |  COUNT(DISTINCT CASE WHEN date_diff('day', f.cohort_day, d.day) = 1
-      |    THEN d.u END) AS d1,
-      |  COUNT(DISTINCT CASE WHEN date_diff('day', f.cohort_day, d.day) = 7
-      |    THEN d.u END) AS d7
+      |SELECT f.cohort_day,
+      |  COUNT(CASE WHEN date_diff('day', f.cohort_day, d.day) = 0
+      |    THEN 1 END) AS cohort_size,
+      |  COUNT(CASE WHEN date_diff('day', f.cohort_day, d.day) = 1
+      |    THEN 1 END) AS d1,
+      |  COUNT(CASE WHEN date_diff('day', f.cohort_day, d.day) = 7
+      |    THEN 1 END) AS d7
       |FROM days d JOIN firsts f USING (u)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 

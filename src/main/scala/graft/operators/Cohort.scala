@@ -13,11 +13,14 @@ import org.apache.spark.sql.functions._
   * `datediff` day counts — nothing here can diverge across engines.
   *
   * Scale shape: one aggregate keyed by user for cohort assignment, one
-  * distinct on (user, day) — both shuffle on user, and AQE coalesces
-  * them into the SAME exchange since the keys match — then one hash
-  * aggregate keyed by cohort date. Per-offset retention is a
-  * conditional `count(DISTINCT user)` inside that single aggregate, so
-  * adding offsets adds zero passes.
+  * distinct on (user, day) — both shuffle on user — then ONE plain hash
+  * aggregate keyed by cohort date. No `count(DISTINCT ...)` anywhere:
+  * after the (user, day) distinct, a user contributes AT MOST ONE row
+  * per offset, so retention is a conditional `count`, and exactly one
+  * row at offset 0 (the first-activity day itself), so cohort size is
+  * too. Multiple distinct aggregates would otherwise compile to an
+  * Expand that multiplies the shuffle by (offsets + 1) — measured and
+  * removed; adding offsets now adds zero cost.
   */
 object Cohort {
 
@@ -37,11 +40,11 @@ object Cohort {
       .join(firsts, col("__u") === col("__fu"))
       .withColumn("__off", datediff(col("__day"), col("cohort_day")))
     val retained = offsets.map { off =>
-      count_distinct(when(col("__off") === off, col("__u")))
-        .as(s"d$off")
+      count(when(col("__off") === off, lit(1))).as(s"d$off")
     }
     joined.groupBy(col("cohort_day"))
-      .agg(count_distinct(col("__u")).as("cohort_size"), retained: _*)
+      .agg(count(when(col("__off") === 0, lit(1))).as("cohort_size"),
+        retained: _*)
       .orderBy(col("cohort_day"))
   }
 }

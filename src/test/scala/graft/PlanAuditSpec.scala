@@ -156,4 +156,43 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"),
       s"global-order window would serialize at scale: ${p.take(800)}")
   }
+
+  test("q78 keyword top-k pushes rank<=k into the sort (WindowGroupLimit)") {
+    val p = plan("q78_keywords")
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+  }
+
+  test("q79 z-order stats are one narrow map + partial aggregate, no join") {
+    val p = plan("q79_zorder")
+    assert(!p.contains("Join"), "z-value must be computed row-local")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expected partial + final HashAggregate on the bucket id")
+  }
+
+  test("q80 skew report broadcasts totals and takes a global top-k") {
+    val p = plan("q80_skew_report")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "1-row totals side must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q81 MAD medians broadcast back onto rows; no cartesian") {
+    val p = plan("q81_mad_outliers")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q82 cohort retention avoids the multi-distinct Expand") {
+    // count(DISTINCT u) per offset would compile to an Expand that
+    // multiplies the shuffle by (offsets + 1); the (user, day) distinct
+    // already guarantees one row per user per offset, so the operator
+    // must use plain conditional counts.
+    val p = plan("q82_cohort")
+    assert(!p.contains("Expand"),
+      "multi-distinct Expand reappeared — retention must use plain counts")
+    assert(p.contains("BroadcastHashJoin"),
+      "per-user cohort side should broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
