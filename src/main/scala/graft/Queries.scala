@@ -2742,6 +2742,82 @@ object Queries {
       |FROM days d JOIN firsts f USING (u)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Incremental snapshot dedup ([[TextDedup.incrementalExact]]): a
+    * synthetic "today's crawl" — re-crawled exact copies (+10000),
+    * genuinely fresh docs (+20000), and within-batch duplicates of the
+    * fresh docs (+30000) — deduped against the existing corpus through
+    * a Bloom pre-filter + exact anti-join. Survivors must be exactly
+    * the +20000 fresh set: the oracle is the PLAIN anti-join + window
+    * (Bloom must be result-invisible, q63's salting argument), so any
+    * false negative in the filter fails the gate.
+    */
+  def q83IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val batch = docs.where(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+      .unionByName(docs.where(col("doc_id") % 10 === 1)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          concat(lit("fresh "), col("text")).as("text")))
+      .unionByName(docs.where(col("doc_id") % 10 === 1)
+        .select((col("doc_id") + 30000).as("doc_id"),
+          concat(lit("fresh "), col("text")).as("text")))
+    TextDedup.incrementalExact(batch, docs, "text",
+        Seq(col("doc_id").asc), mBits = 4096, k = 4)
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q83Sql: String =
+    """WITH corpus_fp AS (
+      |  SELECT DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+      |  FROM documents
+      |), batch AS (
+      |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 20000, 'fresh ' || text FROM documents WHERE doc_id % 10 = 1
+      |  UNION ALL
+      |  SELECT doc_id + 30000, 'fresh ' || text FROM documents WHERE doc_id % 10 = 1
+      |), bfp AS (
+      |  SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+      |  FROM batch
+      |), fresh AS (
+      |  SELECT b.doc_id, b.fp FROM bfp b LEFT JOIN corpus_fp c USING (fp)
+      |  WHERE c.fp IS NULL
+      |)
+      |SELECT doc_id FROM (
+      |  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      |  FROM fresh) f
+      |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  /** Winsorized statistics ([[Robust.winsorizedStats]]): per-event-type
+    * p05/p95 clipping, exact fences (q38 interpolation), exact cents
+    * mean of the clipped values — tail-robust summaries that keep every
+    * row. Completes the robust-stats pair with q81's MAD screen.
+    */
+  def q84Winsorized(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Robust.winsorizedStats(events(s, dir), "event_type",
+      "value", pLo = 0.05, pHi = 0.95)
+
+  val q84Sql: String =
+    """WITH fences AS (
+      |  SELECT event_type,
+      |    quantile_cont(value, 0.05) AS fence_lo,
+      |    quantile_cont(value, 0.95) AS fence_hi
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1
+      |), clipped AS (
+      |  SELECT e.event_type,
+      |    LEAST(GREATEST(e.value, f.fence_lo), f.fence_hi) AS clip,
+      |    e.value, f.fence_lo, f.fence_hi
+      |  FROM events e JOIN fences f USING (event_type)
+      |  WHERE e.value IS NOT NULL
+      |)
+      |SELECT event_type, COUNT(*) AS n,
+      |  MIN(fence_lo) AS fence_lo, MIN(fence_hi) AS fence_hi,
+      |  CAST(SUM(CAST(FLOOR(clip * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+      |    / 100 / COUNT(*) AS clipped_mean,
+      |  COUNT(CASE WHEN clip <> value THEN 1 END) AS n_clipped
+      |FROM clipped GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2829,5 +2905,7 @@ object Queries {
     "q79_zorder" -> ((q79ZOrder _, Some(q79Sql))),
     "q80_skew_report" -> ((q80SkewReport _, Some(q80Sql))),
     "q81_mad_outliers" -> ((q81MadOutliers _, Some(q81Sql))),
-    "q82_cohort" -> ((q82Cohort _, Some(q82Sql))))
+    "q82_cohort" -> ((q82Cohort _, Some(q82Sql))),
+    "q83_incremental_dedup" -> ((q83IncrementalDedup _, Some(q83Sql))),
+    "q84_winsorized" -> ((q84Winsorized _, Some(q84Sql))))
 }

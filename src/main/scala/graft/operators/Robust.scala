@@ -54,4 +54,42 @@ object Robust {
         max(col("__dev")).as("worst_dev"))
       .orderBy(col(groupCol))
   }
+
+  /** Winsorized per-group statistics: clip values to the exact
+    * [p_lo, p_hi] percentile fences, then aggregate — tail-robust
+    * summary stats without discarding rows (metric-column cleaning
+    * before training; the keep-the-row counterpart of a filter).
+    *
+    * Output per group: n, the two fences, the clipped mean, and the
+    * count of rows the clip touched. The clipped mean is an exact
+    * cents sum (`FLOOR(x·100+0.5)` BIGINT, order-independent) with ONE
+    * double division at the end — the engine's standard hash-portable
+    * money/metric pattern. Fences are [[Percentiles.exact]] (no
+    * per-group value buffer), broadcast back onto rows.
+    */
+  def winsorizedStats(df: DataFrame, groupCol: String, valueCol: String,
+      pLo: Double, pHi: Double): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi,
+      s"fences ($pLo, $pHi) must satisfy 0 <= lo < hi <= 1")
+    val fences = Percentiles.exact(df, Seq(groupCol), valueCol,
+        Seq(pLo -> "_lo", pHi -> "_hi"))
+      .withColumnRenamed("p_lo", "fence_lo")
+      .withColumnRenamed("p_hi", "fence_hi")
+      .withColumnRenamed(groupCol, "__fg")
+    val clipped = df
+      .where(col(valueCol).isNotNull)
+      .join(broadcast(fences), col(groupCol) === col("__fg"))
+      .withColumn("__clip",
+        least(greatest(col(valueCol), col("fence_lo")), col("fence_hi")))
+    clipped.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("fence_lo")).as("fence_lo"),
+        min(col("fence_hi")).as("fence_hi"),
+        (sum(floor(col("__clip") * 100 + lit(0.5)).cast("long"))
+          .cast("double") / 100 / count(lit(1))).as("clipped_mean"),
+        sum(when(col("__clip") =!= col(valueCol), 1L).otherwise(0L))
+          .as("n_clipped"))
+      .orderBy(col(groupCol))
+  }
 }

@@ -32,6 +32,43 @@ object TextDedup {
       df.withColumn("__fp", TextFunctions.fingerprint(col(textCol))),
       Seq("__fp"), tiebreak).drop("__fp")
 
+  /** Incremental snapshot dedup: admit only the rows of a NEW batch
+    * whose content fingerprint is absent from the existing corpus, then
+    * keep-first within the batch itself — the shape of a daily ingest
+    * against a 100 TB corpus, where "re-crawled yesterday's page" is
+    * the common case and must die cheaply.
+    *
+    * Scale design: the corpus fingerprint set is the big side, so the
+    * batch NEVER joins it directly. A Bloom word table
+    * ([[Bloom.build]], ≤ mBits/32 rows) built from the corpus
+    * fingerprints is broadcast at the batch; definite misses (most of
+    * a typical batch) are admitted with ZERO shuffle, and only the
+    * maybe-members — true dups plus the filter's false positives —
+    * reach the exact anti-join. False negatives are impossible, so no
+    * duplicate survives; the Bloom layer is RESULT-INVISIBLE (q83's
+    * oracle is the plain anti-join, exactly like q63's salting).
+    *
+    * The corpus side pays one distinct on the fingerprint — the same
+    * exchange an exact-dedup maintenance pass already runs — and the
+    * anti-join shuffles only the candidate subset.
+    */
+  def incrementalExact(newDocs: DataFrame, corpus: DataFrame,
+      textCol: String, tiebreak: Seq[Column],
+      mBits: Int = 1 << 20, k: Int = 4): DataFrame = {
+    val corpusFps = corpus
+      .select(TextFunctions.fingerprint(col(textCol)).as("__cfp"))
+      .distinct()
+    val bloom = Bloom.build(corpusFps, "__cfp", mBits, k)
+    val probed = Bloom.probe(
+      newDocs.withColumn("__fp", TextFunctions.fingerprint(col(textCol))),
+      "__fp", bloom, mBits, k)
+    val misses = probed.where(!col("maybe_member")).drop("maybe_member")
+    val candidates = probed.where(col("maybe_member")).drop("maybe_member")
+      .join(corpusFps, col("__fp") === col("__cfp"), "left_anti")
+    Dedup.keepFirst(misses.unionByName(candidates), Seq("__fp"), tiebreak)
+      .drop("__fp")
+  }
+
   /** Streaming exact dedup: the unbounded-corpus counterpart of
     * [[exact]] — fingerprint each document and drop duplicates within
     * the event-time watermark, so state holds one fingerprint per

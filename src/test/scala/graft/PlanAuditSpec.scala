@@ -195,4 +195,17 @@ class PlanAuditSpec extends SparkSpec {
       "per-user cohort side should broadcast")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q83 incremental dedup: bloom words broadcast, exact check is anti-join") {
+    val p = plan("q83_incremental_dedup")
+    assert(p.contains("BroadcastHashJoin"), "bloom word table must broadcast")
+    assert(p.contains("LeftAnti"), "exact membership check must be anti-join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q84 winsorization broadcasts the fences; no cartesian") {
+    val p = plan("q84_winsorized")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"))
+  }
 }
