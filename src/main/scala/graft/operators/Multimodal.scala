@@ -8,13 +8,17 @@ import org.apache.spark.sql.functions._
   * plumbing.
   *
   * The Spark-side contract (schema, partitioning, batch shape) is real
-  * and tested, and so is container-HEADER decoding — PNG/JPEG/GIF/BMP
-  * dimensions and WAV sample-rate/frame-count are parsed from the raw
-  * bytes with no external library. Only pixel/sample decode, resize and
-  * the feature model are STUBBED with deterministic fakes (media codecs
-  * are not available in this container, and the engine must not depend
-  * on them); swap [[MediaCodec]]'s stubs for a real codec (JNI/FFI)
-  * without touching the dataflow.
+  * and tested, and so is a growing slice of the codec itself, all from
+  * raw bytes with no external library: container-HEADER decoding
+  * (PNG/JPEG/GIF/BMP dimensions, WAV sample-rate/frame-count), 16-bit
+  * PCM SAMPLE decode ([[MediaCodec.pcmStats]]), and 24-bit BMP PIXEL
+  * decode + nearest-neighbor resize ([[MediaCodec.bmpStats]] /
+  * [[MediaCodec.bmpResize]]). Only entropy-coded pixel decode
+  * (JPEG/PNG) and the learned feature model remain STUBBED with
+  * deterministic fakes (those codecs/models are not available in this
+  * container, and the engine must not depend on them); swap
+  * [[MediaCodec]]'s stubs for a real codec (JNI/FFI) without touching
+  * the dataflow.
   *
   * Scale notes: media bytes never pass through a shuffle here — decode
   * and feature extraction are narrow `mapPartitions` over the scan, so
@@ -236,6 +240,117 @@ object Multimodal {
       Array.tabulate(dim)(i =>
         (((c >>> (i * 8)) & 0xFF).toFloat / 255.0f) * 2f - 1f)
     }
+
+    /** A decoded 24-bit BMP: dimensions plus a pixel accessor returning
+      * packed 0xRRGGBB. Row order is normalized to top-down regardless
+      * of the container's bottom-up default.
+      */
+    final case class BmpImage(width: Int, height: Int,
+        private val bytes: Array[Byte], private val dataAt: Int,
+        private val stride: Int, private val bottomUp: Boolean) {
+      def rgb(x: Int, y: Int): Int = {
+        val row = if (bottomUp) height - 1 - y else y
+        val p = dataAt + row * stride + x * 3 // BGR on disk
+        ((bytes(p + 2) & 0xFF) << 16) | ((bytes(p + 1) & 0xFF) << 8) |
+          (bytes(p) & 0xFF)
+      }
+    }
+
+    /** REAL BMP pixel decode: 24-bit uncompressed BITMAPINFOHEADER
+      * payloads only (the format that needs no entropy coder — genuine
+      * pixel access with zero external code). Validates magic, header
+      * size, bpp, compression and that every row lies inside the
+      * buffer; returns None otherwise (executor-side bytes must never
+      * throw). Negative height means top-down row order — honored, not
+      * abs()'d away.
+      */
+    def bmpDecode(b: Array[Byte]): Option[BmpImage] = {
+      if (!startsWith(b, Seq('B'.toInt, 'M'.toInt)) || b.length < 54)
+        return None
+      val dataAt = le32(b, 10)
+      val dibSize = le32(b, 14)
+      val width = le32(b, 18)
+      val rawHeight = le32(b, 22)
+      val bpp = le16(b, 28)
+      val compression = le32(b, 30)
+      if (dibSize < 40 || bpp != 24 || compression != 0) return None
+      val height = math.abs(rawHeight)
+      if (width <= 0 || height <= 0 || width > (1 << 20)) return None
+      val stride = ((width * 3 + 3) / 4) * 4
+      val need = dataAt.toLong + stride.toLong * height
+      if (dataAt < 54 || need > b.length) return None
+      Some(BmpImage(width, height, b, dataAt, stride, rawHeight > 0))
+    }
+
+    /** REAL per-image pixel statistics from a 24-bit BMP: pixel count,
+      * exact integer channel sums, and the min/max integer luminance
+      * (`299·R + 587·G + 114·B`, per-mille weights — no floats, so the
+      * numbers are portable and order-independent). This is the
+      * brightness/contrast screen an image-corpus pipeline runs before
+      * training; None for payloads [[bmpDecode]] rejects.
+      */
+    def bmpStats(b: Array[Byte]): Option[(Long, Long, Long, Long, Int, Int)] =
+      bmpDecode(b).map { img =>
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var lumMin = Int.MaxValue
+        var lumMax = Int.MinValue
+        var y = 0
+        while (y < img.height) {
+          var x = 0
+          while (x < img.width) {
+            val px = img.rgb(x, y)
+            val r = (px >> 16) & 0xFF; val g = (px >> 8) & 0xFF
+            val bl = px & 0xFF
+            sr += r; sg += g; sb += bl
+            val lum = 299 * r + 587 * g + 114 * bl
+            if (lum < lumMin) lumMin = lum
+            if (lum > lumMax) lumMax = lum
+            x += 1
+          }
+          y += 1
+        }
+        (img.width.toLong * img.height, sr, sg, sb, lumMin, lumMax)
+      }
+
+    /** REAL nearest-neighbor BMP resize: decode, sample source pixels at
+      * `(x·sw/dw, y·sh/dh)` (integer arithmetic, the textbook mapping),
+      * re-encode a valid bottom-up 24-bit BMP. Round-trips through
+      * [[bmpDecode]] by construction. None for non-BMP payloads — the
+      * caller falls back to the stub path so the dataflow never forks.
+      */
+    def bmpResize(b: Array[Byte], dw: Int, dh: Int): Option[Array[Byte]] = {
+      require(dw > 0 && dh > 0, s"target dims ${dw}x$dh must be positive")
+      bmpDecode(b).map { img =>
+        val stride = ((dw * 3 + 3) / 4) * 4
+        val out = new Array[Byte](54 + stride * dh)
+        def putLe32(at: Int, v: Int): Unit = {
+          out(at) = v.toByte; out(at + 1) = (v >> 8).toByte
+          out(at + 2) = (v >> 16).toByte; out(at + 3) = (v >> 24).toByte
+        }
+        out(0) = 'B'.toByte; out(1) = 'M'.toByte
+        putLe32(2, out.length); putLe32(10, 54); putLe32(14, 40)
+        putLe32(18, dw); putLe32(22, dh)
+        out(26) = 1 // planes
+        out(28) = 24 // bpp; compression stays 0
+        putLe32(34, stride * dh)
+        var y = 0
+        while (y < dh) {
+          val sy = (y.toLong * img.height / dh).toInt
+          var x = 0
+          while (x < dw) {
+            val sx = (x.toLong * img.width / dw).toInt
+            val px = img.rgb(sx, sy)
+            val p = 54 + (dh - 1 - y) * stride + x * 3 // bottom-up
+            out(p) = (px & 0xFF).toByte
+            out(p + 1) = ((px >> 8) & 0xFF).toByte
+            out(p + 2) = ((px >> 16) & 0xFF).toByte
+            x += 1
+          }
+          y += 1
+        }
+        out
+      }
+    }
   }
 
   /** Decode a media table partition-wise: binary in, metadata out. The
@@ -268,6 +383,26 @@ object Multimodal {
     }.toDF("media_id", "n_samples", "peak_abs", "sum_sq")
   }
 
+  /** Image brightness/contrast screen: REAL pixel statistics per asset
+    * for 24-bit BMP payloads — `(media_id, n_pixels, sum_r, sum_g,
+    * sum_b, lum_min, lum_max)`, nulls for payloads the decoder rejects.
+    * Exact integer sums (channel means and contrast derive downstream
+    * in Column algebra); same narrow partition-wise shape as
+    * [[audioStats]] — bytes never shuffle. The BMP pixel loop is
+    * genuine decode, the image counterpart of [[MediaCodec.pcmStats]].
+    */
+  def imageStats(ds: Dataset[MediaRecord]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { r =>
+        val st = MediaCodec.bmpStats(r.bytes)
+        (r.media_id, st.map(_._1), st.map(_._2), st.map(_._3),
+          st.map(_._4), st.map(_._5), st.map(_._6))
+      }
+    }.toDF("media_id", "n_pixels", "sum_r", "sum_g", "sum_b",
+      "lum_min", "lum_max")
+  }
+
   /** Feature extraction: (media_id, embedding) per asset, ready for
     * [[Similarity]] ANN ops downstream.
     */
@@ -278,10 +413,13 @@ object Multimodal {
     }.toDF("media_id", "embedding")
   }
 
-  /** Resize plumbing: payload→payload map with target dimensions carried
-    * in the envelope mime. STUB transform (a real impl decodes, scales,
-    * re-encodes per batch); the dataflow contract — narrow partition-wise
-    * map, bytes never shuffled — is the real part.
+  /** Resize: payload→payload map with target dimensions carried in the
+    * envelope mime. 24-bit BMP payloads get a REAL nearest-neighbor
+    * rescale ([[MediaCodec.bmpResize]] — decode, sample, re-encode);
+    * other formats keep the deterministic STUB transform (their entropy
+    * coders are not available in this container). Either way the
+    * dataflow contract is identical: narrow partition-wise map, bytes
+    * never shuffled.
     */
   def resize(ds: Dataset[MediaRecord], width: Int, height: Int)
       : Dataset[MediaRecord] = {
@@ -289,9 +427,13 @@ object Multimodal {
     ds.mapPartitions { it =>
       // real impl: init scaler once per partition
       it.map { r =>
-        val n = math.max(1, math.min(r.bytes.length, width * height / 256))
-        r.copy(bytes = r.bytes.take(n),
-          mime = s"${r.mime};w=$width;h=$height")
+        val resized = MediaCodec.bmpResize(r.bytes, width, height)
+          .getOrElse {
+            val n = math.max(1,
+              math.min(r.bytes.length, width * height / 256))
+            r.bytes.take(n)
+          }
+        r.copy(bytes = resized, mime = s"${r.mime};w=$width;h=$height")
       }
     }
   }

@@ -57,4 +57,28 @@ class KernelFuzzSpec extends SparkSpec {
       assert(meta.n_bytes === b.length.toLong)
     }
   }
+
+  test("BMP pixel decoder never throws on mutated valid containers") {
+    val rnd = new scala.util.Random(303)
+    // a valid 3x2 24-bit BMP, then thousands of single/multi-byte mutants
+    val stride = ((3 * 3 + 3) / 4) * 4
+    val valid = new Array[Byte](54 + stride * 2)
+    def putLe32(at: Int, v: Int): Unit = (0 to 3).foreach(i =>
+      valid(at + i) = (v >> (8 * i)).toByte)
+    valid(0) = 'B'.toByte; valid(1) = 'M'.toByte
+    putLe32(2, valid.length); putLe32(10, 54); putLe32(14, 40)
+    putLe32(18, 3); putLe32(22, 2); valid(26) = 1; valid(28) = 24
+    assert(Multimodal.MediaCodec.bmpStats(valid).isDefined)
+    (0 until 4000).foreach { _ =>
+      val m = valid.clone()
+      (0 until 1 + rnd.nextInt(4)).foreach { _ =>
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      }
+      val truncated = m.take(rnd.nextInt(m.length + 1))
+      // every call must return an Option, never throw or read out of bounds
+      Multimodal.MediaCodec.bmpStats(m)
+      Multimodal.MediaCodec.bmpStats(truncated)
+      Multimodal.MediaCodec.bmpResize(m, 1 + rnd.nextInt(8), 1 + rnd.nextInt(8))
+    }
+  }
 }
