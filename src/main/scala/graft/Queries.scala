@@ -2818,6 +2818,63 @@ object Queries {
       |  COUNT(CASE WHEN clip <> value THEN 1 END) AS n_clipped
       |FROM clipped GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Table-stats profiling ([[Profile.columnStats]]): the ANALYZE
+    * analog — per (partition-group, column): counts, nulls, exact NDV,
+    * min/max, exact quartiles. The mergeable-HLL NDV runs beside the
+    * exact one and is gated as an error-band boolean (q40's pattern:
+    * the sketch value itself is not engine-portable; its accuracy
+    * claim is). Group-keyed throughout, so profiling parallelizes with
+    * the table.
+    */
+  def q85TableProfile(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.columnStats(t(s, dir, "lineitem"),
+        "l_returnflag", Seq("l_discount", "l_quantity"))
+      .withColumn("ndv_ok",
+        abs(col("ndv_approx") - col("ndv_exact")).cast("double") /
+          col("ndv_exact").cast("double") <= lit(0.1))
+      .drop("ndv_approx")
+      .withColumnRenamed("column", "col_name")
+      .orderBy(col("l_returnflag"), col("col_name"))
+
+  val q85Sql: String = {
+    def one(c: String) =
+      s"""SELECT l_returnflag, '$c' AS col_name, COUNT(*) AS n,
+         |  COUNT(CASE WHEN $c IS NULL THEN 1 END) AS n_null,
+         |  COUNT(DISTINCT $c) AS ndv_exact,
+         |  CAST(MIN($c) AS DOUBLE) AS min, CAST(MAX($c) AS DOUBLE) AS max,
+         |  quantile_cont($c, 0.25) AS p25, quantile_cont($c, 0.5) AS p50,
+         |  quantile_cont($c, 0.75) AS p75,
+         |  TRUE AS ndv_ok
+         |FROM lineitem GROUP BY 1""".stripMargin
+    s"""${one("l_discount")}
+       |UNION ALL
+       |${one("l_quantity")}
+       |ORDER BY l_returnflag, col_name""".stripMargin
+  }
+
+  /** Trailing 7-day active users ([[Cohort.trailingActive]]):
+    * count(DISTINCT) does not decompose over window frames, so the
+    * operator explodes each activity day to the `w` report days it
+    * feeds (bounded 1→7 generator, all equi-joins) instead of a
+    * nested-loop range join. Exact integers end to end.
+    */
+  def q86ActiveUsers(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Cohort.trailingActive(events(s, dir), "user_id",
+      "ts", windowDays = 7)
+
+  val q86Sql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day FROM events
+      |), grid AS (
+      |  SELECT DISTINCT day FROM days
+      |), expanded AS (
+      |  SELECT u, day + CAST(o.k AS INTEGER) AS rday
+      |  FROM days CROSS JOIN (SELECT unnest(range(0, 7)) AS k) o
+      |)
+      |SELECT g.day, COUNT(DISTINCT e.u) AS active_users
+      |FROM expanded e JOIN grid g ON e.rday = g.day
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2907,5 +2964,7 @@ object Queries {
     "q81_mad_outliers" -> ((q81MadOutliers _, Some(q81Sql))),
     "q82_cohort" -> ((q82Cohort _, Some(q82Sql))),
     "q83_incremental_dedup" -> ((q83IncrementalDedup _, Some(q83Sql))),
-    "q84_winsorized" -> ((q84Winsorized _, Some(q84Sql))))
+    "q84_winsorized" -> ((q84Winsorized _, Some(q84Sql))),
+    "q85_table_profile" -> ((q85TableProfile _, Some(q85Sql))),
+    "q86_active_users" -> ((q86ActiveUsers _, Some(q86Sql))))
 }

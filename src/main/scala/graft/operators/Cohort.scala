@@ -47,4 +47,35 @@ object Cohort {
         retained: _*)
       .orderBy(col("cohort_day"))
   }
+
+  /** Trailing-window active users (DAU/WAU/MAU family): for every
+    * activity day, the count of distinct users active within the
+    * trailing `windowDays` days ending on it.
+    *
+    * Deliberately NOT a range join and NOT a sliding window aggregate:
+    * `count(DISTINCT)` does not decompose over window frames, and a
+    * non-equi join degenerates to a nested loop. Instead each
+    * (user, day) activity row is exploded to the `windowDays` report
+    * days it contributes to — a bounded 1→w generator — and everything
+    * downstream is equi-keyed: semi-join onto the observed-day grid,
+    * then one distinct count per report day. Fan-out is `windowDays`,
+    * fixed and known; at 100 TB the expansion streams through codegen
+    * and only (user, report_day) pairs shuffle.
+    */
+  def trailingActive(events: DataFrame, userCol: String, tsCol: String,
+      windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val days = events.select(col(userCol).as("__u"),
+      to_date(col(tsCol)).as("__day")).distinct()
+    val grid = days.select(col("__day").as("day")).distinct()
+    val expanded = days
+      .select(col("__u"), explode(sequence(lit(0),
+        lit(windowDays - 1))).as("__k"), col("__day"))
+      .select(col("__u"), date_add(col("__day"), col("__k")).as("day"))
+    expanded
+      .join(grid, Seq("day"), "left_semi")
+      .groupBy(col("day"))
+      .agg(count_distinct(col("__u")).as("active_users"))
+      .orderBy(col("day"))
+  }
 }

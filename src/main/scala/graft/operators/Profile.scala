@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Table statistics profiling — the `ANALYZE TABLE ... FOR COLUMNS`
+  * analog that feeds a cost-based optimizer: per-partition-group,
+  * per-column row/null/distinct counts, min/max, and exact quartile
+  * boundaries (an equi-depth histogram skeleton). At 100 TB these
+  * numbers decide broadcast-vs-shuffle and join order; collecting them
+  * must itself scale, which is why the unit here is a partition GROUP
+  * (e.g. the table's partition key), never the whole table in one
+  * unpartitioned pass: every stage below is keyed on the group, so the
+  * profile of a 100 TB table is as parallel as the table. Global
+  * figures roll up from the group rows (counts/min/max additively;
+  * distincts via the mergeable HLL tier — q40).
+  *
+  * Scale shape: counts/null-counts/min/max/NDVs for ALL columns come
+  * from one column-pruned scan per column (cheap, narrow); exact NDV is
+  * a per-group count_distinct (one shuffle on the group key), emitted
+  * NEXT TO the mergeable `approx_count_distinct` so a caller sees the
+  * sketch's real error before trusting it at scale. Quartiles ride
+  * [[Percentiles.exact]] (sort-based, group-partitioned window, no
+  * value buffer).
+  */
+object Profile {
+
+  /** One row per (group, profiled column): n, n_null, ndv_exact,
+    * ndv_approx, min/max and p25/p50/p75 as doubles.
+    */
+  def columnStats(df: DataFrame, groupCol: String,
+      columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "need at least one column")
+    val perColumn = columns.map { c =>
+      val base = df.groupBy(col(groupCol))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+          count_distinct(col(c)).as("ndv_exact"),
+          // rsd 0.02 (q40's setting): the default 0.05 measurably
+          // drifts past 5% even at NDV ~50
+          approx_count_distinct(col(c), 0.02).as("ndv_approx"),
+          min(col(c)).cast("double").as("min"),
+          max(col(c)).cast("double").as("max"))
+      val quartiles = Percentiles.exact(df, Seq(groupCol), c,
+          Seq(0.25 -> "25", 0.5 -> "50", 0.75 -> "75"))
+        .withColumnRenamed(groupCol, "__qg")
+      base.join(broadcast(quartiles), col(groupCol) === col("__qg"))
+        .select(col(groupCol), lit(c).as("column"), col("n"),
+          col("n_null"), col("ndv_exact"), col("ndv_approx"),
+          col("min"), col("max"), col("p25"), col("p50"), col("p75"))
+    }
+    perColumn.reduce(_ unionByName _).orderBy(col(groupCol), col("column"))
+  }
+}

@@ -39,6 +39,32 @@ class CohortSpec extends SparkSpec {
     assert(r.getAs[Long]("d1") === 0L)
   }
 
+  test("trailing active users: window membership and distinctness") {
+    // u1 active day1, day3; u2 active day1; u3 active day5
+    val events = Seq(
+      (1L, ts(1)), (1L, ts(3)), (1L, ts(3, 12)),
+      (2L, ts(1)),
+      (3L, ts(5))).toDF("user_id", "ts")
+    val rows = Cohort.trailingActive(events, "user_id", "ts", windowDays = 3)
+      .collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString ->
+        r.getAs[Long]("active_users")).toMap
+    // report days = observed activity days only
+    assert(rows.keySet === Set("2026-01-01", "2026-01-03", "2026-01-05"))
+    assert(rows("2026-01-01") === 2L) // u1, u2
+    assert(rows("2026-01-03") === 2L) // u1 (counted once), u2 (day1 in window)
+    assert(rows("2026-01-05") === 2L) // u1 (day3), u3
+  }
+
+  test("window of 1 day degenerates to DAU") {
+    val events = Seq((1L, ts(1)), (2L, ts(1)), (1L, ts(2)))
+      .toDF("user_id", "ts")
+    val rows = Cohort.trailingActive(events, "user_id", "ts", 1)
+      .collect().map(r => r.getAs[java.sql.Date]("day").toString ->
+        r.getAs[Long]("active_users")).toMap
+    assert(rows === Map("2026-01-01" -> 2L, "2026-01-02" -> 1L))
+  }
+
   test("offsets must be positive and non-empty") {
     val events = Seq((1L, ts(1))).toDF("user_id", "ts")
     intercept[IllegalArgumentException] {
