@@ -208,4 +208,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(800))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q85 profile aggregates are partial (map-side combine)") {
+    val p = plan("q85_table_profile")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(800))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q86 active users explodes to equi-joins, never a range nested loop") {
+    val p = plan("q86_active_users")
+    assert(p.contains("Generate explode"), "bounded 1-to-w explode missing")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      "trailing window degenerated to a non-equi join")
+    assert(p.contains("LeftSemi"), "observed-day grid filter must be semi-join")
+  }
 }
