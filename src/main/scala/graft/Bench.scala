@@ -10,13 +10,14 @@ import java.nio.file.{Files, Paths}
   * plan on the executors and discards the rows. The round-1 `.count()`
   * let Catalyst prune unreferenced projections, so projection-heavy
   * queries (q04/q05/q49) timed the scan instead of the operator under
-  * test. Each query runs TWICE and reports the faster run — the first
-  * execution pays one-off costs (file listing, codegen compilation,
-  * JIT) that single-shot timing conflates with the operator, and
-  * min-of-2 is the standard steady-state estimator (measured run-to-run
-  * swing at sf0.1 local[32] is ±15-20% single-shot). The metric line is
-  * also written to `bench.json` so the harness parse cannot be defeated
-  * by build-tool log prefixes.
+  * test. Each query runs THREE times and reports the fastest run — the
+  * first execution pays one-off costs (file listing, codegen
+  * compilation, JIT) that single-shot timing conflates with the
+  * operator; round-3 review showed min-of-2 still leaves 1.4-1.9×
+  * round-over-round swings indistinguishable from host load, so the
+  * estimator is min-of-3 (round-4 change). The metric line is also
+  * written to `bench.json` so the harness parse cannot be defeated by
+  * build-tool log prefixes.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -55,9 +56,8 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, ok)
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val (t1, ok1) = once(fn)
-      val (t2, ok2) = once(fn)
-      name -> (if (ok1 && ok2) math.min(t1, t2) else -1.0)
+      val runs = Seq.fill(3)(once(fn))
+      name -> (if (runs.forall(_._2)) runs.map(_._1).min else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

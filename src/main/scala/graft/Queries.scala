@@ -2599,8 +2599,10 @@ object Queries {
     * labeling / cluster-naming primitive next to q56's retrieval.
     * Log-free scoring (q56's rationalIdf argument) keeps every score
     * one correctly-rounded double division over exact integers, so the
-    * oracle recomputes the full ranking independently. Per-doc ranking
-    * is order-identical to log tf-idf (strictly monotone per doc).
+    * oracle recomputes the full ranking independently. Ranking matches
+    * log tf-idf at fixed tf; across different tf values the rational
+    * form over-weights rare terms (see [[Retrieval.tfidfKeywords]]) —
+    * the portable-determinism trade documented there.
     */
   def q78Keywords(s: SparkSession, dir: String): DataFrame =
     Retrieval.tfidfKeywords(t(s, dir, "documents"), "doc_id", "text", k = 3)

@@ -320,9 +320,20 @@ object Multimodal {
       */
     def bmpResize(b: Array[Byte], dw: Int, dh: Int): Option[Array[Byte]] = {
       require(dw > 0 && dh > 0, s"target dims ${dw}x$dh must be positive")
+      // Mirror bmpDecode's width cap and validate the buffer size in Long:
+      // with Int arithmetic a 50000x50000 target overflows to a negative
+      // allocation size (NegativeArraySizeException inside the executor
+      // map), and any dw > 1<<20 would emit a BMP bmpDecode itself
+      // rejects on round-trip.
+      require(dw <= (1 << 20) && dh <= (1 << 20),
+        s"target dims ${dw}x$dh exceed the ${1 << 20} codec bound")
+      val strideL = ((dw.toLong * 3 + 3) / 4) * 4
+      val sizeL = 54L + strideL * dh
+      require(sizeL <= Int.MaxValue,
+        s"target ${dw}x$dh needs $sizeL bytes, over the 2 GiB array cap")
       bmpDecode(b).map { img =>
-        val stride = ((dw * 3 + 3) / 4) * 4
-        val out = new Array[Byte](54 + stride * dh)
+        val stride = strideL.toInt
+        val out = new Array[Byte](sizeL.toInt)
         def putLe32(at: Int, v: Int): Unit = {
           out(at) = v.toByte; out(at + 1) = (v >> 8).toByte
           out(at + 2) = (v >> 16).toByte; out(at + 3) = (v >> 24).toByte

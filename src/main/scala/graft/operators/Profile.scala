@@ -45,7 +45,12 @@ object Profile {
       val quartiles = Percentiles.exact(df, Seq(groupCol), c,
           Seq(0.25 -> "25", 0.5 -> "50", 0.75 -> "75"))
         .withColumnRenamed(groupCol, "__qg")
-      base.join(broadcast(quartiles), col(groupCol) === col("__qg"))
+      // LEFT + null-safe: a (group, column) pair whose column is entirely
+      // NULL produces no quartile row (Percentiles.exact filters NULLs) —
+      // an inner join would silently drop the whole profile row, losing
+      // exactly the n/n_null/ndv=0 signal a profiler exists to report.
+      // <=> keeps NULL group keys rather than dropping them.
+      base.join(broadcast(quartiles), col(groupCol) <=> col("__qg"), "left")
         .select(col(groupCol), lit(c).as("column"), col("n"),
           col("n_null"), col("ndv_exact"), col("ndv_approx"),
           col("min"), col("max"), col("p25"), col("p50"), col("p75"))

@@ -100,11 +100,18 @@ object Retrieval {
     * Scoring is the log-free rational form `tf · (N − df + 1) / df`
     * (numerator integer-exact, ONE correctly-rounded double division),
     * for the same reason as [[bm25TopK]]'s `rationalIdf`: `ln` is not
-    * correctly rounded, and per-document keyword RANKING only compares
-    * scores of the same document, where the rational form is strictly
-    * monotone in classic tf-idf — so rankings are identical to the log
-    * form while staying bit-reproducible on any engine. Ties break on
-    * token text.
+    * correctly rounded, so a log-form score is not bit-reproducible
+    * across engines. The [[bm25TopK]] caveat applies here too: at FIXED
+    * tf the rational idf is strictly monotone in df (so it orders terms
+    * of equal frequency exactly as log idf would), but across different
+    * tf values rankings CAN differ from classic `tf·ln(N/df)` — the
+    * rational form weights rare terms more aggressively than the log
+    * damps them, so a df=1 singleton can outrank a high-tf common term
+    * that log tf-idf would place first. That bias is a deliberate trade:
+    * the ranking is a deterministic, engine-portable function of exact
+    * integers, which is what an oracle-checked pipeline needs; callers
+    * wanting classic log weighting can rescore the (tf, df, N) columns
+    * this operator already emits. Ties break on token text.
     *
     * Scale shape: the same inverted-index skeleton as BM25 — one
     * explode+groupBy builds (doc, token, tf), a narrow aggregate of it

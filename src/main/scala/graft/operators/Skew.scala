@@ -66,8 +66,16 @@ object Skew {
       .select(
         col(keyCol),
         col("n"),
-        expr("n * 1000000L div __total").as("share_ppm"),
-        expr("n * __keys * 1000L div __total").as("skew_x1000"))
+        // DECIMAL(38,0) intermediates: at 100 TB scale (hot key n≈1e9,
+        // 1e7 distinct keys) n*__keys*1000 exceeds Long.MaxValue and
+        // would silently wrap; decimal keeps the product exact (and under
+        // ANSI mode a true overflow errors instead of producing garbage).
+        // `div` on decimals still yields BIGINT, so results and schema
+        // are bit-identical to the Long path wherever that path was valid.
+        expr("cast(n as decimal(38,0)) * 1000000 div __total")
+          .as("share_ppm"),
+        expr("cast(n as decimal(38,0)) * __keys * 1000 div __total")
+          .as("skew_x1000"))
       .orderBy(col("n").desc, col(keyCol))
       .limit(topK)
   }

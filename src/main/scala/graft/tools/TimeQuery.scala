@@ -1,0 +1,43 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev micro-bench: time named registry queries in isolation.
+  *
+  * `runMain graft.tools.TimeQuery <sfDir> <n> <queryName>...` — each
+  * query is materialized through the same noop sink as [[graft.Bench]]
+  * and timed `n` times; prints every run so variance is visible (Bench
+  * itself reports only min-of-3). Use this to bisect a single query's
+  * regression without paying for the whole 86-query suite.
+  */
+object TimeQuery {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3, "usage: TimeQuery <sfDir> <n> <query>...")
+    val sfDir = args(0)
+    val n = args(1).toInt
+    val names = args.drop(2).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try graft.SparkEntry.entry(spark).write.format("noop")
+      .mode("overwrite").save()
+    catch { case _: Throwable => () }
+    val reg = graft.Queries.registry.toMap
+    for (name <- names) {
+      val fn = reg.getOrElse(name,
+        sys.error(s"unknown query $name; known: ${reg.keys.toSeq.sorted}"))._1
+      val times = (1 to n).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[timequery] $name runs=${times.map(t => f"$t%.3f").mkString(",")} min=${times.min}%.3f")
+    }
+    spark.stop()
+  }
+}
