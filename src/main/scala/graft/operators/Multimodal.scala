@@ -8,17 +8,19 @@ import org.apache.spark.sql.functions._
   * plumbing.
   *
   * The Spark-side contract (schema, partitioning, batch shape) is real
-  * and tested, and so is a growing slice of the codec itself, all from
-  * raw bytes with no external library: container-HEADER decoding
-  * (PNG/JPEG/GIF/BMP dimensions, WAV sample-rate/frame-count), 16-bit
-  * PCM SAMPLE decode ([[MediaCodec.pcmStats]]), and 24-bit BMP PIXEL
-  * decode + nearest-neighbor resize ([[MediaCodec.bmpStats]] /
-  * [[MediaCodec.bmpResize]]). Only entropy-coded pixel decode
-  * (JPEG/PNG) and the learned feature model remain STUBBED with
-  * deterministic fakes (those codecs/models are not available in this
-  * container, and the engine must not depend on them); swap
-  * [[MediaCodec]]'s stubs for a real codec (JNI/FFI) without touching
-  * the dataflow.
+  * and tested, and so is most of the codec itself, all from raw bytes
+  * with no external library: container-HEADER decoding (PNG/JPEG/GIF/
+  * BMP dimensions, WAV sample-rate/frame-count), 16-bit PCM SAMPLE
+  * decode ([[MediaCodec.pcmStats]]), 24-bit BMP PIXEL decode +
+  * nearest-neighbor resize ([[MediaCodec.bmpStats]] /
+  * [[MediaCodec.bmpResize]]), and — round 4 — full PNG PIXEL decode
+  * ([[MediaCodec.pngDecode]]: zlib inflate via `java.util.zip` plus
+  * all five RFC 2083 scanline filters; DEFLATE ships in the JDK, which
+  * makes PNG the one entropy-coded format genuinely decodable here).
+  * Only JPEG pixel decode (DCT entropy coding, no in-container codec)
+  * and the learned feature model remain STUBBED with deterministic
+  * fakes; swap [[MediaCodec]]'s stubs for a real codec (JNI/FFI)
+  * without touching the dataflow.
   *
   * Scale notes: media bytes never pass through a shuffle here — decode
   * and feature extraction are narrow `mapPartitions` over the scan, so
@@ -362,6 +364,180 @@ object Multimodal {
         out
       }
     }
+
+    /** A decoded PNG: dimensions, channel count (1 = gray, 2 = gray+α,
+      * 3 = RGB, 4 = RGBA) and the DEFILTERED raw pixel bytes, row-major
+      * top-down, `channels` bytes per pixel.
+      */
+    final case class PngImage(width: Int, height: Int, channels: Int,
+        pixels: Array[Byte])
+
+    /** REAL PNG pixel decode, pure JDK — no external codec. Handles the
+      * full non-interlaced 8-bit-depth format family (gray, gray+alpha,
+      * truecolor, truecolor+alpha): chunk walk (IHDR, IDAT…, IEND),
+      * zlib inflate of the concatenated IDAT stream
+      * (`java.util.zip.Inflater` — DEFLATE is in the JDK, which is what
+      * makes PNG the one entropy-coded format decodable here without
+      * external libraries), then per-scanline defiltering of all five
+      * PNG filter types (None/Sub/Up/Average/Paeth, RFC 2083 §6).
+      * Returns None — never throws — for non-PNG bytes, palette or
+      * 16-bit or interlaced images, malformed chunk layouts, truncated
+      * or corrupt DEFLATE streams, and dimension bombs (the same 1<<20
+      * cap as the BMP path, and the inflated size is computed in Long
+      * and bounded BEFORE allocation, so a tiny payload declaring a
+      * 2^40-pixel image cannot OOM an executor). CRCs are not verified:
+      * a flipped pixel bit changes stats either way, and decode cost
+      * stays one pass.
+      */
+    def pngDecode(b: Array[Byte]): Option[PngImage] = {
+      if (!startsWith(b, Seq(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)))
+        return None
+      var width = 0
+      var height = 0
+      var bitDepth = 0
+      var colorType = -1
+      var interlace = 0
+      var seenIhdr = false
+      var seenIend = false
+      val idat = new java.io.ByteArrayOutputStream()
+      var i = 8L
+      while (i + 8 <= b.length && !seenIend) {
+        val at = i.toInt
+        val len = be32(b, at)
+        if (len < 0 || i + 12L + len > b.length) return None
+        val ctype = new String(b.slice(at + 4, at + 8), "US-ASCII")
+        ctype match {
+          case "IHDR" =>
+            if (len != 13 || seenIhdr) return None
+            width = be32(b, at + 8); height = be32(b, at + 12)
+            bitDepth = u8(b, at + 16); colorType = u8(b, at + 17)
+            if (u8(b, at + 18) != 0 || u8(b, at + 19) != 0) return None
+            interlace = u8(b, at + 20)
+            seenIhdr = true
+          case "IDAT" => idat.write(b, at + 8, len)
+          case "IEND" => seenIend = true
+          case _ => () // ancillary chunks (tEXt, pHYs, …) are skippable
+        }
+        i += 12L + len
+      }
+      if (!seenIhdr || width <= 0 || height <= 0 ||
+          width > (1 << 20) || height > (1 << 20)) return None
+      if (interlace != 0 || bitDepth != 8) return None
+      val channels = colorType match {
+        case 0 => 1
+        case 2 => 3
+        case 4 => 2
+        case 6 => 4
+        case _ => return None // 3 = palette: needs PLTE, out of scope
+      }
+      val stride = width.toLong * channels
+      val rawLen = (stride + 1) * height // one filter byte per scanline
+      if (rawLen > (Int.MaxValue - 16).toLong) return None
+      val raw = new Array[Byte](rawLen.toInt)
+      val inf = new java.util.zip.Inflater()
+      try {
+        inf.setInput(idat.toByteArray)
+        var off = 0
+        while (off < raw.length && !inf.finished()) {
+          val n = inf.inflate(raw, off, raw.length - off)
+          if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+            return None // truncated or preset-dictionary stream
+          off += n
+        }
+        if (off != raw.length) return None
+      } catch {
+        case _: java.util.zip.DataFormatException => return None
+      } finally inf.end()
+      // Defilter (RFC 2083 §6.1): each reconstructed scanline depends on
+      // the previous reconstructed one, so reconstruction is sequential
+      // by row; within a row, on the pixel `bpp` bytes to the left.
+      val rowBytes = stride.toInt
+      val bpp = channels
+      val pixels = new Array[Byte](rowBytes * height)
+      var y = 0
+      while (y < height) {
+        val ft = raw(y * (rowBytes + 1)) & 0xFF
+        val in = y * (rowBytes + 1) + 1
+        val out = y * rowBytes
+        val prev = out - rowBytes // valid iff y > 0
+        ft match {
+          case 0 =>
+            System.arraycopy(raw, in, pixels, out, rowBytes)
+          case 1 => // Sub
+            var x = 0
+            while (x < rowBytes) {
+              val left = if (x >= bpp) pixels(out + x - bpp) & 0xFF else 0
+              pixels(out + x) = (((raw(in + x) & 0xFF) + left) & 0xFF).toByte
+              x += 1
+            }
+          case 2 => // Up
+            var x = 0
+            while (x < rowBytes) {
+              val up = if (y > 0) pixels(prev + x) & 0xFF else 0
+              pixels(out + x) = (((raw(in + x) & 0xFF) + up) & 0xFF).toByte
+              x += 1
+            }
+          case 3 => // Average
+            var x = 0
+            while (x < rowBytes) {
+              val left = if (x >= bpp) pixels(out + x - bpp) & 0xFF else 0
+              val up = if (y > 0) pixels(prev + x) & 0xFF else 0
+              pixels(out + x) =
+                (((raw(in + x) & 0xFF) + ((left + up) >> 1)) & 0xFF).toByte
+              x += 1
+            }
+          case 4 => // Paeth
+            var x = 0
+            while (x < rowBytes) {
+              val a = if (x >= bpp) pixels(out + x - bpp) & 0xFF else 0
+              val c0 = if (y > 0) pixels(prev + x) & 0xFF else 0
+              val c1 =
+                if (y > 0 && x >= bpp) pixels(prev + x - bpp) & 0xFF else 0
+              val p = a + c0 - c1
+              val pa = math.abs(p - a)
+              val pb = math.abs(p - c0)
+              val pc = math.abs(p - c1)
+              val pred = if (pa <= pb && pa <= pc) a
+                else if (pb <= pc) c0
+                else c1
+              pixels(out + x) = (((raw(in + x) & 0xFF) + pred) & 0xFF).toByte
+              x += 1
+            }
+          case _ => return None
+        }
+        y += 1
+      }
+      Some(PngImage(width, height, channels, pixels))
+    }
+
+    /** REAL per-image pixel statistics from a decodable PNG — the same
+      * tuple contract as [[bmpStats]] (pixel count, exact channel sums,
+      * min/max per-mille integer luminance). Grayscale images count the
+      * gray value as all three channels; alpha is metadata, not color,
+      * and is excluded from the sums.
+      */
+    def pngStats(b: Array[Byte]): Option[(Long, Long, Long, Long, Int, Int)] =
+      pngDecode(b).map { img =>
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var lumMin = Int.MaxValue
+        var lumMax = Int.MinValue
+        val px = img.pixels
+        val n = img.width.toLong * img.height
+        val ch = img.channels
+        var i = 0
+        while (i < px.length) {
+          val r = px(i) & 0xFF
+          val (g, bl) =
+            if (ch >= 3) ((px(i + 1) & 0xFF), (px(i + 2) & 0xFF))
+            else (r, r) // gray / gray+alpha
+          sr += r; sg += g; sb += bl
+          val lum = 299 * r + 587 * g + 114 * bl
+          if (lum < lumMin) lumMin = lum
+          if (lum > lumMax) lumMax = lum
+          i += ch
+        }
+        (n, sr, sg, sb, lumMin, lumMax)
+      }
   }
 
   /** Decode a media table partition-wise: binary in, metadata out. The
@@ -407,6 +583,7 @@ object Multimodal {
     ds.mapPartitions { it =>
       it.map { r =>
         val st = MediaCodec.bmpStats(r.bytes)
+          .orElse(MediaCodec.pngStats(r.bytes))
         (r.media_id, st.map(_._1), st.map(_._2), st.map(_._3),
           st.map(_._4), st.map(_._5), st.map(_._6))
       }

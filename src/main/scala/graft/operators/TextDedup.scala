@@ -369,12 +369,32 @@ object TextDedup {
     * it localizes copied PASSAGES, the "quoted paragraph" class of
     * near-duplication in a training corpus.
     *
-    * Shapes: shingles posexplode to (doc, pos, hash) rows — narrow;
-    * the window min is per-doc ordered by pos (one shuffle on the doc
-    * key, O(w) running state); DISTINCT collapses to ~2·len/w
-    * fingerprints per doc. Density is tunable by w; the selection is a
-    * pure function of the text, so the set is partition-independent
-    * and cross-engine reproducible given a portable `hash`.
+    * Shapes (round-4 rewrite, WINDOW-based and higher-order-function
+    * free): tokens posexplode to (doc, pos, token) rows; the k-gram is
+    * assembled with `lead()` windows (`concat_ws` skips the null leads
+    * at the tail, which also yields the whole-short-doc gram at pos 0);
+    * the gram hash is a FLAT, whole-stage-codegen projection; the
+    * winnow minimum is a `ROWS BETWEEN CURRENT AND w−1 FOLLOWING`
+    * frame over the same (doc, pos) window — no second exchange; and
+    * the distinct fingerprint set per doc is one `collect_set`
+    * aggregate that lands on the window's partitioning (again no
+    * exchange). Exactly ONE shuffle total, of narrow token rows.
+    *
+    * Why not in-row array algebra (`transform`+`slice`+`array_min`)?
+    * Measured on this JVM, nested interpreted higher-order lambdas are
+    * both slow and UNSTABLE — the same shingle+hash HOF pipeline
+    * degraded run-over-run (2 s → 12 s → 52 s at sf0.1) as interpreter
+    * call sites went megamorphic, while flat codegen'd projections and
+    * window frames hold steady. The hash is the hot kernel here; it
+    * must stay inside WholeStageCodegen, which means NO lambda around
+    * it.
+    *
+    * Output: (idCol, fp, __n) where `__n` is the doc's DISTINCT
+    * fingerprint count riding along each row (`size(collect_set)` —
+    * free at the source), saving [[winnowPairs]] a second pass plus two
+    * joins for the containment denominators. A doc's fingerprint set is
+    * ~2·len/w entries, so the collect_set state is bounded by document
+    * length, never corpus size.
     *
     * `hash` defaults to [[md5Hash60]] (oracle-portable); swap in
     * `xxhash64 _` for production at a fraction of the hash cost.
@@ -383,14 +403,43 @@ object TextDedup {
       k: Int = 5, w: Int = 8,
       hash: Column => Column = md5Hash60): DataFrame = {
     require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
-    val grams = df.select(col(idCol),
-      posexplode(TextFunctions.shinglesFromTokens(
-        TextFunctions.tokens(col(textCol)), k)).as(Seq("__pos", "__gram")))
-    val win = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    // Zero-token docs still contribute the empty gram (matching the
+    // oracle's CASE len<k branch); posexplode of an empty array would
+    // silently drop them instead.
+    val toks = TextFunctions.tokens(col(textCol))
+    val rows = df.where(col(textCol).isNotNull)
+      .select(col(idCol),
+        posexplode(when(size(toks) === 0, array(lit(""))).otherwise(toks))
+          .as(Seq("__pos", "__tok")))
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val wholeDoc = Window.partitionBy(col(idCol))
+    val gram = concat_ws(" ",
+      (col("__tok") +: (1 until k).map(j => lead(col("__tok"), j).over(byDoc))): _*)
+    // Valid gram starts: 0..n−k (full k-token grams); short docs keep
+    // only pos 0, whose gram is the whole text (nulls skipped above).
+    val grams = rows
+      .select(col(idCol), col("__pos"), gram.as("__gram"),
+        count(lit(1)).over(wholeDoc).as("__ntok"))
+      .where(col("__pos") <= col("__ntok") - k || col("__pos") === 0)
+    val winMin = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
       .rowsBetween(Window.currentRow, w - 1)
+    // hash(__gram) is a flat projection between the two window passes —
+    // codegen'd, computed exactly once per gram. The per-doc DISTINCT
+    // and the set-size count both land on the id partitioning the
+    // window already established: HashPartitioning(id) satisfies
+    // ClusteredDistribution(id, fp), so neither adds an exchange. A
+    // collect_set formulation was measured pathological here: with more
+    // than the ObjectHashAggregate fallback threshold of distinct
+    // groups per partition it switches to sort-based object aggregation
+    // whose per-group buffer re-initialization burned ~38 s of CPU in a
+    // single task at sf0.1 — HashAggregate distinct + window count stay
+    // codegen'd and flat.
     grams
-      .select(col(idCol), min(hash(col("__gram"))).over(win).as("fp"))
+      .select(col(idCol), col("__pos"), hash(col("__gram")).as("__hv"))
+      .select(col(idCol), min(col("__hv")).over(winMin).as("fp"))
       .distinct()
+      .withColumn("__n",
+        count(lit(1)).over(Window.partitionBy(col(idCol))).cast("long"))
   }
 
   /** Candidate passage-overlap pairs: documents sharing ≥ `minShared`
@@ -404,30 +453,45 @@ object TextDedup {
       minShared: Int, maxDocFreq: Int): DataFrame = {
     require(minShared >= 1 && maxDocFreq >= 2,
       s"need minShared >= 1 and maxDocFreq >= 2, got $minShared/$maxDocFreq")
-    // The fingerprint table feeds three consumers (doc-frequency filter,
-    // join sides, per-doc sizes), but the exchange under its distinct()
-    // is reused across all of them (ReuseExchange), so the explode+window
-    // pipeline runs once — an eager localCheckpoint here was MEASURED
-    // slower (7.4 s vs 3.2 s at sf0.1): it pays materialization and cuts
-    // the reuse. At corpus scale, persist the fingerprint table to
-    // storage instead and feed this from the saved artifact.
-    val fps = fpsIn
-    val rare = fps.groupBy(col("fp"))
-      .agg(count(lit(1)).as("__df"))
+    // Per-doc set sizes for the containment denominator: ride the `__n`
+    // column [[winnowFingerprints]] now emits (free at the source); for
+    // a caller-supplied bare (id, fp) table, derive it with one extra
+    // aggregate + join, the round-3 shape.
+    val fpsWithN =
+      if (fpsIn.columns.contains("__n")) fpsIn
+      else fpsIn.join(
+        fpsIn.groupBy(col(idCol)).agg(count(lit(1)).as("__n")), idCol)
+    // One DELIBERATE shuffle on fp, shared by every consumer: the
+    // fingerprint pipeline is now narrow (zero shuffles of its own), so
+    // without care each self-join side would rescan and re-hash the
+    // corpus. Two structural choices make the reuse actually happen:
+    // (1) the partition count is pinned (AQE cannot coalesce a
+    // repartition(n, col), keeping this canonically identical under
+    // both join legs), and (2) the doc-frequency guard is a WINDOW
+    // count over this same partitioning rather than a separate
+    // groupBy+join — a groupBy would column-prune its exchange down to
+    // (fp), a DIFFERENT canonical exchange than the wide join legs, and
+    // the hash pipeline would run once per schema (measured: two 97 s
+    // single-task stages at sf0.1 doing exactly that). The df-filter is
+    // the guard that keeps the self-join from going quadratic on
+    // corpus-wide phrases: a fp contributes at most maxDocFreq² pairs.
+    val numParts =
+      fpsIn.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val kept = fpsWithN.repartition(numParts, col("fp"))
+      .withColumn("__df",
+        count(lit(1)).over(Window.partitionBy(col("fp"))))
       .where(col("__df") <= maxDocFreq)
-      .select(col("fp"))
-    val kept = fps.join(rare, "fp")
-    val sizes = fps.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+      .select(col(idCol), col("fp"), col("__n"))
     kept.as("l").join(kept.as("r"),
         col("l.fp") === col("r.fp")
           && col(s"l.$idCol") < col(s"r.$idCol"))
       .groupBy(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
-      .agg(count(lit(1)).as("shared"))
+      // __n is functionally dependent on the doc id, so min() is just
+      // "the value" — carrying it through the aggregate replaces the
+      // round-3 pair→sizes joins (two extra shuffles) entirely.
+      .agg(count(lit(1)).as("shared"),
+        min(col("l.__n")).as("__na"), min(col("r.__n")).as("__nb"))
       .where(col("shared") >= minShared)
-      .join(sizes.withColumnRenamed(idCol, "id_a")
-        .withColumnRenamed("__n", "__na"), "id_a")
-      .join(sizes.withColumnRenamed(idCol, "id_b")
-        .withColumnRenamed("__n", "__nb"), "id_b")
       .select(col("id_a"), col("id_b"), col("shared"),
         (col("shared").cast("double")
           / least(col("__na"), col("__nb")).cast("double")).as("containment"))

@@ -21,7 +21,8 @@ object TimeQuery {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_UI", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try graft.SparkEntry.entry(spark).write.format("noop")
@@ -31,6 +32,12 @@ object TimeQuery {
     for (name <- names) {
       val fn = reg.getOrElse(name,
         sys.error(s"unknown query $name; known: ${reg.keys.toSeq.sorted}"))._1
+      // n=0: print the formatted physical plan instead of timing.
+      if (n == 0) {
+        println(s"=== $name ===")
+        println(fn(spark, sfDir).queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      }
       val times = (1 to n).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -81,4 +81,41 @@ class KernelFuzzSpec extends SparkSpec {
       Multimodal.MediaCodec.bmpResize(m, 1 + rnd.nextInt(8), 1 + rnd.nextInt(8))
     }
   }
+
+  test("PNG pixel decoder never throws on mutated valid containers") {
+    val rnd = new scala.util.Random(404)
+    // a valid 4x3 RGB PNG built with real deflate + CRC, then mutants
+    def be32(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    def chunk(ctype: String, body: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      val tb = ctype.getBytes("US-ASCII")
+      crc.update(tb); crc.update(body)
+      be32(body.length) ++ tb ++ body ++ be32(crc.getValue.toInt)
+    }
+    val raw = new Array[Byte]((4 * 3 + 1) * 3) // filter byte 0 per row
+    (0 until raw.length).foreach(i => raw(i) = (i * 29).toByte)
+    (0 until 3).foreach(y => raw(y * 13) = 0)
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val n = deflater.deflate(buf)
+    deflater.end()
+    val valid = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+      .map(_.toByte) ++
+      chunk("IHDR", be32(4) ++ be32(3) ++
+        Array[Byte](8, 2, 0, 0, 0)) ++
+      chunk("IDAT", buf.take(n)) ++ chunk("IEND", Array.empty[Byte])
+    assert(Multimodal.MediaCodec.pngStats(valid).isDefined)
+    (0 until 4000).foreach { _ =>
+      val m = valid.clone()
+      (0 until 1 + rnd.nextInt(4)).foreach { _ =>
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      }
+      // every call must return an Option, never throw, read out of
+      // bounds, or attempt an allocation from a mutated size field
+      Multimodal.MediaCodec.pngStats(m)
+      Multimodal.MediaCodec.pngStats(m.take(rnd.nextInt(m.length + 1)))
+    }
+  }
 }

@@ -266,4 +266,140 @@ class MultimodalSpec extends SparkSpec {
     assert(img.width === 4 && img.height === 4)
     assert(img.rgb(0, 0) === 0xFF0000 && img.rgb(3, 3) === 0xFFFFFF)
   }
+
+  // --- real PNG pixel decode ------------------------------------------
+
+  /** Reference PNG encoder for the spec: real chunks, real CRC32, real
+    * zlib deflate, caller-chosen per-scanline filter types — so the
+    * decoder is tested against independently-constructed files, not its
+    * own output. Filtering here follows RFC 2083 §6.1 forward
+    * (filtered = raw − predictor), the inverse of what the decoder
+    * reconstructs.
+    */
+  private def pngEncode(width: Int, height: Int, channels: Int,
+      pixels: Array[Byte], filterTypes: Seq[Int]): Array[Byte] = {
+    require(filterTypes.length == height && pixels.length == width * height * channels)
+    def be32(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    def chunk(ctype: String, body: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      val tb = ctype.getBytes("US-ASCII")
+      crc.update(tb); crc.update(body)
+      be32(body.length) ++ tb ++ body ++ be32(crc.getValue.toInt)
+    }
+    val colorType = channels match {
+      case 1 => 0; case 2 => 4; case 3 => 2; case 4 => 6
+    }
+    val ihdr = be32(width) ++ be32(height) ++
+      Array(8.toByte, colorType.toByte, 0.toByte, 0.toByte, 0.toByte)
+    val rowBytes = width * channels
+    val raw = new Array[Byte]((rowBytes + 1) * height)
+    for (y <- 0 until height) {
+      val ft = filterTypes(y)
+      raw(y * (rowBytes + 1)) = ft.toByte
+      for (x <- 0 until rowBytes) {
+        val cur = pixels(y * rowBytes + x) & 0xFF
+        val left = if (x >= channels) pixels(y * rowBytes + x - channels) & 0xFF else 0
+        val up = if (y > 0) pixels((y - 1) * rowBytes + x) & 0xFF else 0
+        val ul = if (y > 0 && x >= channels)
+          pixels((y - 1) * rowBytes + x - channels) & 0xFF else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) >> 1
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up)
+            val pc = math.abs(p - ul)
+            if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+        }
+        raw(y * (rowBytes + 1) + 1 + x) = ((cur - pred) & 0xFF).toByte
+      }
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val n = deflater.deflate(buf)
+    deflater.end()
+    Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte,
+      0x0D.toByte, 0x0A.toByte, 0x1A.toByte, 0x0A.toByte) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", buf.take(n)) ++
+      chunk("IEND", Array.empty[Byte])
+  }
+
+  test("pngDecode reconstructs pixels bit-exactly under all 5 filter types") {
+    val w = 7; val h = 5; val ch = 3
+    val rnd = new scala.util.Random(42)
+    val pixels = Array.fill(w * h * ch)(rnd.nextInt(256).toByte)
+    // one scanline per filter type, including Paeth on the first row
+    for (filters <- Seq(Seq(0, 1, 2, 3, 4), Seq(4, 3, 2, 1, 0),
+        Seq(2, 2, 2, 2, 2), Seq(4, 4, 4, 4, 4))) {
+      val png = pngEncode(w, h, ch, pixels, filters)
+      val img = Multimodal.MediaCodec.pngDecode(png)
+        .getOrElse(fail(s"decode failed for filters $filters"))
+      assert(img.width === w && img.height === h && img.channels === ch)
+      assert(img.pixels.toSeq === pixels.toSeq,
+        s"pixel mismatch under filters $filters")
+    }
+  }
+
+  test("pngDecode handles gray, gray+alpha and RGBA channel layouts") {
+    for (ch <- Seq(1, 2, 4)) {
+      val w = 4; val h = 3
+      val pixels = Array.tabulate(w * h * ch)(i => ((i * 37) % 256).toByte)
+      val png = pngEncode(w, h, ch, pixels, Seq(0, 1, 4))
+      val img = Multimodal.MediaCodec.pngDecode(png)
+        .getOrElse(fail(s"decode failed for channels=$ch"))
+      assert(img.channels === ch && img.pixels.toSeq === pixels.toSeq)
+    }
+  }
+
+  test("pngStats matches exact hand-computed sums; alpha excluded") {
+    // 2x1 RGBA: red@alpha0, white@alpha255 — alpha must not affect sums
+    val pixels = Array(255, 0, 0, 0, 255, 255, 255, 255).map(_.toByte)
+    val png = pngEncode(2, 1, 4, pixels, Seq(0))
+    val (n, sr, sg, sb, lmin, lmax) =
+      Multimodal.MediaCodec.pngStats(png).get
+    assert(n === 2L && sr === 510L && sg === 255L && sb === 255L)
+    assert(lmin === 299 * 255 && lmax === 1000 * 255)
+    // grayscale: gray counts as all three channels
+    val gray = pngEncode(2, 1, 1, Array(10, 200).map(_.toByte), Seq(2))
+    val gs = Multimodal.MediaCodec.pngStats(gray).get
+    assert(gs === ((2L, 210L, 210L, 210L, 10000, 200000)))
+  }
+
+  test("pngDecode rejects malformed payloads instead of throwing") {
+    val good = pngEncode(4, 4, 3, Array.fill(48)(7.toByte), Seq(0, 1, 2, 3))
+    def mutate(f: Array[Byte] => Array[Byte]): Option[_] =
+      Multimodal.MediaCodec.pngDecode(f(good.clone()))
+    assert(mutate(_.take(20)).isEmpty, "truncated header")
+    assert(mutate { b => b(25) = 3.toByte; b }.isEmpty, "palette color type")
+    assert(mutate { b => b(24) = 16.toByte; b }.isEmpty, "16-bit depth")
+    assert(mutate { b => b(28) = 1.toByte; b }.isEmpty, "interlaced")
+    // dimension bomb: huge declared height with a tiny IDAT must be
+    // rejected by the Long-size bound, not attempted
+    assert(mutate { b => b(20) = 0x7F.toByte; b }.isEmpty, "height bomb")
+    // corrupt the DEFLATE stream body
+    assert(mutate { b => b(45) = (b(45) ^ 0xFF).toByte; b.take(b.length - 12) }
+      .isEmpty, "corrupt idat + missing IEND")
+    assert(Multimodal.MediaCodec.pngStats("not a png".getBytes).isEmpty)
+  }
+
+  test("imageStats prefers BMP and falls back to PNG decode in the dataflow") {
+    val png = pngEncode(2, 2, 3,
+      Array(255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255).map(_.toByte),
+      Seq(0, 4))
+    val rows = Seq(
+      (1L, bmpBytes(Seq(Seq(0xFF0000, 0x00FF00), Seq(0x0000FF, 0xFFFFFF)))),
+      (2L, png), (3L, "neither".getBytes))
+    val ds = Multimodal.fromBinaryColumn(
+      rows.toDF("id", "payload"), "id", "payload", "image")
+    val out = Multimodal.imageStats(ds).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // identical 2x2 color content: PNG stats must equal BMP stats
+    for (c <- Seq("n_pixels", "sum_r", "sum_g", "sum_b"))
+      assert(out(1L).getAs[Long](c) === out(2L).getAs[Long](c), c)
+    assert(out(3L).isNullAt(1))
+  }
 }
