@@ -2877,6 +2877,238 @@ object Queries {
       |FROM expanded e JOIN grid g ON e.rday = g.day
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Audio codec oracle ([[graft.operators.Multimodal.MediaCodec]]):
+    * synthesize a REAL mono 16-bit PCM WAV per customer — sample j of
+    * asset id is `(id·31 + j·17) mod 2001 − 1000`, a pure integer
+    * closed form — then run the genuine byte-level decode
+    * ([[graft.operators.Multimodal.audioStats]]: RIFF walk, fmt/data
+    * chunk parse, sign-extended sample loop). The oracle recomputes
+    * n/peak/sum-of-squares from the SAME closed form without touching
+    * bytes, so a bug in EITHER the encoder or the decoder (or a
+    * mismatch between them) breaks the hash. This closes the r3 gap
+    * "no oracle-checked query over a real binary column".
+    */
+  def q87AudioCodec(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Multimodal
+    val recs = t(s, dir, "customer")
+      .select(col("c_custkey").cast("long")).as[Long]
+      .map { id =>
+        val n = (40 + id % 60).toInt
+        val samples = Array.tabulate(n)(j =>
+          ((id * 31 + j * 17) % 2001 - 1000).toShort)
+        Multimodal.MediaRecord(id, "audio",
+          Multimodal.MediaCodec.wavEncode(8000, samples), "audio/wav",
+          "synth")
+      }
+    Multimodal.audioStats(recs).orderBy(col("media_id"))
+  }
+
+  val q87Sql: String =
+    """WITH base AS (
+      |  SELECT c_custkey AS id, 40 + c_custkey % 60 AS n FROM customer
+      |), expl AS (
+      |  SELECT id, n, unnest(range(n)) AS j FROM base
+      |), s AS (
+      |  SELECT id, n, (id*31 + j*17) % 2001 - 1000 AS v FROM expl
+      |)
+      |SELECT id AS media_id, CAST(MIN(n) AS BIGINT) AS n_samples,
+      |  CAST(MAX(ABS(v)) AS INTEGER) AS peak_abs,
+      |  CAST(SUM(v*v) AS BIGINT) AS sum_sq
+      |FROM s GROUP BY id ORDER BY media_id""".stripMargin
+
+  /** Image codec oracle — q87's pixel counterpart: synthesize a REAL
+    * 24-bit BMP per nation (pixel (x,y) channels are integer closed
+    * forms of (id, x, y)), run the genuine decode
+    * ([[graft.operators.Multimodal.imageStats]]: header validation,
+    * bottom-up row order, BGR byte walk, per-mille luminance), and have
+    * the oracle recompute the channel sums and luminance extremes from
+    * the same closed forms — byte-free. Encoder and decoder are
+    * independently written against the spec, so agreement here is
+    * evidence of both.
+    */
+  def q91ImageCodec(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Multimodal
+    val recs = t(s, dir, "nation")
+      .select(col("n_nationkey").cast("long")).as[Long]
+      .map { id =>
+        val w = (4 + id % 5).toInt
+        val h = (3 + id % 4).toInt
+        val bytes = Multimodal.MediaCodec.bmpEncode(w, h, (x, y) => {
+          val r = ((id + x * 7 + y * 13) % 256).toInt
+          val g = ((id * 3 + x * 5 + y * 11) % 256).toInt
+          val b = ((id * 7 + x * 3 + y * 17) % 256).toInt
+          (r << 16) | (g << 8) | b
+        })
+        Multimodal.MediaRecord(id, "image", bytes, "image/bmp", "synth")
+      }
+    Multimodal.imageStats(recs).orderBy(col("media_id"))
+  }
+
+  val q91Sql: String =
+    """WITH base AS (
+      |  SELECT CAST(n_nationkey AS BIGINT) AS id,
+      |    4 + n_nationkey % 5 AS w, 3 + n_nationkey % 4 AS h
+      |  FROM nation
+      |), xs AS (
+      |  SELECT id, h, unnest(range(w)) AS x FROM base
+      |), px AS (
+      |  SELECT id, x, unnest(range(h)) AS y FROM xs
+      |), c AS (
+      |  SELECT id, (id + x*7 + y*13) % 256 AS r,
+      |    (id*3 + x*5 + y*11) % 256 AS g,
+      |    (id*7 + x*3 + y*17) % 256 AS b
+      |  FROM px
+      |)
+      |SELECT id AS media_id, CAST(COUNT(*) AS BIGINT) AS n_pixels,
+      |  CAST(SUM(r) AS BIGINT) AS sum_r, CAST(SUM(g) AS BIGINT) AS sum_g,
+      |  CAST(SUM(b) AS BIGINT) AS sum_b,
+      |  CAST(MIN(299*r + 587*g + 114*b) AS INTEGER) AS lum_min,
+      |  CAST(MAX(299*r + 587*g + 114*b) AS INTEGER) AS lum_max
+      |FROM c GROUP BY id ORDER BY media_id""".stripMargin
+
+  /** Skew-resilient salted JOIN ([[Skew.saltedJoin]]): events⋈type-dim
+    * on `event_type` — 5 distinct values over the whole fact table, the
+    * join-side analog of q63's aggregation skew. Each hot key spreads
+    * over 8 (key, salt) reducers; the dim replicates ×8. Salting is
+    * result-invisible by construction (every fact row matches exactly
+    * the replica carrying its salt), so the oracle is the PLAIN join —
+    * the same oracle pattern as q63/q83: the scale mechanism must not
+    * change the answer. Money sums in exact cents (BIGINT) finished by
+    * one double division.
+    */
+  def q88SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val dim = e.select(col("event_type")).distinct()
+      .withColumn("type_weight", length(col("event_type")).cast("long"))
+    graft.operators.Skew.saltedJoin(e, dim, Seq("event_type"),
+        saltBuckets = 8)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(cents(col("value")) * col("type_weight")).as("__wc"))
+      .select(col("event_type"), col("n"),
+        (col("__wc").cast("double") / 100).as("weighted_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val q88Sql: String =
+    """WITH dim AS (
+      |  SELECT DISTINCT event_type,
+      |    CAST(LENGTH(event_type) AS BIGINT) AS w
+      |  FROM events
+      |)
+      |SELECT e.event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT) * d.w)
+      |    AS DOUBLE) / 100 AS weighted_value
+      |FROM events e JOIN dim d USING (event_type)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Bucketed ZERO-EXCHANGE join ([[graft.sources.Bucketing]]): both
+    * sides written bucketed+sorted on the join key, then joined — the
+    * planner sees compatible output partitioning and elides BOTH
+    * exchanges (PlanAuditSpec asserts the join subtree is
+    * Exchange-free). This is the storage-level shuffle answer at
+    * 100 TB: pay the shuffle once at write time, never again per join.
+    * The write itself happens inside the query so the oracle gate
+    * covers the full path (write → catalog read → join); the oracle is
+    * the PLAIN join of the same inputs — bucketing must be
+    * result-invisible.
+    */
+  def q89BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Bucketing
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val ord = t(s, dir, "orders")
+      .select(col("o_custkey").as("c_custkey"), col("o_totalprice"))
+    Bucketing.writeBucketed(cust, "g89_customer", "c_custkey", 8)
+    Bucketing.writeBucketed(ord, "g89_orders", "c_custkey", 8)
+    Bucketing.bucketedJoin(s, "g89_customer", "g89_orders", "c_custkey")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q89Sql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+      |    AS DOUBLE) / 100 AS sum_price
+      |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Row shape streamed by q90's MemoryStream (ts kept as exact
+    * nanosecond longs — the version key must order bit-identically to
+    * DuckDB's TIMESTAMP_NS).
+    */
+  final case class CdcEvent(event_id: Long, ts_ns: Long, user_id: Long,
+      event_type: String, value: Option[Double])
+
+  /** STREAMING CDC upsert, oracle-checked ([[graft.streaming]] made
+    * query-shaped): the events subset replays as three ordered
+    * micro-batches through a MemoryStream; `foreachBatch` merges each
+    * batch into a parquet state table with the SAME batch LWW merge the
+    * reference's `ON CONFLICT DO UPDATE` maps to ([[Dedup.upsert]] —
+    * write-then-swap on alternating paths, the plain-parquet stand-in
+    * for a lakehouse MERGE). Chained per-batch upserts resolve version
+    * ties to the LATEST batch (incoming wins, transitively), so the
+    * whole replay collapses to one window over the union — which is
+    * exactly the oracle: streaming must be result-invisible next to the
+    * batch semantics (q11's pattern, lifted to micro-batches).
+    * MemoryStream is the deterministic replay harness; a production
+    * source (files/Kafka) changes only `readStream`.
+    */
+  def q90StreamUpsert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val src = events(s, dir).filter(col("user_id") < 50)
+      .select(col("event_id"), col("ts_ns"), col("user_id"),
+        col("event_type"), col("value")).as[CdcEvent]
+    val batches = (0 until 3).map(i =>
+      src.filter(col("event_id") % 3 === i).collect().toSeq)
+    val base = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"), "graft_q90_state")
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(base)) fs.delete(base, true)
+    val paths = Seq(s"$base/s0", s"$base/s1")
+    var step = 0
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[CdcEvent]
+    val q = ms.toDF().writeStream.outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        // ping-pong state paths: parquet can't be overwritten while the
+        // plan still reads it, so batch i reads state i−1's path and
+        // writes the other — the write-then-swap from SURVEY §7.7
+        val existing =
+          if (step == 0)
+            s.createDataFrame(
+              s.sparkContext.emptyRDD[org.apache.spark.sql.Row], b.schema)
+          else s.read.parquet(paths((step + 1) % 2))
+        graft.operators.Dedup.upsert(existing, b,
+            Seq("user_id", "event_type"), "ts_ns",
+            Seq(col("event_id").desc))
+          .write.mode("overwrite").parquet(paths(step % 2))
+        step += 1
+      }
+      .start()
+    try batches.foreach { rows => ms.addData(rows); q.processAllAvailable() }
+    finally q.stop()
+    s.read.parquet(paths((step + 1) % 2))
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("value"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  val q90Sql: String =
+    """SELECT user_id, event_type, event_id, value FROM (
+      |  SELECT user_id, event_type, event_id, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |                       ORDER BY ts DESC, event_id % 3 DESC,
+      |                                event_id DESC) AS rn
+      |  FROM events WHERE user_id < 50) t
+      |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+  // ^ `event_id % 3` mirrors the batch index: chained upserts prefer the
+  // newest batch on version ties, then event_id desc within a batch.
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2968,5 +3200,10 @@ object Queries {
     "q83_incremental_dedup" -> ((q83IncrementalDedup _, Some(q83Sql))),
     "q84_winsorized" -> ((q84Winsorized _, Some(q84Sql))),
     "q85_table_profile" -> ((q85TableProfile _, Some(q85Sql))),
-    "q86_active_users" -> ((q86ActiveUsers _, Some(q86Sql))))
+    "q86_active_users" -> ((q86ActiveUsers _, Some(q86Sql))),
+    "q87_audio_codec" -> ((q87AudioCodec _, Some(q87Sql))),
+    "q88_salted_join" -> ((q88SaltedJoin _, Some(q88Sql))),
+    "q89_bucketed_join" -> ((q89BucketedJoin _, Some(q89Sql))),
+    "q90_stream_upsert" -> ((q90StreamUpsert _, Some(q90Sql))),
+    "q91_image_codec" -> ((q91ImageCodec _, Some(q91Sql))))
 }

@@ -365,6 +365,79 @@ object Multimodal {
       }
     }
 
+    /** Encode a mono 16-bit PCM WAV from samples — the synthesis side
+      * of [[pcmStats]], used by the codec oracle queries (q87) and
+      * tests to build REAL payloads whose statistics are predictable in
+      * closed form. Round-trips through [[wavInfo]]/[[pcmStats]] by
+      * construction.
+      */
+    def wavEncode(rate: Int, samples: Array[Short]): Array[Byte] = {
+      require(rate > 0, "rate must be positive")
+      val dataLen = samples.length * 2
+      val out = new Array[Byte](44 + dataLen)
+      def putAscii(at: Int, s: String): Unit =
+        s.getBytes("US-ASCII").zipWithIndex.foreach { case (b, i) => out(at + i) = b }
+      def putLe32(at: Int, v: Int): Unit = {
+        out(at) = v.toByte; out(at + 1) = (v >> 8).toByte
+        out(at + 2) = (v >> 16).toByte; out(at + 3) = (v >> 24).toByte
+      }
+      def putLe16(at: Int, v: Int): Unit = {
+        out(at) = v.toByte; out(at + 1) = (v >> 8).toByte
+      }
+      putAscii(0, "RIFF"); putLe32(4, 36 + dataLen); putAscii(8, "WAVE")
+      putAscii(12, "fmt "); putLe32(16, 16)
+      putLe16(20, 1) // integer PCM
+      putLe16(22, 1) // mono
+      putLe32(24, rate); putLe32(28, rate * 2)
+      putLe16(32, 2) // block align
+      putLe16(34, 16) // bits per sample
+      putAscii(36, "data"); putLe32(40, dataLen)
+      var i = 0
+      while (i < samples.length) {
+        putLe16(44 + 2 * i, samples(i) & 0xFFFF); i += 1
+      }
+      out
+    }
+
+    /** Encode a bottom-up 24-bit BMP from a pixel function — the
+      * synthesis side of [[bmpDecode]]/[[bmpStats]] (q91's codec
+      * oracle). `rgbAt(x, y)` returns packed 0xRRGGBB with (0,0) the
+      * TOP-left pixel, the same orientation [[BmpImage.rgb]] reads.
+      */
+    def bmpEncode(width: Int, height: Int,
+        rgbAt: (Int, Int) => Int): Array[Byte] = {
+      require(width > 0 && height > 0 && width <= (1 << 20) &&
+        height <= (1 << 20), s"bad dims ${width}x$height")
+      val stride = ((width * 3 + 3) / 4) * 4
+      val sizeL = 54L + stride.toLong * height
+      require(sizeL <= Int.MaxValue, s"image too large: $sizeL bytes")
+      val out = new Array[Byte](sizeL.toInt)
+      def putLe32(at: Int, v: Int): Unit = {
+        out(at) = v.toByte; out(at + 1) = (v >> 8).toByte
+        out(at + 2) = (v >> 16).toByte; out(at + 3) = (v >> 24).toByte
+      }
+      out(0) = 'B'.toByte; out(1) = 'M'.toByte
+      putLe32(2, out.length); putLe32(10, 54); putLe32(14, 40)
+      putLe32(18, width); putLe32(22, height)
+      out(26) = 1 // planes
+      out(28) = 24 // bpp; compression 0
+      putLe32(34, stride * height)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val px = rgbAt(x, y)
+          val p = 54 + (height - 1 - y) * stride + x * 3 // bottom-up rows
+          out(p) = (px & 0xFF).toByte
+          out(p + 1) = ((px >> 8) & 0xFF).toByte
+          out(p + 2) = ((px >> 16) & 0xFF).toByte
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
     /** A decoded PNG: dimensions, channel count (1 = gray, 2 = gray+α,
       * 3 = RGB, 4 = RGBA) and the DEFILTERED raw pixel bytes, row-major
       * top-down, `channels` bytes per pixel.

@@ -45,6 +45,42 @@ object Skew {
       .agg(phase2.head, phase2.tail: _*)
   }
 
+  /** Skew-resilient equi-join: salted big side × replicated small side.
+    *
+    * A shuffle join on a skewed key sends every row of the hot key to
+    * ONE reducer — the straggler that dominates the stage at 100 TB.
+    * Salting restructures the join: each big-side row gets a salt in
+    * `[0, saltBuckets)` (RNG-free, from the row's position), the small
+    * side is replicated once per salt value, and the join runs on
+    * (key, salt) — spreading each hot key over `saltBuckets` reducers.
+    * Results are exactly those of the plain join: every big row matches
+    * precisely the replica carrying its own salt, so salting is
+    * result-invisible (oracle-checked in q88 against the unsalted SQL).
+    *
+    * The small side is hinted SHUFFLE_MERGE deliberately: a broadcast
+    * join needs no salting in the first place (no shuffle of the big
+    * side), so this operator exists exactly for the case where the
+    * "small" side is too big to broadcast and the planner would
+    * otherwise shuffle both sides on the raw skewed key. The
+    * replication factor costs `saltBuckets × |small|` shuffled rows —
+    * choose `saltBuckets` around the skew factor of the hottest key
+    * ([[skewReport]]'s `skew_x1000 / 1000`), not larger.
+    */
+  def saltedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      keys: Seq[String],
+      saltBuckets: Int): DataFrame = {
+    require(saltBuckets > 0, "saltBuckets must be positive")
+    val salted = big.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(saltBuckets.toLong)))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0L), lit(saltBuckets.toLong - 1))))
+    salted
+      .join(replicated.hint("shuffle_merge"), keys :+ "__salt")
+      .drop("__salt")
+  }
+
   /** Key-skew diagnostic: the `topK` heaviest keys with exact share and
     * skew-factor numbers — what you run BEFORE deciding a join needs
     * salting or a table needs a different partition key. All integer

@@ -16,15 +16,28 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Bucketing {
 
-  /** Write `df` as a bucketed, sorted table in the session catalog. */
+  /** Write `df` as a bucketed, sorted table in the session catalog.
+    * Idempotent ACROSS sessions, not just within one: with the
+    * in-memory catalog, a previous session's managed-table directory
+    * survives on disk while the table entry does not, and a fresh
+    * `saveAsTable` then fails with LOCATION_ALREADY_EXISTS — so any
+    * stale location is removed after the DROP.
+    */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-      buckets: Int): Unit =
+      buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write
       .mode(SaveMode.Overwrite)
       .bucketBy(buckets, bucketCol)
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   def read(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
@@ -42,7 +55,12 @@ object Bucketing {
     require(l.exists(_._2.contains(key)) && l == r,
       s"$leftTable and $rightTable must both be bucketed on '$key' with " +
         s"equal bucket counts (got $l vs $r)")
-    spark.table(leftTable).join(spark.table(rightTable), Seq(key))
+    // MERGE hint: at small SFs AQE would broadcast one side, which also
+    // avoids the exchange but silently stops exercising the bucket
+    // layout this function exists for — sort-merge over co-located,
+    // pre-sorted buckets is the shape that scales to fact⋈fact.
+    spark.table(leftTable)
+      .join(spark.table(rightTable).hint("merge"), Seq(key))
   }
 
   /** (numBuckets, bucketColumns) of a catalog table, if bucketed. */

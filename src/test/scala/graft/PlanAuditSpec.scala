@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 /** Physical-plan shape assertions: the optimizations the engine depends on
   * at scale must actually appear in the executed plans, not just in
   * comments. Each test pins one property from the scale design:
@@ -221,5 +223,52 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
       "trailing window degenerated to a non-equi join")
     assert(p.contains("LeftSemi"), "observed-day grid filter must be semi-join")
+  }
+
+  test("q77 winnow fingerprints carry no higher-order lambdas and one gram shuffle") {
+    val p = plan("q77_winnow_overlap")
+    // the hash must live in a flat (codegen-able) projection: interpreted
+    // HOF lambdas around md5 were measured unstable (see TextDedup doc).
+    // The tokenizer's filter(split(...)) lambda is fine — it is the
+    // md5/conv tower inside a lambda that must never come back.
+    assert(!p.contains("lambdafunction(cast(conv("),
+      s"winnow hash moved back inside a higher-order lambda:\n${p.take(1200)}")
+    assert(p.contains("md5"), "portable md5 hash missing from the plan")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q88 salted join runs as a shuffled join on (key, salt), no broadcast") {
+    val p = plan("q88_salted_join")
+    // the whole point is spreading a hot key across reducers; a broadcast
+    // of the dim would silently bypass the mechanism under test
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      p.take(1200))
+    assert(p.contains("__salt"), "join keys must include the salt")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q89 bucketed join subtree is exchange-free on both sides") {
+    // build just the join (the query's final aggregate legitimately
+    // shuffles); the bucket layout must eliminate both join exchanges
+    graft.sources.Bucketing.writeBucketed(
+      spark.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_mktsegment")),
+      "g89a_customer", "c_custkey", 8)
+    graft.sources.Bucketing.writeBucketed(
+      spark.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_custkey").as("c_custkey"), col("o_totalprice")),
+      "g89a_orders", "c_custkey", 8)
+    try {
+      val j = graft.sources.Bucketing.bucketedJoin(
+        spark, "g89a_customer", "g89a_orders", "c_custkey")
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p.take(1200))
+      assert(!p.contains("Exchange"),
+        s"bucketed join still shuffles:\n${p.take(1500)}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS g89a_customer")
+      spark.sql("DROP TABLE IF EXISTS g89a_orders")
+    }
   }
 }
