@@ -32,4 +32,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // NOTE (measured, round 4 — do not add recompilation-cutoff flags):
+  // HotSpot pins a method in the interpreter after 400 deopt cycles,
+  // and Spark's interpreted expression paths (HOF lambdas,
+  // Expression.eval) DO hit that wall — an isolated HOF microbench
+  // degraded 2 s -> 12 s -> 52 s across identical runs, and
+  // -XX:PerMethodRecompilationCutoff=-1 fixed that probe (0.9 s
+  // stable). But on the full 91-query suite the unlimited
+  // recompilation churn STOLE worker CPU instead: suite total went
+  // 80.4 s -> 86.2 s with the flags on. The durable fix is in the
+  // operators: hot kernels stay out of interpreted lambdas entirely
+  // (see TextDedup.winnowFingerprints, TextFeatures.hashEmbed).
 )

@@ -103,7 +103,24 @@ object DumpPlans {
       ("Grid densification: per-key spans reuse the bucketing "
         + "aggregate's exchange; sequence+explode generates the dense "
         + "grid distributed (Generate, no driver round-trip); the ffill "
-        + "window shuffles once on the key."))
+        + "window shuffles once on the key."),
+    "q77_winnow_overlap" ->
+      ("Round-4 rewrite: k-grams via lead() windows, md5 in a FLAT "
+        + "codegen projection (never inside a lambda — interpreted HOF "
+        + "call sites measured unstable), winnow min as a ROWS frame on "
+        + "the same (doc,pos) window, distinct+size on the established "
+        + "partitioning; pair side pins repartition(n, fp) so AQE can't "
+        + "coalesce it and uses a window doc-freq guard so both "
+        + "self-join legs reuse ONE wide exchange."),
+    "q88_salted_join" ->
+      ("Skew-resilient join: big side salted from row position, dim "
+        + "replicated ×B, SHUFFLE_MERGE join on (key, salt) — the hot "
+        + "key spreads over B reducers; a broadcast would bypass the "
+        + "mechanism, so the hint pins the shuffled shape."),
+    "q89_bucketed_join" ->
+      ("Bucketed storage join: both sides written bucketed+sorted on "
+        + "the key; the join subtree runs with ZERO Exchange (the "
+        + "bucket layout IS the shuffle, paid once at write time)."))
 
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
