@@ -181,15 +181,26 @@ object TextDedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     // RELATIONAL signature: explode shingles to rows, hash each shingle
-    // string ONCE to a 64-bit key, and compute in a SINGLE codegen'd
-    // grouped aggregate both the k family minima (k static min()
-    // columns) and the doc's distinct hashed-shingle SET for exact
-    // verification. One pass over the shingled corpus serves signatures
-    // AND verification sets; shingle STRINGS never leave the scan
-    // stage — the exchange carries (id, k minima, set<long>) per doc.
-    // Jaccard on hashed shingles equals Jaccard on the strings up to
-    // 64-bit collisions (~(shingles/doc)²/2⁶⁴ — a non-event next to the
-    // banding's own false-negative rate).
+    // string ONCE to a 64-bit key, and compute in a SINGLE grouped
+    // aggregate both the k family minima (k static min() columns) and
+    // the doc's distinct hashed-shingle SET for exact verification. One
+    // pass over the shingled corpus serves signatures AND verification
+    // sets; shingle STRINGS never leave the scan stage — the exchange
+    // carries (id, k minima, set<long>) per doc. Jaccard on hashed
+    // shingles equals Jaccard on the strings up to 64-bit collisions
+    // (~(shingles/doc)²/2⁶⁴ — a non-event next to the banding's own
+    // false-negative rate).
+    //
+    // Round-4 note (measured, do not "fix"): collect_set makes this an
+    // ObjectHashAggregate, dragging the k min() columns out of pure
+    // codegen — but splitting into two aggregates over a shared pinned
+    // exchange (codegen mins + lone collect_set, joined on id) measured
+    // CATASTROPHICALLY worse (35-370 s vs 4.4 s at sf0.1): without
+    // map-side partial aggregation the k×rows hash tower lands on the
+    // reduce side in one giant generated method, and the join of two
+    // aggregate outputs re-plans the reuse away. The combined object
+    // aggregate keeps map-side partials for every column and stays the
+    // fastest measured formulation.
     val minAggs = familyMinAggs(numHashes)
     val aggregated = shingleHashRows(df, idCol, textCol, shingleSize)
       .groupBy(col("__id"))
