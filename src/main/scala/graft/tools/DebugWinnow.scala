@@ -48,15 +48,17 @@ object DebugWinnow {
           g => xxhash64(g)).as("h"))
         .select(size(col("h")).as("n")).agg(sum("n")).collect()(0).getLong(0)
     }
+    // bit_xor, not sum: 250k 60-bit hashes overflow a Long sum under
+    // ANSI arithmetic and kill the probe
     time("md5-flat (posexplode, codegen)") {
       reparted.select(posexplode(TextFunctions.shinglesFromTokens(
           TextFunctions.tokens(col("text")), 5)).as(Seq("p", "g")))
         .select(TextDedup.md5Hash60(col("g")).as("h"))
-        .agg(sum("h")).collect()(0).getLong(0)
+        .agg(expr("bit_xor(h)")).collect()(0).getLong(0)
     }
     time("full-fps") {
       TextDedup.winnowFingerprints(docs, "doc_id", "text", 5, 8)
-        .agg(sum("fp")).collect()(0).getLong(0)
+        .agg(expr("bit_xor(fp)")).collect()(0).getLong(0)
     }
     time("full-q77") {
       graft.Queries.q77Winnow(spark, sfDir).write
