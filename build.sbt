@@ -32,15 +32,40 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  // NOTE (measured, round 4 — do not add recompilation-cutoff flags):
+  // Recompilation-cutoff flags (round-5 REVERSAL of the round-4
+  // rejection — the trade was re-measured with better evidence).
   // HotSpot pins a method in the interpreter after 400 deopt cycles,
-  // and Spark's interpreted expression paths (HOF lambdas,
-  // Expression.eval) DO hit that wall — an isolated HOF microbench
-  // degraded 2 s -> 12 s -> 52 s across identical runs, and
-  // -XX:PerMethodRecompilationCutoff=-1 fixed that probe (0.9 s
-  // stable). But on the full 91-query suite the unlimited
-  // recompilation churn STOLE worker CPU instead: suite total went
-  // 80.4 s -> 86.2 s with the flags on. The durable fix is in the
-  // operators: hot kernels stay out of interpreted lambdas entirely
-  // (see TextDedup.winnowFingerprints, TextFeatures.hashEmbed).
+  // and Spark's interpreted expression paths (HOF lambdas and every
+  // CodegenFallback builtin, e.g. get_json_object) DO hit that wall:
+  // an isolated HOF microbench degraded 2 s -> 12 s -> 52 s across
+  // identical runs, and -XX:PerMethodRecompilationCutoff=-1 held it
+  // stable at 0.9 s. Round 4 rejected the flags because they cost the
+  // suite's sum-of-mins ~7% (80.4 -> 86.2 s, compile churn stealing
+  // worker CPU). Round 5 reinstated them after catching the OTHER side
+  // of that trade in the act: without the flags, a mid-suite bench run
+  // recorded q24_lang_id at [0.9 s, 99.7 s, 156.5 s] and
+  // q33_json_extract at [1.3 s, 1.1 s, 128.6 s] — interpreter-pinned
+  // eval paths running 100x+ for MINUTES, which is exactly what
+  // collapsed the round-4 driver artifact to 450 s. A bounded ~7% tax
+  // on every min beats an unbounded 100x tail on any query. The
+  // durable fix remains in the operators (hot kernels stay out of
+  // interpreted lambdas — see graft.expressions.*), but builtins like
+  // get_json_object cannot be flattened from user code.
+  "-XX:PerMethodRecompilationCutoff=-1",
+  "-XX:PerBytecodeRecompilationCutoff=-1",
+  //
+  // Code-cache headroom (round 5). The round-4 verdict's leading
+  // hypothesis for the 450 s bench collapse was JDK-17 default
+  // code-cache (240 MB) exhaustion across 273 codegen'd plan
+  // executions. The round-5 canary (Bench.scala logs per-pool peak
+  // occupancy into bench.json) DISPROVED that as the mechanism — peaks
+  // read 10-17% of 1 GiB (~130 MB, under the old default) even in a
+  // collapsing run; the interpreter-pinning pathology above is the
+  // real cause. The 1 GiB reservation stays anyway: the unlimited
+  // recompilation churn the cutoff flags permit makes cache pressure
+  // plausible at suite scale, flushing beats compiler shutdown if it
+  // ever fills, and the canary keeps the whole question observable
+  // inside the artifact.
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
 )

@@ -55,16 +55,54 @@ object Bench {
         }
       ((System.nanoTime() - t0) / 1e9, ok)
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val runs = Seq.fill(3)(once(fn))
+    def f(d: Double): String = BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    // Per-query we keep ALL run times, not just the min: the round-4
+    // bench artifact hid a run-over-run degradation signature (code
+    // cache exhaustion) because min-of-3 discards the trend. A query
+    // whose runs read [0.4, 3.1, 12.7] is a JVM-state pathology; one
+    // that reads [3.3, 3.2, 3.1] is intrinsic cost. min stays the
+    // headline estimator (first run pays one-off codegen/listing).
+    val results: Seq[(String, Seq[(Double, Boolean)])] =
+      SparkEntry.queries.toSeq.map { case (name, fn) =>
+        name -> Seq.fill(3)(once(fn))
+      }
+    val mins = results.map { case (name, runs) =>
       name -> (if (runs.forall(_._2)) runs.map(_._1).min else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = mins.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    val failed = results.count(_._2 < 0)
-    val total = results.values.filter(_ >= 0).sum
+    val runsJson = results.map { case (k, runs) =>
+      "\"" + k + "\":[" + runs.map(r => f(r._1)).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val failed = mins.count(_._2 < 0)
+    val total = mins.collect { case (_, v) if v >= 0 => v }.sum
+    // JIT health canary (round 5): the round-4 driver bench collapsed
+    // 77.7 s -> 450 s because the forked JVM's code cache filled and
+    // compilation was disabled — invisible in the artifact. Record
+    // per-CodeHeap occupancy (peak vs max) and total JIT compile time
+    // so "regression" and "JVM pathology" are distinguishable from the
+    // bench.json alone. Any pool whose PEAK crossed 97% of max very
+    // likely disabled or throttled compilation mid-run.
+    import scala.jdk.CollectionConverters._
+    val poolsJson = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(p => p.getName.contains("CodeHeap") || p.getName.contains("Code Cache"))
+      .map { p =>
+        val peak = p.getPeakUsage; val max = peak.getMax
+        val pct = if (max > 0) 100.0 * peak.getUsed / max else -1.0
+        "\"" + p.getName.replace("'", "") + "\":{\"peak_mb\":" +
+          f(peak.getUsed / 1048576.0) + ",\"max_mb\":" + f(max / 1048576.0) +
+          ",\"peak_pct\":" + f(pct) + "}"
+      }.mkString("{", ",", "}")
+    val codeCacheFull = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(p => p.getName.contains("CodeHeap") || p.getName.contains("Code Cache"))
+      .exists(p => p.getPeakUsage.getMax > 0 &&
+        p.getPeakUsage.getUsed.toDouble / p.getPeakUsage.getMax > 0.97)
+    val comp = java.lang.management.ManagementFactory.getCompilationMXBean
+    val compileMs =
+      if (comp != null && comp.isCompilationTimeMonitoringSupported) comp.getTotalCompilationTime
+      else -1L
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"runs":$runsJson,"jit":{"compile_ms":$compileMs,"code_cache_full":$codeCacheFull,"pools":$poolsJson},"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     Files.writeString(Paths.get("bench.json"), line + "\n")
     spark.stop()

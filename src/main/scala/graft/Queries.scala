@@ -3065,10 +3065,18 @@ object Queries {
         col("event_type"), col("value")).as[CdcEvent]
     val batches = (0 until 3).map(i =>
       src.filter(col("event_id") % 3 === i).collect().toSeq)
+    // Per-run unique state dir: a fixed path raced when two harness
+    // processes (e.g. Verify + an ad-hoc TimeQuery) ran q90 at once —
+    // one clobbered the other's ping-pong state mid-replay. deleteOnExit
+    // is best-effort cleanup at JVM shutdown (the returned DataFrame
+    // still reads the files lazily, so deleting eagerly here would
+    // break the caller's subsequent action).
     val base = new org.apache.hadoop.fs.Path(
-      System.getProperty("java.io.tmpdir"), "graft_q90_state")
+      System.getProperty("java.io.tmpdir"),
+      s"graft_q90_state_${java.util.UUID.randomUUID().toString.take(8)}")
     val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(base)) fs.delete(base, true)
+    fs.deleteOnExit(base)
     val paths = Seq(s"$base/s0", s"$base/s1")
     var step = 0
     val ms = org.apache.spark.sql.execution.streaming.runtime
@@ -3092,7 +3100,16 @@ object Queries {
       .start()
     try batches.foreach { rows => ms.addData(rows); q.processAllAvailable() }
     finally q.stop()
-    s.read.parquet(paths((step + 1) % 2))
+    // Zero-batch guard: if no micro-batch ever committed (empty source),
+    // neither ping-pong path exists — the contract is an empty result,
+    // not a missing-path failure.
+    val out =
+      if (step == 0)
+        s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          src.toDF().schema)
+      else s.read.parquet(paths((step + 1) % 2))
+    out
       .select(col("user_id"), col("event_type"), col("event_id"),
         col("value"))
       .orderBy(col("user_id"), col("event_type"))

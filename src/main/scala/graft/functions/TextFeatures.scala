@@ -33,8 +33,19 @@ object TextFeatures {
     */
   def hashEmbed(df: DataFrame, idCol: String, textCol: String,
       dim: Int, seed: Int = 42): DataFrame = {
-    require(dim > 0 && dim <= 4096,
-      s"dim must be in 1..4096 (unrolled aggregate columns), got $dim")
+    // The cap is a CODEGEN bound, not a memory bound: the second stage
+    // unrolls `dim` sum(when(...)) columns, and whole-stage codegen
+    // bails out past spark.sql.codegen.maxFields (default 100) — past
+    // that, the stage silently runs interpreted, reintroducing exactly
+    // the fragile path this rewrite exists to avoid (and near the old
+    // 4096 cap the generated class additionally risked the 64KB
+    // method / constant-pool fallback). 64 unrolled columns + id stays
+    // under the 100-field default with headroom; PlanAuditSpec asserts
+    // the q50 embed stage actually stays inside WholeStageCodegen.
+    // Need wider vectors? Raise maxFields in the session AND re-verify
+    // the plan; don't just lift this require.
+    require(dim > 0 && dim <= 64,
+      s"dim must be in 1..64 (codegen'd unrolled aggregate; see comment), got $dim")
     val bucketed = df
       .select(col(idCol),
         explode(TextFunctions.tokens(coalesce(col(textCol), lit(""))))

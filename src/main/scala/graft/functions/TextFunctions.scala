@@ -4,26 +4,44 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Text-analysis primitives for large-scale training-data pipelines:
-  * tokenization, quality scoring, language ID, fingerprinting. All pure
-  * `Column` algebra over Spark's higher-order array functions — fully
-  * codegen-friendly, no UDFs, no driver-side state, so every operator
-  * scales as a narrow map over the scan.
+  * tokenization, quality scoring, language ID, fingerprinting. No UDFs,
+  * no driver-side state — every operator scales as a narrow map over
+  * the scan. The per-token kernels are native codegen'd expressions
+  * ([[graft.expressions.TextKernels]]); the round-3 higher-order-array
+  * formulations were retired after interpreted HOF call sites were
+  * measured degrading 100x+ in long-lived JVMs (see TextKernels
+  * scaladoc; the HOF versions survive in the specs as the semantics
+  * reference the natives are asserted against).
   *
   * These extend the engine beyond the reference's surface (the reference
   * has no text ops; BASELINE.json's north star asks for them as
   * first-class operators at 100 TB scale).
   */
 object TextFunctions {
+  import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
 
   /** Whitespace tokens, empties removed. Mirrors
     * `list_filter(string_split(text,' '), x -> x <> '')` so results are
     * oracle-comparable with DuckDB.
     */
   def tokens(text: Column): Column =
-    filter(split(text, " "), t => t =!= "")
+    toCol(graft.expressions.TokenArray(toExpr(text)))
+
+  /** One-pass native token statistics
+    * ([[graft.expressions.TokenProfile]]): struct<n_tokens, n_unique,
+    * n_chars, hits> where hits(0) counts [[stopwordsEn]] occurrences
+    * and hits(1..5) the [[langMarkers]] lists in declaration order.
+    * Always built with the SAME canonical word-list vector so every
+    * call site's instance is equal — whole-stage codegen's
+    * subexpression elimination then folds all stats selected in one
+    * projection into a single tokenizer pass.
+    */
+  private def profile(text: Column): Column =
+    toCol(graft.expressions.TokenProfile(toExpr(text),
+      stopwordsEn +: langMarkers.map(_._2)))
 
   /** Token count (whitespace tokenization). */
-  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+  def tokenCount(text: Column): Column = profile(text).getField("n_tokens")
 
   /** BPE-style pre-tokenizer segmentation pattern: contraction
     * suffixes, optionally space-prefixed letter runs / digit runs /
@@ -44,11 +62,11 @@ object TextFunctions {
 
   /** Distinct-token count — vocabulary richness component. */
   def uniqueTokenCount(text: Column): Column =
-    size(array_distinct(tokens(text))).cast("long")
+    profile(text).getField("n_unique")
 
   /** Total characters across tokens (text length minus whitespace). */
   def tokenChars(text: Column): Column =
-    aggregate(tokens(text), lit(0L), (acc, x) => acc + length(x))
+    profile(text).getField("n_chars")
 
   /** English-ish stopword list used by the quality score and language ID.
     * Tiny on purpose: it broadcasts as literals inside the expression.
@@ -57,14 +75,11 @@ object TextFunctions {
     Seq("the", "a", "an", "of", "to", "and", "in", "is", "on", "for", "it",
       "with", "as", "at", "by")
 
-  private def hitCount(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
-      .cast("long")
-
   /** Stopword hits (quality signal: natural prose has some; keyboard mash
     * and boilerplate have none or all).
     */
-  def stopwordCount(text: Column): Column = hitCount(tokens(text), stopwordsEn)
+  def stopwordCount(text: Column): Column =
+    element_at(profile(text).getField("hits"), 1)
 
   /** Document quality score in [0,1]: blend of vocabulary richness
     * (unique/total tokens), a stopword-presence band, and a mean-token-
@@ -73,12 +88,11 @@ object TextFunctions {
     * algebra, identical on any engine that divides the same longs.
     */
   def qualityScore(text: Column): Column = {
-    val toks = tokens(text)
-    val n = size(toks).cast("double")
-    val uniq = size(array_distinct(toks)).cast("double")
-    val stop = hitCount(toks, stopwordsEn).cast("double")
-    val chars = aggregate(toks, lit(0L), (acc, x) => acc + length(x))
-      .cast("double")
+    val p = profile(text)
+    val n = p.getField("n_tokens").cast("double")
+    val uniq = p.getField("n_unique").cast("double")
+    val stop = element_at(p.getField("hits"), 1).cast("double")
+    val chars = p.getField("n_chars").cast("double")
     val richness = when(n > 0, uniq / n).otherwise(0.0)
     val stopRatio = when(n > 0, stop / n).otherwise(0.0)
     val meanLen = when(n > 0, chars / n).otherwise(0.0)
@@ -105,9 +119,10 @@ object TextFunctions {
     * ties (deterministic). Returns "und" when nothing matches.
     */
   def langId(text: Column): Column = {
-    val toks = tokens(text)
-    val scores = langMarkers.map { case (lang, words) =>
-      lang -> hitCount(toks, words)
+    val hits = profile(text).getField("hits")
+    // hits(0) is the stopword list; language lists follow in order
+    val scores = langMarkers.zipWithIndex.map { case ((lang, _), i) =>
+      lang -> element_at(hits, i + 2)
     }
     val best = scores.tail.foldLeft(scores.head._2)((m, s) => greatest(m, s._2))
     scores.foldRight(lit("und")) { case ((lang, sc), rest) =>
@@ -136,22 +151,16 @@ object TextFunctions {
   }
 
   /** Word n-gram shingles (default trigrams) — the unit set for MinHash /
-    * Jaccard near-dup. `sequence` + `slice` keeps it inside codegen.
-    *
-    * PERF: this convenience form re-tokenizes `text` once per reference
-    * inside the expression (the slice runs per shingle). Hot paths must
-    * tokenize into a separate projection first and call
-    * [[shinglesFromTokens]] on the resulting ATTRIBUTE — slicing a
-    * materialized array is O(n), re-splitting a string per shingle is
-    * O(tokens × shingles).
+    * Jaccard near-dup. Native one-pass kernel
+    * ([[graft.expressions.ShingleArray]]); tokenization and shingling
+    * each run exactly once per row regardless of how Catalyst inlines
+    * the expression (the retired HOF form re-ran the token slice per
+    * shingle when pushdown inlined it).
     */
   def shingles(text: Column, n: Int = 3): Column =
     shinglesFromTokens(tokens(text), n)
 
   /** Shingles over an already-tokenized array column (see [[shingles]]). */
   def shinglesFromTokens(toks: Column, n: Int): Column =
-    when(size(toks) < n, array(concat_ws(" ", toks)))
-      .otherwise(transform(
-        sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
+    toCol(graft.expressions.ShingleArray(toExpr(toks), n))
 }

@@ -455,10 +455,14 @@ object Multimodal {
       * PNG filter types (None/Sub/Up/Average/Paeth, RFC 2083 §6).
       * Returns None — never throws — for non-PNG bytes, palette or
       * 16-bit or interlaced images, malformed chunk layouts, truncated
-      * or corrupt DEFLATE streams, and dimension bombs (the same 1<<20
-      * cap as the BMP path, and the inflated size is computed in Long
-      * and bounded BEFORE allocation, so a tiny payload declaring a
-      * 2^40-pixel image cannot OOM an executor). CRCs are not verified:
+      * or corrupt DEFLATE streams, and dimension bombs: besides the
+      * per-dimension 1<<20 cap (shared with the BMP path), TOTAL pixels
+      * are bounded at 1<<26 (64 Mpixel ≈ 256 MB RGBA), computed in Long
+      * BEFORE any allocation. The per-dimension cap alone is NOT a
+      * memory bound — a few-KB zip-bomb PNG declaring 1M×500 RGBA
+      * passes both dimension checks yet inflates to ~2 GiB — so the
+      * total-pixel cap is the line that actually keeps a crafted
+      * record from OOMing an executor task. CRCs are not verified:
       * a flipped pixel bit changes stats either way, and decode cost
       * stays one pass.
       */
@@ -495,6 +499,10 @@ object Multimodal {
       }
       if (!seenIhdr || width <= 0 || height <= 0 ||
           width > (1 << 20) || height > (1 << 20)) return None
+      // Total-pixel bound (see Scaladoc): the raw + pixels buffers are
+      // each ~pixels*channels bytes; 1<<26 pixels keeps their sum under
+      // ~512 MB worst-case (RGBA) regardless of DEFLATE ratio.
+      if (width.toLong * height > (1L << 26)) return None
       if (interlace != 0 || bitDepth != 8) return None
       val channels = colorType match {
         case 0 => 1

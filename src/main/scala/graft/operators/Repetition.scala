@@ -53,12 +53,16 @@ object Repetition {
     // exactly what stops CollapseProject from inlining the tokenizer
     // into both shingle builders (non-cheap alias, multiple references).
     val toks = docs.select(id, TextFunctions.tokens(col(textCol)).as("__t"))
-    def tagged(n: Int): Column =
-      transform(TextFunctions.shinglesFromTokens(col("__t"), n),
-        g => struct(lit(n).as("n"), g.as("gram")))
-    val grams = toks
-      .select(id, explode(concat(tagged(2), tagged(5))).as("__g"))
-      .select(id, col("__g.n").as("__n"), col("__g.gram").as("__gram"))
+    // One explode per n-gram order, unioned with a literal tag column —
+    // replaces the former transform(…, g -> struct(n, g)) lambda (the
+    // interpreted-HOF family; see graft.expressions.TextKernels). The
+    // union re-runs the (native, single-pass) tokenizer once per side,
+    // which is cheaper than one interpreted struct-wrap per gram.
+    def tagged(n: Int): DataFrame = toks
+      .select(id, lit(n).as("__n"),
+        explode(TextFunctions.shinglesFromTokens(col("__t"), n))
+          .as("__gram"))
+    val grams = tagged(2).unionByName(tagged(5))
     val occ = grams.groupBy(id, col("__n"), col("__gram"))
       .agg(count(lit(1)).as("__c"))
     def only(n: Int, c: Column): Column = when(col("__n") === n, c)

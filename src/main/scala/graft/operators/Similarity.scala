@@ -110,10 +110,14 @@ object Similarity {
     */
   def lshBucket(vec: Column, planes: Int, dim: Int, band: Int = 0): Column =
     (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(vec, lit(planeVector(band * planes + p, dim)),
-          (x, w) => x.cast("double") * w),
-        lit(0.0), (a, x) => a + x)
+      // native constant-plane dot (graft.expressions.PlaneDot) — the
+      // former aggregate(zip_with(...)) tower was an interpreted HOF on
+      // the hottest q29 row path; parity (incl. sum order, which decides
+      // the SIGN near zero) is spec-asserted
+      val proj = org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.expressions.PlaneDot(
+          org.apache.spark.sql.graft.ColumnBridge.expression(vec),
+          planeVector(band * planes + p, dim)))
       when(proj > 0, lit(1L << p)).otherwise(0L)
     }.reduce(_ + _)
 

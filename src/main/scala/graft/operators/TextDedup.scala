@@ -91,17 +91,19 @@ object TextDedup {
   private def seededHash(c: Column, seed: Int): Column =
     xxhash64(lit(seed), c)
 
-  /** MinHash signature as an array<long> of length `numHashes`.
-    *
-    * Single-pass formulation: the shingle array is the AGGREGATE's input,
-    * so it is built exactly once per row; each shingle contributes its
-    * `numHashes` seeded hashes to a running element-wise minimum. (The
-    * naive `transform(seeds, j -> array_min(transform(shingles, ...)))`
-    * re-evaluates the shingle construction once per seed after Catalyst
-    * inlines it — 32× the string work.)
+  /** Hashed word-n-gram shingles of a text column as array<long>, via
+    * the native codegen'd [[graft.expressions.ShingleHash64]] kernel —
+    * tokenize, shingle and xxhash64 in ONE flat static call, no
+    * higher-order lambdas anywhere in the plan (the former
+    * `transform(sequence, concat_ws(slice))` tower was measured
+    * unstable run-over-run in a shared JVM; ROUND4.md). Byte-identical
+    * to hashing `concat_ws(" ", slice(tokens, i, n))` per window.
     */
-  def minHashSignature(text: Column, numHashes: Int, shingleSize: Int): Column =
-    minHashFromShingles(TextFunctions.shingles(text, shingleSize), numHashes)
+  def shingleHashArray(text: Column, shingleSize: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.ShingleHash64(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text),
+        shingleSize))
 
   /** Relational MinHash: (id, array<long> signature) per input row via
     * explode + grouped min aggregates (see [[minHashLsh]] scale note).
@@ -113,22 +115,20 @@ object TextDedup {
     * dominates the whole operator as k grows (inner-hash collisions are
     * a 2^-64 non-event next to MinHash's own estimator variance).
     */
-  /** (id, hashed shingle) rows: tokenize → shingle → explode → one
-    * string hash per row. The shared front of [[minHashSignatures]] and
-    * [[minHashLsh]] — the double-hash scheme lives HERE and in
-    * [[familyMinAggs]] only, so the formulations cannot drift apart.
-    * coalesce: null text behaves like an empty document (no signature
-    * rows) rather than null-propagating through the shingle lambdas —
-    * the policy TextChunker/TextFeatures already follow.
+  /** (id, hashed shingle) rows: one [[shingleHashArray]] call → explode.
+    * The shared front of [[minHashSignatures]] and [[minHashLsh]] — the
+    * double-hash scheme lives HERE and in [[familyMinAggs]] only, so the
+    * formulations cannot drift apart. coalesce: null text behaves like
+    * an empty document (one empty-string shingle) rather than
+    * null-propagating — the policy TextChunker/TextFeatures already
+    * follow.
     */
   private def shingleHashRows(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int): DataFrame =
     df.select(col(idCol).as("__id"),
-        TextFunctions.tokens(coalesce(col(textCol), lit(""))).as("__toks"))
-      .select(col("__id"),
-        explode(TextFunctions.shinglesFromTokens(col("__toks"), shingleSize))
-          .as("__s"))
-      .select(col("__id"), xxhash64(col("__s")).as("__sh"))
+        shingleHashArray(coalesce(col(textCol), lit("")), shingleSize)
+          .as("__shs"))
+      .select(col("__id"), explode(col("__shs")).as("__sh"))
 
   /** The k family min-aggregates over [[shingleHashRows]]' `__sh`. */
   private def familyMinAggs(numHashes: Int): Seq[Column] =
@@ -146,19 +146,6 @@ object TextDedup {
       .agg(minAggs.head, minAggs.tail: _*)
       .select(col("__id"), sigArray(numHashes).as("__sig"))
   }
-
-  /** MinHash signature over an existing shingle-array column. Same
-    * double-hash scheme as [[minHashSignatures]] (string hashed once via
-    * the inner transform, the k families hash the resulting long), so
-    * the two formulations produce identical signatures.
-    */
-  def minHashFromShingles(sh: Column, numHashes: Int): Column =
-    aggregate(
-      transform(sh, s => xxhash64(s)),
-      array_repeat(lit(Long.MaxValue), numHashes),
-      (acc, hs) => zip_with(acc,
-        transform(sequence(lit(0), lit(numHashes - 1)), j => xxhash64(j, hs)),
-        (a, h) => least(a, h)))
 
   /** MinHash + LSH near-duplicate pairs.
     *

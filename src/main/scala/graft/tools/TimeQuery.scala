@@ -37,13 +37,14 @@ object TimeQuery {
         println(s"=== $name ===")
         println(fn(spark, sfDir).queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode))
+      } else {
+        val times = (1 to n).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[timequery] $name runs=${times.map(t => f"$t%.3f").mkString(",")} min=${times.min}%.3f")
       }
-      val times = (1 to n).map { _ =>
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      }
-      println(f"[timequery] $name runs=${times.map(t => f"$t%.3f").mkString(",")} min=${times.min}%.3f")
     }
     spark.stop()
   }

@@ -237,6 +237,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q50 hashEmbed unrolled aggregate stays inside whole-stage codegen") {
+    // hashEmbed unrolls `dim` sum(when(...)) columns; past
+    // spark.sql.codegen.maxFields (default 100) codegen silently bails
+    // and the stage runs interpreted. The dim cap in TextFeatures holds
+    // the line; this pins that the executed plan actually keeps the
+    // unrolled aggregate (its __c<i> aliases) inside a codegen'd span
+    // and never falls back to an object aggregate.
+    val df = SparkEntry.queries("q50_text_ann")(spark, dir)
+    df.collect()
+    // AQE's toString appends an "== Initial Plan ==" section whose
+    // operators never carry codegen stars — audit only the final plan
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val aggLines = p.linesIterator
+      .filter(l => l.contains("HashAggregate") && l.contains("__c0")).toSeq
+    assert(aggLines.nonEmpty, s"unrolled embed aggregate missing:\n${p.take(1200)}")
+    assert(aggLines.forall(_.contains("*(")),
+      s"embed aggregate fell out of whole-stage codegen:\n${aggLines.mkString("\n")}")
+    assert(!p.contains("ObjectHashAggregate"),
+      "hashEmbed path must carry no object aggregates")
+  }
+
   test("q88 salted join runs as a shuffled join on (key, salt), no broadcast") {
     val p = plan("q88_salted_join")
     // the whole point is spreading a hot key across reducers; a broadcast

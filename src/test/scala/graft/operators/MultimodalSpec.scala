@@ -386,6 +386,23 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.MediaCodec.pngStats("not a png".getBytes).isEmpty)
   }
 
+  test("pngDecode rejects a zip-bomb whose dims pass the per-axis cap") {
+    // 1M x 500 RGBA: each dimension is within the 1<<20 per-axis cap
+    // and the raw scanline size still fits an Int, but total pixels
+    // (2^29) inflate to ~2 GiB of buffers from a few-KB payload. The
+    // total-pixel bound (1<<26) must reject it BEFORE any allocation —
+    // this returning quickly (and not OOMing the test JVM) is the test.
+    val good = pngEncode(4, 4, 3, Array.fill(48)(7.toByte), Seq(0, 1, 2, 3))
+    val b = good.clone()
+    // IHDR width bytes are at offset 16..19, height at 20..23
+    b(16) = 0; b(17) = 0x10.toByte; b(18) = 0; b(19) = 0 // width = 1<<20
+    b(20) = 0; b(21) = 0; b(22) = 0x01.toByte; b(23) = 0xF4.toByte // height = 500
+    assert(Multimodal.MediaCodec.pngDecode(b).isEmpty, "total-pixel bomb")
+    // and the bound is not over-tight: 4096x4096 (1<<24 px) still decodes
+    val wide = pngEncode(2048, 2, 1, Array.fill(4096)(9.toByte), Seq(0, 2))
+    assert(Multimodal.MediaCodec.pngDecode(wide).nonEmpty)
+  }
+
   test("imageStats prefers BMP and falls back to PNG decode in the dataflow") {
     val png = pngEncode(2, 2, 3,
       Array(255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255).map(_.toByte),

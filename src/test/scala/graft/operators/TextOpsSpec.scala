@@ -72,13 +72,43 @@ class TextOpsSpec extends SparkSpec {
     assert(pairs.contains((1L, 4L)))
   }
 
-  test("relational and expression MinHash signatures agree") {
-    val rel = TextDedup.minHashSignatures(docs, "doc_id", "text", 16, 2)
-      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
-    val expr = docs.select(col("doc_id"),
-        TextDedup.minHashSignature(col("text"), 16, 2).as("sig"))
-      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
-    assert(rel === expr)
+  test("native shingle-hash kernel agrees with the lambda reference") {
+    // the HOF tower the native ShingleHash64 replaced, kept HERE as the
+    // semantics reference (test-only — it must never re-enter a plan on
+    // a hot path; see ROUND4.md on interpreted-HOF degradation)
+    def referenceShingleHashes(text: org.apache.spark.sql.Column, n: Int) = {
+      val toks = graft.functions.TextFunctions.tokens(text)
+      transform(
+        when(size(toks) < n, array(concat_ws(" ", toks)))
+          .otherwise(transform(
+            sequence(lit(1), size(toks) - (n - 1)),
+            i => concat_ws(" ", slice(toks, i, lit(n))))),
+        s => xxhash64(s))
+    }
+    for (n <- Seq(1, 2, 3, 5)) {
+      val native = docs.select(col("doc_id"),
+          TextDedup.shingleHashArray(coalesce(col("text"), lit("")), n).as("h"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val ref = docs.select(col("doc_id"),
+          referenceShingleHashes(coalesce(col("text"), lit("")), n).as("h"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(native === ref, s"shingle-hash mismatch at n=$n")
+    }
+    // edge shapes the corpus may not cover: empty, spaces-only, runs of
+    // spaces, single token, multibyte UTF-8 around the space scan
+    val edge = spark.createDataFrame(Seq(
+      (1L, ""), (2L, "   "), (3L, "one"), (4L, "a  b   c"),
+      (5L, " héllo wörld  ñ "), (6L, "многа слов здесь даже пять"))
+    ).toDF("doc_id", "text")
+    for (n <- Seq(1, 2, 3)) {
+      val native = edge.select(col("doc_id"),
+          TextDedup.shingleHashArray(col("text"), n).as("h"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val ref = edge.select(col("doc_id"),
+          referenceShingleHashes(col("text"), n).as("h"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(native === ref, s"edge-case mismatch at n=$n")
+    }
   }
 
   test("exactStreaming dedups identical texts across micro-batches") {
