@@ -819,7 +819,10 @@ object Queries {
   def q29CosineNearDup(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val scaled = emb.select((col("vec_id") + 1000000L).as("vec_id"),
-      transform(col("embedding"), x => x * lit(1.5f)).as("embedding"))
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.expressions.ScaleArray(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("embedding")),
+          1.5f)).as("embedding"))
     Similarity.cosineNearDup(emb.unionByName(scaled), "vec_id", "embedding",
         dim = 64, threshold = 0.99, planes = 12, bands = 4)
       .filter(col("id_b") === col("id_a") + 1000000L)

@@ -244,27 +244,32 @@ object Similarity {
       .join(cells.select(col(idCol).as("neighbor_id"), col("cell")),
         Seq("neighbor_id"))
     // per-query top-nprobe cells: nlist static dots, ranked in a projection
-    val qexp = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-      .select(col("query_id"), col("__qv"),
-        posexplode(col("__qv")).as(Seq("__d", "__x")))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val qexp = qv
+      .select(col("query_id"), posexplode(col("__qv")).as(Seq("__d", "__x")))
     val dots = centroids.zipWithIndex.map { case (cvec, i) =>
       sum(col("__x").cast("double")
         * element_at(lit(cvec), col("__d") + 1)).as(s"__dot$i")
     }
-    val qcells = qexp.groupBy(col("query_id"), col("__qv"))
+    // group by the SCALAR id only: a float-array grouping key makes the
+    // planner wrap it in NormalizeFloatingNumbers' transform LAMBDA
+    // (interpreted per row — the banned family); the query vector
+    // re-joins onto the tiny probed set below instead
+    val qcells = qexp.groupBy(col("query_id"))
       .agg(dots.head, dots.tail: _*)
-      .select(col("query_id"), col("__qv"), posexplode(
+      .select(col("query_id"), posexplode(
         array(centroids.indices.map(i =>
           struct(col(s"__dot$i").as("s"), lit(i).as("cell"))): _*))
         .as(Seq("__pos", "__sc")))
-      .select(col("query_id"), col("__qv"),
+      .select(col("query_id"),
         col("__sc.s").as("__s"), col("__sc.cell").as("cell"))
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("__s").desc, col("cell").asc)
     val probed = qcells
       .withColumn("__pr", row_number().over(probeW))
       .filter(col("__pr") <= nprobe)
-      .select(col("query_id"), col("__qv"), col("cell"))
+      .select(col("query_id"), col("cell"))
+      .join(qv, Seq("query_id")) // queries × nprobe rows, pre-broadcast
     val scored = c.join(broadcast(probed), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("score_fp", dotFixed(col("__qv"), col("__cv")))

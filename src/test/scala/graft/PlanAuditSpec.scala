@@ -225,6 +225,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), "observed-day grid filter must be semi-join")
   }
 
+  test("text/vector family plans carry ZERO higher-order lambdas") {
+    // Interpreted HOF call sites were measured interpreter-pinning at
+    // 100x+ in long-lived JVMs (BASELINE.md round-5 section); every
+    // per-row lambda on these paths was replaced by a native codegen'd
+    // kernel (graft.expressions.*). This sweep pins that none of them
+    // regresses back to a lambda formulation — ANY lambdafunction( in
+    // these plans is a bug, not a style choice.
+    val family = Seq(
+      "q21_doc_fingerprint", "q22_token_stats", "q23_quality_score",
+      "q24_lang_id", "q25_exact_dedup", "q26_minhash_neardup",
+      "q27_ngram_jaccard", "q28_ann_topk", "q29_cosine_neardup",
+      "q31_simhash_neardup", "q43_word_count", "q46_chunking",
+      "q48_packing", "q49_scrub", "q50_text_ann", "q53_ivf_ann",
+      "q56_bm25_topk", "q57_decontam", "q65_repetition", "q77_winnow_overlap",
+      "q78_keywords", "q83_incremental_dedup")
+    for (name <- family) {
+      val p = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("lambdafunction("),
+        s"$name reintroduced a higher-order lambda:\n${p.take(1500)}")
+    }
+  }
+
   test("q77 winnow fingerprints carry no higher-order lambdas and one gram shuffle") {
     val p = plan("q77_winnow_overlap")
     // the hash must live in a flat (codegen-able) projection: interpreted
