@@ -32,27 +32,25 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  // Recompilation-cutoff flags (round-5 REVERSAL of the round-4
-  // rejection — the trade was re-measured with better evidence).
-  // HotSpot pins a method in the interpreter after 400 deopt cycles,
-  // and Spark's interpreted expression paths (HOF lambdas and every
-  // CodegenFallback builtin, e.g. get_json_object) DO hit that wall:
-  // an isolated HOF microbench degraded 2 s -> 12 s -> 52 s across
-  // identical runs, and -XX:PerMethodRecompilationCutoff=-1 held it
-  // stable at 0.9 s. Round 4 rejected the flags because they cost the
-  // suite's sum-of-mins ~7% (80.4 -> 86.2 s, compile churn stealing
-  // worker CPU). Round 5 reinstated them after catching the OTHER side
-  // of that trade in the act: without the flags, a mid-suite bench run
-  // recorded q24_lang_id at [0.9 s, 99.7 s, 156.5 s] and
-  // q33_json_extract at [1.3 s, 1.1 s, 128.6 s] — interpreter-pinned
-  // eval paths running 100x+ for MINUTES, which is exactly what
-  // collapsed the round-4 driver artifact to 450 s. A bounded ~7% tax
-  // on every min beats an unbounded 100x tail on any query. The
-  // durable fix remains in the operators (hot kernels stay out of
-  // interpreted lambdas — see graft.expressions.*), but builtins like
-  // get_json_object cannot be flattened from user code.
-  "-XX:PerMethodRecompilationCutoff=-1",
-  "-XX:PerBytecodeRecompilationCutoff=-1",
+  // Recompilation-cutoff flags: measured in BOTH states across rounds
+  // 4-5; the answer is DO NOT add them, and the reason is now fully
+  // understood. HotSpot pins a method in the interpreter after 400
+  // deopt cycles, and Spark's interpreted expression paths (HOF
+  // lambdas, CodegenFallback builtins) hit that wall once enough
+  // distinct shapes pollute their shared eval call sites — round-5
+  // default-flags run: q24_lang_id [0.9 s, 99.7 s, 156.5 s] across
+  // identical runs. -XX:PerMethodRecompilationCutoff=-1 prevents the
+  // pinning but replaces it with UNBOUNDED deopt-recompile cycling,
+  // which is worse for the artifact: the method re-runs interpreted
+  // every cycle, so ALL runs of an affected query slow down and
+  // min-of-n cannot recover (round-5 flags-on run: q07_date_parts
+  // [89, 92, 104] s — a 0.7 s flat-codegen query at 120x on every
+  // run — suite total 229 s; flags-off total 87 s). The durable fix
+  // is eliminating the interpreted shapes themselves: every per-row
+  // lambda on a query path is a native codegen'd kernel
+  // (graft.expressions.*, PlanAuditSpec sweeps 22 plans for zero
+  // lambdafunction), which removes the pollution that drove the
+  // pinning in the first place.
   //
   // Code-cache headroom (round 5). The round-4 verdict's leading
   // hypothesis for the 450 s bench collapse was JDK-17 default
