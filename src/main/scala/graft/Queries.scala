@@ -2971,6 +2971,64 @@ object Queries {
       |  CAST(MAX(299*r + 587*g + 114*b) AS INTEGER) AS lum_max
       |FROM c GROUP BY id ORDER BY media_id""".stripMargin
 
+  /** JPEG codec round-trip, oracle-checked — the q87/q91 pattern
+    * applied to the last retired media stub ([[graft.operators
+    * .JpegCodec]]). JPEG is lossy, which normally rules out a
+    * closed-form oracle; DC-only streams restore exactness: with
+    * q00 = 8, every decoded sample of a block is EXACTLY
+    * `dc + 128` (see the decoder's determinism contract), and the
+    * fixed-point YCbCr→RGB conversion is integer-reproducible in SQL
+    * (`x >> 16` = FLOOR(x/65536), clamp via LEAST/GREATEST). So the
+    * REAL entropy decoder — marker walk, canonical Huffman, DC
+    * prediction, dequant, IDCT, color convert — runs end to end and
+    * DuckDB predicts each of the 25 images' pixel statistics without
+    * touching a byte. Any disagreement between encoder and decoder (or
+    * either and the spec) breaks the hash. Dimensions stay multiples
+    * of 8 so the oracle sums whole blocks; the crop path is covered by
+    * JpegCodecSpec instead.
+    */
+  def q92JpegCodec(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.{JpegCodec, Multimodal}
+    val recs = t(s, dir, "nation")
+      .select(col("n_nationkey").cast("long")).as[Long]
+      .map { id =>
+        val bytes = JpegCodec.encodeDcOnly(24, 16, 3,
+          (bx, by, c) =>
+            ((id * 7 + bx * 13 + by * 29 + c * 41) % 251 - 125).toInt)
+        Multimodal.MediaRecord(id, "image", bytes, "image/jpeg", "synth")
+      }
+    Multimodal.imageStats(recs).orderBy(col("media_id"))
+  }
+
+  val q92Sql: String =
+    """WITH base AS (
+      |  SELECT CAST(n_nationkey AS BIGINT) AS id FROM nation
+      |), xs AS (
+      |  SELECT id, unnest(range(3)) AS bx FROM base
+      |), bl AS (
+      |  SELECT id, bx, unnest(range(2)) AS by FROM xs
+      |), c AS (
+      |  SELECT id,
+      |    (id*7 + bx*13 + by*29) % 251 - 125 + 128 AS yv,
+      |    (id*7 + bx*13 + by*29 + 41) % 251 - 125 AS cb,
+      |    (id*7 + bx*13 + by*29 + 82) % 251 - 125 AS cr
+      |  FROM bl
+      |), rgb AS (
+      |  SELECT id,
+      |    LEAST(GREATEST(yv + CAST(FLOOR((91881*cr + 32768)/65536.0) AS BIGINT), 0), 255) AS r,
+      |    LEAST(GREATEST(yv - CAST(FLOOR((22554*cb + 46802*cr + 32768)/65536.0) AS BIGINT), 0), 255) AS g,
+      |    LEAST(GREATEST(yv + CAST(FLOOR((116130*cb + 32768)/65536.0) AS BIGINT), 0), 255) AS b
+      |  FROM c
+      |)
+      |SELECT id AS media_id, CAST(384 AS BIGINT) AS n_pixels,
+      |  CAST(64 * SUM(r) AS BIGINT) AS sum_r,
+      |  CAST(64 * SUM(g) AS BIGINT) AS sum_g,
+      |  CAST(64 * SUM(b) AS BIGINT) AS sum_b,
+      |  CAST(MIN(299*r + 587*g + 114*b) AS INTEGER) AS lum_min,
+      |  CAST(MAX(299*r + 587*g + 114*b) AS INTEGER) AS lum_max
+      |FROM rgb GROUP BY id ORDER BY media_id""".stripMargin
+
   /** Skew-resilient salted JOIN ([[Skew.saltedJoin]]): events⋈type-dim
     * on `event_type` — 5 distinct values over the whole fact table, the
     * join-side analog of q63's aggregation skew. Each hot key spreads
@@ -3225,5 +3283,6 @@ object Queries {
     "q88_salted_join" -> ((q88SaltedJoin _, Some(q88Sql))),
     "q89_bucketed_join" -> ((q89BucketedJoin _, Some(q89Sql))),
     "q90_stream_upsert" -> ((q90StreamUpsert _, Some(q90Sql))),
-    "q91_image_codec" -> ((q91ImageCodec _, Some(q91Sql))))
+    "q91_image_codec" -> ((q91ImageCodec _, Some(q91Sql))),
+    "q92_jpeg_codec" -> ((q92JpegCodec _, Some(q92Sql))))
 }

@@ -15,11 +15,13 @@ import org.apache.spark.sql.functions._
   * nearest-neighbor resize ([[MediaCodec.bmpStats]] /
   * [[MediaCodec.bmpResize]]), and — round 4 — full PNG PIXEL decode
   * ([[MediaCodec.pngDecode]]: zlib inflate via `java.util.zip` plus
-  * all five RFC 2083 scanline filters; DEFLATE ships in the JDK, which
-  * makes PNG the one entropy-coded format genuinely decodable here).
-  * Only JPEG pixel decode (DCT entropy coding, no in-container codec)
-  * and the learned feature model remain STUBBED with deterministic
-  * fakes; swap [[MediaCodec]]'s stubs for a real codec (JNI/FFI)
+  * all five RFC 2083 scanline filters), and — round 5 — baseline JPEG
+  * PIXEL decode implemented from the T.81 spec
+  * ([[graft.operators.JpegCodec]]: marker walk, canonical Huffman,
+  * dequant, exact-contract IDCT, restart intervals, chroma upsampling,
+  * fixed-point YCbCr→RGB). Only the learned feature model remains
+  * STUBBED with a deterministic fake (inherently out of scope without
+  * a model runtime); swap [[MediaCodec.features]] for a real model
   * without touching the dataflow.
   *
   * Scale notes: media bytes never pass through a shuffle here — decode
@@ -665,6 +667,7 @@ object Multimodal {
       it.map { r =>
         val st = MediaCodec.bmpStats(r.bytes)
           .orElse(MediaCodec.pngStats(r.bytes))
+          .orElse(JpegCodec.jpegStats(r.bytes))
         (r.media_id, st.map(_._1), st.map(_._2), st.map(_._3),
           st.map(_._4), st.map(_._5), st.map(_._6))
       }
