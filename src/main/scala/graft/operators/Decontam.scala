@@ -30,8 +30,15 @@ object Decontam {
       // whole-text fallback would otherwise emit the "" gram and make
       // two empty docs count as sharing a verbatim n-gram
       .where(size(col("__t")) > 0)
+    // explode_outer: the array is never empty here (toks filtered
+    // non-empty above, and < n tokens yields the whole-text shingle),
+    // and the outer variant dodges InferFiltersFromGenerate's
+    // size(...)>0 filter, whose pushdown would re-run the shingle
+    // kernel + distinct once more per row (same trade as
+    // TextDedup.shingleHashRows)
     val grams = toks.select(col(outId),
-      explode(array_distinct(TextFunctions.shinglesFromTokens(col("__t"), n)))
+      explode_outer(
+          array_distinct(TextFunctions.shinglesFromTokens(col("__t"), n)))
         .as("__sh"))
     grams.select(col(outId), TextDedup.md5Hash60(col("__sh")).as("__h"))
   }

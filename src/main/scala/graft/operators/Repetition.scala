@@ -58,9 +58,13 @@ object Repetition {
     // interpreted-HOF family; see graft.expressions.TextKernels). The
     // union re-runs the (native, single-pass) tokenizer once per side,
     // which is cheaper than one interpreted struct-wrap per gram.
+    // explode_outer: shingle arrays are never empty (< n tokens yields
+    // the whole-text gram), and the outer variant is exempt from
+    // InferFiltersFromGenerate, whose pushed-down size(...)>0 filter
+    // would re-run the shingle kernel per row (TextDedup precedent)
     def tagged(n: Int): DataFrame = toks
       .select(id, lit(n).as("__n"),
-        explode(TextFunctions.shinglesFromTokens(col("__t"), n))
+        explode_outer(TextFunctions.shinglesFromTokens(col("__t"), n))
           .as("__gram"))
     val grams = tagged(2).unionByName(tagged(5))
     val occ = grams.groupBy(id, col("__n"), col("__gram"))

@@ -128,7 +128,14 @@ object TextDedup {
     df.select(col(idCol).as("__id"),
         shingleHashArray(coalesce(col(textCol), lit("")), shingleSize)
           .as("__shs"))
-      .select(col("__id"), explode(col("__shs")).as("__sh"))
+      // explode_OUTER although the array is never empty (< n tokens
+      // yields one joined shingle, so every doc has >= 1 element):
+      // a plain explode gets an InferFiltersFromGenerate
+      // `size(...) > 0` filter whose pushdown re-evaluates the shingle
+      // kernel ONCE MORE per row in the scan stage — the outer variant
+      // is exempt from the inference and halves the kernel cost, with
+      // identical output on never-empty arrays
+      .select(col("__id"), explode_outer(col("__shs")).as("__sh"))
 
   /** The k family min-aggregates over [[shingleHashRows]]' `__sh`. */
   private def familyMinAggs(numHashes: Int): Seq[Column] =
