@@ -174,32 +174,40 @@ object TextDedup {
       threshold: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    // RELATIONAL signature: explode shingles to rows, hash each shingle
-    // string ONCE to a 64-bit key, and compute in a SINGLE grouped
-    // aggregate both the k family minima (k static min() columns) and
-    // the doc's distinct hashed-shingle SET for exact verification. One
-    // pass over the shingled corpus serves signatures AND verification
-    // sets; shingle STRINGS never leave the scan stage — the exchange
-    // carries (id, k minima, set<long>) per doc. Jaccard on hashed
-    // shingles equals Jaccard on the strings up to 64-bit collisions
-    // (~(shingles/doc)²/2⁶⁴ — a non-event next to the banding's own
-    // false-negative rate).
+    // FULLY RELATIONAL formulation (round 5): explode shingles to rows,
+    // hash each shingle string ONCE to a 64-bit key, DISTINCT the
+    // (id, hash) rows, and compute the k family minima + the exact
+    // set size in ONE pure-codegen HashAggregate (min over distinct
+    // rows equals min over all rows, so signatures are unchanged).
+    // Verification no longer materializes per-doc shingle SETS at all:
+    // |A∩B| is a count over candidate-filtered (pair, hash) joins of
+    // the same distinct rows, and |A∪B| = |A|+|B|−|A∩B|. Jaccard on
+    // hashed shingles equals Jaccard on the strings up to 64-bit
+    // collisions (~(shingles/doc)²/2⁶⁴ — a non-event next to the
+    // banding's own false-negative rate).
     //
-    // Round-4 note (measured, do not "fix"): collect_set makes this an
-    // ObjectHashAggregate, dragging the k min() columns out of pure
-    // codegen — but splitting into two aggregates over a shared pinned
-    // exchange (codegen mins + lone collect_set, joined on id) measured
-    // CATASTROPHICALLY worse (35-370 s vs 4.4 s at sf0.1): without
-    // map-side partial aggregation the k×rows hash tower lands on the
-    // reduce side in one giant generated method, and the join of two
-    // aggregate outputs re-plans the reuse away. The combined object
-    // aggregate keeps map-side partials for every column and stays the
-    // fastest measured formulation.
+    // History of this shape (all measured at sf0.1):
+    //  - r2-r4 used a combined aggregate (k min columns + collect_set)
+    //    — one pass, but collect_set made it an ObjectHashAggregate:
+    //    interpreted update loop (the suite's largest residual stall
+    //    source once the lambda kernels landed — recorded [20.9, 122.0,
+    //    4.8] s mid-suite) and, at 100 TB, an unbounded per-doc array
+    //    width in the exchange row.
+    //  - r4 ALSO measured a naive split (codegen mins + lone
+    //    collect_set joined on id) at 35-370 s: without map-side
+    //    partials the k×rows hash tower landed reduce-side. The r5
+    //    shape keeps full map-side partial aggregation for the minima
+    //    (partials run on the distinct exchange's output) and carries
+    //    only fixed-width (id, long) rows through every shuffle —
+    //    measured at parity with the combined aggregate clean-JVM, with
+    //    no object aggregate anywhere in the plan (PlanAuditSpec).
     val minAggs = familyMinAggs(numHashes)
-    val aggregated = shingleHashRows(df, idCol, textCol, shingleSize)
+    val distinctRows = shingleHashRows(df, idCol, textCol, shingleSize)
+      .distinct()
+    val aggregated = distinctRows
       .groupBy(col("__id"))
       .agg(minAggs.head, (minAggs.tail :+
-        collect_set(col("__sh")).as("__set")): _*)
+        count(lit(1)).as("__n")): _*)
     val sigs = aggregated.select(col("__id"), sigArray(numHashes).as("__sig"))
     // Band array as `bands` STATIC references to __sig: CollapseProject
     // refuses to inline a non-cheap alias referenced more than once, so
@@ -218,27 +226,31 @@ object TextDedup {
           && col("l.__id") < col("r.__id"))
       .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
       .distinct() // same pair can collide in several bands
-    // candidate pairs carry only ids through the band join; the hashed
-    // sets re-join after the distinct (same reused aggregate), so the
-    // per-pair work is only the codegen'd long-array intersect/union.
-    val shingleSets = aggregated.select(col("__id").as("__sid"),
-      col("__set"))
-    // Fixed-count repartition: the verification is compute-bound on few,
-    // tiny rows, which AQE would otherwise coalesce into one partition
-    // and serialize. An explicit numbered repartition is exempt from AQE
-    // coalescing and spreads the work.
-    val parallelism = df.sparkSession.sessionState.conf.numShufflePartitions
+    // Count-based exact verification, no sets: a (pair, hash) row
+    // survives both joins iff the hash is in A ∩ B. The candidate side
+    // is tiny (near-dup pairs only) so the first join semi-filters the
+    // corpus rows down to candidate docs; every shuffled row is
+    // fixed-width. Pairs with an EMPTY intersection drop out of the
+    // count — restored by the left join below so a threshold of 0.0
+    // would still see them (parity with the old otherwise(0.0) arm).
+    val interCounts = candidates
+      .join(distinctRows.select(col("__id").as("id_a"), col("__sh")),
+        Seq("id_a"))
+      .join(distinctRows.select(col("__id").as("id_b"), col("__sh")),
+        Seq("id_b", "__sh"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("__i"))
+    val sizes = aggregated.select(col("__id"), col("__n"))
     candidates
-      .join(shingleSets.select(col("__sid").as("id_a"),
-        col("__set").as("__sa")), Seq("id_a"))
-      .join(shingleSets.select(col("__sid").as("id_b"),
-        col("__set").as("__sb")), Seq("id_b"))
-      .repartition(parallelism)
+      .join(interCounts, Seq("id_a", "id_b"), "left")
+      .join(sizes.select(col("__id").as("id_a"), col("__n").as("__na")),
+        Seq("id_a"))
+      .join(sizes.select(col("__id").as("id_b"), col("__n").as("__nb")),
+        Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        when(size(array_union(col("__sa"), col("__sb"))) > 0,
-          size(array_intersect(col("__sa"), col("__sb"))).cast("double")
-            / size(array_union(col("__sa"), col("__sb"))).cast("double"))
-          .otherwise(lit(0.0)).as("jaccard"))
+        (coalesce(col("__i"), lit(0L)).cast("double")
+          / (col("__na") + col("__nb") - coalesce(col("__i"), lit(0L)))
+            .cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

@@ -85,15 +85,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Window"), "bucket-size guard window missing")
   }
 
-  test("q26 computes the shingle aggregate once (exchange reused)") {
-    // banding and exact-Jaccard verification both consume the single
-    // (minima + hashed-shingle-set) aggregate; if the reuse breaks, the
-    // corpus is tokenized and shingled multiple times
+  test("q26 reuses the shingle exchange and carries no object aggregates") {
+    // both band-join legs consume one exchange (if the reuse breaks,
+    // the corpus is tokenized and shingled twice), and the round-5
+    // relational verify must keep the whole plan in codegen hash
+    // aggregates — the former collect_set ObjectHashAggregate was the
+    // suite's largest residual interpreted stall source and an
+    // unbounded per-doc row width at scale
     val df = SparkEntry.queries("q26_minhash_neardup")(spark, dir)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("ReusedExchange"),
       "the shingle aggregate's exchange must be computed once and reused")
+    assert(!p.contains("ObjectHashAggregate") && !p.contains("SortAggregate"),
+      "q26 must carry only codegen HashAggregates")
   }
 
   test("q53 IVF probe is a broadcast equi-join on cells, no cross product") {
