@@ -127,6 +127,41 @@ class TextKernelsSpec extends SparkSpec {
     assert(!r(1).isNullAt(0) && r(1).getLong(1) === 3L)
   }
 
+  test("text-kernel fuzz: native == HOF on random unicode/space soup") {
+    // 400 adversarial strings: random runs of spaces, ASCII, multibyte
+    // code points (2-4 byte UTF-8), mixed — the byte-scan tokenizer and
+    // window assembly must agree with the HOF reference on all of them
+    val rnd = new scala.util.Random(303)
+    val alphabets = Seq(
+      "abcdefgh", "αβγδεζ", "бвгдеж", "一二三四五", "😀😁🎉", "a b", "  ")
+    def soup(): String = {
+      val n = rnd.nextInt(12)
+      (0 until n).map { _ =>
+        val a = alphabets(rnd.nextInt(alphabets.length))
+        val run = (0 until 1 + rnd.nextInt(5))
+          .map(_ => a.charAt(rnd.nextInt(a.length))).mkString
+        if (rnd.nextInt(3) == 0) run + (" " * rnd.nextInt(3)) else run
+      }.mkString
+    }
+    val docs = (1 to 400).map(i => (i.toLong, soup())).toDF("doc_id", "text")
+    for (n <- Seq(1, 2, 3)) {
+      val got = docs.select(col("doc_id"),
+          TextFunctions.shingles(col("text"), n).as("a"),
+          refShingles(refTokens(col("text")), n).as("b"),
+          TextFunctions.tokenCount(col("text")).as("c"),
+          size(refTokens(col("text"))).cast("long").as("d"),
+          TextFunctions.tokenChars(col("text")).as("e"),
+          refTokenChars(refTokens(col("text"))).as("f"))
+        .collect()
+      got.foreach { r =>
+        assert(r.getSeq[String](1) === r.getSeq[String](2),
+          s"shingles diverged for fuzz doc ${r.getLong(0)} n=$n")
+        assert(r.getLong(3) === r.getLong(4), s"count doc ${r.getLong(0)}")
+        assert(r.getLong(5) === r.getLong(6), s"chars doc ${r.getLong(0)}")
+      }
+    }
+  }
+
   test("planeDot fuzz: native == HOF over random lengths and nulls") {
     val rnd = new scala.util.Random(202)
     val dim = 6
