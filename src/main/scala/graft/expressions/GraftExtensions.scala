@@ -2,7 +2,8 @@ package graft.expressions
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
 
 /** SQL-surface registration of the engine's native expressions via the
   * public `SparkSessionExtensions` API:
@@ -33,7 +34,42 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "cosine_sim takes exactly 2 arguments")
         CosineSim(children.head, children(1))
       },
-      "cosine_sim(a, b) - cosine similarity of two float arrays"))
+      "cosine_sim(a, b) - cosine similarity of two float arrays"),
+    ("token_array", classOf[TokenArray].getName,
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "token_array takes exactly 1 argument")
+        TokenArray(children.head)
+      },
+      "token_array(text) - whitespace tokens, empties removed"),
+    ("shingle_array", classOf[ShingleArray].getName,
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "shingle_array takes exactly 2 arguments")
+        ShingleArray(children.head, litInt(children(1), "shingle_array's n"))
+      },
+      "shingle_array(tokens, n) - word n-gram shingles over a token array"),
+    ("shingle_hash64", classOf[ShingleHash64].getName,
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "shingle_hash64 takes exactly 2 arguments")
+        ShingleHash64(children.head, litInt(children(1), "shingle_hash64's n"))
+      },
+      "shingle_hash64(text, n) - xxhash64 of each word n-gram shingle"),
+    ("token_profile", classOf[TokenProfile].getName,
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "token_profile takes exactly 1 argument")
+        // the canonical word-list vector (stopwords + language markers),
+        // matching graft.functions.TextFunctions so SQL results agree
+        // with the DataFrame surface
+        TokenProfile(children.head,
+          graft.functions.TextFunctions.stopwordsEn +:
+            graft.functions.TextFunctions.langMarkers.map(_._2))
+      },
+      "token_profile(text) - struct<n_tokens, n_unique, n_chars, hits> in one pass"))
+
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case _ => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $e")
+  }
 
   override def apply(ext: SparkSessionExtensions): Unit =
     functions.foreach { case (name, className, builder, usage) =>

@@ -230,27 +230,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), "observed-day grid filter must be semi-join")
   }
 
-  test("text/vector family plans carry ZERO higher-order lambdas") {
-    // Interpreted HOF call sites were measured interpreter-pinning at
-    // 100x+ in long-lived JVMs (BASELINE.md round-5 section); every
-    // per-row lambda on these paths was replaced by a native codegen'd
-    // kernel (graft.expressions.*). This sweep pins that none of them
-    // regresses back to a lambda formulation — ANY lambdafunction( in
-    // these plans is a bug, not a style choice.
-    val family = Seq(
-      "q21_doc_fingerprint", "q22_token_stats", "q23_quality_score",
-      "q24_lang_id", "q25_exact_dedup", "q26_minhash_neardup",
-      "q27_ngram_jaccard", "q28_ann_topk", "q29_cosine_neardup",
-      "q31_simhash_neardup", "q43_word_count", "q46_chunking",
-      "q48_packing", "q49_scrub", "q50_text_ann", "q53_ivf_ann",
-      "q56_bm25_topk", "q57_decontam", "q65_repetition", "q77_winnow_overlap",
-      "q78_keywords", "q83_incremental_dedup")
-    for (name <- family) {
-      val p = SparkEntry.queries(name)(spark, dir)
-        .queryExecution.executedPlan.toString
-      assert(!p.contains("lambdafunction("),
-        s"$name reintroduced a higher-order lambda:\n${p.take(1500)}")
+  test("ENGINE-WIDE: interpreted-eval constructs pinned to the whitelist") {
+    // Interpreted expression paths (HOF lambdas, object/sort-aggregate
+    // update loops) were the round-4/5 bench killer (BASELINE.md
+    // §round-5) and are slow on a cluster even when a fresh JVM hides
+    // it. The engine-wide invariant after round 5: NO query plan may
+    // contain a higher-order lambda, a sort aggregate, or a cartesian
+    // product, and only these two intrinsic object aggregates remain —
+    // q44 (collect_list IS the operator under test) and q64 (Spark's
+    // percentile_approx sketch buffer). Growing this whitelist needs a
+    // measured justification, not a convenient formulation.
+    val objAggWhitelist = Set("q44_collect_sorted", "q64_approx_quantiles")
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      val p = fn(spark, dir).queryExecution.executedPlan.toString
+      Seq(
+        if (p.contains("lambdafunction(")) Some(s"$name: LAMBDA") else None,
+        if (p.contains("ObjectHashAggregate") && !objAggWhitelist(name))
+          Some(s"$name: OBJAGG") else None,
+        if (p.contains("SortAggregate")) Some(s"$name: SORTAGG") else None,
+        if (p.contains("CartesianProduct")) Some(s"$name: CARTESIAN") else None,
+      ).flatten
     }
+    assert(offenders.isEmpty,
+      s"interpreted-eval constructs crept into plans:\n${offenders.mkString("\n")}")
   }
 
   test("q77 winnow fingerprints carry no higher-order lambdas and one gram shuffle") {

@@ -162,6 +162,38 @@ class TextKernelsSpec extends SparkSpec {
     }
   }
 
+  test("GraftExtensions SQL builders construct working text kernels") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val fns = new graft.expressions.GraftExtensions().functions
+      .map(f => f._1 -> f._3).toMap
+    val text = Literal.create("the quick brown fox",
+      org.apache.spark.sql.types.StringType)
+    val toks = fns("token_array")(Seq(text))
+    assert(toks.eval(null).asInstanceOf[ArrayData].numElements() === 4)
+    val sh = fns("shingle_array")(Seq(toks,
+      Literal.create(2, org.apache.spark.sql.types.IntegerType)))
+    val shingles = sh.eval(null).asInstanceOf[ArrayData]
+    assert(shingles.numElements() === 3)
+    assert(shingles.getUTF8String(0) === UTF8String.fromString("the quick"))
+    val hashes = fns("shingle_hash64")(Seq(text,
+      Literal.create(2, org.apache.spark.sql.types.IntegerType)))
+    assert(hashes.eval(null).asInstanceOf[ArrayData].numElements() === 3)
+    val prof = fns("token_profile")(Seq(text)).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    assert(prof.getLong(0) === 4L) // n_tokens
+    assert(prof.getLong(1) === 4L) // n_unique
+    assert(prof.getLong(2) === 16L) // chars sans spaces
+    // hits(0): "the" is a stopword
+    val hits = prof.getArray(3)
+    assert(hits.getLong(0) === 1L)
+    // non-literal n must be rejected, not silently mis-planned
+    intercept[IllegalArgumentException] {
+      fns("shingle_array")(Seq(toks, toks))
+    }
+  }
+
   test("planeDot fuzz: native == HOF over random lengths and nulls") {
     val rnd = new scala.util.Random(202)
     val dim = 6
