@@ -42,18 +42,76 @@ object Bench {
     // query is not charged for session startup.
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    // Stall watchdog (round 5): the runs arrays occasionally catch a
+    // mid-suite run at 5-50x its siblings — interpreter pinning of some
+    // Spark-internal path that min-of-3 absorbs but cannot explain. A
+    // 2 Hz in-process stack sampler runs during every execution; its
+    // frame profile is KEPT only when the run lands >= 5 s, so a stalled
+    // entry in `runs` arrives with the dominant frames that burned the
+    // time (interpreted `*.eval` towers read completely differently from
+    // first-run scan/codegen warm-up). Sampling cost is ~1 ms every
+    // 500 ms — invisible next to any run worth profiling.
+    final class StallSampler extends Thread {
+      setDaemon(true)
+      private val counts = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Integer]()
+      @volatile private var live = true
+      private def interesting(cn: String): Boolean =
+        cn.startsWith("org.apache.spark") || cn.startsWith("graft.")
+      override def run(): Unit = {
+        val mx = java.lang.management.ManagementFactory.getThreadMXBean
+        while (live) {
+          val infos = mx.dumpAllThreads(false, false)
+          var i = 0
+          while (i < infos.length) {
+            val ti = infos(i)
+            if (ti != null && ti.getThreadState == Thread.State.RUNNABLE) {
+              val frames = ti.getStackTrace
+              var j = 0
+              var done = false
+              while (j < frames.length && !done) {
+                if (interesting(frames(j).getClassName)) {
+                  counts.merge(frames(j).getClassName + "." + frames(j).getMethodName,
+                    1, (a, b) => a + b)
+                  done = true
+                }
+                j += 1
+              }
+            }
+            i += 1
+          }
+          Thread.sleep(500)
+        }
+      }
+      def finish(): Seq[(String, Int)] = {
+        live = false
+        join(2000)
+        import scala.jdk.CollectionConverters._
+        counts.asScala.toSeq.map { case (k, v) => (k, v.intValue) }
+          .sortBy(-_._2).take(8)
+      }
+    }
+    // query-name#runIndex -> (seconds, dominant frames with sample counts)
+    val stallProfiles = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Double, Seq[(String, Int)])]
     // (time, succeeded) — a failed query must NOT report its fail-fast
     // elapsed time as a benchmark result (a broken build would look
     // faster); it reports -1 and is counted in "failed" instead.
-    def once(fn: (org.apache.spark.sql.SparkSession, String)
+    def once(name: String, runIdx: Int,
+        fn: (org.apache.spark.sql.SparkSession, String)
         => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
+      val sampler = new StallSampler
+      sampler.start()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] query failed: ${e.getMessage}"); false
         }
-      ((System.nanoTime() - t0) / 1e9, ok)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val profile = sampler.finish()
+      if (sec >= 5.0 && stallProfiles.size < 15)
+        stallProfiles(s"$name#$runIdx") = (sec, profile)
+      (sec, ok)
     }
     def f(d: Double): String = BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     // Per-query we keep ALL run times, not just the min: the round-4
@@ -64,7 +122,7 @@ object Bench {
     // headline estimator (first run pays one-off codegen/listing).
     val results: Seq[(String, Seq[(Double, Boolean)])] =
       SparkEntry.queries.toSeq.map { case (name, fn) =>
-        name -> Seq.fill(3)(once(fn))
+        name -> (0 until 3).map(i => once(name, i, fn))
       }
     val mins = results.map { case (name, runs) =>
       name -> (if (runs.forall(_._2)) runs.map(_._1).min else -1.0)
@@ -101,8 +159,14 @@ object Bench {
     val compileMs =
       if (comp != null && comp.isCompilationTimeMonitoringSupported) comp.getTotalCompilationTime
       else -1L
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val stallsJson = stallProfiles.map { case (key, (sec, frames)) =>
+      jstr(key) + ":{\"sec\":" + f(sec) + ",\"frames\":{" +
+        frames.map { case (fr, n) => jstr(fr) + ":" + n }.mkString(",") + "}}"
+    }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"runs":$runsJson,"jit":{"compile_ms":$compileMs,"code_cache_full":$codeCacheFull,"pools":$poolsJson},"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"runs":$runsJson,"stalls":$stallsJson,"jit":{"compile_ms":$compileMs,"code_cache_full":$codeCacheFull,"pools":$poolsJson},"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     Files.writeString(Paths.get("bench.json"), line + "\n")
     spark.stop()
