@@ -3187,6 +3187,53 @@ object Queries {
   // ^ `event_id % 3` mirrors the batch index: chained upserts prefer the
   // newest batch on version ties, then event_id desc within a batch.
 
+  /** Corpus-frequency boilerplate profile ([[Boilerplate.profile]]):
+    * the n-gram generalization of C4/RefinedWeb repeated-line
+    * filtering. A trigram shingle is boilerplate when it appears in
+    * ≥ 10% of all documents; per doc: distinct-shingle count,
+    * boilerplate-hit count, boilerplate fraction.
+    *
+    * Oracle parity: the shingle formulation is the SAME
+    * `list_transform(range...)` CASE as q27's, df/totals are exact
+    * integer counts, and `boiler_frac` divides two small exact
+    * integers in both engines — bit-identical doubles. Plan: df is the
+    * only wide shuffle (partial-aggregated); the boilerplate set
+    * broadcasts back, so the raw exploded stream never crosses the
+    * network (scale rationale at [[Boilerplate]]).
+    */
+  def q93Boilerplate(s: SparkSession, dir: String): DataFrame =
+    operators.Boilerplate.profile(t(s, dir, "documents"))
+      .orderBy(col("doc_id"))
+
+  val q93Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split(text, ' '), x -> x <> '') AS ta
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(ta) < 3 THEN [array_to_string(ta, ' ')]
+      |         ELSE list_transform(range(1, len(ta) - 1),
+      |                i -> ta[i] || ' ' || ta[i+1] || ' ' || ta[i+2]) END) AS sa
+      |  FROM toks),
+      |ex AS (SELECT doc_id, unnest(sa) AS g FROM sh),
+      |df AS (SELECT g, COUNT(*) AS df FROM ex GROUP BY g),
+      |boiler AS (
+      |  SELECT g FROM df
+      |  CROSS JOIN (SELECT COUNT(*) AS n FROM documents) t
+      |  WHERE CAST(df AS DOUBLE) >= CAST(n AS DOUBLE) * 0.10),
+      |hits AS (
+      |  SELECT doc_id, COUNT(*) AS n_boiler
+      |  FROM ex JOIN boiler USING (g) GROUP BY doc_id)
+      |SELECT s.doc_id, CAST(len(s.sa) AS BIGINT) AS n_shingles,
+      |  COALESCE(h.n_boiler, 0) AS n_boiler,
+      |  CASE WHEN len(s.sa) > 0
+      |    THEN CAST(COALESCE(h.n_boiler, 0) AS DOUBLE)
+      |       / CAST(len(s.sa) AS DOUBLE)
+      |    ELSE 0.0 END AS boiler_frac
+      |FROM sh s LEFT JOIN hits h USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -3284,5 +3331,6 @@ object Queries {
     "q89_bucketed_join" -> ((q89BucketedJoin _, Some(q89Sql))),
     "q90_stream_upsert" -> ((q90StreamUpsert _, Some(q90Sql))),
     "q91_image_codec" -> ((q91ImageCodec _, Some(q91Sql))),
-    "q92_jpeg_codec" -> ((q92JpegCodec _, Some(q92Sql))))
+    "q92_jpeg_codec" -> ((q92JpegCodec _, Some(q92Sql))),
+    "q93_boilerplate" -> ((q93Boilerplate _, Some(q93Sql))))
 }

@@ -230,6 +230,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), "observed-day grid filter must be semi-join")
   }
 
+  test("q93 boilerplate set broadcasts back; df agg is partial; no cartesian") {
+    val p = plan("q93_boilerplate")
+    // The raw exploded (doc, shingle) stream must never shuffle for the
+    // hit join — the tiny heavy-hitter set comes TO it (Boilerplate
+    // scaladoc). The only wide exchange is the df aggregation, which
+    // must combine map-side.
+    assert(p.contains("BroadcastHashJoin"),
+      s"boilerplate set no longer broadcasts:\n${p.take(800)}")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "df aggregation lost map-side partial combine")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("ENGINE-WIDE: interpreted-eval constructs pinned to the whitelist") {
     // Interpreted expression paths (HOF lambdas, object/sort-aggregate
     // update loops) were the round-4/5 bench killer (BASELINE.md
