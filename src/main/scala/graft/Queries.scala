@@ -3234,6 +3234,48 @@ object Queries {
       |FROM sh s LEFT JOIN hits h USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** Self-trained bigram-LM fluency score ([[LanguageModel
+    * .bigramFluency]]) — CCNet-style perplexity filtering re-expressed
+    * hash-stably: per-bigram MLE probabilities in fixed point
+    * (`floor(1e9·P + 0.5)`, the q28 score_fp pattern) so the per-doc
+    * sums are integer and addition-order-independent, and the mean
+    * probability stands in for log-space perplexity (ln/exp are not
+    * bit-identical across JVM and C runtimes — same ordering signal,
+    * exact cross-engine equality).
+    */
+  def q94BigramLm(s: SparkSession, dir: String): DataFrame =
+    operators.LanguageModel.bigramFluency(t(s, dir, "documents"))
+      .orderBy(col("doc_id"))
+
+  val q94Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split(text, ' '), x -> x <> '') AS ta
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id,
+      |    unnest(CASE WHEN len(ta) < 2 THEN [array_to_string(ta, ' ')]
+      |      ELSE list_transform(range(1, len(ta)),
+      |             i -> ta[i] || ' ' || ta[i+1]) END) AS g
+      |  FROM toks),
+      |pd AS (SELECT doc_id, g, COUNT(*) AS occ FROM bg GROUP BY doc_id, g),
+      |c2 AS (SELECT g, CAST(SUM(occ) AS BIGINT) AS c2 FROM pd GROUP BY g),
+      |c1 AS (
+      |  SELECT string_split(g, ' ')[1] AS w1, CAST(SUM(c2) AS BIGINT) AS c1
+      |  FROM c2 GROUP BY 1),
+      |p AS (
+      |  SELECT pd.doc_id, pd.occ,
+      |    CAST(FLOOR(CAST(c2.c2 AS DOUBLE) * 1e9
+      |      / CAST(c1.c1 AS DOUBLE) + 0.5) AS BIGINT) AS p_fp
+      |  FROM pd
+      |  JOIN c2 USING (g)
+      |  JOIN c1 ON c1.w1 = string_split(pd.g, ' ')[1])
+      |SELECT doc_id, CAST(SUM(occ) AS BIGINT) AS n_bigrams,
+      |  CAST(SUM(occ * p_fp) AS BIGINT) AS score_fp,
+      |  CAST(SUM(occ * p_fp) AS DOUBLE) / CAST(SUM(occ) AS DOUBLE)
+      |    / 1e9 AS avg_p
+      |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -3332,5 +3374,6 @@ object Queries {
     "q90_stream_upsert" -> ((q90StreamUpsert _, Some(q90Sql))),
     "q91_image_codec" -> ((q91ImageCodec _, Some(q91Sql))),
     "q92_jpeg_codec" -> ((q92JpegCodec _, Some(q92Sql))),
-    "q93_boilerplate" -> ((q93Boilerplate _, Some(q93Sql))))
+    "q93_boilerplate" -> ((q93Boilerplate _, Some(q93Sql))),
+    "q94_bigram_lm" -> ((q94BigramLm _, Some(q94Sql))))
 }

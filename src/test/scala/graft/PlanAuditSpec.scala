@@ -243,6 +243,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q94 LM: prefix table broadcasts, counts aggregate partially, no cartesian") {
+    val p = plan("q94_bigram_lm")
+    assert(p.contains("BroadcastHashJoin"),
+      s"unigram-prefix table no longer broadcasts:\n${p.take(800)}")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "bigram/prefix counts lost map-side partial aggregation")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("ENGINE-WIDE: interpreted-eval constructs pinned to the whitelist") {
     // Interpreted expression paths (HOF lambdas, object/sort-aggregate
     // update loops) were the round-4/5 bench killer (BASELINE.md
