@@ -120,7 +120,19 @@ object DumpPlans {
     "q89_bucketed_join" ->
       ("Bucketed storage join: both sides written bucketed+sorted on "
         + "the key; the join subtree runs with ZERO Exchange (the "
-        + "bucket layout IS the shuffle, paid once at write time)."))
+        + "bucket layout IS the shuffle, paid once at write time)."),
+    "q93_boilerplate" ->
+      ("Corpus-frequency boilerplate (C4-style): document frequency is "
+        + "the only wide shuffle (partial-aggregated over per-doc "
+        + "DISTINCT shingles); the tiny heavy-hitter set broadcasts "
+        + "BACK to the exploded stream, which therefore never crosses "
+        + "the network raw."),
+    "q94_bigram_lm" ->
+      ("Self-trained bigram-LM fluency: per-(doc,bigram) occurrences "
+        + "collapse first (partial agg), corpus counts aggregate from "
+        + "that reduced stream, the unigram-prefix table broadcasts; "
+        + "probabilities are fixed-point so every per-doc sum is an "
+        + "order-independent integer."))
 
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
