@@ -3276,6 +3276,111 @@ object Queries {
       |    / 1e9 AS avg_p
       |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Hybrid retrieval with Reciprocal Rank Fusion
+    * ([[Retrieval.rrfFuse]]): query-by-example over every 100th id —
+    * the lexical list is q56's BM25 (first-4-token query text,
+    * rational idf, top-10), the vector list is q28's exact fixed-point
+    * dot top-10 over the embeddings table — fused by rank only
+    * (`floor(1e9/(60+rank))` per list, integer sums), top-5 per query.
+    * Query ids beyond the embedding table's range fuse from the
+    * lexical list alone — the documented single-list degradation.
+    * The oracle recomputes BOTH retrieval pipelines and the fusion
+    * from the raw tables, so hash equality covers the full hybrid
+    * stack, not a planted subset.
+    */
+  def q95HybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val emb = t(s, dir, "embeddings")
+    val base = docs
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__ta"))
+    val queries = base.where(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("qid"),
+        concat_ws(" ",
+          slice(col("__ta"), lit(1), least(lit(4), size(col("__ta")))))
+          .as("qtext"))
+    val lex = Retrieval.bm25TopK(docs, "doc_id", "text",
+        queries, "qid", "qtext", k = 10, rationalIdf = true)
+      .select(col("query_id"), col("doc_id"), col("rank").cast("long")
+        .as("rank"))
+    val vec = Similarity.bruteForceTopK(emb,
+        emb.where(col("vec_id") % 100 === 0), "vec_id", "embedding",
+        k = 10)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").cast("long").as("rank"))
+    Retrieval.rrfFuse(Seq(lex, vec), k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val q95Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ta
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, unnest(ta) AS term FROM base) e
+      |  GROUP BY doc_id, term),
+      |dl AS (SELECT doc_id, len(ta) AS dl FROM base),
+      |stats AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(len(ta)) AS DOUBLE) / COUNT(*) AS avgdl
+      |  FROM base),
+      |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+      |q AS (
+      |  SELECT doc_id AS query_id,
+      |    unnest(list_distinct(ta[1:LEAST(4, len(ta))])) AS term
+      |  FROM base WHERE doc_id % 100 = 0),
+      |contrib AS (
+      |  SELECT q.query_id, tf.doc_id,
+      |    CAST(FLOOR(
+      |      (((CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+      |       * ((CAST(tf AS DOUBLE) * (1.2 + 1))
+      |          / (CAST(tf AS DOUBLE)
+      |             + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))))
+      |      * 1000000 + 0.5) AS BIGINT) AS c
+      |  FROM q
+      |  JOIN tf ON tf.term = q.term
+      |  JOIN df ON df.term = q.term
+      |  JOIN dl ON dl.doc_id = tf.doc_id
+      |  CROSS JOIN stats),
+      |lexscores AS (
+      |  SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS score_micro
+      |  FROM contrib GROUP BY query_id, doc_id),
+      |lexranked AS (
+      |  SELECT query_id, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY score_micro DESC, doc_id) AS rank
+      |  FROM lexscores),
+      |vecscores AS (
+      |  SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
+      |    CAST(list_aggregate(list_transform(list_zip(q.embedding, e.embedding),
+      |      p -> CAST(FLOOR(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1e9 + 0.5) AS BIGINT)),
+      |      'sum') AS BIGINT) AS score_fp
+      |  FROM (SELECT * FROM embeddings WHERE vec_id % 100 = 0) q
+      |  JOIN embeddings e ON e.vec_id <> q.vec_id),
+      |vecranked AS (
+      |  SELECT query_id, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY score_fp DESC, doc_id) AS rank
+      |  FROM vecscores),
+      |rrf AS (
+      |  SELECT query_id, doc_id,
+      |    CAST(FLOOR(1e9 / (60.0 + CAST(rank AS DOUBLE))) AS BIGINT) AS c
+      |  FROM lexranked WHERE rank <= 10
+      |  UNION ALL
+      |  SELECT query_id, doc_id,
+      |    CAST(FLOOR(1e9 / (60.0 + CAST(rank AS DOUBLE))) AS BIGINT) AS c
+      |  FROM vecranked WHERE rank <= 10),
+      |fused AS (
+      |  SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS rrf_fp,
+      |    CAST(COUNT(*) AS BIGINT) AS n_lists
+      |  FROM rrf GROUP BY query_id, doc_id)
+      |SELECT query_id, rank, doc_id, rrf_fp, n_lists FROM (
+      |  SELECT query_id, doc_id, rrf_fp, n_lists,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY rrf_fp DESC, doc_id) AS BIGINT) AS rank
+      |  FROM fused) r
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -3375,5 +3480,6 @@ object Queries {
     "q91_image_codec" -> ((q91ImageCodec _, Some(q91Sql))),
     "q92_jpeg_codec" -> ((q92JpegCodec _, Some(q92Sql))),
     "q93_boilerplate" -> ((q93Boilerplate _, Some(q93Sql))),
-    "q94_bigram_lm" -> ((q94BigramLm _, Some(q94Sql))))
+    "q94_bigram_lm" -> ((q94BigramLm _, Some(q94Sql))),
+    "q95_hybrid_rrf" -> ((q95HybridRrf _, Some(q95Sql))))
 }

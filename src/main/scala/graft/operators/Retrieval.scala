@@ -93,6 +93,50 @@ object Retrieval {
       .where(col("rank") <= k)
   }
 
+  /** Reciprocal Rank Fusion: merge N ranked lists — lexical BM25,
+    * vector ANN, any other retriever — into one ranking per query,
+    * `score(d) = Σ_lists 1/(kRrf + rank_list(d))`. The standard way a
+    * hybrid (text + embedding) retrieval stack combines modalities
+    * without comparable raw scores: only RANKS cross lists, so a
+    * micro-unit BM25 score and a fixed-point dot product need no
+    * common scale.
+    *
+    * Each input must expose `(query_id, doc_id, rank)`. A document
+    * missing from one list simply contributes nothing from it (no
+    * outer-join NULL handling — fusion is a union + sum). A query id
+    * present in only one list degrades gracefully to that list's
+    * ranking.
+    *
+    * Contributions are fixed-point (`floor(1e9/(kRrf + rank))` —
+    * single correctly-rounded division, then exact integers), so the
+    * fused score is an order-independent BIGINT sum, hash-stable
+    * across engines and partitionings like q28/q56's scores.
+    *
+    * Scale shape: inputs are already per-query top-k lists — tiny
+    * relative to the corpora that produced them — so the union +
+    * groupBy(query, doc) + per-query WindowGroupLimit all ride on
+    * k·|queries|-sized data; the expensive retrieval stays inside the
+    * upstream operators.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, kRrf: Int = 60)
+      : DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking to fuse")
+    require(k > 0 && kRrf >= 0, "k must be positive, kRrf non-negative")
+    val contribs = rankings.map(_.select(col("query_id"), col("doc_id"),
+      floor(lit(1e9) /
+          (lit(kRrf).cast("double") + col("rank").cast("double")))
+        .cast("long").as("__c")))
+      .reduce(_ unionByName _)
+    val fused = contribs.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("__c")).as("rrf_fp"), count(lit(1)).as("n_lists"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_fp").desc, col("doc_id").asc)
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("rrf_fp"),
+        col("n_lists"))
+  }
+
   /** Per-document keyword extraction: the `k` most distinctive tokens
     * of each document by tf-idf — corpus labeling, topic inspection
     * and dedup-cluster naming all start here.

@@ -83,4 +83,37 @@ class RetrievalSpec extends SparkSpec {
   test("query with no matching terms returns no rows") {
     assert(topk(Seq((1L, "zebra")), 5).isEmpty)
   }
+
+  // --- Reciprocal Rank Fusion ---
+
+  private def ranking(rows: (Long, Long, Long)*) =
+    rows.toDF("query_id", "doc_id", "rank")
+
+  test("rrfFuse: agreement across lists outranks a single first place") {
+    // doc 10 is rank 2 in BOTH lists: 2*floor(1e9/62) = 32258064
+    // beats either lone rank-1 floor(1e9/61) = 16393442.
+    val a = ranking((1L, 11L, 1L), (1L, 10L, 2L))
+    val b = ranking((1L, 12L, 1L), (1L, 10L, 2L))
+    val got = Retrieval.rrfFuse(Seq(a, b), k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.head === ((10L, 2L * (1000000000L / 62), 2L)))
+    // the two singletons tie on score; doc_id ascending breaks it
+    assert(got.map(_._1).toSeq === Seq(10L, 11L, 12L))
+  }
+
+  test("rrfFuse: a query present in one list degrades to that list") {
+    val a = ranking((1L, 10L, 1L), (2L, 20L, 1L), (2L, 21L, 2L))
+    val b = ranking((1L, 10L, 1L))
+    val got = Retrieval.rrfFuse(Seq(a, b), k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+      .toSet
+    assert(got === Set((1L, 1L, 10L, 2L), (2L, 1L, 20L, 1L),
+      (2L, 2L, 21L, 1L)))
+  }
+
+  test("rrfFuse: k truncates the fused ranking per query") {
+    val a = ranking((1L to 10L).map(i => (1L, i, i)): _*)
+    assert(Retrieval.rrfFuse(Seq(a), k = 4).count() === 4)
+  }
 }
