@@ -3381,6 +3381,36 @@ object Queries {
       |  FROM fused) r
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** SemDeDup ([[Similarity.semDedup]]): semantic dedup by embedding
+    * clusters, oracle-checked via the q29/q53 planted-copy invariant.
+    * The corpus is every embedding plus a 0.5×-scaled copy (id +1e6):
+    * scaling by a POWER OF TWO is exact in IEEE float, so every
+    * centroid dot product of the copy is exactly half its source's —
+    * identical argmax, same cell, whatever the trained centroids — and
+    * the copy's cosine to its source sits within ulps of 1. With the
+    * corpus max natural cosine ≈ 0.6 (measured at all SFs), τ = 0.999
+    * admits exactly the planted pairs; output restricted to planted
+    * drops (the q29 pattern) keeps the oracle closed-form while the
+    * REAL pipeline — k-means training, cell assignment, within-cell
+    * pair pruning — runs end to end.
+    */
+  def q96SemDedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val scaled = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.expressions.ScaleArray(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("embedding")),
+          0.5f)).as("embedding"))
+    Similarity.semDedup(emb.unionByName(scaled), "vec_id", "embedding",
+        dim = 64, nlist = 8, tau = 0.999)
+      .filter(col("dropped_id") >= 1000000L)
+      .orderBy(col("dropped_id"))
+  }
+
+  val q96Sql: String =
+    """SELECT vec_id + 1000000 AS dropped_id, vec_id AS kept_id
+      |FROM embeddings ORDER BY dropped_id""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -3481,5 +3511,6 @@ object Queries {
     "q92_jpeg_codec" -> ((q92JpegCodec _, Some(q92Sql))),
     "q93_boilerplate" -> ((q93Boilerplate _, Some(q93Sql))),
     "q94_bigram_lm" -> ((q94BigramLm _, Some(q94Sql))),
-    "q95_hybrid_rrf" -> ((q95HybridRrf _, Some(q95Sql))))
+    "q95_hybrid_rrf" -> ((q95HybridRrf _, Some(q95Sql))),
+    "q96_semdedup" -> ((q96SemDedup _, Some(q96Sql))))
 }

@@ -369,4 +369,47 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  /** SemDeDup: semantic deduplication by embedding clusters — the
+    * published recipe (k-means the embedding space, then prune
+    * near-identical pairs WITHIN each cluster) that completes the
+    * dedup ladder above the lexical tiers: exact (q25) → MinHash /
+    * SimHash / cosine-LSH (q26/q31/q29) → semantic clusters, which
+    * catch paraphrase-level duplicates no shingle tier can.
+    *
+    * Output: `(dropped_id, kept_id)` — a vector is dropped when a
+    * LOWER-id τ-neighbor shares its cluster; `kept_id` is the lowest
+    * such neighbor. This is SemDeDup's greedy per-cluster pruning
+    * (deterministic here via the id order), not transitive-closure
+    * resolution — clusters needing full connected components go
+    * through the q55 pipeline instead.
+    *
+    * Scale design: the quadratic stage is CONFINED per cell — the
+    * published algorithm's point — so cost is Σ|cell|², tuned by
+    * `nlist` (grow it with the corpus, √N cells keeps cells
+    * O(√N)). The pair join is an equi-join on the cell id (shuffled
+    * once; both legs are the same assignment subtree, so the exchange
+    * reuses); centroids are driver-held `nlist × dim` doubles like all
+    * IVF state ([[trainIvfCentroids]]). With few cells the cell-key
+    * shuffle is skew-prone by construction — at real scale nlist is
+    * thousands, and AQE skew-split handles residual imbalance.
+    */
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+      nlist: Int, tau: Double, iters: Int = 2,
+      seed: Int = 42): DataFrame = {
+    val centroids = trainIvfCentroids(emb, idCol, vecCol, dim, nlist,
+      iters, seed)
+    val withCell = emb.select(col(idCol), col(vecCol))
+      .join(ivfAssign(emb, idCol, vecCol, centroids), Seq(idCol))
+    val a = withCell.select(col("cell"), col(idCol).as("__ida"),
+      col(vecCol).as("__va"))
+    val b = withCell.select(col("cell"), col(idCol).as("__idb"),
+      col(vecCol).as("__vb"))
+    a.join(b, Seq("cell"))
+      .where(col("__ida") < col("__idb"))
+      .where(cosine(col("__va"), col("__vb")) >= tau)
+      .groupBy(col("__idb"))
+      .agg(min(col("__ida")).as("kept_id"))
+      .select(col("__idb").as("dropped_id"), col("kept_id"))
+  }
 }

@@ -220,4 +220,23 @@ class SimilaritySpec extends SparkSpec {
         .as("b2")).collect()
     b.foreach(r => assert(r.getLong(1) === r.getLong(2)))
   }
+
+  test("semDedup drops the higher-id near-identical vector, keeps the rest") {
+    // Two τ-groups (1≡2 exact copies, 4 = 0.5×3) plus two loners; the
+    // greedy rule must drop exactly the higher id of each group with
+    // its lower-id partner as survivor, regardless of how k-means
+    // splits the four directions over the cells.
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, Array(0.0f, 0.5f, 0.0f, 0.0f)),
+      (5L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+      (6L, Array(0.0f, 0.0f, 0.0f, -1.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semDedup(emb, "vec_id", "embedding",
+        dim = 4, nlist = 2, tau = 0.99)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(2L -> 1L, 4L -> 3L))
+  }
 }
