@@ -3411,6 +3411,100 @@ object Queries {
     """SELECT vec_id + 1000000 AS dropped_id, vec_id AS kept_id
       |FROM embeddings ORDER BY dropped_id""".stripMargin
 
+  /** Corpus-curation capstone: the C4/RefinedWeb-style multi-signal
+    * document filter, composing three independently-verified quality
+    * signals — heuristic quality score (q23), corpus-frequency
+    * boilerplate fraction (q93, df ≥ 1% here so the signal is live on
+    * this corpus), and bigram-LM fluency (q94) — into one survivors
+    * table. Every signal is bit-identical across engines (each is
+    * hash-verified standalone), so the threshold conjunction is
+    * deterministic too. Scale shape: the three signal branches are
+    * independent (they parallelize as separate stage DAGs over the
+    * same scan) and meet in two doc-id joins over one-row-per-doc
+    * outputs — the cheap part; the curation decision itself adds no
+    * new shuffle beyond the signals' own.
+    */
+  def q97Curation(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val quality = docs.select(col("doc_id"),
+      TextFunctions.qualityScore(col("text")).as("quality_score"))
+    val boiler = operators.Boilerplate.profile(docs, minDfFrac = 0.01)
+      .select(col("doc_id"), col("boiler_frac"))
+    val fluency = operators.LanguageModel.bigramFluency(docs)
+      .select(col("doc_id"), col("avg_p"))
+    quality.join(boiler, Seq("doc_id")).join(fluency, Seq("doc_id"))
+      .where(col("quality_score") >= 0.55 && col("boiler_frac") < 0.05
+        && col("avg_p") >= 0.034)
+      .orderBy(col("doc_id"))
+  }
+
+  val q97Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split(text, ' '), x -> x <> '') AS ta
+      |  FROM documents),
+      |quality AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN CAST(n AS DOUBLE) > 0 THEN CAST(u AS DOUBLE) / CAST(n AS DOUBLE) ELSE 0.0 END) * 0.5
+      |    + (CASE WHEN (CASE WHEN CAST(n AS DOUBLE) > 0 THEN CAST(st AS DOUBLE) / CAST(n AS DOUBLE) ELSE 0.0 END) BETWEEN 0.05 AND 0.6 THEN 1.0 ELSE 0.0 END) * 0.25
+      |    + (CASE WHEN (CASE WHEN CAST(n AS DOUBLE) > 0 THEN CAST(ch AS DOUBLE) / CAST(n AS DOUBLE) ELSE 0.0 END) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END) * 0.25
+      |    AS quality_score
+      |  FROM (SELECT doc_id, len(ta) AS n, len(list_distinct(ta)) AS u,
+      |          list_aggregate(list_transform(ta, x -> length(x)), 'sum') AS ch,
+      |          len(list_filter(ta, x -> list_contains(['the','a','an','of','to','and','in','is','on','for','it','with','as','at','by'], x))) AS st
+      |        FROM toks) o),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(ta) < 3 THEN [array_to_string(ta, ' ')]
+      |         ELSE list_transform(range(1, len(ta) - 1),
+      |                i -> ta[i] || ' ' || ta[i+1] || ' ' || ta[i+2]) END) AS sa
+      |  FROM toks),
+      |ex AS (SELECT doc_id, unnest(sa) AS g FROM sh),
+      |dfc AS (SELECT g, COUNT(*) AS df FROM ex GROUP BY g),
+      |bset AS (
+      |  SELECT g FROM dfc
+      |  CROSS JOIN (SELECT COUNT(*) AS nd FROM documents) t
+      |  WHERE CAST(df AS DOUBLE) >= CAST(nd AS DOUBLE) * 0.01),
+      |bhits AS (
+      |  SELECT doc_id, COUNT(*) AS nb
+      |  FROM ex JOIN bset USING (g) GROUP BY doc_id),
+      |boiler AS (
+      |  SELECT s.doc_id,
+      |    CASE WHEN len(s.sa) > 0
+      |      THEN CAST(COALESCE(h.nb, 0) AS DOUBLE) / CAST(len(s.sa) AS DOUBLE)
+      |      ELSE 0.0 END AS boiler_frac
+      |  FROM sh s LEFT JOIN bhits h USING (doc_id)),
+      |bg AS (
+      |  SELECT doc_id,
+      |    unnest(CASE WHEN len(ta) < 2 THEN [array_to_string(ta, ' ')]
+      |      ELSE list_transform(range(1, len(ta)),
+      |             i -> ta[i] || ' ' || ta[i+1]) END) AS g
+      |  FROM toks),
+      |pd AS (SELECT doc_id, g, COUNT(*) AS occ FROM bg GROUP BY doc_id, g),
+      |c2 AS (SELECT g, CAST(SUM(occ) AS BIGINT) AS c2 FROM pd GROUP BY g),
+      |c1 AS (
+      |  SELECT string_split(g, ' ')[1] AS w1, CAST(SUM(c2) AS BIGINT) AS c1
+      |  FROM c2 GROUP BY 1),
+      |p AS (
+      |  SELECT pd.doc_id, pd.occ,
+      |    CAST(FLOOR(CAST(c2.c2 AS DOUBLE) * 1e9
+      |      / CAST(c1.c1 AS DOUBLE) + 0.5) AS BIGINT) AS p_fp
+      |  FROM pd
+      |  JOIN c2 USING (g)
+      |  JOIN c1 ON c1.w1 = string_split(pd.g, ' ')[1]),
+      |fluency AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(occ * p_fp) AS DOUBLE) / CAST(SUM(occ) AS DOUBLE)
+      |      / 1e9 AS avg_p
+      |  FROM p GROUP BY doc_id)
+      |SELECT q.doc_id, q.quality_score, b.boiler_frac, f.avg_p
+      |FROM quality q
+      |JOIN boiler b USING (doc_id)
+      |JOIN fluency f USING (doc_id)
+      |WHERE q.quality_score >= 0.55 AND b.boiler_frac < 0.05
+      |  AND f.avg_p >= 0.034
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -3512,5 +3606,6 @@ object Queries {
     "q93_boilerplate" -> ((q93Boilerplate _, Some(q93Sql))),
     "q94_bigram_lm" -> ((q94BigramLm _, Some(q94Sql))),
     "q95_hybrid_rrf" -> ((q95HybridRrf _, Some(q95Sql))),
-    "q96_semdedup" -> ((q96SemDedup _, Some(q96Sql))))
+    "q96_semdedup" -> ((q96SemDedup _, Some(q96Sql))),
+    "q97_curation" -> ((q97Curation _, Some(q97Sql))))
 }
