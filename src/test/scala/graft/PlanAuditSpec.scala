@@ -252,6 +252,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q96 semdedup pairs via cell equi-join, never an all-pairs product") {
+    val p = plan("q96_semdedup")
+    // The quadratic must stay CONFINED per cell: the pair stage is an
+    // equi-join on the cell id; a planner fallback to a nested-loop or
+    // cartesian over the whole table is the O(n^2) regression SemDeDup
+    // exists to avoid.
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"pair stage degenerated to an all-pairs nested loop:\n${p.take(800)}")
+  }
+
+  test("q97 curation: signal branches aggregate partially, no cartesian") {
+    val p = plan("q97_curation")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "signal pipelines lost map-side partial aggregation")
+    assert(p.contains("BroadcastHashJoin"),
+      "small-side signal joins should broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("ENGINE-WIDE: interpreted-eval constructs pinned to the whitelist") {
     // Interpreted expression paths (HOF lambdas, object/sort-aggregate
     // update loops) were the round-4/5 bench killer (BASELINE.md
