@@ -3402,7 +3402,7 @@ object Queries {
           org.apache.spark.sql.graft.ColumnBridge.expression(col("embedding")),
           0.5f)).as("embedding"))
     Similarity.semDedup(emb.unionByName(scaled), "vec_id", "embedding",
-        dim = 64, nlist = 8, tau = 0.999)
+        dim = 64, nlist = 16, tau = 0.999)
       .filter(col("dropped_id") >= 1000000L)
       .orderBy(col("dropped_id"))
   }

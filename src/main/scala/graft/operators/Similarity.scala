@@ -211,10 +211,16 @@ object Similarity {
     }
     val scored = exploded.groupBy(col("__id"))
       .agg(dots.head, dots.tail: _*)
-    val best = centroids.indices
-      .map(c => struct(col(s"__dot$c").as("s"),
-        lit(-c).cast("int").as("negc")))
-      .reduce((a, b) => when(b > a, b).otherwise(a)) // struct max: score, then lower cell
+    // Argmax as array_max over (score, -cell) structs: struct ordering
+    // compares score first, then -cell, so ties resolve to the LOWEST
+    // cell id — identical semantics to a pairwise when-max chain, but
+    // LINEAR in nlist. The former reduce(when(b > a, b).otherwise(a))
+    // embedded the accumulated expression twice per step — expression
+    // size 2^nlist, which hangs the analyzer beyond ~12 cells and
+    // contradicted semDedup's "grow nlist with the corpus" contract.
+    val best = array_max(array(centroids.indices.map(c =>
+      struct(col(s"__dot$c").as("s"),
+        lit(-c).cast("int").as("negc"))): _*))
     scored.select(col("__id"), (-best.getField("negc")).as("__cell"))
   }
 
