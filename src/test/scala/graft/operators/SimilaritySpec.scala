@@ -221,6 +221,21 @@ class SimilaritySpec extends SparkSpec {
     b.foreach(r => assert(r.getLong(1) === r.getLong(2)))
   }
 
+  test("ivfAssign stays linear in nlist (the 2^nlist when-max regression)") {
+    // The centroid argmax was once a pairwise when-max reduce whose
+    // expression size doubled per centroid — nlist=48 hung the analyzer
+    // outright. The linear array_max form must handle it instantly and
+    // still produce a valid cell per vector.
+    val cents = Array.tabulate(48, 3)((c, d) => if (d == c % 3) 1.0 else 0.0)
+    val got = Similarity.ivfAssign(vecs, "vec_id", "embedding", cents)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    assert(got.values.forall(c => c >= 0 && c < 48))
+    // ties resolve to the LOWEST cell: vec 0 = (1,0,0) scores 1.0 in
+    // every cell with c % 3 == 0 and must land in cell 0.
+    assert(got(0L) === 0)
+  }
+
   test("semDedup drops the higher-id near-identical vector, keeps the rest") {
     // Two τ-groups (1≡2 exact copies, 4 = 0.5×3) plus two loners; the
     // greedy rule must drop exactly the higher id of each group with
