@@ -393,25 +393,69 @@ object Similarity {
     * Scale design: the quadratic stage is CONFINED per cell — the
     * published algorithm's point — so cost is Σ|cell|², tuned by
     * `nlist` (grow it with the corpus, √N cells keeps cells
-    * O(√N)). The pair join is an equi-join on the cell id (shuffled
-    * once; both legs are the same assignment subtree, so the exchange
-    * reuses); centroids are driver-held `nlist × dim` doubles like all
-    * IVF state ([[trainIvfCentroids]]). With few cells the cell-key
-    * shuffle is skew-prone by construction — at real scale nlist is
-    * thousands, and AQE skew-split handles residual imbalance.
+    * O(√N)); centroids are driver-held `nlist × dim` doubles like all
+    * IVF state ([[trainIvfCentroids]]). Two skew defenses beyond AQE:
+    *
+    *   - '''fail-fast''': a cell whose population exceeds
+    *     `maxCellRows` raises with the cell id and its row count
+    *     before the pair join runs (same rationale as
+    *     [[cosineNearDup]]'s `maxBucketRows`) — a degenerate corpus
+    *     (mass-duplicate embeddings, nlist far too small) should fail
+    *     with a diagnostic, not OOM the shuffle.
+    *   - '''within-cell split''': a cell larger than `saltCellRows`
+    *     has its pair join decomposed into `salt` chunks — the left
+    *     leg keys each row by `hash(id) % salt`, the right leg
+    *     replicates each row to all `salt` values, so every (a, b)
+    *     pair still materializes exactly once (at a's salt) while the
+    *     (cell, salt) join key spreads one hot cell over `salt`
+    *     shuffle partitions instead of pinning a straggler. Healthy
+    *     cells keep salt 0 on both legs and pay no replication. This
+    *     is the relational equivalent of the paper's re-clustering of
+    *     oversized clusters, without a second k-means pass.
     */
   def semDedup(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
       nlist: Int, tau: Double, iters: Int = 2,
-      seed: Int = 42): DataFrame = {
+      seed: Int = 42, maxCellRows: Long = 1000000L,
+      saltCellRows: Long = 65536L, salt: Int = 8): DataFrame = {
     val centroids = trainIvfCentroids(emb, idCol, vecCol, dim, nlist,
       iters, seed)
     val withCell = emb.select(col(idCol), col(vecCol))
       .join(ivfAssign(emb, idCol, vecCol, centroids), Seq(idCol))
-    val a = withCell.select(col("cell"), col(idCol).as("__ida"),
-      col(vecCol).as("__va"))
-    val b = withCell.select(col("cell"), col(idCol).as("__idb"),
-      col(vecCol).as("__vb"))
-    a.join(b, Seq("cell"))
+    semDedupWithinCells(withCell, idCol, vecCol, tau, maxCellRows,
+      saltCellRows, salt)
+  }
+
+  /** Per-cell greedy pruning stage of [[semDedup]], factored over a
+    * pre-assigned `(idCol, vecCol, cell)` frame so the guard and the
+    * skew split are testable against a PLANTED degenerate assignment
+    * (k-means placement is data-dependent and can't plant a mega-cell
+    * deterministically).
+    */
+  private[operators] def semDedupWithinCells(withCell: DataFrame,
+      idCol: String, vecCol: String, tau: Double, maxCellRows: Long,
+      saltCellRows: Long, salt: Int): DataFrame = {
+    require(salt > 0, "salt must be positive")
+    require(maxCellRows >= saltCellRows,
+      "maxCellRows below saltCellRows would fail cells the split handles")
+    val wcnt = Window.partitionBy(col("cell"))
+    val counted = withCell
+      .withColumn("__cn", count(lit(1)).over(wcnt))
+      .withColumn("cell",
+        when(col("__cn") > maxCellRows,
+          raise_error(concat(
+            lit(s"SemDeDup cell exceeds $maxCellRows rows (cell="),
+            col("cell"), lit(", rows="), col("__cn"),
+            lit(") - grow nlist or dedup exact copies first"))))
+          .otherwise(col("cell")))
+    val nSalt = when(col("__cn") > saltCellRows, lit(salt.toLong))
+      .otherwise(lit(1L))
+    val a = counted.select(col("cell"),
+      pmod(xxhash64(col(idCol)), nSalt).as("__salt"),
+      col(idCol).as("__ida"), col(vecCol).as("__va"))
+    val b = counted.select(col("cell"),
+      explode(sequence(lit(0L), nSalt - 1L)).as("__salt"),
+      col(idCol).as("__idb"), col(vecCol).as("__vb"))
+    a.join(b, Seq("cell", "__salt"))
       .where(col("__ida") < col("__idb"))
       .where(cosine(col("__va"), col("__vb")) >= tau)
       .groupBy(col("__idb"))

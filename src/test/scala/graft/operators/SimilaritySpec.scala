@@ -254,4 +254,63 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(2L -> 1L, 4L -> 3L))
   }
+
+  test("semDedup cell guard fails fast on a degenerate mega-cell") {
+    // mass-duplicate embeddings with nlist too small: every vector ties
+    // into one cell, the pair join would be O(n^2) in that cell — the
+    // guard must raise with the cell id BEFORE the quadratic join
+    val same = (0L until 40L).map(i => (i, Array(1.0f, 2.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.semDedup(same, "vec_id", "embedding", dim = 3,
+          nlist = 2, tau = 0.9, maxCellRows = 10L, saltCellRows = 10L)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m =>
+        m != null && m.contains("SemDeDup cell exceeds")),
+      s"wrong failure: ${e.getMessage}")
+    // the healthy default path over the same corpus must NOT raise
+    assert(Similarity.semDedup(same, "vec_id", "embedding", dim = 3,
+      nlist = 2, tau = 0.9).count() === 39L)
+  }
+
+  test("semDedup within-cell split: planted hot cell, same answer, spread keys") {
+    // one planted cell holds 10% of a 600-row corpus (the other rows sit
+    // in 59 healthy cells) — the split must (a) keep the output
+    // bit-identical to the unsplit run and (b) spread the hot cell's
+    // pair join over multiple (cell, salt) keys instead of one straggler
+    val rnd = new scala.util.Random(23)
+    def unit(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      val v = Array.fill(8)(r.nextFloat() * 2 - 1)
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / n)
+    }
+    val hot = (0L until 60L).map { i =>
+      // near-identical family: tiny jitter on one base direction
+      val base = unit(99)
+      val j = unit(i.toInt + 1000)
+      (i, base.zip(j).map { case (x, y) => x + 0.001f * y }, 0)
+    }
+    val cold = (60L until 600L).map(i => (i, unit(i.toInt), 1 + rnd.nextInt(59)))
+    val withCell = (hot ++ cold).toDF("vec_id", "embedding", "cell")
+    val split = Similarity.semDedupWithinCells(withCell, "vec_id",
+        "embedding", tau = 0.999, maxCellRows = 1000000L,
+        saltCellRows = 30L, salt = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unsplit = Similarity.semDedupWithinCells(withCell, "vec_id",
+        "embedding", tau = 0.999, maxCellRows = 1000000L,
+        saltCellRows = 1000000L, salt = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(split === unsplit, "split must not change the answer")
+    assert(split.nonEmpty && split.forall(_._2 === 0L),
+      "hot-cell family prunes to its lowest id")
+    // the hot cell's left leg spans >1 salt key => >1 shuffle partition key
+    val hotSalts = withCell.filter(col("cell") === 0)
+      .select(pmod(xxhash64(col("vec_id")), lit(4L)).as("s"))
+      .distinct().count()
+    assert(hotSalts >= 2L, "hot cell must spread over multiple salt keys")
+  }
 }
