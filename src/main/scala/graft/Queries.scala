@@ -3097,35 +3097,33 @@ object Queries {
       |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** Row shape streamed by q90's MemoryStream (ts kept as exact
-    * nanosecond longs — the version key must order bit-identically to
-    * DuckDB's TIMESTAMP_NS).
-    */
-  final case class CdcEvent(event_id: Long, ts_ns: Long, user_id: Long,
-      event_type: String, value: Option[Double])
-
   /** STREAMING CDC upsert, oracle-checked ([[graft.streaming]] made
     * query-shaped): the events subset replays as three ordered
-    * micro-batches through a MemoryStream; `foreachBatch` merges each
-    * batch into a parquet state table with the SAME batch LWW merge the
-    * reference's `ON CONFLICT DO UPDATE` maps to ([[Dedup.upsert]] —
-    * write-then-swap on alternating paths, the plain-parquet stand-in
-    * for a lakehouse MERGE). Chained per-batch upserts resolve version
-    * ties to the LATEST batch (incoming wins, transitively), so the
-    * whole replay collapses to one window over the union — which is
-    * exactly the oracle: streaming must be result-invisible next to the
-    * batch semantics (q11's pattern, lifted to micro-batches).
-    * MemoryStream is the deterministic replay harness; a production
-    * source (files/Kafka) changes only `readStream`.
+    * micro-batches through a parquet FILE SOURCE; `foreachBatch` merges
+    * each batch into a parquet state table with the SAME batch LWW
+    * merge the reference's `ON CONFLICT DO UPDATE` maps to
+    * ([[Dedup.upsert]] — write-then-swap on alternating paths, the
+    * plain-parquet stand-in for a lakehouse MERGE). Chained per-batch
+    * upserts resolve version ties to the LATEST batch (incoming wins,
+    * transitively), so the whole replay collapses to one window over
+    * the union — which is exactly the oracle: streaming must be
+    * result-invisible next to the batch semantics (q11's pattern,
+    * lifted to micro-batches).
+    *
+    * Replay determinism without driver materialization (the r5 shape
+    * `collect()`ed each batch through the driver into a MemoryStream):
+    * batch i's rows are STAGED as parquet by a distributed write, then
+    * drained by one `Trigger.AvailableNow` start/stop cycle — files are
+    * fully committed before the cycle starts, so a batch can never be
+    * picked up partially, and the shared checkpoint makes each cycle
+    * see exactly the files staged since the previous one. No row ever
+    * passes through the driver; a production source (directory watch /
+    * Kafka) changes only the staging step.
     */
   def q90StreamUpsert(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val src = events(s, dir).filter(col("user_id") < 50)
       .select(col("event_id"), col("ts_ns"), col("user_id"),
-        col("event_type"), col("value")).as[CdcEvent]
-    val batches = (0 until 3).map(i =>
-      src.filter(col("event_id") % 3 === i).collect().toSeq)
+        col("event_type"), col("value"))
     // Per-run unique state dir: a fixed path raced when two harness
     // processes (e.g. Verify + an ad-hoc TimeQuery) ran q90 at once —
     // one clobbered the other's ping-pong state mid-replay. deleteOnExit
@@ -3139,28 +3137,39 @@ object Queries {
     if (fs.exists(base)) fs.delete(base, true)
     fs.deleteOnExit(base)
     val paths = Seq(s"$base/s0", s"$base/s1")
+    val stage = s"$base/stage"
     var step = 0
-    val ms = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[CdcEvent]
-    val q = ms.toDF().writeStream.outputMode("append")
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        // ping-pong state paths: parquet can't be overwritten while the
-        // plan still reads it, so batch i reads state i−1's path and
-        // writes the other — the write-then-swap from SURVEY §7.7
-        val existing =
-          if (step == 0)
-            s.createDataFrame(
-              s.sparkContext.emptyRDD[org.apache.spark.sql.Row], b.schema)
-          else s.read.parquet(paths((step + 1) % 2))
-        graft.operators.Dedup.upsert(existing, b,
-            Seq("user_id", "event_type"), "ts_ns",
-            Seq(col("event_id").desc))
-          .write.mode("overwrite").parquet(paths(step % 2))
-        step += 1
-      }
-      .start()
-    try batches.foreach { rows => ms.addData(rows); q.processAllAvailable() }
-    finally q.stop()
+    (0 until 3).foreach { i =>
+      src.filter(col("event_id") % 3 === i)
+        .write.mode("append").parquet(stage)
+      val q = s.readStream.schema(src.schema).parquet(stage)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$base/cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          // ping-pong state paths: parquet can't be overwritten while
+          // the plan still reads it, so batch i reads state i−1's path
+          // and writes the other — the write-then-swap from SURVEY §7.7
+          val existing =
+            if (step == 0)
+              s.createDataFrame(
+                s.sparkContext.emptyRDD[org.apache.spark.sql.Row], b.schema)
+            else s.read.parquet(paths((step + 1) % 2))
+          graft.operators.Dedup.upsert(existing, b,
+              Seq("user_id", "event_type"), "ts_ns",
+              Seq(col("event_id").desc))
+            .write.mode("overwrite").parquet(paths(step % 2))
+          step += 1
+        }
+        .start()
+      try q.awaitTermination() finally q.stop()
+      // one staged batch == one micro-batch: the files were committed
+      // before the cycle started and no per-trigger file limit is set,
+      // so a drained cycle advances the merge chain exactly once —
+      // anything else would silently change tie-breaking semantics
+      require(step == i + 1,
+        s"q90 replay expected ${i + 1} merged batches, saw $step")
+    }
     // Zero-batch guard: if no micro-batch ever committed (empty source),
     // neither ping-pong path exists — the contract is an empty result,
     // not a missing-path failure.
