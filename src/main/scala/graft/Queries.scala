@@ -33,19 +33,41 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is nanosecond-precision parquet, which Spark's vectorized
-    * reader rejects (PARQUET_TYPE_ILLEGAL). Read it as a raw long
-    * (`nanosAsLong`), keep the exact value as `ts_ns` for ordering and
-    * keys (bit-identical to DuckDB's TIMESTAMP_NS comparisons), and derive
-    * a µs `ts` timestamp — integer `div`, not `/`, because epoch-nanos
-    * exceed a double's exact-integer range — for date-part extraction.
+  /** `events.ts` has shipped in two parquet encodings across testdata
+    * generations: nanosecond-int64 (which Spark's vectorized reader only
+    * accepts via `nanosAsLong`, yielding LongType) and µs `timestamp[us]`
+    * (plain TimestampType/TimestampNTZType). Normalize both to the same
+    * internal shape: exact `ts_ns` epoch-nanos for ordering and keys
+    * (bit-identical to DuckDB's `epoch_ns(ts)` on either encoding) and a
+    * µs `ts` TimestampType for date-part extraction. The session runs in
+    * UTC, so the NTZ→LTZ cast is wall-clock preserving and matches
+    * DuckDB's naive-timestamp reading; `unix_micros * 1000` is exact on
+    * µs data. On the long path, integer `div`, not `/` — epoch-nanos
+    * exceed a double's exact-integer range.
     */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts_ns", col("ts"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    normalizeEvents(raw)
   }
+
+  /** Schema-driven normalization, factored out so tests can feed fixtures
+    * written in each encoding. Output contract: `ts` TimestampType (µs,
+    * UTC instant), `ts_ns` LongType epoch-nanos, other columns untouched.
+    */
+  private[graft] def normalizeEvents(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts_ns", col("ts"))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType | org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * 1000)
+      case other =>
+        throw new IllegalArgumentException(
+          s"events.ts must be int64 epoch-nanos or a timestamp type, got $other — " +
+            "did the testdata parquet encoding change again?")
+    }
 
   /** Driver-safe exact money sum. Decimal-typed OUTPUT columns are
     * driver-unsafe regardless of width: round 1 failed at decimal(28,2)
