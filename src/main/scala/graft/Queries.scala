@@ -3536,6 +3536,70 @@ object Queries {
       |  AND f.avg_p >= 0.034
       |ORDER BY doc_id""".stripMargin
 
+  /** Video codec + frame-sampling oracle — the q87/q91/q92 pattern
+    * applied to [[graft.operators.AviCodec]]: synthesize a REAL
+    * RIFF/AVI container per nation (uncompressed 24-bit DIB frames,
+    * channels closed-form in (id, frame, x, y)), run the genuine
+    * parser end-to-end (header walk, movi chunk scan, bottom-up padded
+    * row decode) sampling every 2nd frame, and have DuckDB recompute
+    * each sampled frame's channel sums and luminance extremes from the
+    * same closed forms — byte-free. Encoder and parser are independent
+    * spec implementations, so a hash match certifies both plus the
+    * sampling arithmetic.
+    */
+  def q98VideoCodec(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.{AviCodec, Multimodal}
+    val recs = t(s, dir, "nation")
+      .select(col("n_nationkey").cast("long")).as[Long]
+      .map { id =>
+        val w = (4 + id % 5).toInt
+        val h = (3 + id % 4).toInt
+        val n = (6 + id % 5).toInt
+        val bytes = AviCodec.aviEncode(w, h, 40000, n, (f, x, y) => {
+          val r = ((id + f * 19 + x * 7 + y * 13) % 256).toInt
+          val g = ((id * 3 + f * 23 + x * 5 + y * 11) % 256).toInt
+          val b = ((id * 7 + f * 29 + x * 3 + y * 17) % 256).toInt
+          (r << 16) | (g << 8) | b
+        })
+        Multimodal.MediaRecord(id, "video", bytes, "video/x-msvideo",
+          "synth")
+      }
+    Multimodal.videoFrameStats(recs, every = 2)
+      .withColumn("frame_idx", col("frame_idx").cast("long"))
+      .withColumn("lum_min", col("lum_min").cast("int"))
+      .withColumn("lum_max", col("lum_max").cast("int"))
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
+  val q98Sql: String =
+    """WITH base AS (
+      |  SELECT CAST(n_nationkey AS BIGINT) AS id,
+      |    4 + n_nationkey % 5 AS w, 3 + n_nationkey % 4 AS h,
+      |    6 + n_nationkey % 5 AS n
+      |  FROM nation
+      |), fr AS (
+      |  SELECT id, w, h, unnest(range(n)) AS f FROM base
+      |), sampled AS (
+      |  SELECT id, w, h, f FROM fr WHERE f % 2 = 0
+      |), xs AS (
+      |  SELECT id, h, f, unnest(range(w)) AS x FROM sampled
+      |), px AS (
+      |  SELECT id, f, x, unnest(range(h)) AS y FROM xs
+      |), c AS (
+      |  SELECT id, f, (id + f*19 + x*7 + y*13) % 256 AS r,
+      |    (id*3 + f*23 + x*5 + y*11) % 256 AS g,
+      |    (id*7 + f*29 + x*3 + y*17) % 256 AS b
+      |  FROM px
+      |)
+      |SELECT id AS media_id, CAST(f AS BIGINT) AS frame_idx,
+      |  CAST(COUNT(*) AS BIGINT) AS n_pixels,
+      |  CAST(SUM(r) AS BIGINT) AS sum_r, CAST(SUM(g) AS BIGINT) AS sum_g,
+      |  CAST(SUM(b) AS BIGINT) AS sum_b,
+      |  CAST(MIN(299*r + 587*g + 114*b) AS INTEGER) AS lum_min,
+      |  CAST(MAX(299*r + 587*g + 114*b) AS INTEGER) AS lum_max
+      |FROM c GROUP BY id, f ORDER BY media_id, frame_idx""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -3638,5 +3702,6 @@ object Queries {
     "q94_bigram_lm" -> ((q94BigramLm _, Some(q94Sql))),
     "q95_hybrid_rrf" -> ((q95HybridRrf _, Some(q95Sql))),
     "q96_semdedup" -> ((q96SemDedup _, Some(q96Sql))),
-    "q97_curation" -> ((q97Curation _, Some(q97Sql))))
+    "q97_curation" -> ((q97Curation _, Some(q97Sql))),
+    "q98_video_codec" -> ((q98VideoCodec _, Some(q98Sql))))
 }

@@ -185,6 +185,12 @@ object Multimodal {
             Some(rate), Some(frames))
         case None => ()
       }
+      AviCodec.aviInfo(r.bytes) match { // REAL video container probe
+        case Some(info) =>
+          return MediaMeta(r.media_id, r.kind, n, c, Some(info.width),
+            Some(info.height), None, Some(info.nFrames))
+        case None => ()
+      }
       r.kind match {
         case "image" => MediaMeta(r.media_id, r.kind, n, c,
           Some((pos % 1920 + 64).toInt), Some((pos % 1080 + 64).toInt),
@@ -720,6 +726,29 @@ object Multimodal {
       val n = m.n_frames.getOrElse(0)
       (0 until n by math.max(1, stride)).map(f => (m.media_id, f))
     }.toDF("media_id", "frame_index")
+  }
+
+  /** REAL video frame-sampling + per-frame pixel statistics for AVI
+    * payloads ([[AviCodec]]): every `every`-th frame of each asset is
+    * decoded (uncompressed DIB — genuine byte walk, like
+    * [[imageStats]]' BMP path) and reduced to channel sums and
+    * luminance extremes; unsampled frames are never materialized, so
+    * task cost is proportional to frames KEPT. One output row per
+    * (asset, sampled frame); non-AVI payloads contribute nothing.
+    * Bytes never shuffle — the explode happens after the per-frame
+    * reduction, emitting fixed-width stat rows only.
+    */
+  def videoFrameStats(ds: Dataset[MediaRecord], every: Int): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { r =>
+        AviCodec.frameStats(r.bytes, every).getOrElse(Nil).map {
+          case (f, n, sr, sg, sb, lmin, lmax) =>
+            (r.media_id, f, n, sr, sg, sb, lmin, lmax)
+        }
+      }
+    }.toDF("media_id", "frame_idx", "n_pixels", "sum_r", "sum_g", "sum_b",
+      "lum_min", "lum_max")
   }
 
   /** Wrap a text/binary-bearing DataFrame into the media envelope —
