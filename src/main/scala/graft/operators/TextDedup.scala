@@ -202,13 +202,34 @@ object TextDedup {
     //    measured at parity with the combined aggregate clean-JVM, with
     //    no object aggregate anywhere in the plan (PlanAuditSpec).
     val minAggs = familyMinAggs(numHashes)
+    // Explicit not-null guards BEFORE the distinct (r7): explode_outer's
+    // output is nullable to the optimizer (never null in fact), so the
+    // verify joins would otherwise INFER IsNotNull(__sh) and push it
+    // below THEIR copy of the distinct — making the verify legs'
+    // (id, sh) exchange canonically different from the signature
+    // branch's and defeating AQE runtime stage reuse. Stating the
+    // filters once at the source keeps every consumer's subtree
+    // identical below the exchange, so the corpus shingle+hash kernel
+    // runs ONCE (final-plan audit: the other legs are ReusedExchange).
     val distinctRows = shingleHashRows(df, idCol, textCol, shingleSize)
+      .where(col("__sh").isNotNull && col("__id").isNotNull)
       .distinct()
+    // __n (exact distinct-shingle count) rides IN the signature
+    // aggregate and then on every band row: splitting it into a
+    // separate size aggregate (the r5 shape) let column pruning
+    // specialize the two branches — after which the min-only copy's
+    // distinct was legally elided (min is duplicate-insensitive) and
+    // the corpus was re-scanned per branch. Keeping count(1) fused with
+    // the mins pins the distinct (count IS duplicate-sensitive), one
+    // consumer means no pruning split, and the two end-of-query size
+    // joins disappear — band rows carry 8 more bytes each instead,
+    // which is noise next to the band hash itself.
     val aggregated = distinctRows
       .groupBy(col("__id"))
       .agg(minAggs.head, (minAggs.tail :+
         count(lit(1)).as("__n")): _*)
-    val sigs = aggregated.select(col("__id"), sigArray(numHashes).as("__sig"))
+    val sigs = aggregated.select(col("__id"),
+      sigArray(numHashes).as("__sig"), col("__n"))
     // Band array as `bands` STATIC references to __sig: CollapseProject
     // refuses to inline a non-cheap alias referenced more than once, so
     // the signature materializes once per row instead of once per band.
@@ -216,16 +237,20 @@ object TextDedup {
       xxhash64(slice(col("__sig"), lit(b * rowsPerBand + 1), lit(rowsPerBand))
         .cast("string"), lit(b))): _*)
     val banded = sigs
-      .select(col("__id"), posexplode(bandArray).as(Seq("__band", "__bandsig")))
+      .select(col("__id"), col("__n"),
+        posexplode(bandArray).as(Seq("__band", "__bandsig")))
     // SELF-join via aliases of the SAME plan: both shuffle children
     // canonicalize identically, so ReuseExchange computes the shingle
-    // pass and the aggregate exchange once, not twice.
+    // pass and the aggregate exchange once, not twice. __n is
+    // functionally dependent on the id, so min() is just "the value" —
+    // the winnowPairs trick that replaces two post-verify size joins.
     val candidates = banded.as("l").join(banded.as("r"),
         col("l.__band") === col("r.__band")
           && col("l.__bandsig") === col("r.__bandsig")
           && col("l.__id") < col("r.__id"))
-      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
-      .distinct() // same pair can collide in several bands
+      .groupBy(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
+      // one row per pair even when several bands collide
+      .agg(min(col("l.__n")).as("__na"), min(col("r.__n")).as("__nb"))
     // Count-based exact verification, no sets: a (pair, hash) row
     // survives both joins iff the hash is in A ∩ B. The candidate side
     // is tiny (near-dup pairs only) so the first join semi-filters the
@@ -233,23 +258,33 @@ object TextDedup {
     // fixed-width. Pairs with an EMPTY intersection drop out of the
     // count — restored by the left join below so a threshold of 0.0
     // would still see them (parity with the old otherwise(0.0) arm).
+    // candidates is consumed twice (here and in the final left join
+    // that restores empty-intersection pairs). Both consumers must
+    // reference ALL FOUR columns: pruning __na/__nb from this copy
+    // would specialize its subtree (min-only signature aggregate, no
+    // distinct) and re-run the corpus pass — the same canonical-
+    // divergence trap as the __sh filter above. The min(__na/__nb)
+    // aggregates below exist purely to keep the columns referenced;
+    // they are per-pair constants.
     val interCounts = candidates
       .join(distinctRows.select(col("__id").as("id_a"), col("__sh")),
         Seq("id_a"))
       .join(distinctRows.select(col("__id").as("id_b"), col("__sh")),
         Seq("id_b", "__sh"))
       .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("__i"))
-    val sizes = aggregated.select(col("__id"), col("__n"))
+      .agg(count(lit(1)).as("__i"),
+        min(col("__na")).as("__na_ic"), min(col("__nb")).as("__nb_ic"))
+    // coalesce(__na_ic, __na): identical values — the _ic columns are
+    // referenced HERE (not via an intermediate select, which column
+    // pruning would see through) precisely so neither candidates copy
+    // can be specialized.
     candidates
       .join(interCounts, Seq("id_a", "id_b"), "left")
-      .join(sizes.select(col("__id").as("id_a"), col("__n").as("__na")),
-        Seq("id_a"))
-      .join(sizes.select(col("__id").as("id_b"), col("__n").as("__nb")),
-        Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (coalesce(col("__i"), lit(0L)).cast("double")
-          / (col("__na") + col("__nb") - coalesce(col("__i"), lit(0L)))
+          / (coalesce(col("__na_ic"), col("__na"))
+              + coalesce(col("__nb_ic"), col("__nb"))
+              - coalesce(col("__i"), lit(0L)))
             .cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))

@@ -37,6 +37,18 @@ object TimeQuery {
         println(s"=== $name ===")
         println(fn(spark, sfDir).queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode))
+      } else if (n < 0) {
+        // n=-1: execute once, then print the FINAL adaptive plan —
+        // the only place AQE's runtime exchange/stage reuse is visible
+        // (the n=0 static plan shows duplicated subtrees that AQE may
+        // in fact compute once).
+        val df = fn(spark, sfDir)
+        // drive df's OWN QueryExecution (a noop write plans a separate
+        // copy, leaving this one isFinalPlan=false)
+        df.queryExecution.executedPlan.execute()
+          .foreachPartition((_: Iterator[_]) => ())
+        println(s"=== $name (final adaptive plan) ===")
+        println(df.queryExecution.executedPlan.toString)
       } else {
         val times = (1 to n).map { _ =>
           val t0 = System.nanoTime()

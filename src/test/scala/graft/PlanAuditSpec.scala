@@ -365,4 +365,27 @@ class PlanAuditSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS g89a_orders")
     }
   }
+
+  test("q26 minhash scans+shingles the corpus exactly once (AQE stage reuse)") {
+    // The LSH pipeline references the corpus from four places (band
+    // self-join legs, two intersection-join legs) plus the signature
+    // aggregate; all of them must collapse onto ONE shingle pass at
+    // runtime. Two historical traps, both canonicalization divergences
+    // the static plan can't show (only the final adaptive plan can):
+    // an inferred IsNotNull(__sh) pushed below one copy's distinct, and
+    // column pruning dropping __n from one candidates copy — each cost
+    // a full extra corpus scan+hash. The corpus here is a 2-way union,
+    // so "one pass" = exactly 2 FileScans / 2 shingle kernels.
+    val df = SparkEntry.queries("q26_minhash_neardup")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p.take(200))
+    val finalPlan = p.split("== Initial Plan ==")(0)
+    val scans = "FileScan parquet".r.findAllIn(finalPlan).size
+    val kernels = "shingle_hash64".r.findAllIn(finalPlan).size
+    assert(scans == 2, s"corpus re-scanned: $scans FileScans in final plan")
+    assert(kernels == 2, s"shingle kernel duplicated: $kernels occurrences")
+    assert(finalPlan.contains("ReusedExchange"),
+      "no runtime exchange reuse in q26 final plan")
+  }
 }
