@@ -1812,13 +1812,21 @@ object Queries {
     * chain (clusters via recursive CTE + the same ranking).
     */
   def q59DedupSurvivors(s: SparkSession, dir: String): DataFrame = {
+    // One explode, not a 3-way union: union branches are independent
+    // plan copies, so the r6 shape tokenized the full corpus three
+    // times (one per generation). A single explode of (node, len)
+    // structs derives all three generations from one tokenize pass.
     val sliced = plantedSlices(s, dir)
-    val lens = sliced.select(col("doc_id").as("node"),
-        size(col("__ta")).cast("long").as("n_tokens"))
-      .unionByName(sliced.select((col("doc_id") + 1000000L).as("node"),
-        size(col("__tb")).cast("long").as("n_tokens")))
-      .unionByName(sliced.select((col("doc_id") + 2000000L).as("node"),
-        size(col("__tc")).cast("long").as("n_tokens")))
+    val lens = sliced.select(explode(array(
+        struct(col("doc_id").as("node"),
+          size(col("__ta")).cast("long").as("n_tokens")),
+        struct((col("doc_id") + 1000000L).as("node"),
+          size(col("__tb")).cast("long").as("n_tokens")),
+        struct((col("doc_id") + 2000000L).as("node"),
+          size(col("__tc")).cast("long").as("n_tokens"))))
+        .as("__gen"))
+      .select(col("__gen.node").as("node"),
+        col("__gen.n_tokens").as("n_tokens"))
     val assigned = dupClusterAssignments(s, dir).join(lens, Seq("node"))
     val w = Window.partitionBy(col("component"))
     val ranked = assigned.select(col("component"), col("node"),

@@ -55,33 +55,65 @@ object Retrieval {
       rationalIdf: Boolean = false): DataFrame = {
     val dtoks = docs.select(col(idCol).as("__did"),
       TextFunctions.tokens(col(textCol)).as("__dt"))
-    val tf = dtoks
-      .select(col("__did"), explode(col("__dt")).as("__term"))
+    // ONE postings exchange carries tf AND doc length (r7): the r5
+    // shape derived tf / dl / df from three specialized copies of the
+    // tokenize pipeline (plus the join-inferred IsNotNull(__term)
+    // diverging a fourth), so the corpus tokenizer ran ~5× at runtime —
+    // the q26 canonical-divergence trap, audited the same way (final
+    // adaptive plan). Now: __dl rides each exploded row into min(), the
+    // not-null guards are stated once at the source, and df_ below
+    // aggregates THIS exchange's output, so AQE computes the tokenize +
+    // explode + (did,term) shuffle once.
+    // explode_OUTER, not explode: the non-outer variant's
+    // InferFiltersFromGenerate `size(__dt) > 0` guard pushes to the
+    // scan where it RE-RUNS the tokenizer kernel per row (the
+    // TextDedup/shingle lesson); outer emits a null row for token-empty
+    // docs instead, which the explicit where removes with identical
+    // output.
+    val postings = dtoks
+      .select(col("__did"), size(col("__dt")).cast("long").as("__dl"),
+        explode_outer(col("__dt")).as("__term"))
+      .where(col("__did").isNotNull && col("__term").isNotNull)
       .groupBy(col("__did"), col("__term"))
-      .agg(count(lit(1)).as("__tf"))
-    val dl = dtoks.select(col("__did").as("__ldid"),
-      size(col("__dt")).cast("long").as("__dl"))
+      .agg(count(lit(1)).as("__tf"), min(col("__dl")).as("__dl"))
+    // Corpus stats must include token-EMPTY documents (they count in N
+    // and the avgdl denominator), which postings cannot see — this is
+    // the one deliberate second tokenize pass: scan → tokens → size →
+    // 1-row partial aggregate, no explode, no wide shuffle.
     val stats = dtoks.agg(count(lit(1)).as("__n"),
       (sum(size(col("__dt"))).cast("double") / count(lit(1))).as("__avgdl"))
-    val df_ = tf.groupBy(col("__term")).agg(count(lit(1)).as("__df"))
+    // min(__tf)/min(__dl) are pins, not semantics: without a reference
+    // to every non-key postings column, column pruning would specialize
+    // df_'s copy of the postings aggregate (count-only, no min) and
+    // re-run the corpus pass. They surface in the score expression
+    // through greatest() — NOT coalesce: count() output is non-nullable,
+    // so NullPropagation would simplify coalesce(__tf, pin) back to
+    // __tf and prune the pin (measured). greatest(x, min-over-group-
+    // of-x) is the identity on x, but Catalyst cannot prove it.
+    val df_ = postings.groupBy(col("__term"))
+      .agg(count(lit(1)).as("__df"),
+        min(col("__tf")).as("__tfpin"), min(col("__dl")).as("__dlpin"))
       .withColumnRenamed("__term", "__dfterm")
     val qterms = queries.select(col(qidCol).as("query_id"),
-      explode(array_distinct(TextFunctions.tokens(col(qtextCol))))
-        .as("__qterm"))
-    val joined = tf
+        explode_outer(array_distinct(TextFunctions.tokens(col(qtextCol))))
+          .as("__qterm"))
+      .where(col("__qterm").isNotNull)
+    val joined = postings
       .join(broadcast(qterms), col("__term") === col("__qterm"))
       .join(df_, col("__term") === col("__dfterm"))
-      .join(dl, col("__did") === col("__ldid"))
       .crossJoin(broadcast(stats))
     // operand order below is mirrored verbatim by q56's oracle SQL —
     // identical IEEE operations on identical operands are bit-identical
+    // (greatest(x, per-group-min-of-x) is the identity on x)
     val rational = ((col("__n") - col("__df")).cast("double") + lit(0.5)) /
       (col("__df").cast("double") + lit(0.5))
     val idf = if (rationalIdf) rational else log(rational)
-    val tfNorm = (col("__tf").cast("double") * lit(k1 + 1)) /
-      (col("__tf").cast("double") +
+    val tfv = greatest(col("__tf"), col("__tfpin")).cast("double")
+    val tfNorm = (tfv * lit(k1 + 1)) /
+      (tfv +
         lit(k1) * (lit(1 - b) +
-          lit(b) * (col("__dl").cast("double") / col("__avgdl"))))
+          lit(b) * (greatest(col("__dl"), col("__dlpin")).cast("double")
+            / col("__avgdl"))))
     val contrib = joined.select(col("query_id"), col("__did"),
       floor(idf * tfNorm * lit(1000000) + lit(0.5)).cast("long").as("__c"))
     val scores = contrib.groupBy(col("query_id"), col("__did"))
