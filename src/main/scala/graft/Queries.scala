@@ -730,6 +730,52 @@ object Queries {
       |    >= 0.7
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Incremental near-dup — [[graft.operators.TextDedup
+    * .minHashLshIncremental]]: the mutated copies arrive as a NEW BATCH
+    * and are LSH-deduped against the original `documents` snapshot
+    * (batch × snapshot band join — never snapshot × snapshot). The
+    * planted-pair filter and the exact-Jaccard oracle are q26's,
+    * re-labeled for the two-table direction; the oracle certifies that
+    * banding recall on the planted mutations is 1 at these parameters
+    * AND that the cross-table verification arithmetic is exact.
+    */
+  def q99IncrementalNeardup(s: SparkSession, dir: String): DataFrame = {
+    val snap = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    TextDedup.minHashLshIncremental(
+        snap, "doc_id", "text",
+        mutatedCopy(snap), "doc_id", "text",
+        numHashes = 128, bands = 32, shingleSize = 3, threshold = 0.7)
+      .filter(col("snap_id") === col("batch_id") - 1000000L)
+      .orderBy(col("batch_id"), col("snap_id"))
+  }
+
+  val q99Sql: String =
+    """SELECT doc_id + 1000000 AS batch_id, doc_id AS snap_id,
+      |  CASE WHEN CAST(len(list_distinct(sa)) + len(list_distinct(sb))
+      |         - len(list_filter(list_distinct(sa), x -> list_contains(list_distinct(sb), x))) AS DOUBLE) > 0
+      |    THEN CAST(len(list_filter(list_distinct(sa), x -> list_contains(list_distinct(sb), x))) AS DOUBLE)
+      |       / CAST(len(list_distinct(sa)) + len(list_distinct(sb))
+      |         - len(list_filter(list_distinct(sa), x -> list_contains(list_distinct(sb), x))) AS DOUBLE)
+      |    ELSE 0.0 END AS jaccard
+      |FROM (
+      |  SELECT doc_id,
+      |    CASE WHEN len(ta) < 3 THEN [array_to_string(ta, ' ')]
+      |         ELSE list_transform(range(1, len(ta) - 1),
+      |                i -> ta[i] || ' ' || ta[i+1] || ' ' || ta[i+2]) END AS sa,
+      |    CASE WHEN len(tb) < 3 THEN [array_to_string(tb, ' ')]
+      |         ELSE list_transform(range(1, len(tb) - 1),
+      |                i -> tb[i] || ' ' || tb[i+1] || ' ' || tb[i+2]) END AS sb
+      |  FROM (
+      |    SELECT doc_id, ta, ta[1:GREATEST(len(ta) - 2, 1)] AS tb
+      |    FROM (SELECT doc_id,
+      |            list_filter(string_split(text, ' '), x -> x <> '') AS ta
+      |          FROM documents) i) m) o
+      |WHERE CAST(len(list_filter(list_distinct(sa), x -> list_contains(list_distinct(sb), x))) AS DOUBLE)
+      |    / NULLIF(CAST(len(list_distinct(sa)) + len(list_distinct(sb))
+      |      - len(list_filter(list_distinct(sa), x -> list_contains(list_distinct(sb), x))) AS DOUBLE), 0)
+      |    >= 0.7
+      |ORDER BY batch_id, snap_id""".stripMargin
+
   /** Companion of q26: a copy of each doc with the last 2 tokens dropped,
     * ids offset by 1,000,000.
     */
@@ -3711,5 +3757,6 @@ object Queries {
     "q95_hybrid_rrf" -> ((q95HybridRrf _, Some(q95Sql))),
     "q96_semdedup" -> ((q96SemDedup _, Some(q96Sql))),
     "q97_curation" -> ((q97Curation _, Some(q97Sql))),
-    "q98_video_codec" -> ((q98VideoCodec _, Some(q98Sql))))
+    "q98_video_codec" -> ((q98VideoCodec _, Some(q98Sql))),
+    "q99_incremental_neardup" -> ((q99IncrementalNeardup _, Some(q99Sql))))
 }

@@ -145,6 +145,59 @@ object TextDedup {
   private def sigArray(numHashes: Int): Column =
     array((0 until numHashes).map(j => col(s"__h$j")): _*)
 
+  /** One LSH "side": the single-corpus-pass lineage shared by
+    * [[minHashLsh]] (both self-join legs) and
+    * [[minHashLshIncremental]] (each table once). Returns
+    * `(distinctRows, banded)`:
+    *  - `distinctRows` — distinct `(__id, __sh)` shingle-hash rows,
+    *    the verify joins' input;
+    *  - `banded` — `(__id, __n, __band, __bandsig)`, one row per
+    *    (doc, band).
+    *
+    * Plan contract (r7, pinned by PlanAuditSpec on the FINAL adaptive
+    * plan): every consumer of either lineage collapses onto ONE
+    * corpus scan+shingle pass at runtime. Three ingredients:
+    *  - explicit not-null guards BEFORE the distinct: explode_outer's
+    *    output is nullable to the optimizer (never null in fact), so
+    *    downstream joins would otherwise INFER IsNotNull(__sh) and
+    *    push it below THEIR copy of the distinct, making that copy's
+    *    (id, sh) exchange canonically different and defeating AQE
+    *    stage reuse;
+    *  - __n (exact distinct-shingle count) FUSED into the signature
+    *    aggregate and riding every band row: a separate size
+    *    aggregate (the r5 shape) let column pruning specialize the
+    *    branches, after which the min-only copy's distinct was
+    *    legally elided (min is duplicate-insensitive) and the corpus
+    *    was re-scanned per branch — count(1) pins the distinct and
+    *    the end-of-query size joins disappear;
+    *  - band array as static references to __sig: CollapseProject
+    *    refuses to inline a non-cheap alias referenced more than
+    *    once, so the signature materializes once per row, not once
+    *    per band.
+    */
+  private def lshSide(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, bands: Int, shingleSize: Int)
+      : (DataFrame, DataFrame) = {
+    val rowsPerBand = numHashes / bands
+    val minAggs = familyMinAggs(numHashes)
+    val distinctRows = shingleHashRows(df, idCol, textCol, shingleSize)
+      .where(col("__sh").isNotNull && col("__id").isNotNull)
+      .distinct()
+    val aggregated = distinctRows
+      .groupBy(col("__id"))
+      .agg(minAggs.head, (minAggs.tail :+
+        count(lit(1)).as("__n")): _*)
+    val sigs = aggregated.select(col("__id"),
+      sigArray(numHashes).as("__sig"), col("__n"))
+    val bandArray = array((0 until bands).map(b =>
+      xxhash64(slice(col("__sig"), lit(b * rowsPerBand + 1), lit(rowsPerBand))
+        .cast("string"), lit(b))): _*)
+    val banded = sigs
+      .select(col("__id"), col("__n"),
+        posexplode(bandArray).as(Seq("__band", "__bandsig")))
+    (distinctRows, banded)
+  }
+
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, shingleSize: Int): DataFrame = {
     val minAggs = familyMinAggs(numHashes)
@@ -201,44 +254,9 @@ object TextDedup {
     //    only fixed-width (id, long) rows through every shuffle —
     //    measured at parity with the combined aggregate clean-JVM, with
     //    no object aggregate anywhere in the plan (PlanAuditSpec).
-    val minAggs = familyMinAggs(numHashes)
-    // Explicit not-null guards BEFORE the distinct (r7): explode_outer's
-    // output is nullable to the optimizer (never null in fact), so the
-    // verify joins would otherwise INFER IsNotNull(__sh) and push it
-    // below THEIR copy of the distinct — making the verify legs'
-    // (id, sh) exchange canonically different from the signature
-    // branch's and defeating AQE runtime stage reuse. Stating the
-    // filters once at the source keeps every consumer's subtree
-    // identical below the exchange, so the corpus shingle+hash kernel
-    // runs ONCE (final-plan audit: the other legs are ReusedExchange).
-    val distinctRows = shingleHashRows(df, idCol, textCol, shingleSize)
-      .where(col("__sh").isNotNull && col("__id").isNotNull)
-      .distinct()
-    // __n (exact distinct-shingle count) rides IN the signature
-    // aggregate and then on every band row: splitting it into a
-    // separate size aggregate (the r5 shape) let column pruning
-    // specialize the two branches — after which the min-only copy's
-    // distinct was legally elided (min is duplicate-insensitive) and
-    // the corpus was re-scanned per branch. Keeping count(1) fused with
-    // the mins pins the distinct (count IS duplicate-sensitive), one
-    // consumer means no pruning split, and the two end-of-query size
-    // joins disappear — band rows carry 8 more bytes each instead,
-    // which is noise next to the band hash itself.
-    val aggregated = distinctRows
-      .groupBy(col("__id"))
-      .agg(minAggs.head, (minAggs.tail :+
-        count(lit(1)).as("__n")): _*)
-    val sigs = aggregated.select(col("__id"),
-      sigArray(numHashes).as("__sig"), col("__n"))
-    // Band array as `bands` STATIC references to __sig: CollapseProject
-    // refuses to inline a non-cheap alias referenced more than once, so
-    // the signature materializes once per row instead of once per band.
-    val bandArray = array((0 until bands).map(b =>
-      xxhash64(slice(col("__sig"), lit(b * rowsPerBand + 1), lit(rowsPerBand))
-        .cast("string"), lit(b))): _*)
-    val banded = sigs
-      .select(col("__id"), col("__n"),
-        posexplode(bandArray).as(Seq("__band", "__bandsig")))
+    val side = lshSide(df, idCol, textCol, numHashes, bands, shingleSize)
+    val distinctRows = side._1
+    val banded = side._2
     // SELF-join via aliases of the SAME plan: both shuffle children
     // canonicalize identically, so ReuseExchange computes the shingle
     // pass and the aggregate exchange once, not twice. __n is
@@ -288,6 +306,66 @@ object TextDedup {
             .cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Incremental MinHash+LSH: near-duplicate pairs between a NEW batch
+    * and an existing SNAPSHOT — the near-dup counterpart of the exact
+    * incremental dedup ([[incrementalExact]]-style Bloom + anti-join
+    * covers identical texts; this catches the mutated ones). A daily
+    * ingest dedups against the accumulated corpus without the corpus ×
+    * corpus self-join: candidates exist only where a batch doc and a
+    * snapshot doc share an LSH band bucket, so the join volume is
+    * |batch| × collision-rate, not |snapshot|².
+    *
+    * At 100 TB the snapshot's signature/band table is the materialized
+    * artifact a production pipeline maintains (append each accepted
+    * batch's signatures); this operator recomputes it from text so its
+    * oracle stays self-contained — the join topology is identical
+    * either way, and only candidate snapshot docs are ever re-shingled
+    * ... relationally: the verify join's batch-candidate side
+    * semi-filters the snapshot's (id, sh) rows before the count.
+    *
+    * Returns `(batch_id, snap_id, jaccard)`, one row per candidate
+    * pair with exact (hash-collision-exact) Jaccard ≥ `threshold`.
+    */
+  def minHashLshIncremental(
+      snapshot: DataFrame, snapId: String, snapText: String,
+      batch: DataFrame, batchId: String, batchText: String,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      shingleSize: Int = 3,
+      threshold: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val (snapRows, snapBanded) =
+      lshSide(snapshot, snapId, snapText, numHashes, bands, shingleSize)
+    val (batchRows, batchBanded) =
+      lshSide(batch, batchId, batchText, numHashes, bands, shingleSize)
+    // Same pin discipline as minHashLsh: candidates is consumed twice
+    // (verify + final restore-join), so both copies must reference all
+    // four columns or pruning specializes one into a fresh corpus pass.
+    val candidates = batchBanded.as("b").join(snapBanded.as("s"),
+        col("b.__band") === col("s.__band")
+          && col("b.__bandsig") === col("s.__bandsig"))
+      .groupBy(col("b.__id").as("batch_id"), col("s.__id").as("snap_id"))
+      .agg(min(col("b.__n")).as("__nb"), min(col("s.__n")).as("__ns"))
+    val interCounts = candidates
+      .join(batchRows.select(col("__id").as("batch_id"), col("__sh")),
+        Seq("batch_id"))
+      .join(snapRows.select(col("__id").as("snap_id"), col("__sh")),
+        Seq("snap_id", "__sh"))
+      .groupBy(col("batch_id"), col("snap_id"))
+      .agg(count(lit(1)).as("__i"),
+        min(col("__nb")).as("__nb_ic"), min(col("__ns")).as("__ns_ic"))
+    candidates
+      .join(interCounts, Seq("batch_id", "snap_id"), "left")
+      .select(col("batch_id"), col("snap_id"),
+        (coalesce(col("__i"), lit(0L)).cast("double")
+          / (coalesce(col("__nb_ic"), col("__nb"))
+              + coalesce(col("__ns_ic"), col("__ns"))
+              - coalesce(col("__i"), lit(0L)))
+            .cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("snap_id"), col("jaccard"))
   }
 
   /** Exact word-n-gram Jaccard similarity between two texts. */

@@ -44,6 +44,29 @@ class TextOpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("minHashLshIncremental: batch near-dup matches its snapshot doc only") {
+    val snapshot = docs
+    val batch = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog today"), // ~ 1
+      (103L, "entirely unrelated fresh batch material")
+    ).toDF("doc_id", "text")
+    val pairs = TextDedup.minHashLshIncremental(
+        snapshot, "doc_id", "text", batch, "doc_id", "text",
+        numHashes = 32, bands = 16, shingleSize = 2, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((101L, 1L)), s"expected (101,1) in $pairs")
+    assert(!pairs.exists(_._1 == 103L), s"unrelated batch doc paired: $pairs")
+    // strictly batch x snapshot: no snapshot-internal pairs can appear
+    assert(pairs.forall(p => p._1 >= 100L && p._2 < 100L), pairs.toString)
+  }
+
+  test("minHashLshIncremental: empty batch yields no pairs") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextDedup.minHashLshIncremental(
+      docs, "doc_id", "text", empty, "doc_id", "text",
+      numHashes = 16, bands = 8, shingleSize = 2, threshold = 0.1).count() == 0)
+  }
+
   test("jaccardShingles: identical texts score 1, disjoint score 0") {
     val j = docs.filter(col("doc_id") === 1)
       .select(
