@@ -776,6 +776,67 @@ object Queries {
       |    >= 0.7
       |ORDER BY batch_id, snap_id""".stripMargin
 
+  /** Streaming incremental near-dedup — the q90 replay pattern applied
+    * to [[q99IncrementalNeardup]]: the mutated copies arrive as a
+    * 2-micro-batch STREAM (staged parquet + `Trigger.AvailableNow`),
+    * and each `foreachBatch` runs [[graft.operators.TextDedup
+    * .minHashLshIncremental]] against the static snapshot, appending
+    * accepted pairs. Near-dup checks are join+aggregate trees that
+    * Structured Streaming cannot run incrementally, so foreachBatch IS
+    * the production shape (micro-batch as a bounded DataFrame); the
+    * oracle certifies that micro-batched replay ≡ the one-shot batch
+    * result — per-doc signatures and batch×snapshot banding make each
+    * batch independent, so the union over micro-batches is exact.
+    */
+  def q100StreamNeardup(s: SparkSession, dir: String): DataFrame = {
+    val snap = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val batchSrc = mutatedCopy(snap)
+    val base = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_q100_state_${java.util.UUID.randomUUID().toString.take(8)}")
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(base)) fs.delete(base, true)
+    fs.deleteOnExit(base)
+    val stage = s"$base/stage"
+    val pairsPath = s"$base/pairs"
+    var batches = 0
+    (0 until 2).foreach { i =>
+      batchSrc.filter(col("doc_id") % 2 === i)
+        .write.mode("append").parquet(stage)
+      val q = s.readStream.schema(batchSrc.schema).parquet(stage)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$base/cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          TextDedup.minHashLshIncremental(
+              snap, "doc_id", "text", b, "doc_id", "text",
+              numHashes = 128, bands = 32, shingleSize = 3,
+              threshold = 0.7)
+            .filter(col("snap_id") === col("batch_id") - 1000000L)
+            .write.mode("append").parquet(pairsPath)
+          batches += 1
+        }
+        .start()
+      try q.awaitTermination() finally q.stop()
+      require(batches == i + 1,
+        s"q100 replay expected ${i + 1} micro-batches, saw $batches")
+    }
+    if (batches == 0)
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("batch_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("snap_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("jaccard",
+            org.apache.spark.sql.types.DoubleType))))
+    else s.read.parquet(pairsPath)
+      .orderBy(col("batch_id"), col("snap_id"))
+  }
+
+  /** Same prediction as q99: replay must be invisible. */
+  val q100Sql: String = q99Sql
+
   /** Companion of q26: a copy of each doc with the last 2 tokens dropped,
     * ids offset by 1,000,000.
     */
@@ -3758,5 +3819,6 @@ object Queries {
     "q96_semdedup" -> ((q96SemDedup _, Some(q96Sql))),
     "q97_curation" -> ((q97Curation _, Some(q97Sql))),
     "q98_video_codec" -> ((q98VideoCodec _, Some(q98Sql))),
-    "q99_incremental_neardup" -> ((q99IncrementalNeardup _, Some(q99Sql))))
+    "q99_incremental_neardup" -> ((q99IncrementalNeardup _, Some(q99Sql))),
+    "q100_stream_neardup" -> ((q100StreamNeardup _, Some(q100Sql))))
 }
