@@ -124,12 +124,18 @@ object AviCodec {
     var p = 12
     while (p + 8 <= b.length) {
       val ck = fourcc(b, p); val sz = le32(b, p + 4)
+      // mutated/negative size fields must not stall or reverse the walk
+      if (sz < 0 || sz > b.length) return None
       if (ck == "LIST" && fourcc(b, p + 8) == "hdrl") {
         val q = p + 12
         if (fourcc(b, q) == "avih" && q + 8 + 56 <= b.length) {
-          return Some(AviInfo(width = le32(b, q + 8 + 32),
-            height = le32(b, q + 8 + 36), nFrames = le32(b, q + 8 + 16),
-            usPerFrame = le32(b, q + 8)))
+          val w = le32(b, q + 8 + 32); val h = le32(b, q + 8 + 36)
+          val n = le32(b, q + 8 + 16); val us = le32(b, q + 8)
+          // sanity-bound the geometry: a fuzzed header must never
+          // drive downstream frame math into overflow or huge allocs
+          if (w <= 0 || h <= 0 || n < 0 ||
+            w > (1 << 16) || h > (1 << 16)) return None
+          return Some(AviInfo(w, h, n, us))
         }
         return None
       }
@@ -145,12 +151,16 @@ object AviCodec {
   def frameChunks(b: Array[Byte]): Iterator[(Int, Int, Int)] = {
     var moviStart = -1; var moviEnd = -1
     var p = 12
-    while (moviStart < 0 && p + 8 <= b.length) {
+    var bad = false
+    while (!bad && moviStart < 0 && p + 8 <= b.length) {
       val ck = fourcc(b, p); val sz = le32(b, p + 4)
-      if (ck == "LIST" && fourcc(b, p + 8) == "movi") {
-        moviStart = p + 12; moviEnd = math.min(p + 8 + sz, b.length)
+      if (sz < 0 || sz > b.length) bad = true // fuzzed size: stop cleanly
+      else {
+        if (ck == "LIST" && fourcc(b, p + 8) == "movi") {
+          moviStart = p + 12; moviEnd = math.min(p + 8 + sz, b.length)
+        }
+        p += 8 + sz + (sz & 1)
       }
-      p += 8 + sz + (sz & 1)
     }
     if (moviStart < 0) Iterator.empty
     else new Iterator[(Int, Int, Int)] {
@@ -161,13 +171,16 @@ object AviCodec {
         nextFrame = null
         while (nextFrame == null && q + 8 <= moviEnd) {
           val ck = fourcc(b, q); val sz = le32(b, q + 4)
-          val isFrame = ck.length == 4 &&
-            ck(0).isDigit && ck(1).isDigit &&
-            ((ck(2) == 'd' && (ck(3) == 'b' || ck(3) == 'c')))
-          if (isFrame && q + 8 + sz <= b.length) {
-            nextFrame = (idx, q + 8, sz); idx += 1
+          if (sz < 0 || sz > b.length) { q = moviEnd } // fuzzed: stop
+          else {
+            val isFrame = ck.length == 4 &&
+              ck(0).isDigit && ck(1).isDigit &&
+              ((ck(2) == 'd' && (ck(3) == 'b' || ck(3) == 'c')))
+            if (isFrame && q + 8 + sz <= b.length) {
+              nextFrame = (idx, q + 8, sz); idx += 1
+            }
+            q += 8 + sz + (sz & 1)
           }
-          q += 8 + sz + (sz & 1)
         }
       }
       advance()
@@ -188,9 +201,16 @@ object AviCodec {
     require(every >= 1, s"every must be >= 1, got $every")
     aviInfo(b).map { info =>
       val w = info.width; val h = info.height
-      val fb = frameBytes(w, h); val stride = rowBytes(w)
+      // Long math + an explicit end-bound per frame: aviInfo sanity-
+      // bounds w/h to 2^16, but the product can still exceed a mutated
+      // chunk's real extent — every read below stays inside [off, off+fb)
+      // only because fb is checked against BOTH the chunk length and the
+      // payload end before the pixel walk.
+      val fbL = rowBytes(w).toLong * h
+      val stride = rowBytes(w)
       frameChunks(b)
-        .filter { case (idx, _, len) => idx % every == 0 && len >= fb }
+        .filter { case (idx, off, len) =>
+          idx % every == 0 && len >= fbL && off.toLong + fbL <= b.length }
         .map { case (idx, off, _) =>
           var sr = 0L; var sg = 0L; var sb = 0L
           var lmin = Int.MaxValue; var lmax = Int.MinValue

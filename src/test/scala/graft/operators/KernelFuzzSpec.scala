@@ -82,6 +82,27 @@ class KernelFuzzSpec extends SparkSpec {
     }
   }
 
+  test("AVI parser/frame-sampler never throws on mutated valid containers") {
+    val rnd = new scala.util.Random(505)
+    val valid = AviCodec.aviEncode(5, 3, 1000, 4,
+      (f, x, y) => (f * 31 + x * 7 + y * 13) & 0xFFFFFF)
+    assert(AviCodec.frameStats(valid, 1).exists(_.size == 4))
+    (0 until 4000).foreach { _ =>
+      val m = valid.clone()
+      (0 until 1 + rnd.nextInt(4)).foreach { _ =>
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      }
+      val truncated = m.take(rnd.nextInt(m.length + 1))
+      // every call must return Option/empty, never throw, loop forever
+      // on a negative size field, or read outside the payload
+      AviCodec.aviInfo(m); AviCodec.aviInfo(truncated)
+      AviCodec.frameChunks(m).foreach(_ => ())
+      AviCodec.frameChunks(truncated).foreach(_ => ())
+      AviCodec.frameStats(m, 1 + rnd.nextInt(3)).foreach(_.foreach(_ => ()))
+      AviCodec.frameStats(truncated, 1).foreach(_.foreach(_ => ()))
+    }
+  }
+
   test("PNG pixel decoder never throws on mutated valid containers") {
     val rnd = new scala.util.Random(404)
     // a valid 4x3 RGB PNG built with real deflate + CRC, then mutants
