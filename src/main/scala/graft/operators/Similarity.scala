@@ -159,79 +159,116 @@ object Similarity {
     * Initialization is a deterministic hash-sample: the `nlist` rows
     * with the smallest seeded xxhash64(id) — reproducible, no RNG state,
     * same property set as [[Sampling]].
+    *
+    * 100 TB shape (r7): training runs on a BOUNDED deterministic
+    * hash-band sample (`maxTrainVectors`, default 100k — the
+    * FAISS-style regime where k-means quality needs a representative
+    * sample, not the corpus), and the sample is persisted across Lloyd
+    * iterations — each iteration is otherwise 2 full passes over the
+    * biggest table in the system. Downstream invariants (identical
+    * vectors share a cell; assignment is a pure function of the
+    * centroids) are sample-independent, which is exactly what the q53
+    * oracle checks.
     */
   def trainIvfCentroids(
       df: DataFrame, idCol: String, vecCol: String, dim: Int,
-      nlist: Int, iters: Int = 3, seed: Int = 42): Array[Array[Double]] = {
+      nlist: Int, iters: Int = 3, seed: Int = 42,
+      maxTrainVectors: Long = 100000L): Array[Array[Double]] = {
     require(nlist > 0 && dim > 0 && iters >= 0, "nlist/dim/iters invalid")
+    require(maxTrainVectors >= nlist, "maxTrainVectors must cover nlist")
     def normalized(v: Array[Double]): Array[Double] = {
       val n = math.sqrt(v.map(x => x * x).sum)
       if (n > 0) v.map(_ / n) else v
     }
-    var centroids: Array[Array[Double]] = df
-      .select(col(idCol).as("__id"), col(vecCol).as("__v"))
-      .orderBy(xxhash64(lit(seed), col("__id")), col("__id"))
-      .limit(nlist)
-      .collect()
-      .map(r => normalized(r.getSeq[Any](1).toArray
-        .map(x => x.asInstanceOf[Number].doubleValue()))) // float OR double vectors
-    val exploded = df.select(col(idCol).as("__id"),
-      posexplode(col(vecCol)).as(Seq("__d", "__x")))
-    for (_ <- 0 until iters) {
-      val cells = assignCells(exploded, centroids)
-      // exact per-(cell, dim) mean via fixed-point longs: both the sum
-      // and the count are order-independent, so centroid floats are
-      // identical regardless of partition merge order
-      val sums = exploded.join(cells, Seq("__id"))
-        .groupBy(col("__cell"), col("__d"))
-        .agg(sum(floor(col("__x").cast("double") * 1e9 + lit(0.5))
-          .cast("long")).as("__s"), count(lit(1)).as("__n"))
-        .collect()
-      val next = Array.fill(centroids.length)(Array.fill(dim)(0.0))
-      sums.foreach { r =>
-        next(r.getAs[Int]("__cell"))(r.getAs[Int]("__d")) =
-          r.getAs[Long]("__s").toDouble / 1e9 / r.getAs[Long]("__n")
+    val keyed = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val total = keyed.count() // columnar metadata count — cheap
+    val sampled =
+      if (total <= maxTrainVectors) keyed
+      else {
+        // deterministic hash band ≈ maxTrain/total of the corpus; the
+        // exact sample size is approximate, its CONTENT is a pure
+        // function of (seed, id)
+        val band = math.max(1L, math.ceil(
+          maxTrainVectors.toDouble / total * 1000000L).toLong)
+        keyed.where(pmod(xxhash64(lit(seed), col("__id")),
+          lit(1000000L)) < lit(band))
       }
-      // empty cells keep their previous centroid
-      centroids = centroids.indices.map { c =>
-        if (next(c).exists(_ != 0.0)) normalized(next(c)) else centroids(c)
-      }.toArray
-    }
-    centroids
+    val train = sampled.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var centroids: Array[Array[Double]] = train
+        .orderBy(xxhash64(lit(seed), col("__id")), col("__id"))
+        .limit(nlist)
+        .collect()
+        .map(r => normalized(r.getSeq[Any](1).toArray
+          .map(x => x.asInstanceOf[Number].doubleValue()))) // float OR double
+      val exploded = train.select(col("__id"),
+        posexplode(col("__v")).as(Seq("__d", "__x")))
+      for (_ <- 0 until iters) {
+        val cells = train.select(col("__id"),
+          cellColumn(col("__v"), centroids).as("__cell"))
+        // exact per-(cell, dim) mean via fixed-point longs: both the sum
+        // and the count are order-independent, so centroid floats are
+        // identical regardless of partition merge order
+        val sums = exploded.join(cells, Seq("__id"))
+          .groupBy(col("__cell"), col("__d"))
+          .agg(sum(floor(col("__x").cast("double") * 1e9 + lit(0.5))
+            .cast("long")).as("__s"), count(lit(1)).as("__n"))
+          .collect()
+        val next = Array.fill(centroids.length)(Array.fill(dim)(0.0))
+        sums.foreach { r =>
+          next(r.getAs[Int]("__cell"))(r.getAs[Int]("__d")) =
+            r.getAs[Long]("__s").toDouble / 1e9 / r.getAs[Long]("__n")
+        }
+        // empty cells keep their previous centroid
+        centroids = centroids.indices.map { c =>
+          if (next(c).exists(_ != 0.0)) normalized(next(c)) else centroids(c)
+        }.toArray
+      }
+      centroids
+    } finally train.unpersist(false)
   }
 
-  /** (id → nearest-centroid cell) via `nlist` static dot-product sum
-    * aggregates; argmax ties break to the lowest cell id.
+  /** Per-centroid fixed-point scores as (score, −cell) structs — the
+    * shared front of [[cellColumn]] and [[ivfTopK]]'s probe ranking.
+    * [[graft.expressions.FixedDot]] against a LITERAL centroid runs as
+    * a tight codegen'd loop per row: no explode, no dim×rows shuffle,
+    * no per-id re-aggregation — cell assignment is a pure narrow
+    * PROJECTION (r7; the previous explode + `groupBy(__id)` double-sum
+    * formulation shuffled the exploded corpus once per assignment and
+    * its float sums were partition-order-dependent near ties — the
+    * fixed-point dots are exactly reproducible).
     */
-  private def assignCells(
-      exploded: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
-    val dots = centroids.zipWithIndex.map { case (cvec, c) =>
-      sum(col("__x").cast("double")
-        * element_at(lit(cvec), col("__d") + 1)).as(s"__dot$c")
+  private def centroidScores(vec: Column,
+      centroids: Array[Array[Double]]): Seq[Column] =
+    centroids.zipWithIndex.map { case (cvec, c) =>
+      struct(
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.expressions.FixedDot(
+            org.apache.spark.sql.graft.ColumnBridge.expression(vec),
+            org.apache.spark.sql.graft.ColumnBridge.expression(
+              typedLit(cvec.toSeq)))).as("s"),
+        lit(-c).cast("int").as("negc"))
     }
-    val scored = exploded.groupBy(col("__id"))
-      .agg(dots.head, dots.tail: _*)
-    // Argmax as array_max over (score, -cell) structs: struct ordering
-    // compares score first, then -cell, so ties resolve to the LOWEST
-    // cell id — identical semantics to a pairwise when-max chain, but
-    // LINEAR in nlist. The former reduce(when(b > a, b).otherwise(a))
-    // embedded the accumulated expression twice per step — expression
-    // size 2^nlist, which hangs the analyzer beyond ~12 cells and
-    // contradicted semDedup's "grow nlist with the corpus" contract.
-    val best = array_max(array(centroids.indices.map(c =>
-      struct(col(s"__dot$c").as("s"),
-        lit(-c).cast("int").as("negc"))): _*))
-    scored.select(col("__id"), (-best.getField("negc")).as("__cell"))
-  }
 
-  /** IVF cell assignment of a vector table: (idCol, cell). */
+  /** Nearest-centroid cell of a vector column, as a pure projection.
+    * Argmax as array_max over (score, −cell) structs: struct ordering
+    * compares score first, then −cell, so ties resolve to the LOWEST
+    * cell id — LINEAR in nlist (a pairwise when-max reduce embeds the
+    * accumulated expression twice per step: size 2^nlist, hanging the
+    * analyzer beyond ~12 cells).
+    */
+  private def cellColumn(vec: Column,
+      centroids: Array[Array[Double]]): Column =
+    -array_max(array(centroidScores(vec, centroids): _*)).getField("negc")
+
+  /** IVF cell assignment of a vector table: (idCol, cell). Narrow —
+    * safe to fuse into any scan.
+    */
   def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
-      centroids: Array[Array[Double]]): DataFrame = {
-    val exploded = df.select(col(idCol).as("__id"),
-      posexplode(col(vecCol)).as(Seq("__d", "__x")))
-    assignCells(exploded, centroids)
-      .select(col("__id").as(idCol), col("__cell").as("cell"))
-  }
+      centroids: Array[Array[Double]]): DataFrame =
+    df.select(col(idCol),
+      cellColumn(col(vecCol), centroids).as("cell"))
 
   /** IVF ANN top-k: corpus vectors live in their nearest centroid's
     * inverted list; each query probes its `nprobe` closest cells and
@@ -245,37 +282,23 @@ object Similarity {
       idCol: String, vecCol: String, k: Int,
       centroids: Array[Array[Double]], nprobe: Int = 2): DataFrame = {
     require(nprobe > 0, "nprobe must be positive")
-    val cells = ivfAssign(corpus, idCol, vecCol, centroids)
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-      .join(cells.select(col(idCol).as("neighbor_id"), col("cell")),
-        Seq("neighbor_id"))
-    // per-query top-nprobe cells: nlist static dots, ranked in a projection
+    // corpus side: ONE narrow projection — vector and its cell together
+    // (r7; assignment was previously a second corpus scan + exploded
+    // shuffle joined back on id)
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv"),
+      cellColumn(col(vecCol), centroids).as("cell"))
+    // per-query top-nprobe cells: sort the (score, −cell) structs in a
+    // projection and explode the first nprobe — descending score, ties
+    // to the LOWEST cell id (−cell descending), all inside codegen
     val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-    val qexp = qv
-      .select(col("query_id"), posexplode(col("__qv")).as(Seq("__d", "__x")))
-    val dots = centroids.zipWithIndex.map { case (cvec, i) =>
-      sum(col("__x").cast("double")
-        * element_at(lit(cvec), col("__d") + 1)).as(s"__dot$i")
-    }
-    // group by the SCALAR id only: a float-array grouping key makes the
-    // planner wrap it in NormalizeFloatingNumbers' transform LAMBDA
-    // (interpreted per row — the banned family); the query vector
-    // re-joins onto the tiny probed set below instead
-    val qcells = qexp.groupBy(col("query_id"))
-      .agg(dots.head, dots.tail: _*)
-      .select(col("query_id"), posexplode(
-        array(centroids.indices.map(i =>
-          struct(col(s"__dot$i").as("s"), lit(i).as("cell"))): _*))
-        .as(Seq("__pos", "__sc")))
-      .select(col("query_id"),
-        col("__sc.s").as("__s"), col("__sc.cell").as("cell"))
-    val probeW = Window.partitionBy(col("query_id"))
-      .orderBy(col("__s").desc, col("cell").asc)
-    val probed = qcells
-      .withColumn("__pr", row_number().over(probeW))
-      .filter(col("__pr") <= nprobe)
-      .select(col("query_id"), col("cell"))
-      .join(qv, Seq("query_id")) // queries × nprobe rows, pre-broadcast
+    val probed = qv.select(col("query_id"), col("__qv"),
+        explode(slice(
+          sort_array(array(centroidScores(col("__qv"), centroids): _*),
+            asc = false),
+          1, nprobe)).as("__sc"))
+      .select(col("query_id"), col("__qv"),
+        (-col("__sc.negc")).as("cell"))
     val scored = c.join(broadcast(probed), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("score_fp", dotFixed(col("__qv"), col("__cv")))
