@@ -323,8 +323,15 @@ object Similarity {
     */
   private def bandedBuckets(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, planes: Int, bands: Int): DataFrame = {
+    // posexplode_OUTER + null filter, not posexplode: the non-outer
+    // variant's InferFiltersFromGenerate `size(vec) > 0` guard pushes
+    // into the scan's DataFilters, where it re-evaluates any upstream
+    // vector kernel (e.g. a scale_array projection) per row. Zero-
+    // length vectors still produce no bucket rows (the outer null row
+    // is filtered), preserving the "not bucketed" contract.
     val exploded = df.select(col(idCol).as("__id"),
-      posexplode(col(vecCol)).as(Seq("__d", "__x")))
+        posexplode_outer(col(vecCol)).as(Seq("__d", "__x")))
+      .where(col("__x").isNotNull)
     val projAggs = (0 until bands * planes).map { g =>
       sum(col("__x").cast("double")
         * element_at(lit(planeVector(g, dim)), col("__d") + 1)).as(s"__p$g")
