@@ -1302,7 +1302,8 @@ object Queries {
     */
   def q43WordCount(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .select(explode_outer(TextFunctions.tokens(col("text"))).as("tok"))
+      .where(col("tok").isNotNull) // outer: no size() scan-filter inference
       .groupBy(col("tok"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("tok"))
@@ -1570,7 +1571,8 @@ object Queries {
     */
   def q54FreqItems(s: SparkSession, dir: String): DataFrame = {
     val toks = t(s, dir, "documents")
-      .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .select(explode_outer(TextFunctions.tokens(col("text"))).as("tok"))
+      .where(col("tok").isNotNull) // outer: no size() scan-filter inference
     graft.operators.Sketches.heavyHittersChecked(toks, "tok",
         minShare = 0.01, support = 0.005)
       .orderBy(col("tok"))

@@ -46,10 +46,13 @@ object TextFeatures {
     // the plan; don't just lift this require.
     require(dim > 0 && dim <= 64,
       s"dim must be in 1..64 (codegen'd unrolled aggregate; see comment), got $dim")
+    // explode_OUTER + null filter: avoids the inferred size() > 0
+    // guard re-running the tokenizer at the scan (PLANS.md r7)
     val bucketed = df
       .select(col(idCol),
-        explode(TextFunctions.tokens(coalesce(col(textCol), lit(""))))
+        explode_outer(TextFunctions.tokens(coalesce(col(textCol), lit(""))))
           .as("__tok"))
+      .where(col("__tok").isNotNull)
       .select(col(idCol),
         pmod(xxhash64(lit(seed), col("__tok")), lit(dim)).as("__b"))
       .groupBy(col(idCol), col("__b"))

@@ -55,7 +55,12 @@ object Boilerplate {
       minDfFrac: Double = 0.10): DataFrame = {
     val perDoc = docs.select(col(idCol),
       array_distinct(TextFunctions.shingles(col(textCol), n)).as("__sh"))
-    val exploded = perDoc.select(col(idCol), explode(col("__sh")).as("__g"))
+    // explode_OUTER + null filter: the non-outer variant's inferred
+    // size(__sh) > 0 guard pushes into the scan, re-running the
+    // shingle+distinct kernel per row (PLANS.md r7 addendum, trap 3)
+    val exploded = perDoc
+      .select(col(idCol), explode_outer(col("__sh")).as("__g"))
+      .where(col("__g").isNotNull)
     // Document frequency: rows are distinct per doc already, so a
     // plain count IS the df. One partial-aggregated shuffle.
     val df = exploded.groupBy(col("__g")).agg(count(lit(1)).as("__df"))

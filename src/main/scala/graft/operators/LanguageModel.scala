@@ -54,8 +54,11 @@ object LanguageModel {
     */
   def bigramFluency(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
+    // explode_OUTER + null filter: avoids the inferred size() > 0
+    // guard re-running the shingle kernel at the scan (PLANS.md r7)
     val bg = docs.select(col(idCol),
-      explode(TextFunctions.shingles(col(textCol), 2)).as("__bg"))
+        explode_outer(TextFunctions.shingles(col(textCol), 2)).as("__bg"))
+      .where(col("__bg").isNotNull)
     // Stream 1: per-(doc, bigram) occurrences — the only pass over raw
     // positions, immediately collapsed by partial aggregation.
     val perDoc = bg.groupBy(col(idCol), col("__bg"))

@@ -200,7 +200,10 @@ object Retrieval {
     require(k > 0, "k must be positive")
     val toks = docs.select(col(idCol).as("doc_id"),
       TextFunctions.tokens(col(textCol)).as("__t"))
-    val tf = toks.select(col("doc_id"), explode(col("__t")).as("token"))
+    // explode_OUTER + null filter: avoids the inferred size() > 0
+    // guard re-running the tokenizer at the scan (PLANS.md r7)
+    val tf = toks.select(col("doc_id"), explode_outer(col("__t")).as("token"))
+      .where(col("token").isNotNull)
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
     val df_ = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))

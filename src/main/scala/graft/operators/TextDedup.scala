@@ -458,8 +458,9 @@ object TextDedup {
     // inside an interpreted transform() lambda
     val tokenHashes = df
       .select(col(idCol).as("__id"),
-        explode(TextFunctions.tokens(coalesce(col(textCol), lit(""))))
+        explode_outer(TextFunctions.tokens(coalesce(col(textCol), lit(""))))
           .as("__t"))
+      .where(col("__t").isNotNull) // outer: no size() scan-filter inference
       .select(col("__id"), tokenHash(col("__t")).as("__h"))
     val voteAggs = (0 until bits).map(b =>
       sum(when(shiftright(col("__h"), b).bitwiseAND(1) === 1, 1L)
