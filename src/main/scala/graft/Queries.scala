@@ -947,11 +947,20 @@ object Queries {
     */
   def q29CosineNearDup(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    // coalesce(..., []) makes the projected column NON-NULLABLE at the
+    // schema level, so the verify join constructs no IsNotNull
+    // constraint over it — without this, the inferred isnotnull pushes
+    // through the projection and re-evaluates the scale kernel inside
+    // the scan's DataFilters (PlanAuditSpec's engine-wide filter sweep
+    // pins the property). A null embedding degrades to an empty vector,
+    // which buckets nowhere — same fate as null.
     val scaled = emb.select((col("vec_id") + 1000000L).as("vec_id"),
-      org.apache.spark.sql.graft.ColumnBridge.column(
-        graft.expressions.ScaleArray(
-          org.apache.spark.sql.graft.ColumnBridge.expression(col("embedding")),
-          1.5f)).as("embedding"))
+      coalesce(
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.expressions.ScaleArray(
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("embedding")),
+            1.5f)),
+        typedLit(Array.empty[Float])).as("embedding"))
     Similarity.cosineNearDup(emb.unionByName(scaled), "vec_id", "embedding",
         dim = 64, threshold = 0.99, planes = 12, bands = 4)
       .filter(col("id_b") === col("id_a") + 1000000L)
@@ -3574,8 +3583,18 @@ object Queries {
     */
   def q97Curation(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
+    // Generate barrier (explode of a 1-element struct array): the final
+    // WHERE references quality_score, and predicate pushdown substitutes
+    // aliases into filters UNCONDITIONALLY — without the barrier the
+    // token_profile kernel lands in the scan's Filter AND the output
+    // projection, evaluating twice per row (the dupClusterAssignments
+    // lesson; PlanAuditSpec's engine-wide filter sweep pins it). The
+    // boiler/fluency branches end in aggregates, which already block
+    // pushdown.
     val quality = docs.select(col("doc_id"),
-      TextFunctions.qualityScore(col("text")).as("quality_score"))
+        explode(array(struct(
+          TextFunctions.qualityScore(col("text")).as("q")))).as("__qs"))
+      .select(col("doc_id"), col("__qs.q").as("quality_score"))
     val boiler = operators.Boilerplate.profile(docs, minDfFrac = 0.01)
       .select(col("doc_id"), col("boiler_frac"))
     val fluency = operators.LanguageModel.bigramFluency(docs)

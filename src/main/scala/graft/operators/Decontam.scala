@@ -26,20 +26,22 @@ object Decontam {
       outId: String, n: Int): DataFrame = {
     val toks = df.select(col(idCol).as(outId),
       TextFunctions.tokens(col(textCol)).as("__t"))
-      // empty/whitespace-only docs produce no grams: the size<n
-      // whole-text fallback would otherwise emit the "" gram and make
-      // two empty docs count as sharing a verbatim n-gram
-      .where(size(col("__t")) > 0)
-    // explode_outer: the array is never empty here (toks filtered
-    // non-empty above, and < n tokens yields the whole-text shingle),
-    // and the outer variant dodges InferFiltersFromGenerate's
-    // size(...)>0 filter, whose pushdown would re-run the shingle
-    // kernel + distinct once more per row (same trade as
-    // TextDedup.shingleHashRows)
+    // explode_outer dodges InferFiltersFromGenerate's size(...)>0
+    // filter, whose pushdown would re-run the shingle kernel + distinct
+    // once more per row (same trade as TextDedup.shingleHashRows).
+    // Empty/whitespace-only docs must produce no grams — the size<n
+    // whole-text fallback would otherwise emit the "" gram and make two
+    // empty docs count as sharing a verbatim n-gram. That exclusion is
+    // the `=!= ""` filter on the GENERATOR OUTPUT: a doc has the ""
+    // gram iff it has zero tokens (every token is non-empty, so any
+    // real shingle is non-empty), and a post-Generate filter cannot be
+    // pushed into the scan — the former `where(size(__t) > 0)` landed
+    // there via alias substitution and re-ran the tokenizer per row.
     val grams = toks.select(col(outId),
       explode_outer(
           array_distinct(TextFunctions.shinglesFromTokens(col("__t"), n)))
         .as("__sh"))
+      .where(col("__sh").isNotNull && col("__sh") =!= "")
     grams.select(col(outId), TextDedup.md5Hash60(col("__sh")).as("__h"))
   }
 

@@ -297,6 +297,28 @@ class PlanAuditSpec extends SparkSpec {
       s"interpreted-eval constructs crept into plans:\n${offenders.mkString("\n")}")
   }
 
+  test("ENGINE-WIDE: no text/vector kernel ever re-runs inside a scan filter") {
+    // InferFiltersFromGenerate turns a non-outer explode over a
+    // kernel-computed array into a size(kernel(...)) > 0 predicate that
+    // predicate-pushdown lands in the scan's DataFilters — the kernel
+    // then runs once for the filter and again for the projection, per
+    // row (r7; PLANS.md addendum trap 3). The engine-wide rule: heavy
+    // kernels appear in Project/Generate/Aggregate nodes only, never in
+    // a Filter or scan DataFilters. explode_outer + an explicit
+    // null-filter is the sanctioned pattern.
+    val kernels = Seq("token_array(", "shingle_array(", "shingle_hash64(",
+      "scale_array(", "token_profile(")
+    val filterLine = """(?m)^.*(Filter |DataFilters: ).*$""".r
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      val p = fn(spark, dir).queryExecution.executedPlan.toString
+      filterLine.findAllIn(p).toSeq.flatMap { line =>
+        kernels.filter(line.contains).map(k => s"$name: $k in ${line.trim.take(120)}")
+      }
+    }
+    assert(offenders.isEmpty,
+      s"kernel evaluation inside a filter:\n${offenders.mkString("\n")}")
+  }
+
   test("q77 winnow fingerprints carry no higher-order lambdas and one gram shuffle") {
     val p = plan("q77_winnow_overlap")
     // the hash must live in a flat (codegen-able) projection: interpreted
