@@ -799,6 +799,19 @@ object Queries {
     fs.deleteOnExit(base)
     val stage = s"$base/stage"
     val pairsPath = s"$base/pairs"
+    // The snapshot's LSH index is MATERIALIZED once before the stream
+    // starts — the signature store a production pipeline maintains —
+    // and every micro-batch reads the stored tables instead of
+    // re-shingling the corpus (the from-text overload re-derived the
+    // whole snapshot side per batch: 2 extra corpus passes here, 2 per
+    // day at 100 TB).
+    val idx = TextDedup.buildLshIndex(snap, "doc_id", "text",
+      numHashes = 128, bands = 32, shingleSize = 3)
+    idx.shingles.write.parquet(s"$base/idx_shingles")
+    idx.bands.write.parquet(s"$base/idx_bands")
+    val stored = TextDedup.LshIndex(
+      s.read.parquet(s"$base/idx_shingles"),
+      s.read.parquet(s"$base/idx_bands"))
     var batches = 0
     (0 until 2).foreach { i =>
       batchSrc.filter(col("doc_id") % 2 === i)
@@ -809,7 +822,7 @@ object Queries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch { (b: DataFrame, _: Long) =>
           TextDedup.minHashLshIncremental(
-              snap, "doc_id", "text", b, "doc_id", "text",
+              stored, b, "doc_id", "text",
               numHashes = 128, bands = 32, shingleSize = 3,
               threshold = 0.7)
             .filter(col("snap_id") === col("batch_id") - 1000000L)

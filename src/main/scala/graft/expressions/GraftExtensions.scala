@@ -63,13 +63,55 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           graft.functions.TextFunctions.stopwordsEn +:
             graft.functions.TextFunctions.langMarkers.map(_._2))
       },
-      "token_profile(text) - struct<n_tokens, n_unique, n_chars, hits> in one pass"))
+      "token_profile(text) - struct<n_tokens, n_unique, n_chars, hits> in one pass"),
+    ("scale_array", classOf[ScaleArray].getName,
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "scale_array takes exactly 2 arguments")
+        ScaleArray(children.head, litFloat(children(1), "scale_array's factor"))
+      },
+      "scale_array(vec, factor) - each element of a float array times a literal factor"),
+    ("plane_dot", classOf[PlaneDot].getName,
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "plane_dot takes exactly 2 arguments")
+        PlaneDot(children.head,
+          litDoubleArray(children(1), "plane_dot's weights"))
+      },
+      "plane_dot(vec, array(w0, w1, ...)) - dot of a float array with a literal plane"))
 
   private def litInt(e: Expression, what: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
     case _ => throw new IllegalArgumentException(
       s"$what must be an integer literal, got $e")
   }
+
+  private def litFloat(e: Expression, what: String): Float = e match {
+    case Literal(v: Float, _) => v
+    case Literal(v: Double, _) => v.toFloat
+    case Literal(v: Int, _) => v.toFloat
+    case _ => throw new IllegalArgumentException(
+      s"$what must be a numeric literal, got $e")
+  }
+
+  private def litDoubleArray(e: Expression, what: String): Array[Double] =
+    e match {
+      // array(1.0, 2.0, ...) arrives as CreateArray of literals
+      case org.apache.spark.sql.catalyst.expressions.CreateArray(elems, _)
+          if elems.forall(_.isInstanceOf[Literal]) =>
+        elems.map {
+          case Literal(v: Double, _) => v
+          case Literal(v: Float, _) => v.toDouble
+          case Literal(v: Int, _) => v.toDouble
+          case Literal(v: Long, _) => v.toDouble
+          case other => throw new IllegalArgumentException(
+            s"$what must contain numeric literals, got $other")
+        }.toArray
+      case lit @ Literal(_, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, _)) =>
+        lit.value.asInstanceOf[
+          org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
+      case _ => throw new IllegalArgumentException(
+        s"$what must be a literal double array, got $e")
+    }
 
   override def apply(ext: SparkSessionExtensions): Unit =
     functions.foreach { case (name, className, builder, usage) =>

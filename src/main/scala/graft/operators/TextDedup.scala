@@ -308,6 +308,31 @@ object TextDedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** A materialized LSH index over a corpus snapshot: the two tables a
+    * production pipeline PERSISTS so daily batches dedup against the
+    * accumulated corpus without re-shingling it —
+    *  - `shingles`: distinct `(__id, __sh)` 64-bit shingle-hash rows
+    *    (the verify join's input);
+    *  - `bands`: `(__id, __n, __band, __bandsig)` band signatures.
+    * Build with [[buildLshIndex]], store both as parquet (bucketing the
+    * bands table by (__band, __bandsig) makes the candidate join
+    * exchange-free), append each accepted batch's rows, and feed to
+    * [[minHashLshIncremental]].
+    */
+  final case class LshIndex(shingles: DataFrame, bands: DataFrame)
+
+  /** Compute the [[LshIndex]] tables for a corpus — one corpus pass
+    * (the [[lshSide]] lineage and its plan contract).
+    */
+  def buildLshIndex(corpus: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 32, bands: Int = 8,
+      shingleSize: Int = 3): LshIndex = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val (rows, banded) =
+      lshSide(corpus, idCol, textCol, numHashes, bands, shingleSize)
+    LshIndex(rows, banded)
+  }
+
   /** Incremental MinHash+LSH: near-duplicate pairs between a NEW batch
     * and an existing SNAPSHOT — the near-dup counterpart of the exact
     * incremental dedup ([[incrementalExact]]-style Bloom + anti-join
@@ -317,13 +342,13 @@ object TextDedup {
     * snapshot doc share an LSH band bucket, so the join volume is
     * |batch| × collision-rate, not |snapshot|².
     *
-    * At 100 TB the snapshot's signature/band table is the materialized
-    * artifact a production pipeline maintains (append each accepted
-    * batch's signatures); this operator recomputes it from text so its
-    * oracle stays self-contained — the join topology is identical
-    * either way, and only candidate snapshot docs are ever re-shingled
-    * ... relationally: the verify join's batch-candidate side
-    * semi-filters the snapshot's (id, sh) rows before the count.
+    * At 100 TB the snapshot's [[LshIndex]] is the materialized artifact
+    * the pipeline maintains (append each accepted batch's rows); the
+    * index overload below is the production path — only candidate
+    * snapshot docs' stored shingle rows are touched by the verify join.
+    * This from-text convenience recomputes the index in-plan so a
+    * one-shot caller (and the q99 oracle) stays self-contained; the
+    * join topology is identical either way.
     *
     * Returns `(batch_id, snap_id, jaccard)`, one row per candidate
     * pair with exact (hash-collision-exact) Jaccard ≥ `threshold`.
@@ -336,8 +361,26 @@ object TextDedup {
       shingleSize: Int = 3,
       threshold: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val (snapRows, snapBanded) =
-      lshSide(snapshot, snapId, snapText, numHashes, bands, shingleSize)
+    minHashLshIncremental(
+      buildLshIndex(snapshot, snapId, snapText, numHashes, bands,
+        shingleSize),
+      batch, batchId, batchText, numHashes, bands, shingleSize, threshold)
+  }
+
+  /** Index-based incremental near-dup: the production path — the
+    * snapshot side comes from a persisted [[LshIndex]] and is never
+    * re-shingled.
+    */
+  def minHashLshIncremental(
+      index: LshIndex,
+      batch: DataFrame, batchId: String, batchText: String,
+      numHashes: Int,
+      bands: Int,
+      shingleSize: Int,
+      threshold: Double): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val snapRows = index.shingles
+    val snapBanded = index.bands
     val (batchRows, batchBanded) =
       lshSide(batch, batchId, batchText, numHashes, bands, shingleSize)
     // Same pin discipline as minHashLsh: candidates is consumed twice

@@ -138,6 +138,23 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException] { builder(Seq.empty) }
   }
 
+  test("GraftExtensions registers scale_array and plane_dot builders") {
+    import org.apache.spark.sql.catalyst.expressions.{CreateArray, Literal}
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val fns = new graft.expressions.GraftExtensions().functions
+      .map(f => f._1 -> f._3).toMap
+    val vec = Literal.create(Array(1.0f, 2.0f), ArrayType(FloatType))
+    val scaled = fns("scale_array")(Seq(vec, Literal(2.0f))).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert(scaled.toFloatArray().toSeq === Seq(2.0f, 4.0f))
+    val dot = fns("plane_dot")(Seq(vec,
+      CreateArray(Seq(Literal(3.0), Literal(4.0))))).eval(null)
+    assert(dot === 1.0 * 3 + 2.0 * 4)
+    intercept[IllegalArgumentException] {
+      fns("plane_dot")(Seq(vec, vec)) // weights must be literal
+    }
+  }
+
   test("native cosine matches HOF on edges: empty, mismatch, zero, double arrays") {
     val edges = Seq(
       (Array[Float](), Array(1.0f)),        // empty vs non-empty -> 0.0
