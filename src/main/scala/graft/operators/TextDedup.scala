@@ -333,6 +333,29 @@ object TextDedup {
     LshIndex(rows, banded)
   }
 
+  /** Persist an [[LshIndex]] as BUCKETED catalog tables —
+    * `<name>_shingles` bucketed by `__id` (the verify join's key),
+    * `<name>_bands` bucketed by `(__band, __bandsig)` (the candidate
+    * join's keys) — so at read time the SNAPSHOT side of each join has
+    * compatible output partitioning and never exchanges: only the
+    * day's batch shuffles (LshIndexSpec asserts the plan). This is the
+    * storage layout of the signature store at 100 TB; the bucket count
+    * should track the cluster, not the default here.
+    */
+  def storeLshIndex(index: LshIndex, name: String, buckets: Int = 8): Unit = {
+    graft.sources.Bucketing.writeBucketed(
+      index.shingles, s"${name}_shingles", Seq("__id"), buckets)
+    graft.sources.Bucketing.writeBucketed(
+      index.bands, s"${name}_bands", Seq("__band", "__bandsig"), buckets)
+  }
+
+  /** Read a stored [[storeLshIndex]] back; the bucket layout rides the
+    * catalog metadata.
+    */
+  def readLshIndex(spark: org.apache.spark.sql.SparkSession,
+      name: String): LshIndex =
+    LshIndex(spark.table(s"${name}_shingles"), spark.table(s"${name}_bands"))
+
   /** Incremental MinHash+LSH: near-duplicate pairs between a NEW batch
     * and an existing SNAPSHOT — the near-dup counterpart of the exact
     * incremental dedup ([[incrementalExact]]-style Bloom + anti-join

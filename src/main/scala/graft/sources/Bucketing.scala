@@ -24,7 +24,16 @@ object Bucketing {
     * stale location is removed after the DROP.
     */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      buckets: Int): Unit =
+    writeBucketed(df, table, Seq(bucketCol), buckets)
+
+  /** Multi-column bucket spec: the join this serves must use ALL bucket
+    * columns as (a superset of) its equi-keys — Spark only elides the
+    * exchange when the join keys cover the bucket columns.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
       buckets: Int): Unit = {
+    require(bucketCols.nonEmpty, "need at least one bucket column")
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val loc = new org.apache.hadoop.fs.Path(
@@ -33,8 +42,8 @@ object Bucketing {
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write
       .mode(SaveMode.Overwrite)
-      .bucketBy(buckets, bucketCol)
-      .sortBy(bucketCol)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
   }

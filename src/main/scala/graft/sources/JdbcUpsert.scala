@@ -96,7 +96,11 @@ object JdbcUpsert {
     * [[ensureTable]]). Each output partition is one transaction: all of
     * its rows commit together or none do — a partition-scoped version of
     * the reference's whole-batch transaction (py:454-468; use
-    * `numPartitions = 1` to make it exactly whole-batch).
+    * `numPartitions = 1` to make it exactly whole-batch). Deadlock
+    * victims / serialization failures (SQLSTATE 40001, Derby 40XL1) are
+    * rolled back and the whole partition transaction retried up to 3
+    * times with backoff — concurrent MERGEs into one table deadlock by
+    * design, and retrying the victim is the JDBC writer contract.
     */
   def upsert(df: DataFrame, url: String, table: String, keys: Seq[String],
       dialect: Dialect = DerbyMerge, batchSize: Int = 500,
@@ -111,31 +115,80 @@ object JdbcUpsert {
     val paramTypes = paramCols.map(c => schema(c).dataType)
     val repart = numPartitions.fold(df)(df.coalesce)
     repart.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
-      if (rows.hasNext) {
-        val conn = DriverManager.getConnection(url)
-        try {
-          conn.setAutoCommit(false)
-          val ps = conn.prepareStatement(sql)
+      // Buffered so the partition's transaction can REPLAY: concurrent
+      // MERGEs into one table can deadlock, and the database resolves
+      // it by aborting a victim (SQLSTATE 40001) — the standard JDBC
+      // writer contract is to retry serialization failures, not fail
+      // the job. Memory note: one partition's rows are held at once;
+      // size partitions for the sink accordingly.
+      val buffered = rows.toArray
+      if (buffered.nonEmpty) {
+        var attempt = 0
+        var done = false
+        while (!done) {
+          attempt += 1
+          val conn = DriverManager.getConnection(url)
           try {
-            var pending = 0
-            rows.foreach { row =>
-              var i = 0
-              while (i < paramIdx.length) {
-                bind(ps, i + 1, row, paramIdx(i), paramTypes(i))
-                i += 1
+            conn.setAutoCommit(false)
+            val ps = conn.prepareStatement(sql)
+            try {
+              var pending = 0
+              buffered.foreach { row =>
+                var i = 0
+                while (i < paramIdx.length) {
+                  bind(ps, i + 1, row, paramIdx(i), paramTypes(i))
+                  i += 1
+                }
+                ps.addBatch()
+                pending += 1
+                if (pending >= batchSize) { ps.executeBatch(); pending = 0 }
               }
-              ps.addBatch()
-              pending += 1
-              if (pending >= batchSize) { ps.executeBatch(); pending = 0 }
-            }
-            if (pending > 0) ps.executeBatch()
-            conn.commit()
-          } catch {
-            case e: Throwable => conn.rollback(); throw e
-          } finally ps.close()
-        } finally conn.close()
+              if (pending > 0) ps.executeBatch()
+              conn.commit()
+              done = true
+            } catch {
+              case e: Throwable =>
+                // rollback failures must not MASK the real error
+                try conn.rollback()
+                catch { case r: Throwable => e.addSuppressed(r) }
+                val retriable = serializationFailure(e) && attempt < 4
+                if (!retriable) throw e
+                Thread.sleep(50L * attempt)
+            } finally ps.close()
+          } finally conn.close()
+        }
       }
     }
+  }
+
+  /** Deadlock-victim / serialization-failure detection: SQLSTATE 40001
+    * (and Derby's 40XL1 lock timeout) anywhere in the chain — a
+    * BatchUpdateException wraps the real cause.
+    */
+  private def serializationFailure(e: Throwable): Boolean = {
+    def stateMatches(s: java.sql.SQLException): Boolean = {
+      // walk BOTH chains: getNextException (batch) and getCause
+      val it = s.iterator()
+      while (it.hasNext) {
+        it.next() match {
+          case q: java.sql.SQLException
+              if q.getSQLState != null &&
+                (q.getSQLState == "40001" || q.getSQLState == "40XL1") =>
+            return true
+          case _ => ()
+        }
+      }
+      false
+    }
+    var cur: Throwable = e
+    while (cur != null) {
+      cur match {
+        case s: java.sql.SQLException if stateMatches(s) => return true
+        case _ => ()
+      }
+      cur = if (cur.getCause != cur) cur.getCause else null
+    }
+    false
   }
 
   /** Create `table` with a primary key on `keys` if it does not exist —
