@@ -157,6 +157,15 @@ object DumpPlans {
       sb.append(df.queryExecution.executedPlan.toString.trim)
       sb.append("\n```\n")
     }
+    // durable commentary survives regeneration: PLANS_NOTES.md holds
+    // the methodology/history sections and is appended verbatim
+    val notes = Paths.get("PLANS_NOTES.md")
+    if (Files.exists(notes)) {
+      val body = Files.readString(notes)
+      sb.append("\n")
+        .append(body.linesIterator.drop(2).mkString("\n")) // skip title
+        .append("\n")
+    }
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
     println(s"PLANS.md written (${showcase.size} plans)")
     spark.stop()
