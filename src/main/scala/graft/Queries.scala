@@ -804,14 +804,15 @@ object Queries {
     // and every micro-batch reads the stored tables instead of
     // re-shingling the corpus (the from-text overload re-derived the
     // whole snapshot side per batch: 2 extra corpus passes here, 2 per
-    // day at 100 TB).
+    // day at 100 TB). After deduping, each batch APPENDS its own
+    // signatures to the store — the full production loop, so batch 2
+    // is also checked against batch 1's accepted docs. The oracle is
+    // untouched by the growth: a batch×batch pair can never satisfy
+    // the planted snap_id = batch_id − 1e6 filter (both ids ≥ 1e6).
     val idx = TextDedup.buildLshIndex(snap, "doc_id", "text",
       numHashes = 128, bands = 32, shingleSize = 3)
     idx.shingles.write.parquet(s"$base/idx_shingles")
     idx.bands.write.parquet(s"$base/idx_bands")
-    val stored = TextDedup.LshIndex(
-      s.read.parquet(s"$base/idx_shingles"),
-      s.read.parquet(s"$base/idx_bands"))
     var batches = 0
     (0 until 2).foreach { i =>
       batchSrc.filter(col("doc_id") % 2 === i)
@@ -821,12 +822,21 @@ object Queries {
         .option("checkpointLocation", s"$base/cp")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch { (b: DataFrame, _: Long) =>
+          // re-read per batch: picks up files appended by prior batches
+          val stored = TextDedup.LshIndex(
+            s.read.parquet(s"$base/idx_shingles"),
+            s.read.parquet(s"$base/idx_bands"))
           TextDedup.minHashLshIncremental(
               stored, b, "doc_id", "text",
               numHashes = 128, bands = 32, shingleSize = 3,
               threshold = 0.7)
             .filter(col("snap_id") === col("batch_id") - 1000000L)
             .write.mode("append").parquet(pairsPath)
+          val accepted = TextDedup.buildLshIndex(b, "doc_id", "text",
+            numHashes = 128, bands = 32, shingleSize = 3)
+          accepted.shingles.write.mode("append")
+            .parquet(s"$base/idx_shingles")
+          accepted.bands.write.mode("append").parquet(s"$base/idx_bands")
           batches += 1
         }
         .start()
