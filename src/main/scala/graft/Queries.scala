@@ -860,6 +860,36 @@ object Queries {
   /** Same prediction as q99: replay must be invisible. */
   val q100Sql: String = q99Sql
 
+  /** Compression-ratio repetitiveness filter
+    * ([[graft.functions.TextFunctions.compressionRatio]], native
+    * [[graft.expressions.DeflateRatio]]) — the deflate-based
+    * degenerate-text detector of web-scale curation stacks, oracle-
+    * checked on its thresholded DECISION over planted extremes: even
+    * customers get 12× repeated prose (ratio ≲ 0.1), odd customers get
+    * 8 md5 hex blocks (4-bit/char entropy, ratio ≳ 0.5); at threshold
+    * 0.3 the margin dwarfs any zlib-version drift, so DuckDB predicts
+    * every decision byte-free from the parity alone. The raw ratio
+    * never reaches an output column (zlib output length is not a
+    * cross-engine constant).
+    */
+  def q101CompressionFilter(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "customer")
+      .select(col("c_custkey").cast("long").as("id"))
+    val text = when(col("id") % 2 === 0,
+      concat(col("id").cast("string"), lit(" "),
+        repeat(lit("the quick brown fox jumps over the lazy dog "), 12)))
+      .otherwise(concat_ws(" ", (1 to 8).map(k =>
+        md5(concat(col("id").cast("string"), lit(s"#$k")))): _*))
+    base.select(col("id"),
+        (TextFunctions.compressionRatio(text) < 0.3).as("is_repetitive"))
+      .orderBy(col("id"))
+  }
+
+  val q101Sql: String =
+    """SELECT CAST(c_custkey AS BIGINT) AS id,
+      |  c_custkey % 2 = 0 AS is_repetitive
+      |FROM customer ORDER BY id""".stripMargin
+
   /** Companion of q26: a copy of each doc with the last 2 tokens dropped,
     * ids offset by 1,000,000.
     */
@@ -3864,5 +3894,6 @@ object Queries {
     "q97_curation" -> ((q97Curation _, Some(q97Sql))),
     "q98_video_codec" -> ((q98VideoCodec _, Some(q98Sql))),
     "q99_incremental_neardup" -> ((q99IncrementalNeardup _, Some(q99Sql))),
-    "q100_stream_neardup" -> ((q100StreamNeardup _, Some(q100Sql))))
+    "q100_stream_neardup" -> ((q100StreamNeardup _, Some(q100Sql))),
+    "q101_compression_filter" -> ((q101CompressionFilter _, Some(q101Sql))))
 }

@@ -70,6 +70,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ScaleArray(children.head, litFloat(children(1), "scale_array's factor"))
       },
       "scale_array(vec, factor) - each element of a float array times a literal factor"),
+    ("deflate_ratio", classOf[DeflateRatio].getName,
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "deflate_ratio takes exactly 1 argument")
+        DeflateRatio(children.head)
+      },
+      "deflate_ratio(text) - deflated/raw UTF-8 length; low = repetitive"),
     ("plane_dot", classOf[PlaneDot].getName,
       (children: Seq[Expression]) => {
         require(children.length == 2, "plane_dot takes exactly 2 arguments")

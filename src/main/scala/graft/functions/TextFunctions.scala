@@ -27,6 +27,13 @@ object TextFunctions {
   def tokens(text: Column): Column =
     toCol(graft.expressions.TokenArray(toExpr(text)))
 
+  /** Compression-ratio repetitiveness signal
+    * ([[graft.expressions.DeflateRatio]]): deflated/raw UTF-8 length —
+    * low = degenerate repetition, natural prose ~0.4-0.8.
+    */
+  def compressionRatio(text: Column): Column =
+    toCol(graft.expressions.DeflateRatio(toExpr(text)))
+
   /** One-pass native token statistics
     * ([[graft.expressions.TokenProfile]]): struct<n_tokens, n_unique,
     * n_chars, hits> where hits(0) counts [[stopwordsEn]] occurrences

@@ -307,7 +307,7 @@ class PlanAuditSpec extends SparkSpec {
     // a Filter or scan DataFilters. explode_outer + an explicit
     // null-filter is the sanctioned pattern.
     val kernels = Seq("token_array(", "shingle_array(", "shingle_hash64(",
-      "scale_array(", "token_profile(")
+      "scale_array(", "token_profile(", "deflate_ratio(")
     val filterLine = """(?m)^.*(Filter |DataFilters: ).*$""".r
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val p = fn(spark, dir).queryExecution.executedPlan.toString
