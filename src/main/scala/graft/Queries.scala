@@ -801,48 +801,57 @@ object Queries {
     val pairsPath = s"$base/pairs"
     // The snapshot's LSH index is MATERIALIZED once before the stream
     // starts — the signature store a production pipeline maintains —
-    // and every micro-batch reads the stored tables instead of
-    // re-shingling the corpus (the from-text overload re-derived the
-    // whole snapshot side per batch: 2 extra corpus passes here, 2 per
-    // day at 100 TB). After deduping, each batch APPENDS its own
-    // signatures to the store — the full production loop, so batch 2
-    // is also checked against batch 1's accepted docs. The oracle is
-    // untouched by the growth: a batch×batch pair can never satisfy
-    // the planted snap_id = batch_id − 1e6 filter (both ids ≥ 1e6).
+    // as the BUCKETED catalog tables [[TextDedup.storeLshIndex]] was
+    // built for (shingles by __id, bands by (__band, __bandsig)): the
+    // stored side of BOTH per-batch joins then has compatible output
+    // partitioning and never exchanges — only the day's batch shuffles
+    // (LshIndexSpec asserts the plan). Every micro-batch reads the
+    // store instead of re-shingling the corpus (the from-text overload
+    // re-derived the whole snapshot side per batch: 2 extra corpus
+    // passes here, 2 per day at 100 TB). After deduping, each batch
+    // APPENDS its own signatures with the store's own bucket spec
+    // ([[TextDedup.appendLshIndex]]) — the full production loop, so
+    // batch 2 is also checked against batch 1's accepted docs, still
+    // exchange-free on the stored side. The oracle is untouched by the
+    // growth: a batch×batch pair can never satisfy the planted
+    // snap_id = batch_id − 1e6 filter (both ids ≥ 1e6).
+    val store = s"graft_q100_store_${base.getName.takeRight(8)}"
     val idx = TextDedup.buildLshIndex(snap, "doc_id", "text",
       numHashes = 128, bands = 32, shingleSize = 3)
-    idx.shingles.write.parquet(s"$base/idx_shingles")
-    idx.bands.write.parquet(s"$base/idx_bands")
+    TextDedup.storeLshIndex(idx, store, buckets = 8)
     var batches = 0
-    (0 until 2).foreach { i =>
-      batchSrc.filter(col("doc_id") % 2 === i)
-        .write.mode("append").parquet(stage)
-      val q = s.readStream.schema(batchSrc.schema).parquet(stage)
-        .writeStream.outputMode("append")
-        .option("checkpointLocation", s"$base/cp")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .foreachBatch { (b: DataFrame, _: Long) =>
-          // re-read per batch: picks up files appended by prior batches
-          val stored = TextDedup.LshIndex(
-            s.read.parquet(s"$base/idx_shingles"),
-            s.read.parquet(s"$base/idx_bands"))
-          TextDedup.minHashLshIncremental(
-              stored, b, "doc_id", "text",
-              numHashes = 128, bands = 32, shingleSize = 3,
-              threshold = 0.7)
-            .filter(col("snap_id") === col("batch_id") - 1000000L)
-            .write.mode("append").parquet(pairsPath)
-          val accepted = TextDedup.buildLshIndex(b, "doc_id", "text",
-            numHashes = 128, bands = 32, shingleSize = 3)
-          accepted.shingles.write.mode("append")
-            .parquet(s"$base/idx_shingles")
-          accepted.bands.write.mode("append").parquet(s"$base/idx_bands")
-          batches += 1
-        }
-        .start()
-      try q.awaitTermination() finally q.stop()
-      require(batches == i + 1,
-        s"q100 replay expected ${i + 1} micro-batches, saw $batches")
+    try {
+      (0 until 2).foreach { i =>
+        batchSrc.filter(col("doc_id") % 2 === i)
+          .write.mode("append").parquet(stage)
+        val q = s.readStream.schema(batchSrc.schema).parquet(stage)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", s"$base/cp")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            // catalog re-resolve per batch: picks up bucketed files
+            // appended by prior batches (saveAsTable refreshes the
+            // table's file index)
+            val stored = TextDedup.readLshIndex(s, store)
+            TextDedup.minHashLshIncremental(
+                stored, b, "doc_id", "text",
+                numHashes = 128, bands = 32, shingleSize = 3,
+                threshold = 0.7, maxBandBucketRows = 100000L)
+              .filter(col("snap_id") === col("batch_id") - 1000000L)
+              .write.mode("append").parquet(pairsPath)
+            val accepted = TextDedup.buildLshIndex(b, "doc_id", "text",
+              numHashes = 128, bands = 32, shingleSize = 3)
+            TextDedup.appendLshIndex(accepted, store)
+            batches += 1
+          }
+          .start()
+        try q.awaitTermination() finally q.stop()
+        require(batches == i + 1,
+          s"q100 replay expected ${i + 1} micro-batches, saw $batches")
+      }
+    } finally {
+      s.sql(s"DROP TABLE IF EXISTS ${store}_shingles")
+      s.sql(s"DROP TABLE IF EXISTS ${store}_bands")
     }
     if (batches == 0)
       s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],

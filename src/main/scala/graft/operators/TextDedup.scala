@@ -198,6 +198,48 @@ object TextDedup {
     (distinctRows, banded)
   }
 
+  /** Hot-bucket guard for the LSH band join: DROP every
+    * `(__band, __bandsig)` bucket whose population exceeds `maxRows`
+    * before any candidate join sees it. A bucket of m rows emits O(m²)
+    * candidate pairs, and a boilerplate-heavy web corpus (license
+    * headers, templated pages, mass-duplicated spam) concentrates
+    * millions of near-identical documents into single buckets — at
+    * 100 TB that single join key is THE near-dedup killer, turning the
+    * band join quadratic regardless of how healthy the rest of the
+    * corpus is.
+    *
+    * Why DROP (the production policy) rather than fail like
+    * [[Similarity.cosineNearDup]]'s `maxBucketRows`: a daily corpus
+    * ingest must not abort on one templated cluster. Dropping a hot
+    * bucket is a bounded, documented recall trade —
+    *  - docs whose OTHER bands are healthy keep their candidates there
+    *    (bands are independent hash families; only the degenerate band
+    *    is skipped);
+    *  - fully identical copies (hot in EVERY band) are the exact-dedup
+    *    tier's job ([[exact]] / [[incrementalExact]]), which catches
+    *    them at hash-aggregate cost before near-dedup ever runs;
+    *  - a cluster of >maxRows MUTUALLY-near-identical distinct texts is
+    *    precisely the degenerate case where emitting the O(m²) pair
+    *    list is useless output — downstream keeps one doc per cluster
+    *    anyway, which the exact tier on a normalized fingerprint
+    *    ([[graft.functions.TextFunctions.fingerprint]]) approximates
+    *    at linear cost.
+    *
+    * Plan shape: the population count is a WINDOW over the same
+    * `(__band, __bandsig)` keys the candidate join shuffles on, so the
+    * guard rides the join's own exchange (computed once, reused by both
+    * self-join legs) instead of adding one — the same trick as
+    * `cosineNearDup`'s guard and `winnowPairs`' `maxDocFreq` filter.
+    */
+  private def capBandBuckets(banded: DataFrame, maxRows: Long): DataFrame = {
+    require(maxRows > 0, "maxBandBucketRows must be positive")
+    banded
+      .withColumn("__bn", count(lit(1))
+        .over(Window.partitionBy(col("__band"), col("__bandsig"))))
+      .where(col("__bn") <= maxRows)
+      .select(col("__id"), col("__n"), col("__band"), col("__bandsig"))
+  }
+
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, shingleSize: Int): DataFrame = {
     val minAggs = familyMinAggs(numHashes)
@@ -216,6 +258,11 @@ object TextDedup {
     * pairs ≥ `threshold`.
     *
     * Returns (id_a, id_b, jaccard) with id_a < id_b, one row per pair.
+    *
+    * @param maxBandBucketRows hot-bucket cap (see [[capBandBuckets]]):
+    *        a `(band, bandsig)` bucket over this size is dropped before
+    *        the self-join — the guard that keeps a boilerplate-heavy
+    *        corpus from going quadratic at 100 TB.
     */
   def minHashLsh(
       df: DataFrame,
@@ -224,7 +271,8 @@ object TextDedup {
       numHashes: Int = 32,
       bands: Int = 8,
       shingleSize: Int = 3,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7,
+      maxBandBucketRows: Long = 100000L): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     // FULLY RELATIONAL formulation (round 5): explode shingles to rows,
@@ -256,7 +304,7 @@ object TextDedup {
     //    no object aggregate anywhere in the plan (PlanAuditSpec).
     val side = lshSide(df, idCol, textCol, numHashes, bands, shingleSize)
     val distinctRows = side._1
-    val banded = side._2
+    val banded = capBandBuckets(side._2, maxBandBucketRows)
     // SELF-join via aliases of the SAME plan: both shuffle children
     // canonicalize identically, so ReuseExchange computes the shingle
     // pass and the aggregate exchange once, not twice. __n is
@@ -322,15 +370,19 @@ object TextDedup {
   final case class LshIndex(shingles: DataFrame, bands: DataFrame)
 
   /** Compute the [[LshIndex]] tables for a corpus — one corpus pass
-    * (the [[lshSide]] lineage and its plan contract).
+    * (the [[lshSide]] lineage and its plan contract). Hot buckets are
+    * capped HERE ([[capBandBuckets]]), at build time, so the persisted
+    * store never contains a bucket a later batch join could go
+    * quadratic against — and the per-batch reads of the stored side
+    * stay guard-free (no window pass over the snapshot per micro-batch).
     */
   def buildLshIndex(corpus: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, bands: Int = 8,
-      shingleSize: Int = 3): LshIndex = {
+      shingleSize: Int = 3, maxBandBucketRows: Long = 100000L): LshIndex = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val (rows, banded) =
       lshSide(corpus, idCol, textCol, numHashes, bands, shingleSize)
-    LshIndex(rows, banded)
+    LshIndex(rows, capBandBuckets(banded, maxBandBucketRows))
   }
 
   /** Persist an [[LshIndex]] as BUCKETED catalog tables —
@@ -355,6 +407,28 @@ object TextDedup {
   def readLshIndex(spark: org.apache.spark.sql.SparkSession,
       name: String): LshIndex =
     LshIndex(spark.table(s"${name}_shingles"), spark.table(s"${name}_bands"))
+
+  /** Append an accepted batch's signatures to a stored index — each
+    * append is written with the store's own bucket spec
+    * ([[graft.sources.Bucketing.appendBucketed]]), so the
+    * zero-exchange join guarantee holds across appends and the daily
+    * loop never rewrites the accumulated corpus side.
+    */
+  def appendLshIndex(index: LshIndex, name: String): Unit = {
+    graft.sources.Bucketing.appendBucketed(index.shingles, s"${name}_shingles")
+    graft.sources.Bucketing.appendBucketed(index.bands, s"${name}_bands")
+  }
+
+  /** Compact a stored index to one file per bucket
+    * ([[graft.sources.Bucketing.compactBucketed]]) — run periodically;
+    * daily appends at 100 TB otherwise leave thousands of small bucket
+    * files whose per-file open cost dominates the stored-side scan.
+    */
+  def compactLshIndex(spark: org.apache.spark.sql.SparkSession,
+      name: String): Unit = {
+    graft.sources.Bucketing.compactBucketed(spark, s"${name}_shingles")
+    graft.sources.Bucketing.compactBucketed(spark, s"${name}_bands")
+  }
 
   /** Incremental MinHash+LSH: near-duplicate pairs between a NEW batch
     * and an existing SNAPSHOT — the near-dup counterpart of the exact
@@ -382,17 +456,22 @@ object TextDedup {
       numHashes: Int = 32,
       bands: Int = 8,
       shingleSize: Int = 3,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7,
+      maxBandBucketRows: Long = 100000L): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     minHashLshIncremental(
       buildLshIndex(snapshot, snapId, snapText, numHashes, bands,
-        shingleSize),
-      batch, batchId, batchText, numHashes, bands, shingleSize, threshold)
+        shingleSize, maxBandBucketRows),
+      batch, batchId, batchText, numHashes, bands, shingleSize, threshold,
+      maxBandBucketRows)
   }
 
   /** Index-based incremental near-dup: the production path — the
     * snapshot side comes from a persisted [[LshIndex]] and is never
-    * re-shingled.
+    * re-shingled. The BATCH side's hot buckets are capped here; the
+    * snapshot side was capped when the index was built
+    * ([[buildLshIndex]]), so the stored tables stay pristine —
+    * bucket-layout-compatible and window-free — per micro-batch.
     */
   def minHashLshIncremental(
       index: LshIndex,
@@ -400,12 +479,14 @@ object TextDedup {
       numHashes: Int,
       bands: Int,
       shingleSize: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      maxBandBucketRows: Long): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val snapRows = index.shingles
     val snapBanded = index.bands
-    val (batchRows, batchBanded) =
+    val (batchRows, batchBanded0) =
       lshSide(batch, batchId, batchText, numHashes, bands, shingleSize)
+    val batchBanded = capBandBuckets(batchBanded0, maxBandBucketRows)
     // Same pin discipline as minHashLsh: candidates is consumed twice
     // (verify + final restore-join), so both copies must reference all
     // four columns or pruning specializes one into a fresh corpus pass.

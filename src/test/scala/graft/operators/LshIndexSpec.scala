@@ -30,7 +30,7 @@ class LshIndexSpec extends SparkSpec {
     try {
       val stored = TextDedup.readLshIndex(spark, "lshspec_a")
       val viaIndex = TextDedup.minHashLshIncremental(stored,
-          batch, "doc_id", "text", 32, 16, 2, 0.4)
+          batch, "doc_id", "text", 32, 16, 2, 0.4, 100000L)
         .orderBy("batch_id", "snap_id").collect().map(_.toSeq)
       val viaText = TextDedup.minHashLshIncremental(
           snapshot, "doc_id", "text", batch, "doc_id", "text",
@@ -69,6 +69,64 @@ class LshIndexSpec extends SparkSpec {
     } finally {
       spark.sql("DROP TABLE IF EXISTS lshspec_b_shingles")
       spark.sql("DROP TABLE IF EXISTS lshspec_b_bands")
+    }
+  }
+
+  test("append + compact preserve bucket spec, rows, and the " +
+      "zero-exchange stored side") {
+    import graft.sources.Bucketing
+    val idx = TextDedup.buildLshIndex(snapshot, "doc_id", "text",
+      numHashes = 32, bands = 16, shingleSize = 2)
+    TextDedup.storeLshIndex(idx, "lshspec_c", buckets = 4)
+    try {
+      // two daily appends, as q100's production loop runs them
+      (0 until 2).foreach { i =>
+        val day = batch.withColumn("doc_id", col("doc_id") + i * 1000)
+        TextDedup.appendLshIndex(
+          TextDedup.buildLshIndex(day, "doc_id", "text",
+            numHashes = 32, bands = 16, shingleSize = 2), "lshspec_c")
+      }
+      val specBands = Bucketing.bucketSpec(spark, "lshspec_c_bands")
+      assert(specBands.contains((4, Seq("__band", "__bandsig"))), specBands)
+      val specSh = Bucketing.bucketSpec(spark, "lshspec_c_shingles")
+      assert(specSh.contains((4, Seq("__id"))), specSh)
+
+      def assertStoredSideExchangeFree(): Unit = {
+        val storedBands = spark.table("lshspec_c_bands")
+        val probe = storedBands.limit(3)
+          .select(col("__band"), col("__bandsig"))
+          .withColumn("probe_id", lit(7L))
+          .localCheckpoint()
+        val j = storedBands.join(probe.hint("merge"),
+          Seq("__band", "__bandsig"))
+        j.collect()
+        val p = j.queryExecution.executedPlan.toString
+        val exchanges = "Exchange ".r.findAllIn(
+          p.split("== Initial Plan ==")(0)).size
+        assert(exchanges == 1,
+          s"stored side must not exchange after appends/compaction:\n" +
+            p.take(2000))
+      }
+      assertStoredSideExchangeFree()
+
+      val rowsBefore = spark.table("lshspec_c_bands").count()
+      val filesBefore = spark.table("lshspec_c_bands").inputFiles.length
+      TextDedup.compactLshIndex(spark, "lshspec_c")
+      val rowsAfter = spark.table("lshspec_c_bands").count()
+      val filesAfter = spark.table("lshspec_c_bands").inputFiles.length
+      assert(rowsAfter == rowsBefore, s"$rowsBefore -> $rowsAfter")
+      assert(filesAfter <= 4,
+        s"compaction must leave at most one file per bucket, " +
+          s"got $filesAfter (was $filesBefore)")
+      assert(filesAfter < filesBefore,
+        s"compaction did not reduce files: $filesBefore -> $filesAfter")
+      assert(Bucketing.bucketSpec(spark, "lshspec_c_bands")
+        .contains((4, Seq("__band", "__bandsig"))))
+      assertStoredSideExchangeFree()
+    } finally {
+      Seq("lshspec_c_shingles", "lshspec_c_bands",
+        "lshspec_c_shingles__compact", "lshspec_c_bands__compact")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
 }

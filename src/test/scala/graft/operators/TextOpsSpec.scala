@@ -60,6 +60,43 @@ class TextOpsSpec extends SparkSpec {
     assert(pairs.forall(p => p._1 >= 100L && p._2 < 100L), pairs.toString)
   }
 
+  test("minHashLsh hot-bucket guard bounds a planted near-identical cluster") {
+    // 10k identical docs — the boilerplate cluster that makes the band
+    // join quadratic (every band puts all 10k in ONE bucket → ~5e7
+    // candidate pairs without the guard). With the cap the hot buckets
+    // are dropped wholesale and the run completes on the healthy docs.
+    val boiler = "standard license header all rights reserved " +
+      "redistribution permitted provided conditions are met"
+    val cluster = spark.range(10000, 20000)
+      .select(col("id").as("doc_id"), lit(boiler).as("text"))
+    val corpus = docs.unionByName(cluster)
+    val pairs = TextDedup.minHashLsh(corpus, "doc_id", "text",
+        numHashes = 32, bands = 16, shingleSize = 2, threshold = 0.4,
+        maxBandBucketRows = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // healthy near-dup still found; no cluster pair was emitted
+    assert(pairs.contains((1L, 4L)), s"expected (1,4) in $pairs")
+    assert(!pairs.exists(p => p._1 >= 10000L || p._2 >= 10000L),
+      s"cluster pairs leaked past the guard: ${pairs.take(5)}")
+  }
+
+  test("minHashLsh without the guard goes quadratic on a hot bucket") {
+    // Same corpus shape at 300 docs: the uncapped join must emit every
+    // C(300,2) = 44850 cluster pair — the blowup the guard exists for,
+    // measured at a size where materializing it is still feasible.
+    val boiler = "standard license header all rights reserved " +
+      "redistribution permitted provided conditions are met"
+    val cluster = spark.range(10000, 10300)
+      .select(col("id").as("doc_id"), lit(boiler).as("text"))
+    val n = TextDedup.minHashLsh(docs.unionByName(cluster),
+        "doc_id", "text",
+        numHashes = 32, bands = 16, shingleSize = 2, threshold = 0.4,
+        maxBandBucketRows = Long.MaxValue)
+      .filter(col("id_a") >= 10000L).count()
+    assert(n == 300L * 299L / 2,
+      s"expected the full quadratic pair list (44850), got $n")
+  }
+
   test("minHashLshIncremental: empty batch yields no pairs") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(TextDedup.minHashLshIncremental(
