@@ -2516,13 +2516,69 @@ object Queries {
     * given a total tie-break order. Output is the per-decile summary
     * (count + exact bounds + exact sum), the shape a feature-binning
     * pipeline materializes.
+    *
+    * SCALE-SAFE plan (r8): a literal `ntile(10) over (partition by
+    * o_orderpriority ...)` funnels the whole table through 5 window
+    * partitions — 5 single-task sorts each holding ~20% of a 100 TB
+    * table. ntile's row-split semantics only need each row's exact RANK
+    * within its priority, and global rank distributes (the TeraSort
+    * shape):
+    *  1. `repartitionByRange` on the full sort key spreads the table
+    *     over ALL shuffle partitions while making partition ids
+    *     order-aligned (every row in chunk p sorts before every row in
+    *     chunk p+1);
+    *  2. a window per (chunk, priority) computes LOCAL row numbers —
+    *     ≈ n/P rows per sort task, never n/5;
+    *  3. per-(chunk, priority) row counts (= max local rank, reusing
+    *     the window's partitioning — no extra exchange) prefix-sum into
+    *     chunk OFFSETS on a P×5-row side table, whose own windows are
+    *     trivially small;
+    *  4. offsets broadcast back: global rank = offset + local rank, and
+    *     ntile's exact split — the first n%10 tiles get ⌈n/10⌉ rows,
+    *     the rest ⌊n/10⌋, assigned in rank order — becomes integer
+    *     arithmetic on (rank, n). Bit-parity with DuckDB's ntile
+    *     (oracle-checked), including the tie-break by o_orderkey which
+    *     rides the range key.
+    * Both consumers of the range exchange (the ranked rows and the
+    * count aggregate) are canonically identical, so the shuffle is
+    * computed once (ReuseExchange). The o_orderpriority-only windows
+    * that remain run over the P×5 chunk-count table, not the corpus —
+    * PlanAuditSpec pins corpus-side windows to the (chunk, priority)
+    * partitioning.
     */
   def q70Ntile(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("o_orderpriority"))
+    val nChunks = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val chunked = t(s, dir, "orders")
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+      .repartitionByRange(nChunks, col("o_orderpriority"),
+        col("o_totalprice"), col("o_orderkey"))
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("__pid"), col("o_orderpriority"))
       .orderBy(col("o_totalprice"), col("o_orderkey"))
-    t(s, dir, "orders")
+    val ranked = chunked
+      .withColumn("__lr", row_number().over(wLocal).cast("long"))
+    val chunkCounts = ranked
+      .groupBy(col("__pid"), col("o_orderpriority"))
+      .agg(max(col("__lr")).as("__c"))
+    val wOff = Window.partitionBy(col("o_orderpriority")).orderBy(col("__pid"))
+    val offs = chunkCounts
+      .withColumn("__off", sum(col("__c")).over(wOff) - col("__c"))
+      .withColumn("__n", sum(col("__c"))
+        .over(Window.partitionBy(col("o_orderpriority"))))
+      .select(col("__pid"), col("o_orderpriority"), col("__off"), col("__n"))
+    // ntile(10) from (rank, n): tile size b = n DIV 10, the first
+    // rem = n % 10 tiles take one extra row. All-long integer DIV —
+    // exact at any scale.
+    val decile = expr(
+      """CASE WHEN __r <= (__n % 10) * ((__n DIV 10) + 1)
+        |  THEN (__r - 1) DIV ((__n DIV 10) + 1) + 1
+        |  ELSE (__n % 10)
+        |    + (__r - (__n % 10) * ((__n DIV 10) + 1) - 1) DIV (__n DIV 10)
+        |    + 1 END""".stripMargin)
+    ranked.join(broadcast(offs), Seq("__pid", "o_orderpriority"))
+      .withColumn("__r", col("__off") + col("__lr"))
       // LONG to match DuckDB's BIGINT ntile (file-header determinism rule)
-      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .withColumn("decile", decile.cast("long"))
       .groupBy(col("o_orderpriority"), col("decile"))
       .agg(count(lit(1)).as("n"),
         min(col("o_totalprice")).as("lo"),
