@@ -22,10 +22,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * the thresholded DECISION on planted extremes (margins ≫ any zlib
   * drift), never the raw ratio.
   *
-  * Costs one Deflater per evaluation (allocated in the static helper;
-  * `end()` is called so native zlib memory never leaks). Codegen'd as a
-  * direct static call — the expression stays inside whole-stage codegen
-  * like every other kernel.
+  * The Deflater is thread-local and `reset()` between rows: allocating
+  * (and `end()`ing) a native zlib stream per row dominated the cost of
+  * deflating short documents on the full-corpus q101 path. `reset()`
+  * restores the exact initial state (level and strategy persist), so
+  * output lengths are unchanged; the instance dies with its task thread
+  * (native zlib memory is also reclaimed by the finalizer/Cleaner if a
+  * pool thread is abandoned). Codegen'd as a direct static call — the
+  * expression stays inside whole-stage codegen like every other kernel.
   *
   * Empty input: defined as ratio 1.0 (nothing to compress — "not
   * repetitive"). Null input: null.
@@ -56,17 +60,23 @@ case class DeflateRatio(child: Expression) extends UnaryExpression {
 }
 
 object DeflateRatioImpl {
+  private val deflater: ThreadLocal[java.util.zip.Deflater] =
+    ThreadLocal.withInitial(() =>
+      new java.util.zip.Deflater(6, /* nowrap = */ true))
+  private val buffer: ThreadLocal[Array[Byte]] =
+    ThreadLocal.withInitial(() => new Array[Byte](8192))
+
   def ratio(s: UTF8String): Double = {
     val bytes = s.getBytes
     if (bytes.length == 0) return 1.0
-    val d = new java.util.zip.Deflater(6, /* nowrap = */ true)
+    val d = deflater.get()
     try {
       d.setInput(bytes)
       d.finish()
-      val buf = new Array[Byte](8192)
+      val buf = buffer.get()
       var out = 0L
       while (!d.finished()) out += d.deflate(buf)
       out.toDouble / bytes.length
-    } finally d.end()
+    } finally d.reset()
   }
 }

@@ -41,12 +41,24 @@ object AviCodec {
       pixel: (Int, Int, Int) => Int): Array[Byte] = {
     require(w > 0 && h > 0 && nFrames > 0 && usPerFrame > 0,
       s"bad AVI geometry: ${w}x$h frames=$nFrames us=$usPerFrame")
-    val fb = frameBytes(w, h)
+    // Size the container in LONG arithmetic: realistic geometry
+    // (1920×1080×400 frames ≈ 2.5 GB) silently overflows Int into a
+    // negative allocation / corrupt RIFF size field, and RIFF itself is
+    // a 32-bit format — reject anything beyond it with a clear message
+    // instead.
+    val fbL = rowBytes(w).toLong * h
     val strlSize = 4 + (8 + 56) + (8 + 40) // 'strl' + strh + strf
     val hdrlSize = 4 + (8 + 56) + (8 + strlSize) // 'hdrl' + avih + LIST strl
-    val moviSize = 4 + nFrames * (8 + fb)
-    val idx1Size = 16 * nFrames
-    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize) + (8 + idx1Size)
+    val moviSizeL = 4L + nFrames.toLong * (8L + fbL)
+    val idx1SizeL = 16L * nFrames
+    val riffSizeL = 4L + (8L + hdrlSize) + (8L + moviSizeL) + (8L + idx1SizeL)
+    require(8L + riffSizeL <= Int.MaxValue,
+      s"AVI too large for RIFF's 32-bit sizes: ${w}x$h frames=$nFrames " +
+        s"needs ${8L + riffSizeL} bytes (max ${Int.MaxValue})")
+    val fb = fbL.toInt
+    val moviSize = moviSizeL.toInt
+    val idx1Size = idx1SizeL.toInt
+    val riffSize = riffSizeL.toInt
     val out = new Array[Byte](8 + riffSize)
     var p = 0
     def putAscii(s: String): Unit = { var i = 0; while (i < s.length) {

@@ -207,6 +207,7 @@ object Similarity {
       for (_ <- 0 until iters) {
         val cells = train.select(col("__id"),
           cellColumn(col("__v"), centroids).as("__cell"))
+          .where(col("__cell").isNotNull)
         // exact per-(cell, dim) mean via fixed-point longs: both the sum
         // and the count are order-independent, so centroid floats are
         // identical regardless of partition merge order
@@ -257,18 +258,29 @@ object Similarity {
     * cell id — LINEAR in nlist (a pairwise when-max reduce embeds the
     * accumulated expression twice per step: size 2^nlist, hanging the
     * analyzer beyond ~12 cells).
+    *
+    * Degenerate vectors (null, or a dimension mismatching the
+    * centroids) get a NULL cell, which every consumer filters — the
+    * drop semantics of the original exploded formulation. Without the
+    * gate, FixedDot's null scores make every struct compare below any
+    * real one and the argmax silently resolves to cell 0, planting
+    * corrupt vectors in cell 0's inverted list.
     */
   private def cellColumn(vec: Column,
       centroids: Array[Array[Double]]): Column =
-    -array_max(array(centroidScores(vec, centroids): _*)).getField("negc")
+    when(vec.isNotNull && size(vec) === centroids.head.length,
+      -array_max(array(centroidScores(vec, centroids): _*))
+        .getField("negc"))
 
   /** IVF cell assignment of a vector table: (idCol, cell). Narrow —
-    * safe to fuse into any scan.
+    * safe to fuse into any scan. Degenerate vectors (null / wrong
+    * dimension) are dropped from the assignment.
     */
   def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Double]]): DataFrame =
     df.select(col(idCol),
       cellColumn(col(vecCol), centroids).as("cell"))
+      .where(col("cell").isNotNull)
 
   /** IVF ANN top-k: corpus vectors live in their nearest centroid's
     * inverted list; each query probes its `nprobe` closest cells and
@@ -288,6 +300,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("__cv"),
       cellColumn(col(vecCol), centroids).as("cell"))
+      .where(col("cell").isNotNull) // degenerate vectors are not indexed
     // per-query top-nprobe cells: sort the (score, −cell) structs in a
     // projection and explode the first nprobe — descending score, ties
     // to the LOWEST cell id (−cell descending), all inside codegen

@@ -75,16 +75,26 @@ object JdbcUpsert {
   /** The reference's literal statement shape (py:426-452). Parameter
     * order: every column once (VALUES); the DO UPDATE side references
     * EXCLUDED, so no further parameters.
+    *
+    * @param staticCols non-key columns EXCLUDED from the DO UPDATE SET
+    *        (still inserted): the reference never updates
+    *        latitude/longitude — region coordinates are static — so
+    *        `PostgresOnConflict(Set("latitude", "longitude"))`
+    *        reproduces py:426-452 exactly (golden-tested in
+    *        JdbcUpsertSpec; no live Postgres exists in this sandbox, so
+    *        the statement text IS the testable surface).
     */
-  case object PostgresOnConflict extends Dialect {
+  final case class PostgresOnConflict(staticCols: Set[String] = Set.empty)
+      extends Dialect {
     def mergeSql(table: String, cols: Seq[StructField], keys: Seq[String]): String = {
-      val nonKeys = cols.filterNot(f => keys.contains(f.name))
+      val updated = cols.filterNot(f =>
+        keys.contains(f.name) || staticCols.contains(f.name))
       val insertCols = cols.map(_.name).mkString(", ")
       val insertVals = cols.map(_ => "?").mkString(", ")
       val action =
-        if (nonKeys.isEmpty) "DO NOTHING"
+        if (updated.isEmpty) "DO NOTHING"
         else "DO UPDATE SET " +
-          nonKeys.map(f => s"${f.name} = EXCLUDED.${f.name}").mkString(", ")
+          updated.map(f => s"${f.name} = EXCLUDED.${f.name}").mkString(", ")
       s"INSERT INTO $table ($insertCols) VALUES ($insertVals) " +
         s"ON CONFLICT (${keys.mkString(", ")}) $action"
     }
@@ -202,10 +212,20 @@ object JdbcUpsert {
       keys: Seq[String]): Unit = {
     val conn = DriverManager.getConnection(url)
     try {
-      val meta = conn.getMetaData
-      val rs = meta.getTables(null, null, table.toUpperCase, null)
-      val exists = try rs.next() finally rs.close()
-      if (!exists) {
+      // Dialects fold unquoted identifiers differently — Derby (and the
+      // standard) to UPPER, Postgres to lower — so probe the metadata
+      // under the name as given plus both foldings; a single-folding
+      // probe never matches on the other dialect and the unconditional
+      // CREATE then fails on every re-run.
+      def exists(): Boolean = {
+        val meta = conn.getMetaData
+        Seq(table, table.toUpperCase, table.toLowerCase).distinct.exists {
+          t =>
+            val rs = meta.getTables(null, null, t, null)
+            try rs.next() finally rs.close()
+        }
+      }
+      if (!exists()) {
         val cols = schema.fields.map { f =>
           val nn = if (keys.contains(f.name)) " NOT NULL" else ""
           s"${f.name} ${sqlType(f.dataType)}$nn"
@@ -213,7 +233,13 @@ object JdbcUpsert {
         val ddl =
           s"CREATE TABLE $table ($cols, PRIMARY KEY (${keys.mkString(", ")}))"
         val st = conn.createStatement()
-        try st.executeUpdate(ddl) finally st.close()
+        // TOCTOU: a concurrent caller can CREATE between the probe and
+        // ours. Duplicate-table failures (Derby X0Y32, Postgres 42P07)
+        // are success iff the table is now visible — re-probe rather
+        // than pattern-match dialect-specific SQLSTATEs.
+        try st.executeUpdate(ddl)
+        catch { case e: java.sql.SQLException => if (!exists()) throw e }
+        finally st.close()
       }
     } finally conn.close()
   }

@@ -51,6 +51,16 @@ class AviCodecSpec extends SparkSpec {
     assert(AviCodec.frameStats(b, every = 3).get.map(_._1) == Seq(0, 3, 6))
   }
 
+  test("oversized geometry fails with a clear RIFF-limit error, " +
+      "not an Int overflow") {
+    // 1920x1080x400 frames ~ 2.5 GB: Int arithmetic silently wrapped
+    // this to a negative allocation before the Long-sizing guard
+    val e = intercept[IllegalArgumentException] {
+      AviCodec.aviEncode(1920, 1080, 40000, 400, pix)
+    }
+    assert(e.getMessage.contains("32-bit"), e.getMessage)
+  }
+
   test("non-AVI payloads probe as None (WAV is RIFF but not AVI)") {
     assert(AviCodec.aviInfo(Array[Byte](1, 2, 3)).isEmpty)
     val wav = Multimodal.MediaCodec.wavEncode(8000, Array[Short](1, 2, 3))

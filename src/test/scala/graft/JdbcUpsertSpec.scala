@@ -101,13 +101,74 @@ class JdbcUpsertSpec extends SparkSpec
   }
 
   test("Postgres dialect emits the reference's ON CONFLICT statement shape") {
-    val sql = JdbcUpsert.PostgresOnConflict.mergeSql(
+    val sql = JdbcUpsert.PostgresOnConflict().mergeSql(
       "weather_data", weatherSchema.fields.toSeq, keys)
     assert(sql.startsWith("INSERT INTO weather_data (region, data_ts, " +
       "temperature, humidity, version) VALUES (?, ?, ?, ?, ?)"))
     assert(sql.contains("ON CONFLICT (region, data_ts) DO UPDATE SET"))
     assert(sql.contains("temperature = EXCLUDED.temperature"))
     assert(!sql.contains("region = EXCLUDED.region"), "keys are not SET")
+  }
+
+  test("Postgres dialect golden statement: the reference's full " +
+      "weather_data upsert, byte for byte") {
+    // py:406-415 column order; py:426-452 conflict target + SET list
+    // (latitude/longitude are inserted but never updated — static
+    // region coordinates)
+    val refCols = Seq(
+      "region", "latitude", "longitude", "temperature", "feels_like",
+      "temp_min", "temp_max", "pressure", "humidity", "visibility",
+      "wind_speed", "wind_direction", "cloudiness", "weather_main",
+      "weather_description", "rainfall_1h", "rainfall_3h", "sunrise",
+      "sunset", "data_timestamp", "extraction_timestamp", "heat_index",
+      "dew_point", "is_favorable_temp", "is_high_humidity",
+      "rainfall_category", "date", "hour", "month", "year")
+    val schema = StructType(refCols.map(c => StructField(c, StringType)))
+    val sql = JdbcUpsert.PostgresOnConflict(Set("latitude", "longitude"))
+      .mergeSql("weather_data", schema.fields.toSeq,
+        Seq("region", "data_timestamp"))
+    val refSet = Seq(
+      "temperature", "feels_like", "temp_min", "temp_max", "pressure",
+      "humidity", "visibility", "wind_speed", "wind_direction",
+      "cloudiness", "weather_main", "weather_description", "rainfall_1h",
+      "rainfall_3h", "sunrise", "sunset", "extraction_timestamp",
+      "heat_index", "dew_point", "is_favorable_temp", "is_high_humidity",
+      "rainfall_category", "date", "hour", "month", "year")
+    val expected =
+      s"INSERT INTO weather_data (${refCols.mkString(", ")}) " +
+        s"VALUES (${refCols.map(_ => "?").mkString(", ")}) " +
+        "ON CONFLICT (region, data_timestamp) DO UPDATE SET " +
+        refSet.map(c => s"$c = EXCLUDED.$c").mkString(", ")
+    assert(sql == expected,
+      s"generated statement drifted from py:426-452:\n$sql\nvs\n$expected")
+  }
+
+  test("ensureTable probes all identifier case foldings before CREATE") {
+    val url = freshDb("merge5")
+    // plant the table under a QUOTED lowercase identifier — the name a
+    // lower-folding dialect (Postgres) stores; the old upper-only probe
+    // missed it and the re-CREATE made a second table (or failed)
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate(
+        """CREATE TABLE "casefold" (region VARCHAR(10) NOT NULL,
+          | data_ts BIGINT NOT NULL,
+          | PRIMARY KEY (region, data_ts))""".stripMargin)
+      finally st.close()
+    } finally conn.close()
+    val schema = StructType(Seq(
+      StructField("region", StringType, nullable = false),
+      StructField("data_ts", LongType, nullable = false)))
+    JdbcUpsert.ensureTable(url, "casefold", schema, Seq("region", "data_ts"))
+    // must be a no-op: no CASEFOLD twin created
+    val c2 = DriverManager.getConnection(url)
+    try {
+      val rs = c2.getMetaData.getTables(null, null, "CASEFOLD", null)
+      val upperTwin = try rs.next() finally rs.close()
+      assert(!upperTwin,
+        "ensureTable re-created the table under the other case folding")
+    } finally c2.close()
   }
 
   test("multi-partition upsert with disjoint keys lands every row") {
@@ -122,7 +183,7 @@ class JdbcUpsertSpec extends SparkSpec
 
   override def afterAll(): Unit = {
     // embedded Derby keeps in-memory DBs for the JVM's lifetime; drop them
-    Seq("merge1", "merge2", "merge3", "merge4").foreach { n =>
+    Seq("merge1", "merge2", "merge3", "merge4", "merge5").foreach { n =>
       try DriverManager.getConnection(s"jdbc:derby:memory:$n;drop=true")
       catch { case _: java.sql.SQLException => () } // 08006 = dropped OK
     }

@@ -238,6 +238,28 @@ class SimilaritySpec extends SparkSpec {
     b.foreach(r => assert(r.getLong(1) === r.getLong(2)))
   }
 
+  test("ivfAssign drops degenerate vectors instead of planting them in cell 0") {
+    val cents = Array(Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0))
+    val df = Seq(
+      (1L, Array(0.9f, 0.1f, 0.0f)),   // healthy -> cell 0
+      (2L, Array(0.1f, 0.9f, 0.0f)),   // healthy -> cell 1
+      (3L, null.asInstanceOf[Array[Float]]), // null vector
+      (4L, Array(0.5f, 0.5f))          // wrong dimension
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.ivfAssign(df, "vec_id", "embedding", cents)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(1L -> 0, 2L -> 1),
+      s"degenerate vectors must be dropped, got $got")
+    // and they never reach an inverted list either
+    val queries = Seq((100L, Array(1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val topk = Similarity.ivfTopK(df, queries, "vec_id", "embedding",
+        k = 10, centroids = cents, nprobe = 2)
+      .collect().map(_.getLong(1)).toSet
+    assert(!topk.contains(3L) && !topk.contains(4L),
+      s"degenerate vectors surfaced in ivfTopK output: $topk")
+  }
+
   test("ivfAssign stays linear in nlist (the 2^nlist when-max regression)") {
     // The centroid argmax was once a pairwise when-max reduce whose
     // expression size doubled per centroid — nlist=48 hung the analyzer
