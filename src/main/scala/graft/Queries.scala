@@ -899,6 +899,61 @@ object Queries {
       |  c_custkey % 2 = 0 AS is_repetitive
       |FROM customer ORDER BY id""".stripMargin
 
+  /** Perceptual image near-dup retrieval — the query that retires the
+    * multimodal feature stub: one distinct synthetic 24×16 image per
+    * customer (pixels are closed forms of (id mod 251, id mod 241) —
+    * CRT-distinct below 60491, far above any SF's key range), the
+    * corpus encoded as BMP and every 10th image RE-ENCODED as PNG
+    * (lossless, different container + entropy coder) with ids offset by
+    * 1e6. Both sides run the REAL pipeline: pixel decode →
+    * [[graft.operators.Multimodal.MediaCodec.imageEmbedding]]
+    * (pooled-luminance DCT pHash + color histogram, L2-normalized) →
+    * exact cosine top-1 ([[graft.operators.Similarity.bruteForceTopK]]).
+    * A lossless re-encode has the bit-identical embedding, so its twin
+    * scores exactly 1.0 and every other (distinct) image strictly less
+    * — the oracle predicts the full pairing in closed form. Brute-force
+    * scoring IS the oracle-checkable tier; the same embeddings feed the
+    * LSH/IVF paths (q29/q50/q53) for the 100 TB shape.
+    */
+  def q102ImageNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.{Multimodal, Similarity}
+    // lambda, not a local def: a def would lift onto this (non-serializable)
+    // enclosing object and poison the task closure
+    val pix: (Long, Int, Int) => Int = (id, x, y) => {
+      val p = (id % 251).toInt
+      val q = (id % 241).toInt
+      val r = (x * 3 + y * 2 + p) % 256
+      val g = (y * 5 + x + q) % 256
+      val b = (x + y + p + q) % 256
+      (r << 16) | (g << 8) | b
+    }
+    val ids = t(s, dir, "customer")
+      .select(col("c_custkey").cast("long")).as[Long]
+    val dim = Multimodal.MediaCodec.imageEmbeddingDim
+    val corpus = Multimodal.extractFeatures(
+      ids.map(id => Multimodal.MediaRecord(id, "image",
+        Multimodal.MediaCodec.bmpEncode(24, 16, (x, y) => pix(id, x, y)),
+        "image/bmp", "synth")), dim)
+    // every 100th id: the probe set must stay broadcast-small — the
+    // scored pair count is |corpus| × |queries| and the per-query top-k
+    // window sorts it
+    val queries = Multimodal.extractFeatures(
+      ids.filter(_ % 100 == 0).map(id =>
+        Multimodal.MediaRecord(id + 1000000L, "image",
+          Multimodal.MediaCodec.pngEncode(24, 16, (x, y) => pix(id, x, y)),
+          "image/png", "synth")), dim)
+    Similarity.bruteForceTopK(corpus, queries, "media_id", "embedding", 1)
+      .select(col("query_id"), col("neighbor_id"))
+      .orderBy(col("query_id"))
+  }
+
+  val q102Sql: String =
+    """SELECT CAST(c_custkey + 1000000 AS BIGINT) AS query_id,
+      |  CAST(c_custkey AS BIGINT) AS neighbor_id
+      |FROM customer WHERE c_custkey % 100 = 0
+      |ORDER BY query_id""".stripMargin
+
   /** Companion of q26: a copy of each doc with the last 2 tokens dropped,
     * ids offset by 1,000,000.
     */
@@ -3960,5 +4015,6 @@ object Queries {
     "q98_video_codec" -> ((q98VideoCodec _, Some(q98Sql))),
     "q99_incremental_neardup" -> ((q99IncrementalNeardup _, Some(q99Sql))),
     "q100_stream_neardup" -> ((q100StreamNeardup _, Some(q100Sql))),
-    "q101_compression_filter" -> ((q101CompressionFilter _, Some(q101Sql))))
+    "q101_compression_filter" -> ((q101CompressionFilter _, Some(q101Sql))),
+    "q102_image_neardup" -> ((q102ImageNearDup _, Some(q102Sql))))
 }

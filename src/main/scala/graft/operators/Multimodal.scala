@@ -19,10 +19,14 @@ import org.apache.spark.sql.functions._
   * PIXEL decode implemented from the T.81 spec
   * ([[graft.operators.JpegCodec]]: marker walk, canonical Huffman,
   * dequant, exact-contract IDCT, restart intervals, chroma upsampling,
-  * fixed-point YCbCr→RGB). Only the learned feature model remains
-  * STUBBED with a deterministic fake (inherently out of scope without
-  * a model runtime); swap [[MediaCodec.features]] for a real model
-  * without touching the dataflow.
+  * fixed-point YCbCr→RGB), and — round 8 — a REAL perceptual image
+  * embedding ([[MediaCodec.imageEmbedding]]: pooled-luminance DCT
+  * pHash + color histogram over the decoded pixels) plus a PNG
+  * ENCODER ([[MediaCodec.pngEncode]]). The former deterministic-fake
+  * feature extractor survives only as the fallback for payload kinds
+  * without a pixel decoder (a learned audio/video embedding would
+  * still need a model runtime); swap [[MediaCodec.features]]' fallback
+  * arm for a real model without touching the dataflow.
   *
   * Scale notes: media bytes never pass through a shuffle here — decode
   * and feature extraction are narrow `mapPartitions` over the scan, so
@@ -242,14 +246,184 @@ object Multimodal {
       Some((n.toLong, peak, sumSq))
     }
 
-    /** STUB feature extractor: 8-dim deterministic embedding of the
-      * payload (a real one would run a vision/audio model per batch).
+    /** Unified pixel accessor over every REAL pixel decoder in the
+      * codec (24-bit BMP, 8-bit PNG, JPEG): `rgb(x, y)` returns packed
+      * 0xRRGGBB top-down. Gray and alpha formats map gray→all channels
+      * / alpha ignored.
       */
-    def features(bytes: Array[Byte], dim: Int = 8): Array[Float] = {
-      val c = checksum(bytes)
-      Array.tabulate(dim)(i =>
-        (((c >>> (i * 8)) & 0xFF).toFloat / 255.0f) * 2f - 1f)
+    final case class PixelImage(width: Int, height: Int,
+        rgb: (Int, Int) => Int)
+
+    private def channelImage(w: Int, h: Int, ch: Int,
+        px: Array[Byte]): PixelImage =
+      PixelImage(w, h, (x, y) => {
+        val p = (y * w + x) * ch
+        if (ch <= 2) { val v = px(p) & 0xFF; (v << 16) | (v << 8) | v }
+        else ((px(p) & 0xFF) << 16) | ((px(p + 1) & 0xFF) << 8) |
+          (px(p + 2) & 0xFF)
+      })
+
+    def decodePixels(b: Array[Byte]): Option[PixelImage] =
+      bmpDecode(b).map(im => PixelImage(im.width, im.height, im.rgb))
+        .orElse(pngDecode(b).map(p =>
+          channelImage(p.width, p.height, p.channels, p.pixels)))
+        .orElse(JpegCodec.decode(b).map(j =>
+          channelImage(j.width, j.height, j.channels, j.pixels)))
+
+    /** Dimension of [[imageEmbedding]]: 35 low-frequency DCT
+      * coefficients + 12 color-histogram bins.
+      */
+    val imageEmbeddingDim: Int = 47
+
+    private val dctGrid = 16
+    private lazy val dctCos: Array[Array[Double]] = {
+      val n = dctGrid
+      Array.tabulate(n, n)((u, x) =>
+        math.cos((2 * x + 1) * u * math.Pi / (2.0 * n)))
     }
+
+    /** REAL perceptual image embedding — no model runtime required,
+      * computed entirely from the codec's own pixel decoders:
+      *
+      *  - luminance is average-pooled onto a 16×16 grid (exact integer
+      *    sums over a rectangle partition of the image);
+      *  - an orthonormal 2D DCT-II of the grid yields the perceptual-
+      *    hash frequency plane; the 35 lowest-frequency coefficients
+      *    (6×6 block minus DC) are the shape signature — stable under
+      *    re-encoding, resampling and mild compression noise, the
+      *    classic pHash construction;
+      *  - a 4-bins-per-channel color histogram (12 dims, pixel-count
+      *    normalized) restores the chroma the luminance plane drops;
+      *  - the concatenation is L2-normalized, so dot product IS cosine
+      *    and the vector feeds [[graft.operators.Similarity]] ANN /
+      *    SemDeDup directly.
+      *
+      * Deterministic: fixed loop order, fixed tables. A LOSSLESS
+      * re-encode (BMP↔PNG) yields the bit-identical embedding; a lossy
+      * one lands within quantization noise of it (spec-asserted).
+      * None for payloads no pixel decoder accepts.
+      */
+    def imageEmbedding(b: Array[Byte]): Option[Array[Float]] =
+      decodePixels(b).map { im =>
+        val g = dctGrid
+        val w = im.width
+        val h = im.height
+        val lumSum = Array.ofDim[Long](g, g)
+        val cellN = Array.ofDim[Long](g, g)
+        val hist = new Array[Long](12)
+        var gy = 0
+        while (gy < g) {
+          val y0 = gy * h / g
+          val y1 = math.max(y0 + 1, (gy + 1) * h / g)
+          var gx = 0
+          while (gx < g) {
+            val x0 = gx * w / g
+            val x1 = math.max(x0 + 1, (gx + 1) * w / g)
+            var y = y0
+            while (y < math.min(y1, h)) {
+              var x = x0
+              while (x < math.min(x1, w)) {
+                val px = im.rgb(x, y)
+                val r = (px >> 16) & 0xFF
+                val gg = (px >> 8) & 0xFF
+                val bb = px & 0xFF
+                // integer Rec.601 luma ×1000 — exact accumulation
+                lumSum(gy)(gx) += 299L * r + 587L * gg + 114L * bb
+                cellN(gy)(gx) += 1
+                x += 1
+              }
+              y += 1
+            }
+            gx += 1
+          }
+          gy += 1
+        }
+        // histogram over the true pixel set (the cell rectangles can
+        // overlap when the image is smaller than the grid)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val px = im.rgb(x, y)
+            hist(((px >> 16) & 0xFF) >> 6) += 1
+            hist(4 + (((px >> 8) & 0xFF) >> 6)) += 1
+            hist(8 + ((px & 0xFF) >> 6)) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val grid = Array.tabulate(g, g)((yy, xx) =>
+          lumSum(yy)(xx).toDouble / (1000.0 * math.max(1L, cellN(yy)(xx))))
+        // separable orthonormal DCT-II: rows then columns
+        def pass(in: Array[Array[Double]]): Array[Array[Double]] =
+          Array.tabulate(g, g) { (row, u) =>
+            var s = 0.0
+            var x = 0
+            while (x < g) { s += in(row)(x) * dctCos(u)(x); x += 1 }
+            s * (if (u == 0) math.sqrt(1.0 / g) else math.sqrt(2.0 / g))
+          }
+        val rowPass = pass(grid)
+        val freq = pass(Array.tabulate(g, g)((c, r) => rowPass(r)(c)))
+        // freq(u)(v): column-major after the transpose trick — freq
+        // indexed (v-pass over columns); take the low 6×6 minus DC
+        val out = new Array[Float](imageEmbeddingDim)
+        var k = 0
+        var u = 0
+        while (u < 6) {
+          var v = 0
+          while (v < 6) {
+            if (u != 0 || v != 0) {
+              out(k) = (freq(u)(v) / 255.0).toFloat
+              k += 1
+            }
+            v += 1
+          }
+          u += 1
+        }
+        val nPix = w.toLong * h
+        var i = 0
+        while (i < 12) {
+          out(35 + i) = (hist(i).toDouble / nPix).toFloat
+          i += 1
+        }
+        var norm = 0.0
+        i = 0
+        while (i < out.length) { norm += out(i).toDouble * out(i); i += 1 }
+        if (norm > 0) {
+          val inv = (1.0 / math.sqrt(norm))
+          i = 0
+          while (i < out.length) { out(i) = (out(i) * inv).toFloat; i += 1 }
+        }
+        out
+      }
+
+    /** Feature extractor: REAL [[imageEmbedding]] for any payload a
+      * pixel decoder accepts (truncated or zero-padded to `dim`, then
+      * re-normalized — the leading coefficients are the lowest
+      * frequencies, so a truncation keeps the perceptual core); the
+      * former deterministic checksum fake remains ONLY as the fallback
+      * for non-pixel payloads (audio has [[pcmStats]]; a learned
+      * audio/video embedding would still need a model runtime).
+      */
+    def features(bytes: Array[Byte], dim: Int = 8): Array[Float] =
+      imageEmbedding(bytes) match {
+        case Some(e) =>
+          val out = new Array[Float](dim)
+          System.arraycopy(e, 0, out, 0, math.min(dim, e.length))
+          var norm = 0.0
+          var i = 0
+          while (i < out.length) { norm += out(i).toDouble * out(i); i += 1 }
+          if (norm > 0) {
+            val inv = 1.0 / math.sqrt(norm)
+            i = 0
+            while (i < out.length) { out(i) = (out(i) * inv).toFloat; i += 1 }
+          }
+          out
+        case None =>
+          val c = checksum(bytes)
+          Array.tabulate(dim)(i =>
+            (((c >>> (i * 8)) & 0xFF).toFloat / 255.0f) * 2f - 1f)
+      }
 
     /** A decoded 24-bit BMP: dimensions plus a pixel accessor returning
       * packed 0xRRGGBB. Row order is normalized to top-down regardless
@@ -444,6 +618,65 @@ object Multimodal {
         y += 1
       }
       out
+    }
+
+    /** REAL PNG encoder — the lossless counterpart of [[bmpEncode]],
+      * pure JDK: 8-bit truecolor, filter type 0 on every scanline, one
+      * zlib-deflated IDAT, CRC32 per chunk. Round-trips bit-exactly
+      * through [[pngDecode]] (spec-asserted), which makes BMP↔PNG the
+      * deterministic "visually identical re-encode" pair the q102
+      * oracle plants: same pixels, different container and entropy
+      * coding.
+      */
+    def pngEncode(width: Int, height: Int,
+        rgbAt: (Int, Int) => Int): Array[Byte] = {
+      require(width > 0 && height > 0 && width <= (1 << 20) &&
+        height <= (1 << 20), s"bad dims ${width}x$height")
+      val rawLen = (width.toLong * 3 + 1) * height
+      require(rawLen <= Int.MaxValue - 1024, s"image too large: $rawLen")
+      val raw = new Array[Byte](rawLen.toInt)
+      var p = 0
+      var y = 0
+      while (y < height) {
+        raw(p) = 0 // filter: None
+        p += 1
+        var x = 0
+        while (x < width) {
+          val px = rgbAt(x, y)
+          raw(p) = ((px >> 16) & 0xFF).toByte
+          raw(p + 1) = ((px >> 8) & 0xFF).toByte
+          raw(p + 2) = (px & 0xFF).toByte
+          p += 3
+          x += 1
+        }
+        y += 1
+      }
+      val d = new java.util.zip.Deflater()
+      val idat = try {
+        d.setInput(raw); d.finish()
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](8192)
+        while (!d.finished()) buf.write(chunk, 0, d.deflate(chunk))
+        buf.toByteArray
+      } finally d.end()
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+        .map(_.toByte))
+      def be32(v: Int): Array[Byte] = Array((v >> 24).toByte,
+        (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+      def writeChunk(ctype: String, data: Array[Byte]): Unit = {
+        out.write(be32(data.length))
+        val body = ctype.getBytes("US-ASCII") ++ data
+        out.write(body)
+        val crc = new java.util.zip.CRC32()
+        crc.update(body)
+        out.write(be32(crc.getValue.toInt))
+      }
+      writeChunk("IHDR", be32(width) ++ be32(height) ++
+        Array[Byte](8, 2 /* truecolor */, 0, 0, 0))
+      writeChunk("IDAT", idat)
+      writeChunk("IEND", Array.emptyByteArray)
+      out.toByteArray
     }
 
     /** A decoded PNG: dimensions, channel count (1 = gray, 2 = gray+α,
@@ -682,7 +915,10 @@ object Multimodal {
   }
 
   /** Feature extraction: (media_id, embedding) per asset, ready for
-    * [[Similarity]] ANN ops downstream.
+    * [[Similarity]] ANN ops downstream. Image payloads get the REAL
+    * perceptual embedding ([[MediaCodec.imageEmbedding]], full width at
+    * `dim = MediaCodec.imageEmbeddingDim`); other payloads the
+    * deterministic fallback.
     */
   def extractFeatures(ds: Dataset[MediaRecord], dim: Int = 8): DataFrame = {
     import ds.sparkSession.implicits._

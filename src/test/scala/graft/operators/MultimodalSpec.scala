@@ -419,4 +419,71 @@ class MultimodalSpec extends SparkSpec {
       assert(out(1L).getAs[Long](c) === out(2L).getAs[Long](c), c)
     assert(out(3L).isNullAt(1))
   }
+
+  // --- real perceptual features (round 8) ---
+
+  /** Deterministic distinct "photo-like" test image per seed: smooth
+    * per-channel gradients with seed-dependent orientation.
+    */
+  private def testPixel(seed: Long)(x: Int, y: Int): Int = {
+    val a = (seed * 2654435761L) & 0xFF
+    val r = ((x * (1 + (a & 7)) + y * 2 + a) % 256).toInt
+    val g = ((y * (1 + ((a >> 3) & 7)) + x + (a >> 1)) % 256).toInt
+    val b = ((x + y + (a >> 2) * 3) % 256).toInt
+    (r << 16) | (g << 8) | b
+  }
+
+  test("pngEncode round-trips bit-exactly through pngDecode") {
+    val bytes = Multimodal.MediaCodec.pngEncode(24, 16, testPixel(7L))
+    val img = Multimodal.MediaCodec.pngDecode(bytes).get
+    assert(img.width === 24 && img.height === 16 && img.channels === 3)
+    for (y <- 0 until 16; x <- 0 until 24) {
+      val p = (y * 24 + x) * 3
+      val got = ((img.pixels(p) & 0xFF) << 16) |
+        ((img.pixels(p + 1) & 0xFF) << 8) | (img.pixels(p + 2) & 0xFF)
+      assert(got === testPixel(7L)(x, y), s"pixel ($x,$y)")
+    }
+  }
+
+  test("imageEmbedding: lossless re-encode (BMP vs PNG) is bit-identical, " +
+      "unit norm, distinct across images") {
+    val mc = Multimodal.MediaCodec
+    val viaBmp = mc.imageEmbedding(mc.bmpEncode(24, 16, testPixel(3L))).get
+    val viaPng = mc.imageEmbedding(mc.pngEncode(24, 16, testPixel(3L))).get
+    assert(viaBmp.toSeq === viaPng.toSeq,
+      "lossless re-encode must not move the embedding")
+    assert(viaBmp.length === mc.imageEmbeddingDim)
+    val norm = math.sqrt(viaBmp.map(v => v.toDouble * v).sum)
+    assert(math.abs(norm - 1.0) < 1e-5, s"norm $norm")
+    val other = mc.imageEmbedding(mc.bmpEncode(24, 16, testPixel(4L))).get
+    assert(other.toSeq !== viaBmp.toSeq, "distinct images must differ")
+  }
+
+  test("re-encoded twin is the top-1 ANN neighbor through the dataflow") {
+    val mc = Multimodal.MediaCodec
+    val corpus = Multimodal.extractFeatures(
+      Multimodal.fromBinaryColumn(
+        (0L until 20L).map(i => (i, mc.bmpEncode(24, 16, testPixel(i))))
+          .toDF("id", "payload"), "id", "payload", "image"),
+      dim = mc.imageEmbeddingDim)
+    val queries = Multimodal.extractFeatures(
+      Multimodal.fromBinaryColumn(
+        (0L until 20L).map(i =>
+          (i + 1000L, mc.pngEncode(24, 16, testPixel(i))))
+          .toDF("id", "payload"), "id", "payload", "image"),
+      dim = mc.imageEmbeddingDim)
+    val top1 = Similarity.bruteForceTopK(corpus, queries,
+        "media_id", "embedding", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 20L).foreach { i =>
+      assert(top1(i + 1000L) === i, s"query ${i + 1000L} paired wrong")
+    }
+  }
+
+  test("features keeps the deterministic fallback for non-pixel payloads") {
+    val f1 = Multimodal.MediaCodec.features("not an image".getBytes, 8)
+    val f2 = Multimodal.MediaCodec.features("not an image".getBytes, 8)
+    assert(f1.toSeq === f2.toSeq)
+    assert(f1.length === 8)
+  }
 }
