@@ -954,6 +954,63 @@ object Queries {
       |FROM customer WHERE c_custkey % 100 = 0
       |ORDER BY query_id""".stripMargin
 
+  /** PROGRESSIVE JPEG decode, oracle-checked — q92's closed form
+    * delivered through a genuine SOF2 multi-scan stream
+    * ([[graft.operators.JpegCodec.encodeDcOnlyProgressive]]): a DC
+    * first scan at Al=1 (Huffman-coded differential high bits) plus a
+    * DC refinement scan (raw low bits), accumulated across scans and
+    * reconstructed at EOI. The successive-approximation reassembly
+    * `(dc >> 1) << 1 | (dc & 1)` is exact in two's complement, so the
+    * q00=8 exactness contract carries over unchanged and DuckDB
+    * predicts every pixel statistic without touching a byte — if either
+    * progressive DC path (first or refinement) mis-decodes a single
+    * bit, the DC chain and the hash break. The AC progressive paths
+    * (EOB runs, correction bits) are covered by JpegCodecSpec's
+    * ImageIO cross-checks; their output is quantization-noisy by
+    * nature, which is exactly what a closed-form oracle cannot host.
+    */
+  def q103ProgressiveJpeg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.{JpegCodec, Multimodal}
+    val recs = t(s, dir, "nation")
+      .select(col("n_nationkey").cast("long")).as[Long]
+      .map { id =>
+        val bytes = JpegCodec.encodeDcOnlyProgressive(24, 16, 3,
+          (bx, by, c) =>
+            ((id * 11 + bx * 17 + by * 23 + c * 47) % 251 - 125).toInt)
+        Multimodal.MediaRecord(id, "image", bytes, "image/jpeg", "synth")
+      }
+    Multimodal.imageStats(recs).orderBy(col("media_id"))
+  }
+
+  val q103Sql: String =
+    """WITH base AS (
+      |  SELECT CAST(n_nationkey AS BIGINT) AS id FROM nation
+      |), xs AS (
+      |  SELECT id, unnest(range(3)) AS bx FROM base
+      |), bl AS (
+      |  SELECT id, bx, unnest(range(2)) AS by FROM xs
+      |), c AS (
+      |  SELECT id,
+      |    (id*11 + bx*17 + by*23) % 251 - 125 + 128 AS yv,
+      |    (id*11 + bx*17 + by*23 + 47) % 251 - 125 AS cb,
+      |    (id*11 + bx*17 + by*23 + 94) % 251 - 125 AS cr
+      |  FROM bl
+      |), rgb AS (
+      |  SELECT id,
+      |    LEAST(GREATEST(yv + CAST(FLOOR((91881*cr + 32768)/65536.0) AS BIGINT), 0), 255) AS r,
+      |    LEAST(GREATEST(yv - CAST(FLOOR((22554*cb + 46802*cr + 32768)/65536.0) AS BIGINT), 0), 255) AS g,
+      |    LEAST(GREATEST(yv + CAST(FLOOR((116130*cb + 32768)/65536.0) AS BIGINT), 0), 255) AS b
+      |  FROM c
+      |)
+      |SELECT id AS media_id, CAST(384 AS BIGINT) AS n_pixels,
+      |  CAST(64 * SUM(r) AS BIGINT) AS sum_r,
+      |  CAST(64 * SUM(g) AS BIGINT) AS sum_g,
+      |  CAST(64 * SUM(b) AS BIGINT) AS sum_b,
+      |  CAST(MIN(299*r + 587*g + 114*b) AS INTEGER) AS lum_min,
+      |  CAST(MAX(299*r + 587*g + 114*b) AS INTEGER) AS lum_max
+      |FROM rgb GROUP BY id ORDER BY media_id""".stripMargin
+
   /** Companion of q26: a copy of each doc with the last 2 tokens dropped,
     * ids offset by 1,000,000.
     */
@@ -4016,5 +4073,6 @@ object Queries {
     "q99_incremental_neardup" -> ((q99IncrementalNeardup _, Some(q99Sql))),
     "q100_stream_neardup" -> ((q100StreamNeardup _, Some(q100Sql))),
     "q101_compression_filter" -> ((q101CompressionFilter _, Some(q101Sql))),
-    "q102_image_neardup" -> ((q102ImageNearDup _, Some(q102Sql))))
+    "q102_image_neardup" -> ((q102ImageNearDup _, Some(q102Sql))),
+    "q103_progressive_jpeg" -> ((q103ProgressiveJpeg _, Some(q103Sql))))
 }

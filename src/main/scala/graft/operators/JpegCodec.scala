@@ -1,19 +1,24 @@
 package graft.operators
 
-/** Pure-JDK BASELINE JPEG pixel decoder — retires the last media stub
+/** Pure-JDK JPEG pixel decoder — retires the last media stub
   * (rounds 1-4 shipped real WAV/BMP/PNG codecs but stubbed JPEG pixels
   * because, unlike PNG's DEFLATE, nothing in the JDK decodes JPEG's
   * entropy coding; this file implements it from the ITU-T T.81 spec).
   *
-  * Scope (accepted → decoded): baseline sequential DCT (SOF0), 8-bit
+  * Scope (accepted → decoded): baseline sequential DCT (SOF0) and —
+  * round 8 — PROGRESSIVE DCT (SOF2, the dominant web-JPEG flavor):
+  * multi-scan spectral selection and successive approximation per
+  * T.81 G.1.2 (DC first + refinement bits, AC first with EOB runs, AC
+  * refinement with correction bits), coefficients accumulated across
+  * scans and dequantized+IDCT'd once at EOI. Both flavors: 8-bit
   * precision, 1 (grayscale) or 3 (YCbCr) components, arbitrary sampling
   * factors 1..4 (4:4:4 / 4:2:2 / 4:2:0 / anything the MCU grammar
-  * allows), multiple DQT/DHT segments, restart intervals (DRI + RSTn),
-  * 0xFF00 byte stuffing, APPn/COM skipping. Everything else —
-  * progressive (SOF2), arithmetic coding, 12-bit, hierarchical —
-  * returns None, as does any malformed, truncated or dimension-bomb
-  * payload (the same per-axis 1<<20 and total-pixel 1<<26 caps as the
-  * PNG path; decode never throws — fuzz-asserted).
+  * allows), multiple DQT/DHT segments (including between scans),
+  * restart intervals (DRI + RSTn), 0xFF00 byte stuffing, APPn/COM
+  * skipping. Everything else — arithmetic coding, 12-bit, hierarchical,
+  * lossless — returns None, as does any malformed, truncated or
+  * dimension-bomb payload (the same per-axis 1<<20 and total-pixel
+  * 1<<26 caps as the PNG path; decode never throws — fuzz-asserted).
   *
   * Determinism contract (what the oracle and specs rely on):
   *   - IDCT is the textbook separable double-precision sum (T.81 A.3.3)
@@ -127,17 +132,23 @@ object JpegCodec {
       pos += 2
       true
     }
-    /** Receive `s` magnitude bits and sign-extend per T.81 F.2.2.1. */
-    def receiveExtend(s: Int): Int = {
-      if (s == 0) return 0
+    /** Receive `n` raw bits MSB-first; −1 on bitstream end. */
+    def receiveBits(n: Int): Int = {
       var v = 0
       var i = 0
-      while (i < s) {
+      while (i < n) {
         val bit = nextBit()
-        if (bit < 0) return Int.MinValue
+        if (bit < 0) return -1
         v = (v << 1) | bit
         i += 1
       }
+      v
+    }
+    /** Receive `s` magnitude bits and sign-extend per T.81 F.2.2.1. */
+    def receiveExtend(s: Int): Int = {
+      if (s == 0) return 0
+      val v = receiveBits(s)
+      if (v < 0) return Int.MinValue
       if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
     }
   }
@@ -207,15 +218,25 @@ object JpegCodec {
     var height = 0
     var comps: Array[Component] = null
     var restartInterval = 0
+    // progressive (SOF2) state: raw coefficients per component over the
+    // MCU-padded block grid, accumulated across scans
+    var progressive = false
+    var coefStore: Array[Array[Int]] = null
+    var progScans = 0
     var i = 2
-    while (i + 4 <= b.length) {
+    while (i + 2 <= b.length) {
       if (u8(b, i) != 0xFF) return None
       val marker = u8(b, i + 1)
       if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD7)) {
         i += 2 // parameterless markers outside a scan
       } else if (marker == 0xD9) {
-        return None // EOI before any scan
+        // EOI: a progressive frame finishes HERE — every scan has
+        // contributed its coefficient bits, dequant+IDCT once
+        return if (progressive && progScans > 0)
+          finishProgressive(b, width, height, comps, quant, coefStore)
+        else None // baseline: EOI before any scan
       } else {
+        if (i + 4 > b.length) return None
         val len = u16(b, i + 2)
         if (len < 2 || i + 2 + len > b.length) return None
         val seg = i + 4 // first parameter byte
@@ -260,8 +281,9 @@ object JpegCodec {
               if (tc == 0) dcTables(th) = t else acTables(th) = t
               p += 17 + total
             }
-          case 0xC0 => // SOF0 baseline sequential
+          case 0xC0 | 0xC2 => // SOF0 baseline / SOF2 progressive
             if (comps != null) return None
+            progressive = marker == 0xC2
             if (u8(b, seg) != 8) return None // bit depth
             height = u16(b, seg + 1)
             width = u16(b, seg + 3)
@@ -279,13 +301,21 @@ object JpegCodec {
                   comp.tq > 3) return None
               comp
             }
-          case 0xC1 | 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA |
+            if (progressive) {
+              val hmax = comps.map(_.h).max
+              val vmax = comps.map(_.v).max
+              val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
+              val mcusY = (height + 8 * vmax - 1) / (8 * vmax)
+              coefStore = comps.map(c =>
+                new Array[Int](mcusX * c.h * mcusY * c.v * 64))
+            }
+          case 0xC1 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA |
               0xCB | 0xCD | 0xCE | 0xCF =>
-            return None // non-baseline frame types
+            return None // non-baseline/progressive frame types
           case 0xDD => // DRI
             if (len != 4) return None
             restartInterval = u16(b, seg)
-          case 0xDA => // SOS — decode the single baseline scan
+          case 0xDA if !progressive => // SOS — the single baseline scan
             if (comps == null) return None
             val ns = u8(b, seg)
             if (ns != comps.length || seg + 1 + 2 * ns + 3 > segEnd) return None
@@ -300,12 +330,38 @@ object JpegCodec {
             }
             return decodeScan(b, segEnd, width, height, comps, quant,
               dcTables, acTables, restartInterval)
+          case 0xDA => // SOS — one of several progressive scans
+            if (comps == null) return None
+            val ns = u8(b, seg)
+            if (ns < 1 || ns > comps.length ||
+                seg + 1 + 2 * ns + 3 > segEnd) return None
+            val sel = new Array[Int](ns)
+            var c = 0
+            while (c < ns) {
+              val cs = u8(b, seg + 1 + 2 * c)
+              val ci = comps.indexWhere(_.id == cs)
+              if (ci < 0) return None
+              comps(ci).dcTable = u8(b, seg + 2 + 2 * c) >> 4
+              comps(ci).acTable = u8(b, seg + 2 + 2 * c) & 0x0F
+              if (comps(ci).dcTable > 3 || comps(ci).acTable > 3) return None
+              sel(c) = ci
+              c += 1
+            }
+            val ss = u8(b, seg + 1 + 2 * ns)
+            val se = u8(b, seg + 2 + 2 * ns)
+            val ahal = u8(b, seg + 3 + 2 * ns)
+            val pos = decodeProgScan(b, segEnd, width, height, comps, sel,
+              dcTables, acTables, coefStore, ss, se,
+              ahal >> 4, ahal & 0x0F, restartInterval)
+            if (pos < 0) return None
+            progScans += 1
+            i = pos
           case _ => () // APPn, COM, anything skippable
         }
-        i += 2 + len
+        if (marker != 0xDA) i += 2 + len
       }
     }
-    None // no SOS reached
+    None // no SOS reached (or progressive stream missing its EOI)
   }
 
   private def decodeScan(b: Array[Byte], start: Int, width: Int,
@@ -399,7 +455,16 @@ object JpegCodec {
       }
       mcu += 1
     }
-    // upsample (replication) + color convert
+    planesToImage(planes, planeW, width, height, comps, hmax, vmax)
+  }
+
+  /** Shared tail of baseline and progressive decoding: chroma
+    * upsampling (replication) + fixed-point color conversion from the
+    * per-component sample planes.
+    */
+  private def planesToImage(planes: Array[Array[Int]], planeW: Array[Int],
+      width: Int, height: Int, comps: Array[Component],
+      hmax: Int, vmax: Int): Option[JpegImage] = {
     if (comps.length == 1) {
       val out = new Array[Byte](width * height)
       val pw = planeW(0)
@@ -441,6 +506,289 @@ object JpegCodec {
       }
       Some(JpegImage(width, height, 3, out))
     }
+  }
+
+  // ------------------------------------------------- progressive (SOF2)
+
+  /** Decode ONE progressive scan (T.81 G.2) into `coefStore`, raw
+    * (pre-dequant) coefficient accumulation. Returns the byte position
+    * of the next marker, or −1 on any malformation.
+    *
+    * Scan grammar: DC scans (Ss=Se=0) may interleave several
+    * components in MCU order; AC scans (Ss≥1) are single-component
+    * over that component's own block raster (NON-padded dims per
+    * A.1.1). `Ah=0` scans establish coefficients at precision `Al`
+    * (DC: Huffman-coded differences; AC: Huffman run-lengths + EOB
+    * runs); `Ah>0` scans refine one bit per coefficient (DC: one raw
+    * bit; AC: the correction-bit algorithm of G.1.2.3 — nonzero
+    * history coefficients consume a correction bit wherever the scan
+    * pointer passes, including inside EOB runs and zero runs).
+    */
+  private def decodeProgScan(b: Array[Byte], start: Int,
+      width: Int, height: Int, comps: Array[Component], sel: Array[Int],
+      dcTables: Array[HuffTable], acTables: Array[HuffTable],
+      coefStore: Array[Array[Int]], ss: Int, se: Int, ah: Int, al: Int,
+      restartInterval: Int): Int = {
+    if (coefStore == null) return -1
+    if (ss < 0 || se > 63 || ss > se || al > 13 || ah > 14) return -1
+    if (ss == 0 && se != 0) return -1 // DC and AC never share a scan
+    if (ss > 0 && sel.length != 1) return -1
+    if (ah != 0 && ah != al + 1) return -1
+    val hmax = comps.map(_.h).max
+    val vmax = comps.map(_.v).max
+    val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (height + 8 * vmax - 1) / (8 * vmax)
+    val r = new BitReader(b, start)
+    val pred = new Array[Int](comps.length)
+    var eobrun = 0
+    var rstIdx = 0
+    val p1 = 1 << al
+    val m1 = -1 << al
+
+    def refineNonzero(coefs: Array[Int], idx: Int): Boolean = {
+      val bit = r.nextBit()
+      if (bit < 0) return false
+      if (bit == 1 && (coefs(idx) & p1) == 0)
+        coefs(idx) += (if (coefs(idx) >= 0) p1 else m1)
+      true
+    }
+
+    def dcFirst(c: Int, base: Int): Boolean = {
+      val t = dcTables(comps(c).dcTable)
+      if (t == null) return false
+      val s = t.decode(r)
+      if (s < 0 || s > 11) return false
+      val diff = r.receiveExtend(s)
+      if (diff == Int.MinValue) return false
+      pred(c) += diff
+      coefStore(c)(base) = pred(c) << al
+      true
+    }
+
+    def dcRefine(c: Int, base: Int): Boolean = {
+      val bit = r.nextBit()
+      if (bit < 0) return false
+      if (bit == 1) coefStore(c)(base) |= p1
+      true
+    }
+
+    def acFirst(c: Int, base: Int): Boolean = {
+      if (eobrun > 0) { eobrun -= 1; return true }
+      val t = acTables(comps(c).acTable)
+      if (t == null) return false
+      val coefs = coefStore(c)
+      var k = ss
+      while (k <= se) {
+        val rs = t.decode(r)
+        if (rs < 0) return false
+        val run = rs >> 4
+        val s = rs & 0x0F
+        if (s != 0) {
+          k += run
+          if (k > se) return false
+          val v = r.receiveExtend(s)
+          if (v == Int.MinValue) return false
+          coefs(base + zigzag(k)) = v << al
+          k += 1
+        } else if (run == 15) {
+          k += 16 // ZRL
+        } else {
+          eobrun = (1 << run) - 1
+          if (run > 0) {
+            val ext = r.receiveBits(run)
+            if (ext < 0) return false
+            eobrun += ext
+          }
+          return true // EOB: this block is done
+        }
+      }
+      true
+    }
+
+    def acRefine(c: Int, base: Int): Boolean = {
+      val t = acTables(comps(c).acTable)
+      if (t == null) return false
+      val coefs = coefStore(c)
+      var k = ss
+      if (eobrun == 0) {
+        var eob = false
+        while (k <= se && !eob) {
+          val rs = t.decode(r)
+          if (rs < 0) return false
+          var run = rs >> 4
+          val s = rs & 0x0F
+          var sVal = 0
+          if (s != 0) {
+            if (s != 1) return false // refinement codes ±1 only
+            val bit = r.nextBit()
+            if (bit < 0) return false
+            sVal = if (bit == 1) p1 else m1
+          } else if (run != 15) {
+            eobrun = 1 << run
+            if (run > 0) {
+              val ext = r.receiveBits(run)
+              if (ext < 0) return false
+              eobrun += ext
+            }
+            eob = true // remaining coefficients handled below
+          }
+          if (!eob) {
+            // advance past `run` zero-history coefficients, correcting
+            // nonzero ones on the way; place the new ±1 at the stop
+            var placed = false
+            while (k <= se && !placed) {
+              val idx = base + zigzag(k)
+              if (coefs(idx) != 0) {
+                if (!refineNonzero(coefs, idx)) return false
+                k += 1
+              } else if (run == 0) {
+                if (sVal != 0) coefs(idx) = sVal
+                k += 1
+                placed = true
+              } else {
+                run -= 1
+                k += 1
+              }
+            }
+            if (!placed && sVal != 0) return false // ran off the band
+          }
+        }
+      }
+      if (eobrun > 0) {
+        while (k <= se) {
+          val idx = base + zigzag(k)
+          if (coefs(idx) != 0) {
+            if (!refineNonzero(coefs, idx)) return false
+          }
+          k += 1
+        }
+        eobrun -= 1
+      }
+      true
+    }
+
+    def blockOp(c: Int, base: Int): Boolean =
+      if (ss == 0) { if (ah == 0) dcFirst(c, base) else dcRefine(c, base) }
+      else { if (ah == 0) acFirst(c, base) else acRefine(c, base) }
+
+    def restart(): Boolean = {
+      if (!r.syncToRestart(rstIdx)) return false
+      rstIdx = (rstIdx + 1) & 7
+      java.util.Arrays.fill(pred, 0)
+      eobrun = 0
+      true
+    }
+
+    if (sel.length == 1) {
+      // non-interleaved: the component's OWN block raster (A.1.1 dims),
+      // one block per restart-counted MCU
+      val c = sel(0)
+      val comp = comps(c)
+      val compW = (width * comp.h + hmax - 1) / hmax
+      val compH = (height * comp.v + vmax - 1) / vmax
+      val bw = (compW + 7) / 8
+      val bh = (compH + 7) / 8
+      val bwPad = mcusX * comp.h
+      var blk = 0
+      val total = bw * bh
+      while (blk < total) {
+        if (restartInterval > 0 && blk > 0 && blk % restartInterval == 0) {
+          if (!restart()) return -1
+        }
+        val base = ((blk / bw) * bwPad + blk % bw) * 64
+        if (!blockOp(c, base)) return -1
+        blk += 1
+      }
+    } else {
+      // interleaved DC scan over the MCU grid
+      var mcu = 0
+      val mcuCount = mcusX * mcusY
+      while (mcu < mcuCount) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          if (!restart()) return -1
+        }
+        val mx = mcu % mcusX
+        val my = mcu / mcusX
+        var si = 0
+        while (si < sel.length) {
+          val c = sel(si)
+          val comp = comps(c)
+          val bwPad = mcusX * comp.h
+          var by = 0
+          while (by < comp.v) {
+            var bx = 0
+            while (bx < comp.h) {
+              val base =
+                ((my * comp.v + by) * bwPad + mx * comp.h + bx) * 64
+              if (!blockOp(c, base)) return -1
+              bx += 1
+            }
+            by += 1
+          }
+          si += 1
+        }
+        mcu += 1
+      }
+    }
+    // the scan's entropy data ends at the next marker; skip to it
+    var p = r.pos
+    while (p + 1 < b.length &&
+        !(u8(b, p) == 0xFF && u8(b, p + 1) != 0x00)) p += 1
+    p
+  }
+
+  /** Progressive finish (at EOI): dequantize the accumulated raw
+    * coefficients, IDCT every block of the padded grid, and run the
+    * shared upsample/color-convert tail.
+    */
+  private def finishProgressive(b: Array[Byte], width: Int, height: Int,
+      comps: Array[Component], quant: Array[Array[Int]],
+      coefStore: Array[Array[Int]]): Option[JpegImage] = {
+    val hmax = comps.map(_.h).max
+    val vmax = comps.map(_.v).max
+    val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (height + 8 * vmax - 1) / (8 * vmax)
+    val planeW = comps.map(c => mcusX * c.h * 8)
+    val planeH = comps.map(c => mcusY * c.v * 8)
+    val planes = comps.indices.map(c =>
+      new Array[Int](planeW(c) * planeH(c))).toArray
+    val coef = new Array[Int](64)
+    val samples = new Array[Int](64)
+    var c = 0
+    while (c < comps.length) {
+      val q = quant(comps(c).tq)
+      if (q == null) return None
+      val bw = mcusX * comps(c).h
+      val bh = mcusY * comps(c).v
+      val pw = planeW(c)
+      var by = 0
+      while (by < bh) {
+        var bx = 0
+        while (bx < bw) {
+          val base = (by * bw + bx) * 64
+          var k = 0
+          while (k < 64) {
+            coef(k) = coefStore(c)(base + k) * q(k)
+            k += 1
+          }
+          idctBlock(coef, samples)
+          var yy = 0
+          while (yy < 8) {
+            var xx = 0
+            while (xx < 8) {
+              planes(c)((by * 8 + yy) * pw + bx * 8 + xx) =
+                samples(yy * 8 + xx)
+              xx += 1
+            }
+            yy += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+      c += 1
+    }
+    planesToImage(planes, planeW, width, height, comps, hmax, vmax)
   }
 
   // ---------------------------------------------------------------- encode
@@ -531,6 +879,98 @@ object JpegCodec {
       out.write(bitBuf & 0xFF)
       if ((bitBuf & 0xFF) == 0xFF) out.write(0x00)
     }
+    marker(0xD9) // EOI
+    out.toByteArray
+  }
+
+  /** PROGRESSIVE (SOF2) DC-only counterpart of [[encodeDcOnly]] — the
+    * closed-form fixture for the progressive decoder: the same q00 = 8
+    * exactness contract (decoded sample = dc + 128 before color
+    * conversion), delivered through TWO successive-approximation DC
+    * scans — a first scan (Ah=0, Al=1) Huffman-coding the differential
+    * high bits `dc >> 1`, then a refinement scan (Ah=1, Al=0) sending
+    * one raw low bit per block — so both progressive DC paths decode
+    * on the oracle path. `dc` in [−128, 127]; two's-complement
+    * reassembly `(dc >> 1) << 1 | (dc & 1)` is exact for negatives.
+    */
+  def encodeDcOnlyProgressive(width: Int, height: Int, channels: Int,
+      dc: (Int, Int, Int) => Int): Array[Byte] = {
+    require(channels == 1 || channels == 3, "channels must be 1 or 3")
+    require(width > 0 && height > 0)
+    val out = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = out.write(v & 0xFF)
+    def w16(v: Int): Unit = { w8(v >> 8); w8(v) }
+    def marker(m: Int): Unit = { w8(0xFF); w8(m) }
+    var bitBuf = 0
+    var bitCnt = 0
+    def putBits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        bitBuf = (bitBuf << 1) | ((v >> i) & 1)
+        bitCnt += 1
+        if (bitCnt == 8) {
+          out.write(bitBuf & 0xFF)
+          if ((bitBuf & 0xFF) == 0xFF) out.write(0x00)
+          bitBuf = 0; bitCnt = 0
+        }
+        i -= 1
+      }
+    }
+    def flushBits(): Unit = if (bitCnt > 0) {
+      bitBuf = (bitBuf << (8 - bitCnt)) | ((1 << (8 - bitCnt)) - 1)
+      out.write(bitBuf & 0xFF)
+      if ((bitBuf & 0xFF) == 0xFF) out.write(0x00)
+      bitBuf = 0; bitCnt = 0
+    }
+    marker(0xD8) // SOI
+    marker(0xDB); w16(2 + 1 + 64); w8(0x00) // DQT 0: q00=8
+    var k = 0
+    while (k < 64) { w8(if (k == 0) 8 else 16); k += 1 }
+    marker(0xC2); w16(8 + 3 * channels); w8(8); w16(height); w16(width)
+    w8(channels)
+    var c = 0
+    while (c < channels) { w8(c + 1); w8(0x11); w8(0); c += 1 }
+    // DHT DC 0: twelve 4-bit codes, code for category i IS i
+    marker(0xC4); w16(2 + 17 + 12)
+    w8(0x00); (1 to 16).foreach(l => w8(if (l == 4) 12 else 0))
+    (0 to 11).foreach(w8)
+    val mcusX = (width + 7) / 8
+    val mcusY = (height + 7) / 8
+    def dcScan(ah: Int, al: Int)(code: (Int, Int) => Unit): Unit = {
+      marker(0xDA); w16(6 + 2 * channels); w8(channels)
+      var ci = 0
+      while (ci < channels) { w8(ci + 1); w8(0x00); ci += 1 }
+      w8(0); w8(0); w8((ah << 4) | al)
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          ci = 0
+          while (ci < channels) {
+            code(dc(mx, my, ci), ci)
+            ci += 1
+          }
+          mx += 1
+        }
+        my += 1
+      }
+      flushBits()
+    }
+    // scan 1: DC first, Al=1 — differential high bits
+    val pred1 = new Array[Int](channels)
+    dcScan(0, 1) { (v, ci) =>
+      require(v >= -128 && v <= 127, s"dc out of range: $v")
+      val v1 = v >> 1
+      val diff = v1 - pred1(ci)
+      pred1(ci) = v1
+      val mag = math.abs(diff)
+      val cat = 32 - Integer.numberOfLeadingZeros(mag)
+      putBits(cat, 4)
+      if (cat > 0)
+        putBits(if (diff < 0) diff + (1 << cat) - 1 else diff, cat)
+    }
+    // scan 2: DC refinement, Ah=1 → Al=0 — one raw low bit per block
+    dcScan(1, 0) { (v, _) => putBits(v & 1, 1) }
     marker(0xD9) // EOI
     out.toByteArray
   }

@@ -205,9 +205,8 @@ object Similarity {
       val exploded = train.select(col("__id"),
         posexplode(col("__v")).as(Seq("__d", "__x")))
       for (_ <- 0 until iters) {
-        val cells = train.select(col("__id"),
-          cellColumn(col("__v"), centroids).as("__cell"))
-          .where(col("__cell").isNotNull)
+        val cells = cellRows(train, Seq(col("__id")), col("__v"), centroids)
+          .withColumnRenamed("cell", "__cell")
         // exact per-(cell, dim) mean via fixed-point longs: both the sum
         // and the count are order-independent, so centroid floats are
         // identical regardless of partition merge order
@@ -260,11 +259,10 @@ object Similarity {
     * analyzer beyond ~12 cells).
     *
     * Degenerate vectors (null, or a dimension mismatching the
-    * centroids) get a NULL cell, which every consumer filters — the
-    * drop semantics of the original exploded formulation. Without the
-    * gate, FixedDot's null scores make every struct compare below any
-    * real one and the argmax silently resolves to cell 0, planting
-    * corrupt vectors in cell 0's inverted list.
+    * centroids) get a NULL cell. Without the gate, FixedDot's null
+    * scores make every struct compare below any real one and the
+    * argmax silently resolves to cell 0, planting corrupt vectors in
+    * cell 0's inverted list.
     */
   private def cellColumn(vec: Column,
       centroids: Array[Array[Double]]): Column =
@@ -272,15 +270,32 @@ object Similarity {
       -array_max(array(centroidScores(vec, centroids): _*))
         .getField("negc"))
 
+  /** Cell assignment rows with DROP semantics for degenerate vectors,
+    * pushdown-proof: the gated cell rides a one-element array through
+    * `explode_outer`, and the null-drop filter lands on the GENERATOR
+    * OUTPUT — which predicate pushdown cannot move below the Generate.
+    * A plain `where(cell.isNotNull)` on the projection would be pushed
+    * into the scan's DataFilters, re-evaluating any upstream vector
+    * kernel (e.g. a scale_array projection) once more per row — the
+    * engine-wide anti-pattern PlanAuditSpec pins; explode_outer + an
+    * explicit null-filter is its sanctioned pattern (same as
+    * [[bandedBuckets]]).
+    */
+  private def cellRows(df: DataFrame, keep: Seq[Column], vec: Column,
+      centroids: Array[Array[Double]]): DataFrame =
+    df.select((keep :+
+        explode_outer(when(vec.isNotNull
+            && size(vec) === centroids.head.length,
+          array(cellColumn(vec, centroids)))).as("cell")): _*)
+      .where(col("cell").isNotNull)
+
   /** IVF cell assignment of a vector table: (idCol, cell). Narrow —
     * safe to fuse into any scan. Degenerate vectors (null / wrong
     * dimension) are dropped from the assignment.
     */
   def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Double]]): DataFrame =
-    df.select(col(idCol),
-      cellColumn(col(vecCol), centroids).as("cell"))
-      .where(col("cell").isNotNull)
+    cellRows(df, Seq(col(idCol)), col(vecCol), centroids)
 
   /** IVF ANN top-k: corpus vectors live in their nearest centroid's
     * inverted list; each query probes its `nprobe` closest cells and
@@ -297,10 +312,9 @@ object Similarity {
     // corpus side: ONE narrow projection — vector and its cell together
     // (r7; assignment was previously a second corpus scan + exploded
     // shuffle joined back on id)
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).as("__cv"),
-      cellColumn(col(vecCol), centroids).as("cell"))
-      .where(col("cell").isNotNull) // degenerate vectors are not indexed
+    val c = cellRows(corpus,
+      Seq(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
+      col(vecCol), centroids) // degenerate vectors are not indexed
     // per-query top-nprobe cells: sort the (score, −cell) structs in a
     // projection and explode the first nprobe — descending score, ties
     // to the LOWEST cell id (−cell descending), all inside codegen

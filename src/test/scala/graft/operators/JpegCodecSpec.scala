@@ -146,6 +146,132 @@ class JpegCodecSpec extends SparkSpec {
     }
   }
 
+  // --- progressive (SOF2) ---
+
+  test("progressive DC-only round-trip is bit-exact against the closed " +
+      "form and equals the baseline encoding") {
+    val w = 24; val h = 16
+    def dc(bx: Int, by: Int, c: Int): Int =
+      ((bx * 37 + by * 59 + c * 71) % 256) - 128
+    val prog = JpegCodec.encodeDcOnlyProgressive(w, h, 3, dc)
+    assert(prog.indices.dropRight(1).exists(i =>
+      (prog(i) & 0xFF) == 0xFF && (prog(i + 1) & 0xFF) == 0xC2),
+      "fixture is not SOF2")
+    val img = JpegCodec.decode(prog).getOrElse(fail("progressive decode"))
+    assert(img.width === w && img.height === h && img.channels === 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (er, eg, eb) = rgbFromDc(
+        dc(x / 8, y / 8, 0), dc(x / 8, y / 8, 1), dc(x / 8, y / 8, 2))
+      val o = (y * w + x) * 3
+      assert((img.pixels(o) & 0xFF) === er, s"r at ($x,$y)")
+      assert((img.pixels(o + 1) & 0xFF) === eg, s"g at ($x,$y)")
+      assert((img.pixels(o + 2) & 0xFF) === eb, s"b at ($x,$y)")
+    }
+    // two-scan successive approximation must land on the exact pixels
+    // the single-scan baseline stream produces
+    val base = JpegCodec.decode(JpegCodec.encodeDcOnly(w, h, 3, dc)).get
+    assert(img.pixels.toSeq === base.pixels.toSeq)
+  }
+
+  test("progressive DC-only grayscale, negative DCs and crop dims") {
+    val w = 13; val h = 10
+    def dc(bx: Int, by: Int, c: Int): Int = bx * 50 + by * 30 - 97
+    val img = JpegCodec.decode(
+      JpegCodec.encodeDcOnlyProgressive(w, h, 1, dc))
+      .getOrElse(fail("decode failed"))
+    for (y <- 0 until h; x <- 0 until w)
+      assert((img.pixels(y * w + x) & 0xFF) === dc(x / 8, y / 8, 0) + 128,
+        s"gray at ($x,$y)")
+  }
+
+  private def imageIoProgressive(img: java.awt.image.BufferedImage)
+      : Array[Byte] = {
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val p = writer.getDefaultWriteParam
+    p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    writer.dispose()
+    ios.close()
+    val bytes = bos.toByteArray
+    assert(bytes.indices.dropRight(1).exists(i =>
+      (bytes(i) & 0xFF) == 0xFF && (bytes(i + 1) & 0xFF) == 0xC2),
+      "JDK did not write a progressive (SOF2) stream")
+    bytes
+  }
+
+  test("decodes JDK ImageIO PROGRESSIVE color output within tolerance") {
+    // the real multi-scan shape: interleaved DC first + refinements,
+    // per-component AC first scans with EOB runs, AC refinement passes
+    val w = 32; val h = 24
+    val src = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = 40 + x * 4; val g = 30 + y * 6; val b = 120
+      src.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val bytes = imageIoProgressive(src)
+    val img = JpegCodec.decode(bytes).getOrElse(fail("decode failed"))
+    assert(img.width === w && img.height === h && img.channels === 3)
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val rp = ref.getRGB(x, y)
+      val o = (y * w + x) * 3
+      maxDiff = math.max(maxDiff,
+        math.abs(((rp >> 16) & 0xFF) - (img.pixels(o) & 0xFF)))
+      maxDiff = math.max(maxDiff,
+        math.abs(((rp >> 8) & 0xFF) - (img.pixels(o + 1) & 0xFF)))
+      maxDiff = math.max(maxDiff,
+        math.abs((rp & 0xFF) - (img.pixels(o + 2) & 0xFF)))
+    }
+    assert(maxDiff <= 8,
+      s"progressive diverges from the JDK decoder by $maxDiff")
+  }
+
+  test("decodes JDK ImageIO PROGRESSIVE grayscale (non-interleaved DC)") {
+    val w = 24; val h = 24
+    val src = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      src.getRaster.setSample(x, y, 0, (x * 7 + y * 5) % 256)
+    val bytes = imageIoProgressive(src)
+    val img = JpegCodec.decode(bytes).getOrElse(fail("decode failed"))
+    assert(img.channels === 1)
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w)
+      maxDiff = math.max(maxDiff,
+        math.abs(ref.getRaster.getSample(x, y, 0) -
+          (img.pixels(y * w + x) & 0xFF)))
+    assert(maxDiff <= 2, s"gray progressive diverges by $maxDiff")
+  }
+
+  test("progressive streams survive mutation/truncation fuzz") {
+    val own = JpegCodec.encodeDcOnlyProgressive(24, 16, 3,
+      (bx, by, c) => bx + by + c)
+    val src = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16)
+      src.setRGB(x, y, (x * 16) << 16 | (y * 16) << 8 | 128)
+    val jdk = imageIoProgressive(src)
+    val rnd = new scala.util.Random(13)
+    for (good <- Seq(own, jdk)) {
+      assert(JpegCodec.decode(good).nonEmpty)
+      for (len <- 0 until good.length) JpegCodec.decode(good.take(len))
+      for (_ <- 0 until 2000) {
+        val m = good.clone()
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+        JpegCodec.decode(m) // must not throw
+      }
+    }
+  }
+
   test("jpegStats matches hand-computed sums on a DC-only image") {
     // 2 blocks of 64 px each: gray 100 and gray 228
     val bytes = JpegCodec.encodeDcOnly(16, 8, 1,
