@@ -23,6 +23,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Scale-validation knobs (driver never sets these, so the driver
+    // contract — 3 runs, every query — is unchanged): SPARK_GRAFT_RUNS
+    // trims repeats for long sf1 sweeps; SPARK_GRAFT_ONLY=q26,q99 runs a
+    // prefix-matched subset.
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -121,9 +127,13 @@ object Bench {
     // that reads [3.3, 3.2, 3.1] is intrinsic cost. min stays the
     // headline estimator (first run pays one-off codegen/listing).
     val results: Seq[(String, Seq[(Double, Boolean)])] =
-      SparkEntry.queries.toSeq.map { case (name, fn) =>
-        name -> (0 until 3).map(i => once(name, i, fn))
-      }
+      SparkEntry.queries.toSeq
+        .filter { case (name, _) =>
+          only.forall(_.exists(p => name == p || name.startsWith(p + "_")))
+        }
+        .map { case (name, fn) =>
+          name -> (0 until nRuns).map(i => once(name, i, fn))
+        }
     val mins = results.map { case (name, runs) =>
       name -> (if (runs.forall(_._2)) runs.map(_._1).min else -1.0)
     }

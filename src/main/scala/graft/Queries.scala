@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.WeatherFunctions
 import graft.functions.{TextFeatures, TextFunctions}
-import graft.operators.{AsOfJoin, Bloom, Decontam, Dedup, Funnel, Graph, Incremental, Multimodal, Percentiles, Quantize, RangeJoin, Repetition, Resample, Retrieval, Sampling, Similarity, Skew, TextChunker, TextDedup}
+import graft.operators.{AsOfJoin, Bloom, Decontam, Dedup, Funnel, Graph, Incremental, Multimodal, Percentiles, Quantize, RangeJoin, Repetition, Resample, Retrieval, Sampling, Similarity, Skew, SubstringDedup, TextChunker, TextDedup}
 
 /** The oracle-checked query surface: every operator from SURVEY.md §2
   * exposed as a named query over the driver's parquet tables, with
@@ -1010,6 +1010,63 @@ object Queries {
       |  CAST(MIN(299*r + 587*g + 114*b) AS INTEGER) AS lum_min,
       |  CAST(MAX(299*r + 587*g + 114*b) AS INTEGER) AS lum_max
       |FROM rgb GROUP BY id ORDER BY media_id""".stripMargin
+
+  /** Substring-span dedup ([[SubstringDedup.dupSpanReport]]): per-doc
+    * duplicated-token-span report over the raw corpus at w=5 — the
+    * span-granular modality of Lee et al. 2021 (find the duplicated
+    * REGIONS, not just duplicated documents). The oracle rebuilds the
+    * identical pipeline from the raw table: same whitespace tokens,
+    * same positional 5-token windows, same PORTABLE md5-60 window
+    * hashes (q57's cross-engine validated key), same corpus-wide
+    * occurrence>=2 rule, and the same gaps-and-islands interval merge —
+    * so a hash match certifies window generation, the global duplicate
+    * count, the flag join AND the span-merge window algebra. Duplicated
+    * mass comes from the corpus's natural exact-dup docs (full-coverage
+    * spans) plus organically repeated 5-grams; `keep` is an integer
+    * compare (dup*2 < n), division-free and portable.
+    */
+  def q104SubstringDedup(s: SparkSession, dir: String): DataFrame =
+    SubstringDedup.dupSpanReport(t(s, dir, "documents"), "doc_id", "text",
+        w = 5)
+      .orderBy(col("doc_id"))
+
+  val q104Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ta
+      |  FROM documents),
+      |docs AS (SELECT doc_id, CAST(len(ta) AS BIGINT) AS n_tokens FROM base),
+      |wins AS (
+      |  SELECT doc_id, i - 1 AS pos,
+      |    CAST('0x' || substr(md5(array_to_string(ta[i:i+4], ' ')), 1, 15)
+      |      AS BIGINT) AS h
+      |  FROM (SELECT doc_id, ta, unnest(range(1, len(ta) - 3)) AS i
+      |        FROM base WHERE len(ta) >= 5) u),
+      |dup AS (SELECT h FROM wins GROUP BY h HAVING COUNT(*) >= 2),
+      |dr AS (SELECT w.doc_id, w.pos FROM wins w JOIN dup d USING (h)),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN pos > COALESCE(MAX(pos + 5) OVER (PARTITION BY doc_id
+      |        ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |      -1) THEN 1 ELSE 0 END AS ni
+      |  FROM dr),
+      |isl2 AS (
+      |  SELECT doc_id, pos, SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM isl),
+      |spans AS (
+      |  SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + 5 AS e
+      |  FROM isl2 GROUP BY doc_id, island),
+      |ds AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+      |    CAST(SUM(e - s) AS BIGINT) AS dup_tokens,
+      |    CAST(MAX(e - s) AS BIGINT) AS max_span
+      |  FROM spans GROUP BY doc_id)
+      |SELECT d.doc_id, d.n_tokens,
+      |  COALESCE(ds.dup_tokens, 0) AS dup_tokens,
+      |  COALESCE(ds.n_spans, 0) AS n_spans,
+      |  COALESCE(ds.max_span, 0) AS max_span,
+      |  COALESCE(ds.dup_tokens, 0) * 2 < d.n_tokens AS keep
+      |FROM docs d LEFT JOIN ds USING (doc_id) ORDER BY d.doc_id""".stripMargin
 
   /** Companion of q26: a copy of each doc with the last 2 tokens dropped,
     * ids offset by 1,000,000.
@@ -4074,5 +4131,6 @@ object Queries {
     "q100_stream_neardup" -> ((q100StreamNeardup _, Some(q100Sql))),
     "q101_compression_filter" -> ((q101CompressionFilter _, Some(q101Sql))),
     "q102_image_neardup" -> ((q102ImageNearDup _, Some(q102Sql))),
-    "q103_progressive_jpeg" -> ((q103ProgressiveJpeg _, Some(q103Sql))))
+    "q103_progressive_jpeg" -> ((q103ProgressiveJpeg _, Some(q103Sql))),
+    "q104_substring_dedup" -> ((q104SubstringDedup _, Some(q104Sql))))
 }
