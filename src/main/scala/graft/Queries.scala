@@ -1016,12 +1016,14 @@ object Queries {
     * span-granular modality of Lee et al. 2021 (find the duplicated
     * REGIONS, not just duplicated documents). The oracle rebuilds the
     * identical pipeline from the raw table: same whitespace tokens,
-    * same positional 5-token windows, same PORTABLE md5-60 window
-    * hashes (q57's cross-engine validated key), same corpus-wide
-    * occurrence>=2 rule, and the same gaps-and-islands interval merge —
-    * so a hash match certifies window generation, the global duplicate
-    * count, the flag join AND the span-merge window algebra. Duplicated
-    * mass comes from the corpus's natural exact-dup docs (full-coverage
+    * same positional 5-token windows (short docs fall back to one
+    * whole-text window, mirroring the kernel contract), same PORTABLE
+    * md5-60 window hashes (q57's cross-engine validated key), the same
+    * count-over-hash-partition occurrence>=2 flag, and the same
+    * gaps-and-islands interval merge with span ends clipped at the doc
+    * length — so a hash match certifies window generation, the global
+    * duplicate count and the span-merge window algebra. Duplicated mass
+    * comes from the corpus's natural exact-dup docs (full-coverage
     * spans) plus organically repeated 5-grams; `keep` is an integer
     * compare (dup*2 < n), division-free and portable.
     */
@@ -1034,39 +1036,90 @@ object Queries {
     """WITH base AS (
       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ta
       |  FROM documents),
-      |docs AS (SELECT doc_id, CAST(len(ta) AS BIGINT) AS n_tokens FROM base),
       |wins AS (
-      |  SELECT doc_id, i - 1 AS pos,
-      |    CAST('0x' || substr(md5(array_to_string(ta[i:i+4], ' ')), 1, 15)
-      |      AS BIGINT) AS h
-      |  FROM (SELECT doc_id, ta, unnest(range(1, len(ta) - 3)) AS i
-      |        FROM base WHERE len(ta) >= 5) u),
-      |dup AS (SELECT h FROM wins GROUP BY h HAVING COUNT(*) >= 2),
-      |dr AS (SELECT w.doc_id, w.pos FROM wins w JOIN dup d USING (h)),
+      |  SELECT doc_id, CAST(len(ta) AS BIGINT) AS n_tokens, i - 1 AS pos,
+      |    CAST('0x' || substr(md5(CASE WHEN len(ta) < 5
+      |      THEN array_to_string(ta, ' ')
+      |      ELSE array_to_string(ta[i:i+4], ' ') END), 1, 15) AS BIGINT) AS h
+      |  FROM (SELECT doc_id, ta,
+      |          unnest(range(1, GREATEST(len(ta) - 3, 2))) AS i
+      |        FROM base) u),
+      |cw AS (
+      |  SELECT doc_id, n_tokens, pos,
+      |    COUNT(*) OVER (PARTITION BY h) >= 2 AS flag
+      |  FROM wins),
       |isl AS (
-      |  SELECT doc_id, pos,
-      |    CASE WHEN pos > COALESCE(MAX(pos + 5) OVER (PARTITION BY doc_id
+      |  SELECT doc_id, n_tokens, pos, flag,
+      |    CASE WHEN flag AND pos > COALESCE(
+      |      MAX(CASE WHEN flag THEN pos + 5 END) OVER (PARTITION BY doc_id
       |        ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
       |      -1) THEN 1 ELSE 0 END AS ni
-      |  FROM dr),
+      |  FROM cw),
       |isl2 AS (
-      |  SELECT doc_id, pos, SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  SELECT doc_id, n_tokens, pos, flag,
+      |    SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
       |  FROM isl),
       |spans AS (
-      |  SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + 5 AS e
-      |  FROM isl2 GROUP BY doc_id, island),
-      |ds AS (
-      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
-      |    CAST(SUM(e - s) AS BIGINT) AS dup_tokens,
-      |    CAST(MAX(e - s) AS BIGINT) AS max_span
-      |  FROM spans GROUP BY doc_id)
-      |SELECT d.doc_id, d.n_tokens,
-      |  COALESCE(ds.dup_tokens, 0) AS dup_tokens,
-      |  COALESCE(ds.n_spans, 0) AS n_spans,
-      |  COALESCE(ds.max_span, 0) AS max_span,
-      |  COALESCE(ds.dup_tokens, 0) * 2 < d.n_tokens AS keep
-      |FROM docs d LEFT JOIN ds USING (doc_id) ORDER BY d.doc_id""".stripMargin
+      |  SELECT doc_id, island, MAX(n_tokens) AS nt,
+      |    MIN(CASE WHEN flag THEN pos END) AS s,
+      |    LEAST(MAX(CASE WHEN flag THEN pos END) + 5, MAX(n_tokens)) AS e
+      |  FROM isl2 GROUP BY doc_id, island)
+      |SELECT doc_id, CAST(MAX(nt) AS BIGINT) AS n_tokens,
+      |  CAST(COALESCE(SUM(CASE WHEN s IS NOT NULL THEN e - s END), 0)
+      |    AS BIGINT) AS dup_tokens,
+      |  CAST(COUNT(CASE WHEN s IS NOT NULL THEN 1 END) AS BIGINT) AS n_spans,
+      |  CAST(COALESCE(MAX(CASE WHEN s IS NOT NULL THEN e - s END), 0)
+      |    AS BIGINT) AS max_span,
+      |  CAST(COALESCE(SUM(CASE WHEN s IS NOT NULL THEN e - s END), 0) * 2
+      |    < MAX(nt) AS BOOLEAN) AS keep
+      |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Fixed-point PageRank ([[Graph.pageRank]]) over the undirected
+    * customer↔supplier purchase graph (an edge per distinct
+    * customer/supplier pair that shares an order line; supplier ids
+    * offset so the domains stay disjoint). 5 rounds, damping 85/100.
+    * Oracle parity is the q58 pattern: every step is either exact
+    * int64 arithmetic (the contribution sums — order-independent) or a
+    * correctly-rounded IEEE double op replayed identically by DuckDB
+    * (`FLOOR(r/deg)`, `FLOOR(85*m/100)`, `FLOOR(1e12/n)`; operands all
+    * < 2^53), so all five unrolled oracle iterations reproduce every
+    * rank bit-for-bit — one diverging floor anywhere shifts a rank and
+    * breaks the hash.
+    */
+  def q105PageRank(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "orders")
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (col("l_suppkey") + 10000000L).as("dst"))
+    Graph.pageRank(edges, "src", "dst", iterations = 5, dampingPct = 85)
+      .orderBy(col("node"))
+  }
+
+  val q105Sql: String = {
+    def iter(k: Int): String =
+      s"""r$k AS (
+         |  SELECT deg.u AS id,
+         |    CAST(FLOOR(15 * FLOOR(1000000000000 / nn.n) / 100) AS BIGINT)
+         |      + CAST(FLOOR(85 * COALESCE(c.m, 0) / 100) AS BIGINT) AS r
+         |  FROM deg CROSS JOIN nn
+         |  LEFT JOIN (
+         |    SELECT s.v AS id, SUM(CAST(FLOOR(r.r / d2.d) AS BIGINT)) AS m
+         |    FROM sym s JOIN r${k - 1} r ON r.id = s.u JOIN deg d2 ON d2.u = s.u
+         |    GROUP BY s.v) c ON c.id = deg.u)""".stripMargin
+    s"""WITH e0 AS (
+       |  SELECT o_custkey AS u, l_suppkey + 10000000 AS v
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |  WHERE o_custkey <> l_suppkey + 10000000),
+       |sym AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+       |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u),
+       |nn AS (SELECT COUNT(*) AS n FROM deg),
+       |r0 AS (
+       |  SELECT u AS id, CAST(FLOOR(1000000000000 / nn.n) AS BIGINT) AS r
+       |  FROM deg CROSS JOIN nn),
+       |${(1 to 5).map(iter).mkString(",\n")}
+       |SELECT id AS node, r AS rank_fp FROM r5 ORDER BY node""".stripMargin
+  }
 
   /** Companion of q26: a copy of each doc with the last 2 tokens dropped,
     * ids offset by 1,000,000.
@@ -4132,5 +4185,6 @@ object Queries {
     "q101_compression_filter" -> ((q101CompressionFilter _, Some(q101Sql))),
     "q102_image_neardup" -> ((q102ImageNearDup _, Some(q102Sql))),
     "q103_progressive_jpeg" -> ((q103ProgressiveJpeg _, Some(q103Sql))),
-    "q104_substring_dedup" -> ((q104SubstringDedup _, Some(q104Sql))))
+    "q104_substring_dedup" -> ((q104SubstringDedup _, Some(q104Sql))),
+    "q105_pagerank" -> ((q105PageRank _, Some(q105Sql))))
 }

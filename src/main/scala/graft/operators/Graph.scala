@@ -116,4 +116,67 @@ object Graph {
       .union(e.select(col("u").as("node"), col("u").as("component"))
         .distinct())
   }
+
+  /** Fixed-iteration PageRank over the UNDIRECTED (symmetrized) graph
+    * given as an edge list — the standard importance measure over the
+    * entity/link graphs a data pipeline accumulates (citation, co-click,
+    * similarity). Iterative relational shape, the link-analysis
+    * companion to [[connectedComponents]]: per round ONE equi-join of
+    * the degree-annotated edge list against the rank vector and one
+    * groupBy(dst) sum — no driver-side graph state; the edge list is
+    * `localCheckpoint`ed once (it is consumed every round) and the rank
+    * vector's lineage is truncated per round exactly as in CC.
+    *
+    * Determinism contract (the q58 pattern): rank mass is integer
+    * micro-units (SCALE = 1e12 split evenly at start), and every
+    * per-round step is either exact 64-bit integer arithmetic (sums) or
+    * a correctly-rounded IEEE double op (`FLOOR(r/deg)`,
+    * `FLOOR(d*m/100)`, operands all < 2^53) — so any engine replaying
+    * the same ops reproduces every rank bit-for-bit, with no
+    * order-dependent float accumulation. Symmetrization means no
+    * dangling nodes (every node has degree >= 1), so no redistribution
+    * term is needed; total mass decays slightly through the floors,
+    * which is fine for a RANKING signal and keeps every step exact.
+    *
+    * Returns one row per node that appears in an edge:
+    * `(node, rank_fp)` with `rank_fp` the micro-unit rank after
+    * `iterations` rounds of damping `dampingPct`/100.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 5, dampingPct: Int = 85): DataFrame = {
+    val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .where(col("u") =!= col("v"))
+    val sym = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    // Degree-annotated edges and the node set, each materialized once:
+    // both are consumed every round.
+    val ewd = sym.join(deg, Seq("u")).localCheckpoint()
+    val nodes = deg.select(col("u").as("id")).localCheckpoint()
+    // Node count: a single-row aggregate (bounded driver scalar, same
+    // class as the IVF centroid collects). The seed and teleport terms
+    // replay the oracle's double-division-then-floor exactly.
+    val n = nodes.count()
+    require(n > 0, "pageRank needs at least one edge")
+    val scale = 1000000000000L
+    val base = math.floor(scale.toDouble / n).toLong
+    val teleport =
+      math.floor((100 - dampingPct).toDouble * base / 100).toLong
+    var r = nodes.select(col("id"), lit(base).as("r"))
+    for (_ <- 0 until iterations) {
+      val contrib = ewd
+        .join(r, col("u") === col("id"))
+        .select(col("v"),
+          floor(col("r").cast("double") / col("d")).cast("long").as("__c"))
+        .groupBy(col("v")).agg(sum(col("__c")).as("__m"))
+      r = nodes
+        .join(contrib, col("id") === col("v"), "left")
+        .select(col("id"),
+          (lit(teleport) +
+            floor(lit(dampingPct).cast("double")
+              * coalesce(col("__m"), lit(0L)) / 100).cast("long")).as("r"))
+        .localCheckpoint()
+    }
+    r.select(col("id").as("node"), col("r").as("rank_fp"))
+  }
 }

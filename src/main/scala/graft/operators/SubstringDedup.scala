@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -17,135 +17,108 @@ import graft.functions.TextFunctions
   * quoted passages out of otherwise-unique pages.
   *
   * Algorithm (suffix-array-free, shuffle-friendly): slide a `w`-token
-  * window over every document (one generator pass), hash each window to
-  * the portable 60-bit md5 key, count occurrences corpus-wide, keep
-  * windows seen >= 2 times, then merge each document's overlapping
-  * duplicated windows into maximal spans (gaps-and-islands over window
-  * start positions). A span's tokens are covered by at least one
-  * duplicated window, exactly Lee et al.'s "duplicated substring of at
-  * least w tokens" up to window resolution.
+  * window over every document (one generator pass; documents shorter
+  * than `w` contribute their whole text as a single window, so two
+  * identical short docs still flag each other and every document is
+  * present in the output), hash each window to the portable 60-bit md5
+  * key, count occurrences corpus-wide, flag windows seen >= 2 times,
+  * then merge each document's overlapping flagged windows into maximal
+  * spans (gaps-and-islands over window start positions). A span's
+  * tokens are covered by at least one duplicated window — exactly Lee
+  * et al.'s "duplicated substring of at least w tokens" up to window
+  * resolution.
   *
-  * Scale shape: ONE pass over the corpus text (tokenize → windows →
-  * hash, all codegen'd); one hash-key aggregate with map-side partials;
-  * the flag join is an equi-join on the same 60-bit key so the
-  * aggregate's exchange is reused; span merge runs per-document windows
-  * over only the DUPLICATED rows (a small fraction of windows on real
-  * corpora); the per-doc base rides a narrow (doc_id, n_tokens)
-  * aggregate instead of a second tokenize pass. Nothing is quadratic:
-  * an m-occurrence window contributes m rows, not m² pairs.
+  * Scale shape — a strictly LINEAR pipeline, zero joins: tokenize →
+  * windows → hash (all codegen'd, one corpus pass by construction),
+  * ONE wide exchange on the fixed-width window hash (the window text
+  * dies before the shuffle) for the occurrence count, one narrow
+  * exchange on doc_id for the span merge, then two stacked hash
+  * aggregates. The count rides an unordered window over the hash
+  * partition instead of a groupBy+self-join — Catalyst's column pruning
+  * and join-inferred not-null filters diverged the three join-shaped
+  * consumers into three corpus scans (the r7 q26 trap, re-measured
+  * here), while the window formulation cannot rescan anything. The
+  * trade, stated: WindowExec buffers one hash-group at a time
+  * (spillable, fixed-width rows), so a pathologically hot window —
+  * boilerplate repeated 10⁹ times — buffers linearly; it never goes
+  * quadratic (m occurrences → m rows, never m² pairs).
   */
 object SubstringDedup {
 
   /** Per-document duplicated-span report over `df(idCol, textCol)`:
     * `doc_id, n_tokens, dup_tokens, n_spans, max_span, keep` (keep =
-    * duplicated mass under half the document). Documents shorter than
-    * `w` tokens have zero windows and report zeros.
+    * duplicated mass under half the document).
     */
   def dupSpanReport(df: DataFrame, idCol: String, textCol: String,
       w: Int = 5): DataFrame = {
-    val toks = df.select(col(idCol).as("doc_id"),
-      TextFunctions.tokens(col(textCol)).as("__t"))
-    val nt = size(col("__t"))
-    // Positional w-windows via the NATIVE shingle kernel (one codegen'd
-    // pass; a transform/slice HOF here would run interpreted — the
-    // engine-wide no-lambda plan invariant). posexplode's position IS
-    // the window's start token index because ShingleArray emits windows
-    // in order. The `when` guard keeps sub-w docs windowless (the
-    // kernel's whole-text fallback would otherwise alias them with
-    // doc-level exact dedup), and posexplode_outer keeps them as a null
-    // row (so the per-doc base below sees every document) while, as in
-    // Decontam.gramHashes, dodging InferFiltersFromGenerate pushing a
-    // size()-predicate into the scan where it would re-run the
-    // tokenizer kernel per row.
-    val wins = toks
-      .select(col("doc_id"), nt.as("n_tokens"),
-        posexplode_outer(when(nt >= w,
-          TextFunctions.shinglesFromTokens(col("__t"), w))))
-      .toDF("doc_id", "n_tokens", "__pos", "__win")
-    val hashed = wins.withColumn("__h", TextDedup.md5Hash60(col("__win")))
-
-    // Corpus-wide occurrence count; >= 2 ⇒ the window text is duplicated
-    // (across documents OR repeated inside one). Both sides of the flag
-    // join are hash-partitioned on __h, so the planner reuses the
-    // aggregate's exchange rather than reshuffling the corpus.
-    val dupKeys = hashed.where(col("__h").isNotNull)
-      .groupBy(col("__h")).count().where(col("count") >= 2)
-      .select(col("__h"))
-    val dupRows = hashed.join(dupKeys, Seq("__h"), "left_semi")
-      .select(col("doc_id"), col("__pos"))
-
-    // Merge overlapping/adjacent windows into maximal spans: a new span
-    // starts where the window's start clears every previous window's
-    // end (rows are per-document and ordered by position, so "previous
-    // max end" is a running max; two windows overlap or touch iff
-    // pos <= prevEnd).
+    val flagged = flaggedWindows(df, idCol, textCol, w)
+    val flag = col("__c") >= 2
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("__pos"))
-    val prevEnd = max(col("__pos") + w)
+    // Merge overlapping/adjacent flagged windows into maximal spans: a
+    // new span starts where a flagged window's start clears every
+    // previous flagged window's end (running max over the preceding
+    // frame). Unflagged rows ride along with island = the latest
+    // island id (or 0 before any span) and are excluded from the span
+    // extents by the flag-conditional min/max.
+    val prevEnd = max(when(flag, col("__pos") + w))
       .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
-    val islands = dupRows
+    val islands = flagged
       .withColumn("__ni",
-        when(prevEnd.isNull || col("__pos") > prevEnd, 1).otherwise(0))
+        when(flag && (prevEnd.isNull || col("__pos") > prevEnd), 1)
+          .otherwise(0))
       .withColumn("__island", sum(col("__ni"))
         .over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // Two stacked aggregates on the doc partitioning (no further
+    // exchange): spans, then the per-doc report. Span ends clip at
+    // n_tokens so a short doc's whole-text window never claims w
+    // tokens.
     val spans = islands.groupBy(col("doc_id"), col("__island"))
-      .agg(min(col("__pos")).as("__s"), (max(col("__pos")) + w).as("__e"))
-    val perDoc = spans.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_spans"),
-        sum(col("__e") - col("__s")).as("dup_tokens"),
-        max(col("__e") - col("__s")).cast("long").as("max_span"))
-
-    // Per-doc base WITHOUT a second corpus pass: (doc_id, n_tokens) is
-    // constant per doc, so the aggregate is narrow after partial combine.
-    val base = hashed.groupBy(col("doc_id"))
-      .agg(max(col("n_tokens")).cast("long").as("n_tokens"))
-    base.join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"),
-        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
-        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-        coalesce(col("max_span"), lit(0L)).as("max_span"),
-        (coalesce(col("dup_tokens"), lit(0L)) * 2 < col("n_tokens"))
-          .as("keep"))
+      .agg(max(col("n_tokens")).as("__nt"),
+        min(when(flag, col("__pos"))).as("__s"),
+        max(when(flag, col("__pos"))).as("__e0"))
+      .withColumn("__e", least(col("__e0") + w, col("__nt")))
+    spans.groupBy(col("doc_id"))
+      .agg(max(col("__nt")).cast("long").as("n_tokens"),
+        coalesce(sum(when(col("__s").isNotNull, col("__e") - col("__s"))),
+          lit(0L)).cast("long").as("dup_tokens"),
+        count(when(col("__s").isNotNull, lit(1))).as("n_spans"),
+        coalesce(max(when(col("__s").isNotNull, col("__e") - col("__s"))),
+          lit(0L)).cast("long").as("max_span"))
+      .withColumn("keep", col("dup_tokens") * 2 < col("n_tokens"))
   }
 
-  /** The cleaning counterpart: rebuild each kept document's text with
-    * its duplicated spans REMOVED (Lee et al. cut the spans rather than
+  /** The cleaning counterpart: rebuild each document's text with its
+    * duplicated spans REMOVED (Lee et al. cut the spans rather than
     * drop the document). Returns `doc_id, clean_text, removed_tokens`.
-    * Same scale shape as [[dupSpanReport]] plus one per-doc span
-    * collect (spans per doc are few by construction — merged maximal
-    * intervals) and a final projection that filters the token array
-    * against the span list, all in codegen-able Column algebra.
+    * Two corpus passes — the span pipeline above plus the
+    * reconstruction join, which genuinely needs the token arrays back;
+    * the per-doc span list is small by construction (merged maximal
+    * intervals).
     */
   def removeDupSpans(df: DataFrame, idCol: String, textCol: String,
       w: Int = 5): DataFrame = {
-    // Spans are re-derived rather than threaded through from
-    // [[dupSpanReport]] (cheap relative to text) — callers wanting both
-    // outputs should cache; keeping the operators independent keeps
-    // each plan simple.
-    val toks = df.select(col(idCol).as("doc_id"),
-      TextFunctions.tokens(col(textCol)).as("__t"))
-    val nt = size(col("__t"))
-    val wins = toks
-      .select(col("doc_id"), posexplode_outer(when(nt >= w,
-        TextFunctions.shinglesFromTokens(col("__t"), w))))
-      .toDF("doc_id", "__pos", "__win")
-    val hashed = wins.withColumn("__h", TextDedup.md5Hash60(col("__win")))
-    val dupKeys = hashed.where(col("__h").isNotNull)
-      .groupBy(col("__h")).count().where(col("count") >= 2)
-      .select(col("__h"))
+    val flagged = flaggedWindows(df, idCol, textCol, w)
+    val flag = col("__c") >= 2
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("__pos"))
-    val prevEnd = max(col("__pos") + w)
+    val prevEnd = max(when(flag, col("__pos") + w))
       .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
-    val spans = hashed.join(dupKeys, Seq("__h"), "left_semi")
-      .select(col("doc_id"), col("__pos"))
+    val spanList = flagged
       .withColumn("__ni",
-        when(prevEnd.isNull || col("__pos") > prevEnd, 1).otherwise(0))
+        when(flag && (prevEnd.isNull || col("__pos") > prevEnd), 1)
+          .otherwise(0))
       .withColumn("__island", sum(col("__ni"))
         .over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("doc_id"), col("__island"))
-      .agg(min(col("__pos")).as("__s"), (max(col("__pos")) + w).as("__e"))
+      .agg(max(col("n_tokens")).as("__nt"),
+        min(when(flag, col("__pos"))).as("__s"),
+        max(when(flag, col("__pos"))).as("__e0"))
+      .where(col("__s").isNotNull)
+      .withColumn("__e", least(col("__e0") + w, col("__nt")))
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("__s"), col("__e"))).as("__spans"))
-    toks.join(spans, Seq("doc_id"), "left")
+    val toks = df.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("__t"))
+    toks.join(spanList, Seq("doc_id"), "left")
       .select(col("doc_id"),
         array_join(
           filter(col("__t"), (tok, i) => !exists(
@@ -156,5 +129,31 @@ object SubstringDedup {
         coalesce(aggregate(col("__spans"),
           lit(0), (acc, sp) => acc + (sp("__e") - sp("__s"))), lit(0))
           .cast("long").as("removed_tokens"))
+  }
+
+  /** Shared head of both operators: positional windows with their
+    * corpus-wide occurrence count (`doc_id, n_tokens, __pos, __c`).
+    * The count is an unordered window over the hash partition — see
+    * the object doc for why this beats groupBy+join here.
+    */
+  private def flaggedWindows(df: DataFrame, idCol: String, textCol: String,
+      w: Int): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("__t"))
+    // posexplode position IS the window's start token index (the
+    // kernel emits windows in order); _outer keeps the Generate from
+    // inferring a size()-filter that pushdown would land in the scan,
+    // re-running the tokenizer per row (engine-wide plan invariant).
+    val wins = toks
+      .select(col("doc_id"), size(col("__t")).as("n_tokens"),
+        posexplode_outer(TextFunctions.shinglesFromTokens(col("__t"), w)))
+      .toDF("doc_id", "n_tokens", "__pos", "__win")
+    // The window TEXT dies here: the wide shuffle moves four
+    // fixed-width columns, no strings.
+    wins
+      .select(col("doc_id"), col("n_tokens"), col("__pos"),
+        TextDedup.md5Hash60(col("__win")).as("__h"))
+      .withColumn("__c",
+        count(lit(1)).over(Window.partitionBy(col("__h"))))
   }
 }

@@ -120,6 +120,32 @@ class PlanAuditSpec extends SparkSpec {
       "q26 must carry only codegen HashAggregates")
   }
 
+  test("q104 substring dedup: ONE corpus pass, linear join-free pipeline") {
+    val df = SparkEntry.queries("q104_substring_dedup")(spark, dir)
+    df.collect()
+    // count over the FINAL adaptive plan only — the toString repeats the
+    // whole tree under "== Initial Plan ==", doubling every occurrence
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the pipeline is join-free BY CONSTRUCTION (count-over-hash window
+    // instead of groupBy+flag-join): the join formulation measured THREE
+    // corpus scans here — column pruning and join-inferred not-null
+    // filters diverge the consumers' subtrees past ReuseExchange (the
+    // r7 q26 trap). Linear means the corpus text provably streams once.
+    assert(!p.contains("Join"), s"q104 must stay join-free:\n${p.take(1500)}")
+    assert("token_array\\(".r.findAllIn(p).size == 1,
+      "tokenizer must appear in exactly one scan subtree")
+    assert("shingle_array\\(".r.findAllIn(p).size == 1,
+      "shingle kernel must appear in exactly one scan subtree")
+    // span merge must window per document, never a global sort; the
+    // occurrence count windows on the hash
+    val windowLines = p.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowLines.nonEmpty &&
+      windowLines.forall(l => l.contains("doc_id") || l.contains("__h")),
+      s"unexpected window partitioning:\n${windowLines.mkString("\n")}")
+  }
+
   test("q53 IVF probe is a broadcast equi-join on cells, no cross product") {
     val p = plan("q53_ivf_ann")
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),

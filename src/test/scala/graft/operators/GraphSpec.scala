@@ -99,4 +99,39 @@ class GraphSpec extends SparkSpec {
     assert(run(edges, maxIter = 3) ===
       Map(0L -> 0L, 7L -> 0L, 8L -> 0L, 9L -> 0L))
   }
+
+  private def ranks(edges: Seq[(Long, Long)], iters: Int = 5): Map[Long, Long] =
+    Graph.pageRank(edges.toDF("s", "d"), "s", "d", iterations = iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("pageRank: the hub of a star outranks every leaf") {
+    val r = ranks(Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L)))
+    assert(Seq(10L, 11L, 12L, 13L).forall(l => r(1L) > r(l)))
+    // leaves are symmetric → identical fixed-point ranks, exactly
+    assert(Seq(11L, 12L, 13L).forall(l => r(l) === r(10L)))
+  }
+
+  test("pageRank: mass stays bounded by the seed scale and is deterministic") {
+    val rnd = new Random(7)
+    val edges = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(e => e._1 != e._2)
+    val r1 = ranks(edges)
+    val r2 = ranks(edges)
+    assert(r1 === r2, "fixed-point ranks must be run-to-run identical")
+    assert(r1.values.sum <= 1000000000000L)
+    assert(r1.values.forall(_ > 0))
+  }
+
+  test("pageRank: a cycle is perfectly symmetric") {
+    val cycle = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))
+    val r = ranks(cycle)
+    assert(r.values.toSet.size === 1, s"cycle ranks diverged: $r")
+  }
+
+  test("pageRank: more in-links means more rank on a directed chain source") {
+    // node 5 referenced by 3 others; node 6 by 1 — after symmetrization
+    // degree still favors 5
+    val r = ranks(Seq((1L, 5L), (2L, 5L), (3L, 5L), (4L, 6L)))
+    assert(r(5L) > r(6L))
+  }
 }

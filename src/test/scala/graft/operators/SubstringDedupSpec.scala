@@ -69,6 +69,19 @@ class SubstringDedupSpec extends SparkSpec {
     assert(cleaned(5L) === (("tiny doc", 0L)))
   }
 
+  test("identical short docs flag each other via the whole-text window") {
+    val shorts = Seq(
+      (1L, "same tiny doc"), (2L, "same tiny doc"), (3L, "other tiny doc")
+    ).toDF("doc_id", "text")
+    val r = SubstringDedup.dupSpanReport(shorts, "doc_id", "text", w = 5)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2),
+        x.getBoolean(5)))).toMap
+    // the fallback window covers [0, min(w, n)) = the whole 3-token doc
+    assert(r(1L) === ((3L, 3L, false)))
+    assert(r(2L) === ((3L, 3L, false)))
+    assert(r(3L) === ((3L, 0L, true)))
+  }
+
   test("no quadratic blowup: an m-fold repeated window stays linear") {
     // 200 docs all containing the same 5-token phrase: the flag join
     // emits one row per OCCURRENCE (200), never per pair (19,900).
