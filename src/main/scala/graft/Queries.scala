@@ -1121,6 +1121,45 @@ object Queries {
        |SELECT id AS node, r AS rank_fp FROM r5 ORDER BY node""".stripMargin
   }
 
+  /** Deterministic shuffle-shard export manifest
+    * ([[graft.operators.Layout.shuffleShard]]): the corpus in 8 shards
+    * under a reproducible pseudo-random order. The oracle recomputes
+    * shard and order from the same salted portable md5-60 hashes and a
+    * plain `row_number() OVER (PARTITION BY shard)` — the engine's
+    * chunked distributed rank must land the IDENTICAL permutation
+    * (pinned by the Σ id·seq checksum, which any single transposition
+    * shifts), proving the scale-safe rank equals the naive global one.
+    */
+  def q106ShuffleShard(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Layout
+      .shuffleShard(t(s, dir, "documents").select(col("doc_id"),
+        col("n_chars")), "doc_id", nShards = 8)
+      .groupBy(col("__shard").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("doc_id") * col("__seq")).as("perm_checksum"),
+        max(when(col("__seq") === 1, col("doc_id"))).as("first_doc"))
+      .orderBy(col("shard"))
+
+  val q106Sql: String =
+    """WITH h AS (
+      |  SELECT doc_id, n_chars,
+      |    CAST('0x' || substr(md5('shard-v1:' || CAST(doc_id AS VARCHAR)),
+      |      1, 15) AS BIGINT) % 8 AS shard,
+      |    CAST('0x' || substr(md5('ord-v1:' || CAST(doc_id AS VARCHAR)),
+      |      1, 15) AS BIGINT) AS ord
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, n_chars, shard,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, doc_id)
+      |      AS BIGINT) AS seq
+      |  FROM h)
+      |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(SUM(doc_id * seq) AS BIGINT) AS perm_checksum,
+      |  MAX(CASE WHEN seq = 1 THEN doc_id END) AS first_doc
+      |FROM r GROUP BY shard ORDER BY shard""".stripMargin
+
   /** Companion of q26: a copy of each doc with the last 2 tokens dropped,
     * ids offset by 1,000,000.
     */
@@ -4186,5 +4225,6 @@ object Queries {
     "q102_image_neardup" -> ((q102ImageNearDup _, Some(q102Sql))),
     "q103_progressive_jpeg" -> ((q103ProgressiveJpeg _, Some(q103Sql))),
     "q104_substring_dedup" -> ((q104SubstringDedup _, Some(q104Sql))),
-    "q105_pagerank" -> ((q105PageRank _, Some(q105Sql))))
+    "q105_pagerank" -> ((q105PageRank _, Some(q105Sql))),
+    "q106_shuffle_shard" -> ((q106ShuffleShard _, Some(q106Sql))))
 }

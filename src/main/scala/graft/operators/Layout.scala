@@ -84,4 +84,56 @@ object Layout {
         max(col(bCol)).as("b_max"))
       .orderBy(col("bucket"))
   }
+
+  /** Deterministic pseudo-random shuffle + shard assignment — the
+    * training-export step that turns a curated corpus into N shard
+    * files in a reproducible random order (every framework's loader
+    * assumes pre-shuffled shards; re-running the export must byte-match
+    * yesterday's). Two independent salted portable hashes: one picks
+    * the shard, one orders rows WITHIN the shard, so the permutation is
+    * a pure function of (id, salt) — independent of partitioning, input
+    * order, or cluster size.
+    *
+    * The within-shard sequence number deliberately avoids
+    * `row_number() OVER (PARTITION BY shard)` — nShards partitions each
+    * funnel 1/nShards of the corpus through a single-task sort (the q70
+    * scale trap). Instead the q70 chunked-rank shape: range-partition
+    * on (shard, ord), local row_number per chunk, then add broadcast
+    * per-chunk offsets — every task sorts only its chunk, and the
+    * result is provably identical for ANY chunk boundaries.
+    *
+    * Returns the input plus `__shard` (0..nShards-1) and `__seq`
+    * (1-based position within the shard's shuffled order).
+    */
+  def shuffleShard(df: DataFrame, idCol: String, nShards: Int,
+      salt: String = "v1"): DataFrame = {
+    require(nShards >= 1, s"need at least one shard, got $nShards")
+    val id = col(idCol)
+    val hashed = df
+      .withColumn("__shard",
+        pmod(TextDedup.md5Hash60(
+          concat(lit(s"shard-$salt:"), id.cast("string"))), lit(nShards)))
+      .withColumn("__ord",
+        TextDedup.md5Hash60(concat(lit(s"ord-$salt:"), id.cast("string"))))
+    val nChunks = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val chunked = hashed
+      .repartitionByRange(nChunks, col("__shard"), col("__ord"), id)
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid"), col("__shard"))
+      .orderBy(col("__ord"), id)
+    val ranked = chunked
+      .withColumn("__lr", row_number().over(wLocal).cast("long"))
+    val counts = ranked.groupBy(col("__pid"), col("__shard"))
+      .agg(max(col("__lr")).as("__c"))
+    val wOff = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__shard")).orderBy(col("__pid"))
+    val offs = counts
+      .withColumn("__off", sum(col("__c")).over(wOff) - col("__c"))
+      .select(col("__pid"), col("__shard"), col("__off"))
+    ranked.join(broadcast(offs), Seq("__pid", "__shard"))
+      .withColumn("__seq", col("__off") + col("__lr"))
+      .drop("__pid", "__lr", "__ord", "__off")
+  }
 }

@@ -79,4 +79,39 @@ class LayoutSpec extends SparkSpec {
       Layout.zClusterStats(df, "a", "b", bits = 8, logBuckets = 17)
     }
   }
+
+  test("shuffleShard equals the naive global-window permutation") {
+    val docs = (1L to 500L).toDF("id")
+    val got = Layout.shuffleShard(docs, "id", nShards = 4)
+      .select("id", "__shard", "__seq").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // reference: single-partition row_number over the same hashes
+    val h = docs
+      .withColumn("__shard", pmod(graft.operators.TextDedup.md5Hash60(
+        concat(lit("shard-v1:"), col("id").cast("string"))), lit(4)))
+      .withColumn("__ord", graft.operators.TextDedup.md5Hash60(
+        concat(lit("ord-v1:"), col("id").cast("string"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__shard")).orderBy(col("__ord"), col("id"))
+    val want = h.withColumn("__seq", row_number().over(w).cast("long"))
+      .select("id", "__shard", "__seq").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want)
+  }
+
+  test("shuffleShard is partitioning-invariant and covers 1..n per shard") {
+    val docs = (1L to 300L).toDF("id")
+    val a = Layout.shuffleShard(docs.repartition(7), "id", 3)
+      .select("id", "__seq").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Layout.shuffleShard(docs.coalesce(1), "id", 3)
+      .select("id", "__seq").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b, "permutation must not depend on input partitioning")
+    val perShard = Layout.shuffleShard(docs, "id", 3)
+      .groupBy("__shard").agg(count(lit(1)).as("n"), max("__seq").as("mx"),
+        min("__seq").as("mn")).collect()
+    perShard.foreach { r =>
+      assert(r.getLong(3) === 1L && r.getLong(2) === r.getLong(1),
+        "__seq must be a dense 1..n within each shard")
+    }
+  }
 }
