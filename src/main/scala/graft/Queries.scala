@@ -1160,6 +1160,61 @@ object Queries {
       |  MAX(CASE WHEN seq = 1 THEN doc_id END) AS first_doc
       |FROM r GROUP BY shard ORDER BY shard""".stripMargin
 
+  /** Distributed BPE tokenizer training
+    * ([[graft.operators.BpeTrainer.trainMerges]]): learn 6 merges from
+    * the corpus word histogram. The oracle replays the ENTIRE training
+    * loop in SQL — word histogram, char-spaced symbol strings, per-round
+    * overlapping pair counts weighted by word frequency, the
+    * (freq DESC, pair ASC) argmax, and the triple-REPLACE merge
+    * application — all exact integer counting and exact string surgery,
+    * so the learned merge table must match row-for-row: one diverging
+    * count, tie-break or replace pass anywhere changes a winning pair
+    * and breaks the hash.
+    */
+  def q107BpeTrain(s: SparkSession, dir: String): DataFrame =
+    graft.operators.BpeTrainer
+      .trainMerges(t(s, dir, "documents"), "text", merges = 6, passes = 3)
+      .orderBy(col("rank"))
+
+  val q107Sql: String = {
+    def iter(k: Int): String =
+      s"""pc$k AS (
+         |  SELECT sy[i] || ' ' || sy[i+1] AS pair, freq
+         |  FROM (SELECT string_split(trim(ws), ' ') AS sy, freq FROM r${k - 1}) t,
+         |       (SELECT unnest(range(1, 64)) AS i)
+         |  WHERE i < len(sy)),
+         |pg$k AS (
+         |  SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt
+         |  FROM pc$k GROUP BY pair),
+         |m$k AS (SELECT pair, cnt FROM pg$k ORDER BY cnt DESC, pair LIMIT 1),
+         |r$k AS (
+         |  SELECT REPLACE(REPLACE(REPLACE(ws, x.pp, x.mm), x.pp, x.mm),
+         |      x.pp, x.mm) AS ws, freq
+         |  FROM r${k - 1} CROSS JOIN (
+         |    SELECT ' ' || pair || ' ' AS pp,
+         |      ' ' || REPLACE(pair, ' ', '') || ' ' AS mm FROM m$k) x)""".stripMargin
+    s"""WITH w0 AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(list_filter(string_split(text, ' '),
+       |          x -> x <> '')) AS w
+       |        FROM documents) u
+       |  GROUP BY w),
+       |r0 AS (
+       |  SELECT ' ' || array_to_string(regexp_extract_all(w, '.'), ' ')
+       |    || ' ' AS ws, freq
+       |  FROM w0),
+       |${(1 to 6).map(iter).mkString(",\n")}
+       |SELECT rank, pair, REPLACE(pair, ' ', '') AS merged, cnt AS pair_freq
+       |FROM (
+       |  SELECT CAST(1 AS BIGINT) AS rank, pair, cnt FROM m1
+       |  UNION ALL SELECT 2, pair, cnt FROM m2
+       |  UNION ALL SELECT 3, pair, cnt FROM m3
+       |  UNION ALL SELECT 4, pair, cnt FROM m4
+       |  UNION ALL SELECT 5, pair, cnt FROM m5
+       |  UNION ALL SELECT 6, pair, cnt FROM m6)
+       |ORDER BY rank""".stripMargin
+  }
+
   /** Companion of q26: a copy of each doc with the last 2 tokens dropped,
     * ids offset by 1,000,000.
     */
@@ -4226,5 +4281,6 @@ object Queries {
     "q103_progressive_jpeg" -> ((q103ProgressiveJpeg _, Some(q103Sql))),
     "q104_substring_dedup" -> ((q104SubstringDedup _, Some(q104Sql))),
     "q105_pagerank" -> ((q105PageRank _, Some(q105Sql))),
-    "q106_shuffle_shard" -> ((q106ShuffleShard _, Some(q106Sql))))
+    "q106_shuffle_shard" -> ((q106ShuffleShard _, Some(q106Sql))),
+    "q107_bpe_train" -> ((q107BpeTrain _, Some(q107Sql))))
 }

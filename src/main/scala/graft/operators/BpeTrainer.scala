@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Distributed BPE tokenizer training (Sennrich et al. 2016, the GPT-2
+  * family's vocabulary construction): learn the top-K byte-pair merges
+  * from a corpus. Training a tokenizer IS a large-scale data-pipeline
+  * job — the vocabulary must be fit on the same 100 TB corpus the model
+  * trains on — and it decomposes Spark-natively:
+  *
+  *   1. ONE corpus pass builds the word histogram (classic BPE trains
+  *      on `(word, freq)`, never the raw text again — the histogram is
+  *      orders of magnitude smaller but still a distributed table at
+  *      web scale).
+  *   2. Each word becomes a spaced symbol string `" w o r d "`. Merges
+  *      then stay in pure string algebra: applying merge `(a, b)` is
+  *      `replace(ws, " a b ", " ab ")` — sequential non-overlapping
+  *      left-to-right replacement, exactly BPE's greedy merge order,
+  *      and exactly reproducible by any engine with `REPLACE`.
+  *   3. Per round: adjacent symbol pairs via the native tokenize +
+  *      2-shingle kernels, one hash aggregate `SUM(freq)` per pair, a
+  *      deterministic argmax (freq DESC, pair ASC — a 1-row collect,
+  *      the same bounded-driver-scalar class as the IVF centroids),
+  *      then the merge applied corpus-histogram-wide in a codegen'd
+  *      projection. `localCheckpoint` truncates the per-round lineage
+  *      as in [[Graph.connectedComponents]].
+  *
+  * Everything is exact integer counting and exact string surgery — no
+  * floats anywhere — so the learned merge table is bit-reproducible
+  * and an independent engine replaying the same rounds must produce
+  * the identical merges (q107's oracle unrolls the full loop in SQL).
+  */
+object BpeTrainer {
+
+  /** One merge application = `passes` sequential non-overlapping
+    * replaces of `" a b "` → `" ab "`. A single pass misses alternating
+    * matches (the trailing boundary space of one match is the leading
+    * space of the next: `" b a n a n a "` under (a,n) merges only the
+    * first site), and each extra pass at least halves the unmerged
+    * remainder — `passes` = ceil(log2(longest word's symbol count))
+    * reaches the fixpoint, which for space-delimited symbols equals
+    * BPE's left-to-right greedy application. The default 3 is exact for
+    * words up to ~16 repeating units; size it up for degenerate
+    * corpora. Fixed (not data-driven) so independent engines can replay
+    * the identical operation count.
+    */
+  private def applyMerge(ws: org.apache.spark.sql.Column, pair: String,
+      merged: String, passes: Int): org.apache.spark.sql.Column =
+    (1 to passes).foldLeft(ws)((acc, _) =>
+      replace(acc, lit(s" $pair "), lit(s" $merged ")))
+
+  /** Learn `merges` merges from `docs(textCol)`. Returns one row per
+    * merge in learning order: `(rank, pair, merged, pair_freq)` —
+    * `pair` is the two space-separated symbols, `merged` their
+    * concatenation, `pair_freq` the corpus frequency that won the
+    * round (counted over ALL adjacent symbol positions, overlaps
+    * included, weighted by word frequency).
+    */
+  def trainMerges(docs: DataFrame, textCol: String,
+      merges: Int, passes: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    require(merges >= 1 && merges <= 64, s"merges $merges outside 1..64")
+    // Word histogram: the single pass over the raw corpus.
+    // explode_outer + null filter on the GENERATOR OUTPUT — the
+    // engine-wide rule keeping the tokenizer kernel out of pushed-down
+    // scan filters.
+    val words = docs
+      .select(explode_outer(TextFunctions.tokens(col(textCol))).as("w"))
+      .where(col("w").isNotNull)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(concat(lit(" "),
+          array_join(regexp_extract_all(col("w"), lit("."), lit(0)), " "),
+          lit(" ")).as("ws"),
+        col("freq"))
+      .localCheckpoint()
+
+    var cur = words
+    val learned = Seq.newBuilder[(Long, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= merges && !exhausted) {
+      // Adjacent symbol pairs: native tokenize + 2-shingles. The
+      // kernel's <2-symbol fallback emits the lone symbol (no space) —
+      // excluded by the "contains a space" guard, which the oracle
+      // mirrors as LIKE '% %'.
+      val top = cur
+        .select(explode_outer(TextFunctions.shinglesFromTokens(
+          TextFunctions.tokens(col("ws")), 2)).as("p"), col("freq"))
+        .where(col("p").isNotNull && col("p").like("% %"))
+        .groupBy(col("p")).agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("p").asc)
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val pair = top(0).getString(0)
+        val cnt = top(0).getLong(1)
+        val merged = pair.replace(" ", "")
+        learned += ((round.toLong, pair, merged, cnt))
+        cur = cur
+          .withColumn("ws", applyMerge(col("ws"), pair, merged, passes))
+          .localCheckpoint()
+        round += 1
+      }
+    }
+    import spark.implicits._
+    learned.result()
+      .toDF("rank", "pair", "merged", "pair_freq")
+  }
+
+  /** Tokenize with a learned merge table: per document, the BPE symbol
+    * count under the vocabulary — the number every packing/budgeting
+    * step downstream actually needs. Words are exploded (BPE never
+    * merges across word boundaries), each word replays the merge chain
+    * in rank order as a flat codegen'd replace tower (the merge list is
+    * a vocabulary — small by definition — baked in as literals), and
+    * counts re-aggregate per document. Returns `(idCol, n_bpe_tokens)`.
+    */
+  def bpeTokenCount(docs: DataFrame, idCol: String, textCol: String,
+      mergeList: Seq[(String, String)], passes: Int = 3): DataFrame = {
+    val words = docs
+      .select(col(idCol), explode_outer(TextFunctions.tokens(col(textCol)))
+        .as("__w"))
+    val spaced = concat(lit(" "),
+      array_join(regexp_extract_all(col("__w"), lit("."), lit(0)), " "),
+      lit(" "))
+    val mergedCol = mergeList.foldLeft(spaced) { case (acc, (a, b)) =>
+      applyMerge(acc, s"$a $b", s"$a$b", passes)
+    }
+    words
+      .select(col(idCol),
+        when(col("__w").isNotNull,
+          size(TextFunctions.tokens(mergedCol))).otherwise(0L).as("__n"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__n")).cast("long").as("n_bpe_tokens"))
+  }
+}
