@@ -908,12 +908,18 @@ object Queries {
     * 1e6. Both sides run the REAL pipeline: pixel decode →
     * [[graft.operators.Multimodal.MediaCodec.imageEmbedding]]
     * (pooled-luminance DCT pHash + color histogram, L2-normalized) →
-    * exact cosine top-1 ([[graft.operators.Similarity.bruteForceTopK]]).
-    * A lossless re-encode has the bit-identical embedding, so its twin
-    * scores exactly 1.0 and every other (distinct) image strictly less
-    * — the oracle predicts the full pairing in closed form. Brute-force
-    * scoring IS the oracle-checkable tier; the same embeddings feed the
-    * LSH/IVF paths (q29/q50/q53) for the 100 TB shape.
+    * cosine top-1 via the LSH-bucketed path
+    * ([[graft.operators.Similarity.lshTopK]]). A lossless re-encode has
+    * the bit-identical embedding, so it lands in its twin's bucket in
+    * every band BY CONSTRUCTION (hyperplane signs are a pure function
+    * of the vector) and scores exactly 1.0 there, while every other
+    * (distinct) image scores strictly less — the oracle predicts the
+    * full pairing in closed form WITHOUT assuming anything about
+    * recall, because the one neighbor that matters cannot be missed.
+    * r8: this replaced brute-force scoring after the sf1 run measured
+    * the |corpus|×|queries| pair growth at 65% of the whole suite's
+    * wall-clock (774 s) — the bucketed join scores ~1/256th of the
+    * pairs for identical output.
     */
   def q102ImageNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -935,15 +941,15 @@ object Queries {
       ids.map(id => Multimodal.MediaRecord(id, "image",
         Multimodal.MediaCodec.bmpEncode(24, 16, (x, y) => pix(id, x, y)),
         "image/bmp", "synth")), dim)
-    // every 100th id: the probe set must stay broadcast-small — the
-    // scored pair count is |corpus| × |queries| and the per-query top-k
-    // window sorts it
+    // every 100th id: the probe set must stay broadcast-small (lshTopK
+    // broadcasts the query side into the bucket join)
     val queries = Multimodal.extractFeatures(
       ids.filter(_ % 100 == 0).map(id =>
         Multimodal.MediaRecord(id + 1000000L, "image",
           Multimodal.MediaCodec.pngEncode(24, 16, (x, y) => pix(id, x, y)),
           "image/png", "synth")), dim)
-    Similarity.bruteForceTopK(corpus, queries, "media_id", "embedding", 1)
+    Similarity.lshTopK(corpus, queries, "media_id", "embedding", k = 1,
+        dim = dim)
       .select(col("query_id"), col("neighbor_id"))
       .orderBy(col("query_id"))
   }
@@ -1214,6 +1220,44 @@ object Queries {
        |  UNION ALL SELECT 6, pair, cnt FROM m6)
        |ORDER BY rank""".stripMargin
   }
+
+  /** Unpivot/melt — the inverse reshaping of q42's pivot (`Dataset
+    * .unpivot`, Spark's native melt): the four lineitem measures become
+    * (measure, value) rows, then exact per-(flag, measure) stats. The
+    * oracle mirrors with the portable UNION ALL expansion (semantically
+    * what UNPIVOT is), cents-quantized sums per the engine-wide money
+    * rule. Scale shape: unpivot is a Generate (rows ×4, no shuffle);
+    * the only exchange is the final aggregate's.
+    */
+  def q108Unpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+          col("l_tax")),
+        "measure", "value")
+      .groupBy(col("l_returnflag"), col("measure"))
+      .agg(count(lit(1)).as("n"),
+        moneySum(col("value")).as("value_sum"),
+        min(col("value")).as("value_min"),
+        max(col("value")).as("value_max"))
+      .orderBy(col("l_returnflag"), col("measure"))
+
+  val q108Sql: String =
+    """WITH m AS (
+      |  SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS value
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+      |  UNION ALL
+      |  SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+      |  UNION ALL
+      |  SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
+      |SELECT l_returnflag, measure, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100
+      |    AS value_sum,
+      |  MIN(value) AS value_min, MAX(value) AS value_max
+      |FROM m GROUP BY l_returnflag, measure
+      |ORDER BY l_returnflag, measure""".stripMargin
 
   /** Companion of q26: a copy of each doc with the last 2 tokens dropped,
     * ids offset by 1,000,000.
@@ -4282,5 +4326,6 @@ object Queries {
     "q104_substring_dedup" -> ((q104SubstringDedup _, Some(q104Sql))),
     "q105_pagerank" -> ((q105PageRank _, Some(q105Sql))),
     "q106_shuffle_shard" -> ((q106ShuffleShard _, Some(q106Sql))),
-    "q107_bpe_train" -> ((q107BpeTrain _, Some(q107Sql))))
+    "q107_bpe_train" -> ((q107BpeTrain _, Some(q107Sql))),
+    "q108_unpivot" -> ((q108Unpivot _, Some(q108Sql))))
 }

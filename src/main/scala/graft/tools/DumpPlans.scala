@@ -121,6 +121,20 @@ object DumpPlans {
       ("Bucketed storage join: both sides written bucketed+sorted on "
         + "the key; the join subtree runs with ZERO Exchange (the "
         + "bucket layout IS the shuffle, paid once at write time)."),
+    "q104_substring_dedup" ->
+      ("Span-level dedup as a strictly LINEAR pipeline — zero joins: "
+        + "tokenize → positional windows → hash in one codegen'd scan, "
+        + "occurrence count as an unordered window over the fixed-width "
+        + "hash exchange (the groupBy+flag-join form measured THREE "
+        + "corpus scans: pruning and inferred not-null filters diverge "
+        + "the consumer subtrees past ReuseExchange), then per-doc "
+        + "gaps-and-islands span merge on one narrow doc_id exchange."),
+    "q106_shuffle_shard" ->
+      ("Deterministic shuffle-shard export: within-shard ranks via the "
+        + "q70 chunked pattern (range partition → local row_number → "
+        + "broadcast offsets), so no shard ever funnels through a "
+        + "single-task sort; the permutation is provably identical to "
+        + "the naive global window (q106 oracle pins it)."),
     "q93_boilerplate" ->
       ("Corpus-frequency boilerplate (C4-style): document frequency is "
         + "the only wide shuffle (partial-aggregated over per-doc "

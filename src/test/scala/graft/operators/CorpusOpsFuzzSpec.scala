@@ -100,4 +100,76 @@ class CorpusOpsFuzzSpec extends SparkSpec {
         r.getLong(3), r.getLong(4))).toSet
     assert(got === expect)
   }
+
+  test("SubstringDedup.dupSpanReport matches the sequential reference exactly") {
+    val w = 4
+    // per-doc positional windows under the SAME short-doc whole-text
+    // fallback the kernel applies
+    def wins(text: String): Vector[(Int, String)] = {
+      val t = toks(text)
+      if (t.length < w) Vector(0 -> t.mkString(" "))
+      else t.sliding(w).map(_.mkString(" ")).toVector.zipWithIndex
+        .map(_.swap)
+    }
+    val perDoc = corpus.map { case (id, tx) => id -> wins(tx) }
+    val occ = perDoc.flatMap(_._2.map(_._2)).groupBy(identity)
+      .map { case (g, o) => g -> o.size }
+    val expect = perDoc.map { case (id, ws) =>
+      val nt = toks(corpus.find(_._1 == id).get._2).length
+      val flagged = ws.collect { case (p, g) if occ(g) >= 2 => p }
+      // interval merge
+      var spans = Vector.empty[(Int, Int)]
+      flagged.foreach { p =>
+        val end = math.min(p + w, nt) // clip (fallback window: nt)
+        if (spans.nonEmpty && p <= spans.last._2)
+          spans = spans.init :+ ((spans.last._1, math.max(spans.last._2, end)))
+        else spans = spans :+ ((p, end))
+      }
+      val dup = spans.map { case (s, e) => e - s }.sum.toLong
+      id -> ((nt.toLong, dup, spans.size.toLong,
+        spans.map { case (s, e) => e - s }.foldLeft(0L)(_ max _),
+        dup * 2 < nt))
+    }.toMap
+    val got = SubstringDedup
+      .dupSpanReport(corpus.toDF("doc_id", "text"), "doc_id", "text", w)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(got === expect)
+  }
+
+  test("BpeTrainer merges on the fuzz corpus match the greedy reference") {
+    // same reference as BpeTrainerSpec, over the adversarial corpus with
+    // words tripled ("a" -> "aaa") so runs of identical symbols — the
+    // overlapping-merge regime — appear everywhere
+    val corpus3 = corpus.map { case (id, tx) =>
+      id -> tx.split(" ").filter(_.nonEmpty).map(wd => wd * 3).mkString(" ")
+    }
+    val hist = corpus3.flatMap(_._2.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (wd, o) => wd -> o.size.toLong }.toSeq
+    var cur: Seq[(List[String], Long)] =
+      hist.map { case (wd, f) => wd.map(_.toString).toList -> f }
+    val expect = Seq.newBuilder[(String, String, Long)]
+    for (_ <- 1 to 5) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      cur.foreach { case (syms, f) =>
+        syms.zip(syms.drop(1)).foreach(p =>
+          counts(p) = counts.getOrElse(p, 0L) + f)
+      }
+      if (counts.nonEmpty) {
+        val ((a, b), cnt) = counts.toSeq
+          .minBy { case ((x, y), c) => (-c, s"$x $y") }
+        expect += ((s"$a $b", a + b, cnt))
+        def app(l: List[String]): List[String] = l match {
+          case x :: y :: rest if x == a && y == b => (a + b) :: app(rest)
+          case x :: rest => x :: app(rest)
+          case Nil => Nil
+        }
+        cur = cur.map { case (s, f) => app(s) -> f }
+      }
+    }
+    val got = BpeTrainer
+      .trainMerges(corpus3.toDF("doc_id", "text"), "text", merges = 5)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq === expect.result())
+  }
 }
