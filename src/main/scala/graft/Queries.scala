@@ -4036,7 +4036,19 @@ object Queries {
         graft.expressions.ScaleArray(
           org.apache.spark.sql.graft.ColumnBridge.expression(col("embedding")),
           0.5f)).as("embedding"))
-    Similarity.semDedup(emb.unionByName(scaled), "vec_id", "embedding",
+    val corpus = emb.unionByName(scaled)
+    // nlist stays FIXED at 16 here although the within-cell pair stage
+    // is Σ|cell|² (10× data → ~100× pairs; 13.3× wall at sf1, r8) —
+    // measured, not assumed: an adaptive nlist = √N (64 at sf0.1) cut
+    // the pair stage 4× but cost 7× overall (10.3 s vs 1.46 s at
+    // sf0.1), because Lloyd training work scales with nlist and this
+    // query RETRAINS the quantizer every run. The production regime is
+    // train-once-reuse (the paper's): grow nlist with the corpus,
+    // amortize training across the daily runs, and the pair stage is
+    // the only recurring cost. The oracle is nlist-independent either
+    // way (the planted power-of-two copy shares its source's argmax
+    // cell under ANY centroids).
+    Similarity.semDedup(corpus, "vec_id", "embedding",
         dim = 64, nlist = 16, tau = 0.999)
       .filter(col("dropped_id") >= 1000000L)
       .orderBy(col("dropped_id"))
