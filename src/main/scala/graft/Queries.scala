@@ -1259,6 +1259,68 @@ object Queries {
       |FROM m GROUP BY l_returnflag, measure
       |ORDER BY l_returnflag, measure""".stripMargin
 
+  /** Animated-GIF codec + frame sampling — the q98 video pattern over
+    * [[graft.operators.GifCodec]]: synthesize a REAL LZW-compressed
+    * GIF89a per nation (closed-form 64-color palette, closed-form
+    * palette indices per (id, frame, x, y)), run the genuine parser end
+    * to end (header walk, sub-block reassembly, variable-width LZW
+    * decode, canvas compositing) sampling every 2nd frame, and have
+    * DuckDB recompute each sampled frame's channel sums and luminance
+    * extremes from the same closed forms — byte-free. Encoder and
+    * decoder are independent spec implementations (and each is
+    * independently cross-checked against ImageIO in GifCodecSpec), so
+    * a hash match certifies the LZW bit stream in both directions.
+    */
+  def q109GifCodec(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.{GifCodec, Multimodal}
+    val pal = Array.tabulate(64)(i =>
+      (((i * 37 + 13) % 256) << 16) | (((i * 59 + 7) % 256) << 8) |
+        ((i * 83 + 29) % 256))
+    val recs = t(s, dir, "nation")
+      .select(col("n_nationkey").cast("long")).as[Long]
+      .map { id =>
+        val w = (8 + id % 5).toInt
+        val h = (6 + id % 3).toInt
+        val n = (4 + id % 4).toInt
+        val bytes = GifCodec.gifEncode(w, h, pal, n,
+          (f, x, y) => ((x * 7 + y * 11 + f * 23 + id * 5) % 64).toInt,
+          interlaced = id % 2 == 1)
+        Multimodal.MediaRecord(id, "image", bytes, "image/gif", "synth")
+      }
+    Multimodal.gifFrameStats(recs, every = 2)
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
+  val q109Sql: String =
+    """WITH base AS (
+      |  SELECT CAST(n_nationkey AS BIGINT) AS id,
+      |    8 + n_nationkey % 5 AS w, 6 + n_nationkey % 3 AS h,
+      |    4 + n_nationkey % 4 AS n
+      |  FROM nation
+      |), fr AS (
+      |  SELECT id, w, h, unnest(range(n)) AS f FROM base
+      |), sampled AS (
+      |  SELECT id, w, h, f FROM fr WHERE f % 2 = 0
+      |), xs AS (
+      |  SELECT id, h, f, unnest(range(w)) AS x FROM sampled
+      |), px AS (
+      |  SELECT id, f, x, unnest(range(h)) AS y FROM xs
+      |), ci AS (
+      |  SELECT id, f, (x*7 + y*11 + f*23 + id*5) % 64 AS i FROM px
+      |), c AS (
+      |  SELECT id, f, (i*37 + 13) % 256 AS r, (i*59 + 7) % 256 AS g,
+      |    (i*83 + 29) % 256 AS b
+      |  FROM ci
+      |)
+      |SELECT id AS media_id, CAST(f AS BIGINT) AS frame_idx,
+      |  CAST(COUNT(*) AS BIGINT) AS n_pixels,
+      |  CAST(SUM(r) AS BIGINT) AS sum_r, CAST(SUM(g) AS BIGINT) AS sum_g,
+      |  CAST(SUM(b) AS BIGINT) AS sum_b,
+      |  CAST(MIN(299*r + 587*g + 114*b) AS INTEGER) AS lum_min,
+      |  CAST(MAX(299*r + 587*g + 114*b) AS INTEGER) AS lum_max
+      |FROM c GROUP BY id, f ORDER BY media_id, frame_idx""".stripMargin
+
   /** Companion of q26: a copy of each doc with the last 2 tokens dropped,
     * ids offset by 1,000,000.
     */
@@ -4339,5 +4401,6 @@ object Queries {
     "q105_pagerank" -> ((q105PageRank _, Some(q105Sql))),
     "q106_shuffle_shard" -> ((q106ShuffleShard _, Some(q106Sql))),
     "q107_bpe_train" -> ((q107BpeTrain _, Some(q107Sql))),
-    "q108_unpivot" -> ((q108Unpivot _, Some(q108Sql))))
+    "q108_unpivot" -> ((q108Unpivot _, Some(q108Sql))),
+    "q109_gif_codec" -> ((q109GifCodec _, Some(q109Sql))))
 }

@@ -269,6 +269,9 @@ object Multimodal {
           channelImage(p.width, p.height, p.channels, p.pixels)))
         .orElse(JpegCodec.decode(b).map(j =>
           channelImage(j.width, j.height, j.channels, j.pixels)))
+        .orElse(GifCodec.gifDecode(b).map(g =>
+          PixelImage(g.width, g.height,
+            (x, y) => g.frames.head(y * g.width + x))))
 
     /** Dimension of [[imageEmbedding]]: 35 low-frequency DCT
       * coefficients + 12 color-histogram bins.
@@ -979,6 +982,25 @@ object Multimodal {
     ds.mapPartitions { it =>
       it.flatMap { r =>
         AviCodec.frameStats(r.bytes, every).getOrElse(Nil).map {
+          case (f, n, sr, sg, sb, lmin, lmax) =>
+            (r.media_id, f, n, sr, sg, sb, lmin, lmax)
+        }
+      }
+    }.toDF("media_id", "frame_idx", "n_pixels", "sum_r", "sum_g", "sum_b",
+      "lum_min", "lum_max")
+  }
+
+  /** Animated-GIF frame sampling statistics — [[videoFrameStats]]'s
+    * shape over [[GifCodec]] containers (every `every`-th frame's
+    * channel sums + luminance extremes). Same scale notes: one byte
+    * walk per blob, corrupt blobs contribute zero rows, never a
+    * failure.
+    */
+  def gifFrameStats(ds: Dataset[MediaRecord], every: Int): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { r =>
+        GifCodec.frameStats(r.bytes, every).getOrElse(Nil).map {
           case (f, n, sr, sg, sb, lmin, lmax) =>
             (r.media_id, f, n, sr, sg, sb, lmin, lmax)
         }
