@@ -430,6 +430,18 @@ object TextDedup {
     graft.sources.Bucketing.compactBucketed(spark, s"${name}_bands")
   }
 
+  /** Retention pass over a stored index: drop every signature row whose
+    * `__id` fails `keepId` (takedown requests, TTL windows) from BOTH
+    * tables in one layout-preserving rewrite each
+    * ([[graft.sources.Bucketing.retainWhere]]) — the store stays
+    * compacted, bucketed and exchange-free afterwards (LshIndexSpec).
+    */
+  def retainLshIndex(spark: org.apache.spark.sql.SparkSession,
+      name: String, keepId: org.apache.spark.sql.Column): Unit = {
+    graft.sources.Bucketing.retainWhere(spark, s"${name}_shingles", keepId)
+    graft.sources.Bucketing.retainWhere(spark, s"${name}_bands", keepId)
+  }
+
   /** Incremental MinHash+LSH: near-duplicate pairs between a NEW batch
     * and an existing SNAPSHOT — the near-dup counterpart of the exact
     * incremental dedup ([[incrementalExact]]-style Bloom + anti-join

@@ -90,10 +90,29 @@ object Bucketing {
     * spec and the zero-exchange join property are unchanged (asserted
     * in LshIndexSpec).
     */
-  def compactBucketed(spark: SparkSession, table: String): Unit = {
+  def compactBucketed(spark: SparkSession, table: String): Unit =
+    rewriteBucketed(spark, table, "__compact", identity)
+
+  /** Retention pass for an append-only bucketed store: rewrite the
+    * table keeping only rows matching `keep`, preserving the bucket
+    * spec AND the one-file-per-bucket compaction property — takedowns
+    * and TTL expiry cost one table rewrite, never poison the layout,
+    * and readers never see a half-retained store (same temp+RENAME
+    * swap as [[compactBucketed]]).
+    */
+  def retainWhere(spark: SparkSession, table: String,
+      keep: org.apache.spark.sql.Column): Unit =
+    rewriteBucketed(spark, table, "__retain", _.where(keep))
+
+  /** Shared rewrite-in-place machinery of [[compactBucketed]] /
+    * [[retainWhere]]: re-bucket `f(table)` under a temp name with the
+    * table's own spec, then swap via catalog RENAME.
+    */
+  private def rewriteBucketed(spark: SparkSession, table: String,
+      suffix: String, f: DataFrame => DataFrame): Unit = {
     val (buckets, cols) = bucketSpec(spark, table).getOrElse(
       throw new IllegalArgumentException(s"$table is not a bucketed table"))
-    val tmp = s"${table}__compact"
+    val tmp = s"$table$suffix"
     // The repartition's exchange is ELIDED against the bucketed scan's
     // HashPartitioning — correct only if the scan actually reads
     // bucket-at-a-time. DisableUnnecessaryBucketedScan then judges the
@@ -107,7 +126,7 @@ object Bucketing {
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "false")
     try writeBucketed(
-      spark.table(table)
+      f(spark.table(table))
         .repartition(buckets, cols.map(org.apache.spark.sql.functions.col): _*),
       tmp, cols, buckets)
     finally prev match {

@@ -129,4 +129,50 @@ class LshIndexSpec extends SparkSpec {
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
+
+  test("retention drops exactly the expired ids and keeps the layout " +
+      "compacted + exchange-free") {
+    import graft.sources.Bucketing
+    val idx = TextDedup.buildLshIndex(snapshot, "doc_id", "text",
+      numHashes = 32, bands = 16, shingleSize = 2)
+    TextDedup.storeLshIndex(idx, "lshspec_d", buckets = 4)
+    try {
+      val idsBefore = spark.table("lshspec_d_bands")
+        .select("__id").distinct().as[Long].collect().toSet
+      assert(idsBefore === Set(1L, 2L, 3L))
+      // takedown: doc 2 leaves the corpus
+      TextDedup.retainLshIndex(spark, "lshspec_d", col("__id") =!= 2L)
+      val idsAfter = spark.table("lshspec_d_bands")
+        .select("__id").distinct().as[Long].collect().toSet
+      assert(idsAfter === Set(1L, 3L))
+      val shAfter = spark.table("lshspec_d_shingles")
+        .select("__id").distinct().as[Long].collect().toSet
+      assert(shAfter === Set(1L, 3L))
+      // layout intact: spec preserved, at most one file per bucket,
+      // stored side still the no-exchange leg of the candidate join
+      assert(Bucketing.bucketSpec(spark, "lshspec_d_bands")
+        .contains((4, Seq("__band", "__bandsig"))))
+      assert(spark.table("lshspec_d_bands").inputFiles.length <= 4)
+      val storedBands = spark.table("lshspec_d_bands")
+      val probe = storedBands.limit(3)
+        .select(col("__band"), col("__bandsig"))
+        .withColumn("probe_id", lit(7L))
+        .localCheckpoint()
+      val j = storedBands.join(probe.hint("merge"), Seq("__band", "__bandsig"))
+      j.collect()
+      val exchanges = "Exchange ".r.findAllIn(
+        j.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==")(0)).size
+      assert(exchanges == 1, "stored side must not exchange after retention")
+      // a retained store must still answer the incremental join
+      val viaIndex = TextDedup.minHashLshIncremental(
+        TextDedup.readLshIndex(spark, "lshspec_d"),
+        batch, "doc_id", "text", 32, 16, 2, 0.4, 100000L)
+      assert(viaIndex.where(col("snap_id") === 2L).count() === 0L)
+    } finally {
+      Seq("lshspec_d_shingles", "lshspec_d_bands",
+        "lshspec_d_shingles__retain", "lshspec_d_bands__retain")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
 }
