@@ -1321,6 +1321,36 @@ object Queries {
       |  CAST(MAX(299*r + 587*g + 114*b) AS INTEGER) AS lum_max
       |FROM c GROUP BY id, f ORDER BY media_id, frame_idx""".stripMargin
 
+  /** Multi-probe LSH ANN ([[Similarity.lshMultiProbeTopK]], Lv et al.
+    * 2007): probe the exact bucket plus the two nearest-margin bit-flip
+    * buckets. Oracle: every 100th embedding re-enters as an exact-copy
+    * query (id+1e6); the copy shares probe 0's bucket BY CONSTRUCTION
+    * (the bucket is a pure function of the vector), scores exact cosine
+    * 1.0 against its twin while the corpus's natural cosine ceiling is
+    * far lower, so top-1 is the twin — or the LOWEST-id twin when the
+    * corpus contains bit-identical duplicate vectors, which the SQL's
+    * MIN-over-equal-embeddings mirrors. Extra probes can only add
+    * candidates that lose to cosine 1.0, so the closed form is
+    * probe-count-invariant while the full multi-probe plumbing
+    * (argmin-margin plane selection, flip masks, probe explode) runs
+    * end to end.
+    */
+  def q110MultiProbeAnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val queries = emb.where(col("vec_id") % 100 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    Similarity.lshMultiProbeTopK(emb, queries, "vec_id", "embedding",
+        k = 1, dim = 64, planes = 8, probes = 3)
+      .select(col("query_id"), col("neighbor_id"))
+      .orderBy(col("query_id"))
+  }
+
+  val q110Sql: String =
+    """SELECT q.vec_id + 1000000 AS query_id, MIN(c.vec_id) AS neighbor_id
+      |FROM embeddings q JOIN embeddings c ON c.embedding = q.embedding
+      |WHERE q.vec_id % 100 = 0
+      |GROUP BY q.vec_id ORDER BY query_id""".stripMargin
+
   /** Companion of q26: a copy of each doc with the last 2 tokens dropped,
     * ids offset by 1,000,000.
     */
@@ -4402,5 +4432,6 @@ object Queries {
     "q106_shuffle_shard" -> ((q106ShuffleShard _, Some(q106Sql))),
     "q107_bpe_train" -> ((q107BpeTrain _, Some(q107Sql))),
     "q108_unpivot" -> ((q108Unpivot _, Some(q108Sql))),
-    "q109_gif_codec" -> ((q109GifCodec _, Some(q109Sql))))
+    "q109_gif_codec" -> ((q109GifCodec _, Some(q109Sql))),
+    "q110_multiprobe_ann" -> ((q110MultiProbeAnn _, Some(q110Sql))))
 }

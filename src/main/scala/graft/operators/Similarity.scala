@@ -143,6 +143,76 @@ object Similarity {
         col("score_fp"))
   }
 
+  /** Multi-probe LSH ANN (Lv et al., VLDB 2007): probe the query's
+    * exact bucket PLUS the `probes-1` single-bit-flip buckets whose
+    * hyperplanes the query sits closest to — the planes most likely to
+    * have put a true neighbor on the other side. Recall recovery
+    * without more planes, more tables, or a bigger join: candidate
+    * volume grows by the probe factor only, and at 100 TB that is the
+    * difference between "double the index" and "probe two more buckets".
+    *
+    * Everything stays codegen'd Column algebra: per-plane projections
+    * are the same native [[graft.expressions.PlaneDot]] literals the
+    * bucket uses, and the "j-th smallest |margin| plane" selections
+    * unroll at expression-build time as struct-`least` chains (a
+    * lambda-free argmin — the engine-wide no-HOF plan rule). Probe
+    * buckets are provably distinct (each flips a different plane), so
+    * no pair dedup is needed before ranking. Scores are exact cosine
+    * ([[cosine]]), so an identical-copy query ranks its twin strictly
+    * first regardless of vector norms.
+    */
+  def lshMultiProbeTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, dim: Int,
+      planes: Int = 8, probes: Int = 3): DataFrame = {
+    require(probes >= 1 && probes <= planes + 1,
+      s"probes $probes outside 1..${planes + 1}")
+    def projCols(vec: Column): Seq[Column] = (0 until planes).map { p =>
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.expressions.PlaneDot(
+          org.apache.spark.sql.graft.ColumnBridge.expression(vec),
+          planeVector(p, dim)))
+    }
+    def bucketOf(projs: Seq[Column]): Column =
+      projs.zipWithIndex.map { case (pr, p) =>
+        when(pr > 0, lit(1L << p)).otherwise(0L)
+      }.reduce(_ + _)
+    val qProjs = projCols(col("__qv"))
+    val qBucket = bucketOf(qProjs)
+    val margins = qProjs.map(abs(_))
+    // rank the planes by margin with ONE native sort over (margin,
+    // plane) structs — sort_array is SortArray (lexicographic struct
+    // order, no synthesized lambda), and referencing its elements keeps
+    // the expression tree linear in `probes` (a sequential
+    // least()-with-exclusions argmin chain re-embeds the whole previous
+    // tower at every level — exponential growth, measured as a codegen
+    // OOM at probes >= 5)
+    val sortedPlanes = sort_array(array(
+      (0 until planes).map(p =>
+        struct(margins(p).as("m"), lit(p).as("p"))): _*))
+    val chosen = (1 until probes).map(j =>
+      element_at(sortedPlanes, j).getField("p"))
+    val flipMasks = chosen.map(selP =>
+      (0 until planes).foldLeft(lit(0L))((m, p) =>
+        when(selP === p, lit(1L << p)).otherwise(m)))
+    val probeBuckets = array(
+      (qBucket +: flipMasks.map(qBucket.bitwiseXOR(_))): _*)
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .select(col("query_id"), col("__qv"),
+        explode(probeBuckets).as("__bucket"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      lshBucket(col(vecCol), planes, dim).as("__bucket"))
+    val scored = c.join(broadcast(q), Seq("__bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+
   // -------------------------------------------------------------------
   // IVF: data-adaptive coarse quantization (complement of the
   // data-oblivious LSH buckets)

@@ -352,4 +352,53 @@ class SimilaritySpec extends SparkSpec {
       .distinct().count()
     assert(hotSalts >= 2L, "hot cell must spread over multiple salt keys")
   }
+
+  private def mpCorpus(seed: Int, n: Int, dim: Int): Seq[(Long, Array[Float])] = {
+    val rnd = new scala.util.Random(seed)
+    (0L until n.toLong).map(i => i -> Array.fill(dim)(rnd.nextFloat() * 2 - 1))
+  }
+
+  test("multi-probe: exact-copy query always finds its twin at any probe count") {
+    val corpus = mpCorpus(5, 60, 16).toDF("vec_id", "embedding")
+    val queries = mpCorpus(5, 60, 16).filter(_._1 % 10 == 0)
+      .map { case (id, v) => (id + 1000L, v) }.toDF("vec_id", "embedding")
+    for (probes <- Seq(1, 3, 5)) {
+      val top = Similarity.lshMultiProbeTopK(corpus, queries,
+          "vec_id", "embedding", k = 1, dim = 16, probes = probes)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(top === Map(1000L -> 0L, 1010L -> 10L, 1020L -> 20L,
+        1030L -> 30L, 1040L -> 40L, 1050L -> 50L), s"probes=$probes")
+    }
+  }
+
+  test("multi-probe recovers neighbors that straddle one hyperplane") {
+    // seeded search for a (query, neighbor) pair whose buckets differ:
+    // probes=1 must miss it, a larger probe budget must recover it —
+    // the Lv et al. recall claim, demonstrated deterministically
+    val dim = 16
+    val corpus = mpCorpus(11, 200, dim)
+    val cdf = corpus.toDF("vec_id", "embedding")
+    def neighbors(qid: Long, q: Array[Float], probes: Int): Set[Long] =
+      Similarity.lshMultiProbeTopK(cdf,
+          Seq((qid, q)).toDF("vec_id", "embedding"),
+          "vec_id", "embedding", k = 200, dim = dim, probes = probes)
+        .collect().map(_.getLong(1)).toSet
+    // probe sets are nested: more probes can only ADD candidates
+    var demonstrated = false
+    var i = 0
+    while (!demonstrated && i < 40) {
+      val (id, v) = corpus(i)
+      val q = v.clone() // same direction, its own query id
+      val p1 = neighbors(9000L + id, q, 1)
+      val p8 = neighbors(9000L + id, q, 8)
+      assert(p1.subsetOf(p8), s"probe sets must be nested (id=$id)")
+      // the twin itself is always in p1; look for a cosine-relevant
+      // neighbor only the flipped buckets contain
+      if ((p8 -- p1).nonEmpty) demonstrated = true
+      i += 1
+    }
+    assert(demonstrated,
+      "no query gained candidates from multi-probe across 40 seeds — " +
+        "probe generation is broken")
+  }
 }
