@@ -1351,6 +1351,45 @@ object Queries {
       |WHERE q.vec_id % 100 = 0
       |GROUP BY q.vec_id ORDER BY query_id""".stripMargin
 
+  /** Mergeable sketch store (Apache DataSketches HLL via Spark's
+    * `hll_sketch_agg`/`hll_union_agg`): per-day user sketches are
+    * MATERIALIZED to parquet, read back, and week windows are answered
+    * by sketch UNION — history is never rescanned, which is the entire
+    * point of a sketch store at 100 TB (q40's
+    * `approx_count_distinct` re-aggregates raw rows per question; this
+    * answers any day-composable window from constant-size state).
+    * Oracle: the q40 pattern — exact per-week distincts plus an
+    * error-band boolean (lgK=14 keeps HLL well inside the 5%+10 band),
+    * so the sketch estimate itself (library-specific) never crosses
+    * engines.
+    */
+  def q111SketchStore(s: SparkSession, dir: String): DataFrame = {
+    val days = events(s, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+    val store = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_q111_store").getPath
+    days.groupBy(col("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+      .write.mode("overwrite").parquet(store)
+    val weekly = s.read.parquet(store)
+      .groupBy(date_trunc("week", col("day")).cast("date").as("week"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("__est"))
+    val exact = days
+      .groupBy(date_trunc("week", col("day")).cast("date").as("week"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    exact.join(weekly, Seq("week"))
+      .select(col("week"), col("exact_users"),
+        (abs(col("__est") - col("exact_users"))
+          <= col("exact_users") * 0.05 + 10).as("ok"))
+      .orderBy(col("week"))
+  }
+
+  val q111Sql: String =
+    """SELECT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS week,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+      |  TRUE AS ok
+      |FROM events GROUP BY 1 ORDER BY week""".stripMargin
+
   /** Companion of q26: a copy of each doc with the last 2 tokens dropped,
     * ids offset by 1,000,000.
     */
@@ -4433,5 +4472,6 @@ object Queries {
     "q107_bpe_train" -> ((q107BpeTrain _, Some(q107Sql))),
     "q108_unpivot" -> ((q108Unpivot _, Some(q108Sql))),
     "q109_gif_codec" -> ((q109GifCodec _, Some(q109Sql))),
-    "q110_multiprobe_ann" -> ((q110MultiProbeAnn _, Some(q110Sql))))
+    "q110_multiprobe_ann" -> ((q110MultiProbeAnn _, Some(q110Sql))),
+    "q111_sketch_store" -> ((q111SketchStore _, Some(q111Sql))))
 }
