@@ -1390,6 +1390,110 @@ object Queries {
       |  TRUE AS ok
       |FROM events GROUP BY 1 ORDER BY week""".stripMargin
 
+  /** Triangle census over the word co-occurrence (bigram) graph
+    * ([[Graph.triangleStats]]) — per-word degree, triangle count and
+    * local clustering coefficient, the structural-cohesion profile of
+    * the corpus's language network (whose vocabulary stays bounded as
+    * the corpus grows, so the node set is scale-stable while edges
+    * densify). The oracle rebuilds the identical graph (distinct
+    * canonical bigram pairs), the identical degree-ordered orientation
+    * and the identical wedge-close join in SQL; degrees and triangle
+    * counts are exact int64 and `lcc_fp` is one correctly-rounded IEEE
+    * double divide + floor, so every row must match bit-for-bit.
+    */
+  def q112TriangleCount(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(TextFunctions.tokens(col("text")).as("__ta"))
+    val bigrams = toks.select(arrays_zip(
+        slice(col("__ta"), lit(1), greatest(size(col("__ta")) - 1, lit(0)))
+          .as("x"),
+        slice(col("__ta"), lit(2), greatest(size(col("__ta")) - 1, lit(0)))
+          .as("y")).as("__z"))
+      .select(explode_outer(col("__z")).as("__p"))
+      .where(col("__p").isNotNull)
+      .select(col("__p.x").as("a"), col("__p.y").as("b"))
+      .where(col("a") =!= col("b"))
+    Graph.triangleStats(bigrams, "a", "b").orderBy(col("node"))
+  }
+
+  val q112Sql: String =
+    """WITH base AS (
+      |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ta
+      |  FROM documents),
+      |bg AS (
+      |  SELECT DISTINCT LEAST(ta[i], ta[i+1]) AS u,
+      |    GREATEST(ta[i], ta[i+1]) AS v
+      |  FROM (SELECT ta, unnest(range(1, len(ta))) AS i FROM base) z
+      |  WHERE ta[i] <> ta[i+1]),
+      |deg AS (
+      |  SELECT u, CAST(COUNT(*) AS BIGINT) AS d
+      |  FROM (SELECT u FROM bg UNION ALL SELECT v FROM bg) s(u) GROUP BY u),
+      |o AS (
+      |  SELECT CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS s,
+      |    CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS t,
+      |    CASE WHEN du < dv OR (du = dv AND u < v) THEN dv ELSE du END AS dt
+      |  FROM (SELECT bg.u, bg.v, d1.d AS du, d2.d AS dv
+      |        FROM bg JOIN deg d1 ON d1.u = bg.u
+      |        JOIN deg d2 ON d2.u = bg.v) w),
+      |tri AS (
+      |  SELECT l.s AS x, l.t AS y, r.t AS z
+      |  FROM o l JOIN o r ON r.s = l.s
+      |    AND (l.dt < r.dt OR (l.dt = r.dt AND l.t < r.t))
+      |  JOIN o c ON c.s = l.t AND c.t = r.t),
+      |corners AS (
+      |  SELECT u, CAST(COUNT(*) AS BIGINT) AS tri
+      |  FROM (SELECT x AS u FROM tri UNION ALL SELECT y FROM tri
+      |        UNION ALL SELECT z FROM tri) q
+      |  GROUP BY u)
+      |SELECT deg.u AS node, deg.d AS degree,
+      |  COALESCE(corners.tri, 0) AS triangles,
+      |  CASE WHEN deg.d >= 2 THEN CAST(FLOOR(1000000.0
+      |      * (2.0 * COALESCE(corners.tri, 0))
+      |      / CAST(deg.d * (deg.d - 1) AS DOUBLE)) AS BIGINT)
+      |    ELSE 0 END AS lcc_fp
+      |FROM deg LEFT JOIN corners ON corners.u = deg.u
+      |ORDER BY node""".stripMargin
+
+  /** Label-propagation communities ([[Graph.labelPropagation]]) over
+    * the q55 planted dup graph — the vote-based companion to q55's
+    * connected components. The oracle replays all 4 synchronous rounds
+    * (self-vote union, per-(node,label) counts, (count DESC, label ASC)
+    * argmax) on the SAME graph CTEs q55 resolves, so one diverging vote
+    * or tie-break anywhere shifts a label and breaks the hash; on this
+    * sparse graph the 4-round fixpoint equals the component labeling,
+    * which pins the algorithm's convergence behavior too.
+    */
+  def q113LabelProp(s: SparkSession, dir: String): DataFrame = {
+    val lp = Graph.labelPropagation(plantedDupEdges(s, dir), "src", "dst",
+      rounds = 4)
+    plantedDupNodes(s, dir).join(lp, Seq("node"), "left")
+      .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+      .orderBy(col("node"))
+  }
+
+  // lazy: splices dupGraphCtes-style shared CTEs declared further down
+  // the object; a strict val would capture null (init order).
+  lazy val q113Sql: String = {
+    def round(k: Int): String =
+      s"""v$k AS (
+         |  SELECT id, l FROM r${k - 1}
+         |  UNION ALL
+         |  SELECT s.v AS id, r.l FROM sym s JOIN r${k - 1} r ON r.id = s.u),
+         |c$k AS (SELECT id, l, COUNT(*) AS c FROM v$k GROUP BY id, l),
+         |r$k AS (
+         |  SELECT id, l FROM (
+         |    SELECT id, l, ROW_NUMBER() OVER (PARTITION BY id
+         |      ORDER BY c DESC, l ASC) AS rn FROM c$k) w WHERE rn = 1)"""
+        .stripMargin
+    dupGraphCtes + ",\n" +
+      """r0 AS (
+        |  SELECT n AS id, n AS l FROM (SELECT DISTINCT u AS n FROM sym) d0),
+        |""".stripMargin +
+      (1 to 4).map(round).mkString(",\n") + "\n" +
+      """SELECT n AS node, COALESCE(r4.l, n) AS label
+        |FROM nodes LEFT JOIN r4 ON r4.id = n ORDER BY node""".stripMargin
+  }
+
   /** Companion of q26: a copy of each doc with the last 2 tokens dropped,
     * ids offset by 1,000,000.
     */
@@ -2221,8 +2325,11 @@ object Queries {
         slice(col("__ta"), lit(1), greatest(size(col("__ta")) - 4, lit(1)))
           .as("__tc"))
 
-  /** (node, component) for every node of the planted dup graph. */
-  private def dupClusterAssignments(s: SparkSession, dir: String): DataFrame = {
+  /** Edge list of the planted dup graph (q55/q59/q113): per doc,
+    * (id → id+1e6) when jaccard(a,b) >= 0.7 and (id+1e6 → id+2e6) when
+    * jaccard(b,c) >= 0.7 over 3-shingle sets of the token slices.
+    */
+  private def plantedDupEdges(s: SparkSession, dir: String): DataFrame = {
     val sliced = plantedSlices(s, dir)
     val sets = sliced.select(col("doc_id"),
       array_distinct(TextFunctions.shinglesFromTokens(col("__ta"), 3))
@@ -2252,7 +2359,7 @@ object Queries {
     // puts a Generate between the tower and the null filter, which
     // blocks the pushdown and evaluates the tower once per row for both
     // edge types.
-    val edges = jacs.select(explode(array(
+    jacs.select(explode(array(
         when(col("__jab") >= 0.7, struct(
           col("doc_id").as("src"),
           (col("doc_id") + 1000000L).as("dst"))),
@@ -2261,12 +2368,23 @@ object Queries {
           (col("doc_id") + 2000000L).as("dst"))))).as("__e"))
       .where(col("__e").isNotNull)
       .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
-    val cc = Graph.connectedComponents(edges, "src", "dst")
+  }
+
+  /** All 3n node ids of the planted dup graph (base + both copy
+    * generations) — shared by q55/q113 so isolated nodes get labels.
+    */
+  private def plantedDupNodes(s: SparkSession, dir: String): DataFrame = {
     val ids = t(s, dir, "documents").select(col("doc_id"))
-    val nodes = ids.select(col("doc_id").as("node"))
+    ids.select(col("doc_id").as("node"))
       .unionByName(ids.select((col("doc_id") + 1000000L).as("node")))
       .unionByName(ids.select((col("doc_id") + 2000000L).as("node")))
-    nodes.join(cc, Seq("node"), "left")
+  }
+
+  /** (node, component) for every node of the planted dup graph. */
+  private def dupClusterAssignments(s: SparkSession, dir: String): DataFrame = {
+    val cc = Graph.connectedComponents(plantedDupEdges(s, dir),
+      "src", "dst")
+    plantedDupNodes(s, dir).join(cc, Seq("node"), "left")
       .select(col("node"),
         coalesce(col("component"), col("node")).as("component"))
   }
@@ -4473,5 +4591,7 @@ object Queries {
     "q108_unpivot" -> ((q108Unpivot _, Some(q108Sql))),
     "q109_gif_codec" -> ((q109GifCodec _, Some(q109Sql))),
     "q110_multiprobe_ann" -> ((q110MultiProbeAnn _, Some(q110Sql))),
-    "q111_sketch_store" -> ((q111SketchStore _, Some(q111Sql))))
+    "q111_sketch_store" -> ((q111SketchStore _, Some(q111Sql))),
+    "q112_triangle_count" -> ((q112TriangleCount _, Some(q112Sql))),
+    "q113_label_prop" -> ((q113LabelProp _, Some(q113Sql))))
 }

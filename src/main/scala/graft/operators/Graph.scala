@@ -188,4 +188,111 @@ object Graph {
     }
     r.select(col("id").as("node"), col("r").as("rank_fp"))
   }
+
+  /** Per-node triangle participation + local clustering coefficient of
+    * the undirected graph given as an edge list — the structural
+    * cohesion signal over co-occurrence / similarity graphs (language
+    * co-occurrence networks are the canonical instance: bounded
+    * vocabulary, Zipf-skewed degrees).
+    *
+    * Scale shape — degree-ordered orientation (the standard distributed
+    * formulation, e.g. Suri & Vassilvitskii, WWW 2011): every edge is
+    * directed from its lower-(degree, id) endpoint to the higher one,
+    * so a node's OUT-degree is bounded by O(sqrt(m)) regardless of its
+    * raw degree, and the wedge self-join — the only super-linear step —
+    * enumerates each triangle exactly once from its lowest-ranked
+    * corner instead of fanning out on hubs. Everything is equi-joins
+    * and hash aggregates; no cross product, no driver state.
+    *
+    * Returns one row per node that appears in an edge:
+    * `(node, degree, triangles, lcc_fp)` where `lcc_fp` is the local
+    * clustering coefficient `2*triangles / (degree*(degree-1))` in
+    * fixed-point millionths — degree and triangle counts are exact
+    * int64 and the coefficient is ONE correctly-rounded IEEE double
+    * divide + floor, so any engine replaying the ops agrees bit-for-bit.
+    */
+  def triangleStats(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = canon(edges.select(col(srcCol).as("u"), col(dstCol).as("v")))
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val du = deg.select(col("u").as("__ku"), col("d").as("__du"))
+    val dv = deg.select(col("u").as("__kv"), col("d").as("__dv"))
+    val ranked = e.join(du, col("u") === col("__ku"))
+      .join(dv, col("v") === col("__kv"))
+    // Orient low-(deg, id) → high-(deg, id); carry the head's rank so
+    // the wedge join can order the two heads without re-joining degrees.
+    val uLow = col("__du") < col("__dv") ||
+      (col("__du") === col("__dv") && col("u") < col("v"))
+    val oriented = ranked.select(
+        when(uLow, col("u")).otherwise(col("v")).as("s"),
+        when(uLow, col("v")).otherwise(col("u")).as("t"),
+        when(uLow, col("__dv")).otherwise(col("__du")).as("dt"))
+      .localCheckpoint() // consumed twice: wedge sides + closing probe
+    val l = oriented.select(col("s").as("ls"), col("t").as("lt"),
+      col("dt").as("ldt"))
+    val r = oriented.select(col("s").as("rs"), col("t").as("rt"),
+      col("dt").as("rdt"))
+    val wedges = l.join(r, col("ls") === col("rs") &&
+      (col("ldt") < col("rdt") ||
+        (col("ldt") === col("rdt") && col("lt") < col("rt"))))
+    val closing = oriented.select(col("s").as("cs"), col("t").as("ct"))
+    val tris = wedges.join(closing,
+      col("lt") === col("cs") && col("rt") === col("ct"))
+    val corners = tris.select(explode(array(col("ls"), col("lt"),
+      col("rt"))).as("u"))
+      .groupBy(col("u")).agg(count(lit(1)).as("__tri"))
+    deg.join(corners, Seq("u"), "left")
+      .select(col("u").as("node"), col("d").as("degree"),
+        coalesce(col("__tri"), lit(0L)).as("triangles"),
+        when(col("d") >= 2,
+          floor(lit(1000000.0) *
+            (lit(2.0) * coalesce(col("__tri"), lit(0L)).cast("double")) /
+            (col("d") * (col("d") - 1)).cast("double")).cast("long"))
+          .otherwise(lit(0L)).as("lcc_fp"))
+  }
+
+  /** Synchronous label propagation with self-vote — community labels
+    * over the pair graphs a dedup pipeline emits, the vote-based
+    * companion to [[connectedComponents]] (LPA converges to finer
+    * structure on dense graphs; on the sparse planted dup graph its
+    * fixpoint is the component labeling, which q113's oracle replays
+    * round by round).
+    *
+    * Each round, every node adopts the most frequent label among its
+    * OWN current label plus its neighbors' labels, ties broken toward
+    * the smallest label — the self-vote makes the update a contraction
+    * on trees/chains (pure neighbor voting oscillates on bipartite
+    * structure) and the (count DESC, label ASC) tie-break makes every
+    * round deterministic, so a fixed round count is replayable by any
+    * engine. Per round: one equi-join of the symmetric edge list
+    * against the label vector, one (node, label) count aggregate and
+    * one max-by argmax — all hash-partition-able; labels checkpoint
+    * every 3 rounds exactly as [[pageRank]] bounds plan growth.
+    *
+    * Returns `(node, label)` for every node that appears in an edge.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int = 4): DataFrame = {
+    val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .where(col("u") =!= col("v"))
+    val sym = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint()
+    val nodes = sym.select(col("u").as("id")).distinct().localCheckpoint()
+    var lab = nodes.select(col("id"), col("id").as("l"))
+    for (i <- 0 until rounds) {
+      val votes = sym.join(lab, col("u") === col("id"))
+        .select(col("v").as("id"), col("l"))
+        .unionByName(lab)
+      // argmax by (count DESC, label ASC): max over (count, -label)
+      // structs — a plain two-level hash aggregate, no window shuffle.
+      val counted = votes.groupBy(col("id"), col("l"))
+        .agg(count(lit(1)).as("__c"))
+      lab = counted.groupBy(col("id"))
+        .agg(max(struct(col("__c"), (-col("l")).as("__nl"))).as("__w"))
+        .select(col("id"), (-col("__w.__nl")).as("l"))
+      if ((i + 1) % 3 == 0 && i + 1 < rounds) lab = lab.localCheckpoint()
+    }
+    lab.select(col("id").as("node"), col("l").as("label"))
+  }
 }

@@ -134,4 +134,112 @@ class GraphSpec extends SparkSpec {
     val r = ranks(Seq((1L, 5L), (2L, 5L), (3L, 5L), (4L, 6L)))
     assert(r(5L) > r(6L))
   }
+
+  // ----- triangleStats ---------------------------------------------------
+
+  private def triStats(edges: Seq[(Long, Long)]): Map[Long, (Long, Long, Long)] =
+    Graph.triangleStats(edges.toDF("src", "dst"), "src", "dst")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+
+  /** Driver-side brute force: all C(n,3) corner checks. */
+  private def bruteTriangles(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val e = edges.filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct.toSet
+    val nodes = e.flatMap(p => Seq(p._1, p._2)).toSeq.sorted
+    def adj(a: Long, b: Long) = e((math.min(a, b), math.max(a, b)))
+    val tri = scala.collection.mutable.Map[Long, Long]()
+      .withDefaultValue(0L)
+    for {
+      i <- nodes.indices; j <- i + 1 until nodes.size
+      k <- j + 1 until nodes.size
+      if adj(nodes(i), nodes(j)) && adj(nodes(j), nodes(k)) &&
+        adj(nodes(i), nodes(k))
+    } { tri(nodes(i)) += 1; tri(nodes(j)) += 1; tri(nodes(k)) += 1 }
+    nodes.map(n => n -> tri(n)).toMap
+  }
+
+  test("triangleStats: K4 — every node in 3 triangles, lcc = 1") {
+    val k4 = for (a <- 0L to 3L; b <- a + 1 to 3L) yield (a, b)
+    val r = triStats(k4)
+    (0L to 3L).foreach { n =>
+      assert(r(n) === ((3L, 3L, 1000000L)), s"node $n: ${r(n)}")
+    }
+  }
+
+  test("triangleStats: a path has no triangles, lcc 0") {
+    val r = triStats(Seq((0L, 1L), (1L, 2L), (2L, 3L)))
+    assert(r.values.forall(v => v._2 == 0L && v._3 == 0L))
+    assert(r(1L)._1 === 2L)
+  }
+
+  test("triangleStats: random graphs match driver-side brute force") {
+    val rnd = new Random(11)
+    for (trial <- 0 until 4) {
+      val n = 15 + 5 * trial
+      val edges = Seq.fill(n * 3)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val want = bruteTriangles(edges)
+      val got = triStats(edges)
+      assert(got.keySet === want.keySet)
+      want.foreach { case (node, tri) =>
+        assert(got(node)._2 === tri, s"trial $trial node $node")
+      }
+      // duplicate / reversed edges must not change anything
+      val noisy = edges ++ edges.map(_.swap)
+      assert(triStats(noisy) === got, s"trial $trial: not canonicalized")
+    }
+  }
+
+  // ----- labelPropagation ------------------------------------------------
+
+  private def lpa(edges: Seq[(Long, Long)], rounds: Int = 4): Map[Long, Long] =
+    Graph.labelPropagation(edges.toDF("src", "dst"), "src", "dst", rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Driver-side replay of the exact synchronous self-vote dynamics. */
+  private def bruteLpa(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val sym = edges.filter(p => p._1 != p._2)
+      .flatMap(p => Seq(p, p.swap)).distinct
+    val nbrs = sym.groupBy(_._1).map { case (u, es) => u -> es.map(_._2) }
+    var lab = nbrs.keys.map(n => n -> n).toMap
+    for (_ <- 0 until rounds) {
+      lab = lab.map { case (n, l) =>
+        val votes = (l +: nbrs(n).map(lab)).groupBy(identity)
+          .map { case (cand, vs) => (cand, vs.size) }
+        val best = votes.toSeq.minBy { case (cand, c) => (-c, cand) }._1
+        n -> best
+      }
+    }
+    lab
+  }
+
+  test("labelPropagation: chains converge to the component minimum") {
+    // two 3-chains + a 2-chain, exactly the planted dup graph's shapes
+    val edges = Seq((10L, 20L), (20L, 30L), (40L, 50L), (50L, 60L),
+      (70L, 80L))
+    val r = lpa(edges)
+    assert(r === Map(10L -> 10L, 20L -> 10L, 30L -> 10L,
+      40L -> 40L, 50L -> 40L, 60L -> 40L, 70L -> 70L, 80L -> 70L))
+  }
+
+  test("labelPropagation: random graphs replay the driver-side dynamics") {
+    val rnd = new Random(23)
+    for (trial <- 0 until 4) {
+      val n = 20 + 10 * trial
+      val edges = Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2)
+      val rounds = 3 + trial
+      assert(lpa(edges, rounds) === bruteLpa(edges, rounds),
+        s"trial $trial diverged from the synchronous reference")
+    }
+  }
+
+  test("labelPropagation: deterministic across runs") {
+    val rnd = new Random(31)
+    val edges = Seq.fill(120)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(p => p._1 != p._2)
+    assert(lpa(edges) === lpa(edges))
+  }
 }
