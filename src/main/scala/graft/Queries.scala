@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.WeatherFunctions
 import graft.functions.{TextFeatures, TextFunctions}
-import graft.operators.{AsOfJoin, Bloom, Decontam, Dedup, Funnel, Graph, Incremental, Multimodal, Percentiles, Quantize, RangeJoin, Repetition, Resample, Retrieval, Sampling, Similarity, Skew, SubstringDedup, TextChunker, TextDedup}
+import graft.operators.{AsOfJoin, Bloom, Decontam, Dedup, Funnel, Graph, Incremental, Multimodal, Percentiles, Quantize, RangeJoin, Repetition, Resample, Retrieval, Sampling, Scd, Similarity, Skew, SubstringDedup, TextChunker, TextDedup}
 
 /** The oracle-checked query surface: every operator from SURVEY.md §2
   * exposed as a named query over the driver's parquet tables, with
@@ -1493,6 +1493,98 @@ object Queries {
       """SELECT n AS node, COALESCE(r4.l, n) AS label
         |FROM nodes LEFT JOIN r4 ON r4.id = n ORDER BY node""".stripMargin
   }
+
+  /** SCD Type-2 dimension build ([[graft.operators.Scd.type2]]): the
+    * events change log collapsed to per-user validity intervals of
+    * `event_type` — change rows only, `valid_from`/`valid_to`
+    * half-open intervals, 1-based versions, current flag. The oracle
+    * replays the identical two-window pipeline (null-safe lag change
+    * filter, then lead/row_number over the filtered log) with the same
+    * (ts, event_id) tie order, so every interval boundary, version
+    * number and currency flag must match exactly — timestamps are
+    * microsecond-precision on both engines.
+    */
+  def q114Scd2(s: SparkSession, dir: String): DataFrame =
+    Scd.type2(
+        events(s, dir).select(col("user_id"), col("event_type"), col("ts"),
+          col("event_id")),
+        "user_id", Seq("event_type"), "ts", "event_id")
+      .orderBy(col("user_id"), col("version"))
+
+  val q114Sql: String =
+    """WITH ordered AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev
+      |  FROM events),
+      |changes AS (
+      |  SELECT user_id, event_type, ts, event_id FROM ordered
+      |  WHERE prev IS DISTINCT FROM event_type)
+      |SELECT user_id, event_type, ts AS valid_from,
+      |  LEAD(ts) OVER w AS valid_to,
+      |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+      |  (LEAD(ts) OVER w) IS NULL AS is_current
+      |FROM changes
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, version""".stripMargin
+
+  /** Chi-square token selection for classifier-based filtering
+    * ([[graft.operators.FeatureSelect.chiSquareTokens]]): top-5
+    * language-discriminating tokens per language over the presence
+    * contingency table (Yang & Pedersen 1997) — the feature-capping
+    * step before training a fastText-style corpus filter. The oracle
+    * rebuilds the identical table (distinct-presence counts, window
+    * document frequency, class totals) and the identical exact-int64
+    * `N*(ad-bc)^2` / `(a+b)(c+d)(a+c)(b+d)` terms; `chi2_fp` is one
+    * correctly-rounded double divide + floor, and the (chi2 DESC,
+    * token ASC) rank must agree row-for-row.
+    */
+  def q115Chi2Tokens(s: SparkSession, dir: String): DataFrame =
+    graft.operators.FeatureSelect
+      .chiSquareTokens(t(s, dir, "documents"), "doc_id", "text", "lang",
+        k = 5)
+      .select(col("cls").as("lang"), col("rank"), col("token"),
+        col("df_in_cls"), col("df"), col("chi2_fp"))
+      .orderBy(col("lang"), col("rank"))
+
+  val q115Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, lang,
+      |    list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))
+      |      AS t
+      |  FROM documents),
+      |pres AS (SELECT lang, unnest(t) AS token FROM base),
+      |a AS (
+      |  SELECT token, lang, CAST(COUNT(*) AS BIGINT) AS a
+      |  FROM pres GROUP BY 1, 2),
+      |adf AS (
+      |  SELECT token, lang, a,
+      |    CAST(SUM(a) OVER (PARTITION BY token) AS BIGINT) AS df
+      |  FROM a),
+      |ncls AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS nc
+      |  FROM base GROUP BY 1),
+      |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+      |cells AS (
+      |  SELECT adf.lang, token, a, df, ncls.nc, nn.n,
+      |    a AS ca, df - a AS cb, ncls.nc - a AS cc,
+      |    nn.n - df - ncls.nc + a AS cd
+      |  FROM adf JOIN ncls ON ncls.lang = adf.lang CROSS JOIN nn),
+      |scored AS (
+      |  SELECT lang, token, a AS df_in_cls, df,
+      |    CASE WHEN (ca+cb)*(cc+cd)*(ca+cc)*(cb+cd) > 0
+      |      THEN CAST(FLOOR(1000000.0
+      |          * CAST(n*(ca*cd - cb*cc)*(ca*cd - cb*cc) AS DOUBLE)
+      |          / CAST((ca+cb)*(cc+cd)*(ca+cc)*(cb+cd) AS DOUBLE))
+      |        AS BIGINT)
+      |      ELSE 0 END AS chi2_fp
+      |  FROM cells),
+      |ranked AS (
+      |  SELECT lang, token, df_in_cls, df, chi2_fp,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY chi2_fp DESC, token ASC) AS BIGINT) AS rank
+      |  FROM scored)
+      |SELECT lang, rank, token, df_in_cls, df, chi2_fp FROM ranked
+      |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin
 
   /** Companion of q26: a copy of each doc with the last 2 tokens dropped,
     * ids offset by 1,000,000.
@@ -4593,5 +4685,7 @@ object Queries {
     "q110_multiprobe_ann" -> ((q110MultiProbeAnn _, Some(q110Sql))),
     "q111_sketch_store" -> ((q111SketchStore _, Some(q111Sql))),
     "q112_triangle_count" -> ((q112TriangleCount _, Some(q112Sql))),
-    "q113_label_prop" -> ((q113LabelProp _, Some(q113Sql))))
+    "q113_label_prop" -> ((q113LabelProp _, Some(q113Sql))),
+    "q114_scd2" -> ((q114Scd2 _, Some(q114Sql))),
+    "q115_chi2_tokens" -> ((q115Chi2Tokens _, Some(q115Sql))))
 }

@@ -267,8 +267,9 @@ object Graph {
     * round deterministic, so a fixed round count is replayable by any
     * engine. Per round: one equi-join of the symmetric edge list
     * against the label vector, one (node, label) count aggregate and
-    * one max-by argmax — all hash-partition-able; labels checkpoint
-    * every 3 rounds exactly as [[pageRank]] bounds plan growth.
+    * one rank-1 window (map-side-pruned by WindowGroupLimit) — all
+    * hash-partition-able; labels checkpoint every 3 rounds exactly as
+    * [[pageRank]] bounds plan growth.
     *
     * Returns `(node, label)` for every node that appears in an edge.
     */
@@ -284,13 +285,19 @@ object Graph {
       val votes = sym.join(lab, col("u") === col("id"))
         .select(col("v").as("id"), col("l"))
         .unionByName(lab)
-      // argmax by (count DESC, label ASC): max over (count, -label)
-      // structs — a plain two-level hash aggregate, no window shuffle.
+      // argmax by (count DESC, label ASC): a hash aggregate then a
+      // rank-1 window. max(struct(count, -label)) would be one
+      // aggregate but plans as a SortAggregate (struct buffers aren't
+      // hash-aggregable — engine-wide banned); the row_number window
+      // gets WindowGroupLimit's map-side rank<=1 pruning instead, so
+      // only one candidate row per node crosses the wire.
       val counted = votes.groupBy(col("id"), col("l"))
         .agg(count(lit(1)).as("__c"))
-      lab = counted.groupBy(col("id"))
-        .agg(max(struct(col("__c"), (-col("l")).as("__nl"))).as("__w"))
-        .select(col("id"), (-col("__w.__nl")).as("l"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id")).orderBy(col("__c").desc, col("l").asc)
+      lab = counted.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+        .select(col("id"), col("l"))
       if ((i + 1) % 3 == 0 && i + 1 < rounds) lab = lab.localCheckpoint()
     }
     lab.select(col("id").as("node"), col("l").as("label"))
