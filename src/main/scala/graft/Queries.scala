@@ -1586,6 +1586,82 @@ object Queries {
       |SELECT lang, rank, token, df_in_cls, df, chi2_fp FROM ranked
       |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin
 
+  /** Theta-sketch set-operation store
+    * ([[graft.expressions.ThetaSketchAgg]] family — custom Catalyst
+    * TypedImperativeAggregates over Apache DataSketches theta): per-week
+    * distinct-user sketches MATERIALIZED to parquet, then week-over-week
+    * retention (intersection) and new-user (difference) estimates
+    * answered from the stored sketches alone — the set-algebra questions
+    * q111's HLL store cannot express, from the same
+    * constant-size-per-segment state. Oracle: the q111/q40 pattern —
+    * exact pair counts (inner/anti joins on (week, user)) plus
+    * error-band booleans; at lgK=14 the sketches stay in exact mode at
+    * every test SF, so the bands are wide-margin-true while the whole
+    * sketch pipeline (build → store → intersect/difference → estimate)
+    * runs end to end.
+    */
+  def q116ThetaOverlap(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches
+    val wu = events(s, dir)
+      .select(date_trunc("week", col("ts")).cast("date").as("week"),
+        col("user_id"))
+      .distinct()
+    val store = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_q116_store").getPath
+    wu.groupBy(col("week"))
+      .agg(Sketches.thetaSketch(col("user_id"), 14).as("sk"))
+      .write.mode("overwrite").parquet(store)
+    val sk = s.read.parquet(store)
+    val prev = sk.select(col("week"), col("sk").as("__ska"))
+    val next = sk.select(date_sub(col("week"), 7).as("week"),
+      col("sk").as("__skb"))
+    val ests = prev.join(next, Seq("week"))
+      .select(col("week"),
+        Sketches.thetaEstimate(
+          Sketches.thetaIntersect(col("__ska"), col("__skb"))).as("__eb"),
+        Sketches.thetaEstimate(
+          Sketches.thetaANotB(col("__skb"), col("__ska"))).as("__en"))
+    val nextUsers = wu.select(date_sub(col("week"), 7).as("week"),
+      col("user_id"))
+    val both = wu.join(nextUsers, Seq("week", "user_id"))
+      .groupBy(col("week")).agg(count(lit(1)).as("__xb"))
+    val newu = nextUsers.join(wu, Seq("week", "user_id"), "left_anti")
+      .groupBy(col("week")).agg(count(lit(1)).as("__xn"))
+    ests.join(both, Seq("week"), "left").join(newu, Seq("week"), "left")
+      .select(col("week"),
+        coalesce(col("__xb"), lit(0L)).as("exact_both"),
+        coalesce(col("__xn"), lit(0L)).as("exact_new"),
+        (abs(col("__eb") - coalesce(col("__xb"), lit(0L)))
+          <= coalesce(col("__xb"), lit(0L)) * 0.05 + 10).as("ok_both"),
+        (abs(col("__en") - coalesce(col("__xn"), lit(0L)))
+          <= coalesce(col("__xn"), lit(0L)) * 0.05 + 10).as("ok_new"))
+      .orderBy(col("week"))
+  }
+
+  val q116Sql: String =
+    """WITH wu AS (
+      |  SELECT DISTINCT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE)
+      |    AS week, user_id
+      |  FROM events),
+      |wk AS (SELECT DISTINCT week FROM wu),
+      |pairs AS (SELECT a.week FROM wk a JOIN wk b ON b.week = a.week + 7),
+      |bth AS (
+      |  SELECT a.week, CAST(COUNT(*) AS BIGINT) AS exact_both
+      |  FROM wu a JOIN wu b ON b.user_id = a.user_id
+      |    AND b.week = a.week + 7
+      |  GROUP BY 1),
+      |nw AS (
+      |  SELECT p.week, CAST(COUNT(*) AS BIGINT) AS exact_new
+      |  FROM pairs p JOIN wu b ON b.week = p.week + 7
+      |  LEFT JOIN wu a ON a.user_id = b.user_id AND a.week = p.week
+      |  WHERE a.user_id IS NULL GROUP BY 1)
+      |SELECT p.week, COALESCE(bth.exact_both, 0) AS exact_both,
+      |  COALESCE(nw.exact_new, 0) AS exact_new,
+      |  TRUE AS ok_both, TRUE AS ok_new
+      |FROM pairs p LEFT JOIN bth ON bth.week = p.week
+      |LEFT JOIN nw ON nw.week = p.week
+      |ORDER BY p.week""".stripMargin
+
   /** Companion of q26: a copy of each doc with the last 2 tokens dropped,
     * ids offset by 1,000,000.
     */
@@ -4687,5 +4763,6 @@ object Queries {
     "q112_triangle_count" -> ((q112TriangleCount _, Some(q112Sql))),
     "q113_label_prop" -> ((q113LabelProp _, Some(q113Sql))),
     "q114_scd2" -> ((q114Scd2 _, Some(q114Sql))),
-    "q115_chi2_tokens" -> ((q115Chi2Tokens _, Some(q115Sql))))
+    "q115_chi2_tokens" -> ((q115Chi2Tokens _, Some(q115Sql))),
+    "q116_theta_overlap" -> ((q116ThetaOverlap _, Some(q116Sql))))
 }

@@ -82,7 +82,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         PlaneDot(children.head,
           litDoubleArray(children(1), "plane_dot's weights"))
       },
-      "plane_dot(vec, array(w0, w1, ...)) - dot of a float array with a literal plane"))
+      "plane_dot(vec, array(w0, w1, ...)) - dot of a float array with a literal plane"),
+    ("theta_sketch_agg", classOf[ThetaSketchAgg].getName,
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "theta_sketch_agg takes 2 arguments")
+        ThetaSketchAgg(children.head,
+          litInt(children(1), "theta_sketch_agg's lgK")).toAggregateExpression()
+      },
+      "theta_sketch_agg(col, lgK) - compact theta sketch of distinct values"),
+    ("theta_union_agg", classOf[ThetaUnionAgg].getName,
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "theta_union_agg takes 2 arguments")
+        ThetaUnionAgg(children.head,
+          litInt(children(1), "theta_union_agg's lgK")).toAggregateExpression()
+      },
+      "theta_union_agg(sketch, lgK) - union of stored compact sketches"),
+    ("theta_estimate", classOf[ThetaEstimate].getName,
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "theta_estimate takes 1 argument")
+        ThetaEstimate(children.head)
+      },
+      "theta_estimate(sketch) - distinct-count estimate"),
+    ("theta_intersect", classOf[ThetaIntersect].getName,
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "theta_intersect takes 2 arguments")
+        ThetaIntersect(children.head, children(1))
+      },
+      "theta_intersect(a, b) - sketch of the set intersection"),
+    ("theta_a_not_b", classOf[ThetaANotB].getName,
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "theta_a_not_b takes 2 arguments")
+        ThetaANotB(children.head, children(1))
+      },
+      "theta_a_not_b(a, b) - sketch of the set difference a \\ b"))
 
   private def litInt(e: Expression, what: String): Int = e match {
     case Literal(v: Int, IntegerType) => v

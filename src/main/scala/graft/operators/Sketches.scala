@@ -35,6 +35,38 @@ object Sketches {
     * invariant; the exact side is one groupBy (the path you avoid at
     * full scale, retained here as the sketch's ground truth).
     */
+  // ----- theta sketch column API ----------------------------------------
+  // Mergeable distinct-count sketches WITH set operations (intersection /
+  // difference — what the HLL store of q111 cannot answer). Backed by
+  // the custom Catalyst aggregates/scalars in
+  // [[graft.expressions.ThetaSketchAgg]] et al.
+
+  private def bridge = org.apache.spark.sql.graft.ColumnBridge
+
+  /** Aggregate: compact theta sketch of the column's distinct values. */
+  def thetaSketch(c: Column, lgK: Int = 14): Column =
+    bridge.column(graft.expressions.ThetaSketchAgg(
+      bridge.expression(c), lgK).toAggregateExpression())
+
+  /** Aggregate: union of stored compact sketches (store merge). */
+  def thetaUnion(c: Column, lgK: Int = 14): Column =
+    bridge.column(graft.expressions.ThetaUnionAgg(
+      bridge.expression(c), lgK).toAggregateExpression())
+
+  /** Scalar: distinct-count estimate of a compact sketch. */
+  def thetaEstimate(c: Column): Column =
+    bridge.column(graft.expressions.ThetaEstimate(bridge.expression(c)))
+
+  /** Scalar: sketch of the intersection of two sketches. */
+  def thetaIntersect(a: Column, b: Column): Column =
+    bridge.column(graft.expressions.ThetaIntersect(
+      bridge.expression(a), bridge.expression(b)))
+
+  /** Scalar: sketch of the difference a \ b. */
+  def thetaANotB(a: Column, b: Column): Column =
+    bridge.column(graft.expressions.ThetaANotB(
+      bridge.expression(a), bridge.expression(b)))
+
   def heavyHittersChecked(df: DataFrame, itemCol: String,
       minShare: Double, support: Double): DataFrame = {
     require(support < minShare,

@@ -335,8 +335,11 @@ class PlanAuditSpec extends SparkSpec {
     // under test (the per-day sketch is the thing being materialized).
     // The aggregate runs over (day, user) pairs after a narrow
     // projection, so the object path touches no wide rows.
+    // q116: theta_sketch_agg is the engine's own TypedImperativeAggregate
+    // (graft.expressions.ThetaSketchAgg) — same physical shape as q111's
+    // hll_sketch_agg, and the sketch aggregate IS the operator under test.
     val objAggWhitelist = Set("q44_collect_sorted", "q64_approx_quantiles",
-      "q111_sketch_store")
+      "q111_sketch_store", "q116_theta_overlap")
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val p = fn(spark, dir).queryExecution.executedPlan.toString
       Seq(
