@@ -1662,6 +1662,54 @@ object Queries {
       |LEFT JOIN nw ON nw.week = p.week
       |ORDER BY p.week""".stripMargin
 
+  /** 2-D skyline ([[graft.operators.Skyline.frontier2D]]): parts on the
+    * (minimize size, minimize price) Pareto frontier. The oracle is the
+    * DEFINITION — a NOT EXISTS strict-dominance test over all pairs —
+    * while the engine runs the scale-safe decomposition (same-x min
+    * aggregate, chunked prefix running min, broadcast combine,
+    * semi-join back), so a hash match proves the decomposition
+    * implements exact dominance semantics including equal-point and
+    * same-x tie handling.
+    */
+  def q117Skyline(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Skyline.frontier2D(
+        t(s, dir, "part").select(col("p_partkey"), col("p_size"),
+          col("p_retailprice")),
+        "p_size", "p_retailprice")
+      .orderBy(col("p_partkey"))
+
+  val q117Sql: String =
+    """SELECT p_partkey, p_size, p_retailprice FROM part p
+      |WHERE NOT EXISTS (SELECT 1 FROM part q
+      |  WHERE q.p_size <= p.p_size AND q.p_retailprice <= p.p_retailprice
+      |    AND (q.p_size < p.p_size OR q.p_retailprice < p.p_retailprice))
+      |ORDER BY p_partkey""".stripMargin
+
+  /** Incremental connected components ([[Graph.incrementalCC]]): the
+    * dup-cluster store update path — first-generation (a,b) edges are
+    * resolved to a label snapshot, then the second-generation (b,c)
+    * edges arrive as a batch and are folded in WITHOUT re-reading the
+    * historical pair stream (touched components looked up, only their
+    * members relabeled, untouched labels spliced through). The oracle
+    * is q55's full-graph reachability — the incremental result must be
+    * indistinguishable from a full recompute, node for node.
+    */
+  def q118IncrementalCC(s: SparkSession, dir: String): DataFrame = {
+    val edges = plantedDupEdges(s, dir)
+    val old = edges.where(col("src") < 1000000L)
+    val batch = edges.where(col("src") >= 1000000L)
+    val snapshot = plantedDupNodes(s, dir)
+      .join(Graph.connectedComponents(old, "src", "dst"), Seq("node"),
+        "left")
+      .select(col("node"),
+        coalesce(col("component"), col("node")).as("component"))
+    Graph.incrementalCC(snapshot, "node", "component", batch, "src", "dst")
+      .orderBy(col("node"))
+  }
+
+  /** Same oracle as q55 by design: incremental == full recompute. */
+  lazy val q118Sql: String = q55Sql
+
   /** Companion of q26: a copy of each doc with the last 2 tokens dropped,
     * ids offset by 1,000,000.
     */
@@ -4764,5 +4812,7 @@ object Queries {
     "q113_label_prop" -> ((q113LabelProp _, Some(q113Sql))),
     "q114_scd2" -> ((q114Scd2 _, Some(q114Sql))),
     "q115_chi2_tokens" -> ((q115Chi2Tokens _, Some(q115Sql))),
-    "q116_theta_overlap" -> ((q116ThetaOverlap _, Some(q116Sql))))
+    "q116_theta_overlap" -> ((q116ThetaOverlap _, Some(q116Sql))),
+    "q117_skyline" -> ((q117Skyline _, Some(q117Sql))),
+    "q118_incremental_cc" -> ((q118IncrementalCC _, Some(q118Sql))))
 }

@@ -252,6 +252,56 @@ object Graph {
           .otherwise(lit(0L)).as("lcc_fp"))
   }
 
+  /** Incremental connected components: fold a batch of NEW edges into
+    * an existing `(node, component)` labeling without re-reading the
+    * historical pair stream — the update path of a persistent dedup
+    * cluster store (q55 resolves a full pair set; a daily pipeline gets
+    * a small batch of new near-dup pairs against billions of already-
+    * labeled docs and must not rescan them).
+    *
+    * The insight that makes it cheap: a component labeling IS a
+    * two-level star forest, so the stored state (node → component
+    * edges) is an exact, maximally-flattened compression of all
+    * history; new edges only perturb the components they touch. Steps,
+    * all equi-joins/aggregates: (1) look up the touched components =
+    * labels of the batch's endpoints (batch-sized probe of the label
+    * store — bucketed storage makes it exchange-free on the stored
+    * side); (2) pull ONLY those components' members (semi-join);
+    * (3) run [[connectedComponents]] over affected star edges + batch
+    * edges (input ~ |affected| + |batch|, converges in O(1) rounds on
+    * star-plus-batch shapes); (4) splice the relabeled affected set
+    * over the untouched labels (anti-join + union). Unaffected
+    * components are never rewritten.
+    *
+    * Returns the updated full labeling `(node, component)`, including
+    * brand-new nodes seen only in `newEdges`.
+    */
+  def incrementalCC(labels: DataFrame, nodeCol: String, compCol: String,
+      newEdges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val lab = labels.select(col(nodeCol).as("node"), col(compCol).as("component"))
+    val batch = newEdges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+    val endpoints = batch.select(col("u").as("node"))
+      .union(batch.select(col("v").as("node"))).distinct()
+    val touched = lab.join(endpoints, Seq("node"), "left_semi")
+      .select(col("component")).distinct()
+    val affected = lab.join(touched, Seq("component"), "left_semi")
+    // star edges of the affected components + the batch; CC relabels
+    // every member (component ids are component-min, so merged
+    // components get the merged min — consistent with a full recompute)
+    val starEdges = affected.where(col("node") =!= col("component"))
+      .select(col("node").as("u"), col("component").as("v"))
+    val relabeled = connectedComponents(starEdges.union(batch), "u", "v")
+    // batch nodes that formed no edge after self-loop removal (u == v
+    // rows only) keep/get their own label
+    val isolated = endpoints
+      .join(relabeled.select(col("node")), Seq("node"), "left_anti")
+      .join(lab.select(col("node")), Seq("node"), "left_anti")
+      .select(col("node"), col("node").as("component"))
+    val untouched = lab.join(
+      relabeled.select(col("node")), Seq("node"), "left_anti")
+    untouched.unionByName(relabeled).unionByName(isolated)
+  }
+
   /** Synchronous label propagation with self-vote — community labels
     * over the pair graphs a dedup pipeline emits, the vote-based
     * companion to [[connectedComponents]] (LPA converges to finer

@@ -236,6 +236,59 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  // ----- incrementalCC ---------------------------------------------------
+
+  private def incr(oldEdges: Seq[(Long, Long)], batch: Seq[(Long, Long)],
+      extraNodes: Seq[Long] = Nil): Map[Long, Long] = {
+    val full = run(oldEdges)
+    val nodes = (oldEdges.flatMap(e => Seq(e._1, e._2)) ++ extraNodes).distinct
+    val snapshot = nodes.map(n => (n, full.getOrElse(n, n)))
+      .toDF("node", "component")
+    Graph.incrementalCC(snapshot, "node", "component",
+        batch.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("incrementalCC: batch merge equals full recompute on random splits") {
+    val rnd = new Random(41)
+    for (trial <- 0 until 5) {
+      val n = 50 + 10 * trial
+      val all = Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val (old, batch) = all.partition(_ => rnd.nextBoolean())
+      val got = incr(old, batch)
+      val want = bruteCC(all)
+      // every node of the full graph must carry the full-recompute label
+      want.foreach { case (node, comp) =>
+        assert(got(node) === comp, s"trial $trial node $node")
+      }
+      // old-only nodes untouched by the batch must keep their snapshot label
+      val oldLabels = run(old)
+      oldLabels.keys.foreach { node =>
+        assert(got.contains(node), s"trial $trial lost node $node")
+      }
+    }
+  }
+
+  test("incrementalCC: untouched components keep their labels verbatim") {
+    val old = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+    val batch = Seq((20L, 21L)) // brand-new component, touches nothing
+    val got = incr(old, batch)
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L,
+      11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("incrementalCC: a batch edge can merge two snapshot components") {
+    val old = Seq((1L, 2L), (10L, 11L))
+    val got = incr(old, Seq((2L, 11L)))
+    assert(got === Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L))
+  }
+
+  test("incrementalCC: singleton snapshot nodes join batch components") {
+    val got = incr(Seq((1L, 2L)), Seq((3L, 4L)), extraNodes = Seq(3L, 5L))
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 5L -> 5L))
+  }
+
   test("labelPropagation: deterministic across runs") {
     val rnd = new Random(31)
     val edges = Seq.fill(120)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
