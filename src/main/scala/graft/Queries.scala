@@ -1695,7 +1695,9 @@ object Queries {
     * indistinguishable from a full recompute, node for node.
     */
   def q118IncrementalCC(s: SparkSession, dir: String): DataFrame = {
-    val edges = plantedDupEdges(s, dir)
+    // materialized once: the jaccard tower would otherwise run for each
+    // of the two generation filters (and again inside each CC pass)
+    val edges = plantedDupEdges(s, dir).localCheckpoint()
     val old = edges.where(col("src") < 1000000L)
     val batch = edges.where(col("src") >= 1000000L)
     val snapshot = plantedDupNodes(s, dir)
@@ -1709,6 +1711,71 @@ object Queries {
 
   /** Same oracle as q55 by design: incremental == full recompute. */
   lazy val q118Sql: String = q55Sql
+
+  /** Streaming label-store maintenance ([[Graph.updateLabelStore]]):
+    * the production loop around q118 — the (a,b)-generation components
+    * seed a parquet label store PARTITIONED BY `component % 16`, the
+    * (b,c)-generation pairs then arrive as TWO micro-batches
+    * (Structured Streaming, AvailableNow), and each batch folds in via
+    * incremental CC with a PARTIAL store rewrite: only partitions
+    * holding an affected or new component are overwritten (dynamic
+    * partition overwrite; LabelStoreSpec pins the untouched partitions'
+    * file listing byte-for-byte). Output = per-partition summary of the
+    * final store; the oracle rebuilds it from q55's full-graph
+    * reachability, so the streamed, incrementally-folded,
+    * partially-rewritten store must equal a from-scratch batch resolve.
+    */
+  def q119StreamCC(s: SparkSession, dir: String): DataFrame = {
+    val edges = plantedDupEdges(s, dir).localCheckpoint()
+    val old = edges.where(col("src") < 1000000L)
+    val batchSrc = edges.where(col("src") >= 1000000L)
+    val base = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_q119_${java.util.UUID.randomUUID().toString.take(8)}")
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(base)) fs.delete(base, true)
+    fs.deleteOnExit(base)
+    val storeDir = s"$base/labels"
+    val stage = s"$base/stage"
+    val snapshot = plantedDupNodes(s, dir)
+      .join(Graph.connectedComponents(old, "src", "dst"), Seq("node"),
+        "left")
+      .select(col("node"),
+        coalesce(col("component"), col("node")).as("component"))
+    Graph.writeLabelStore(snapshot, "node", "component", storeDir,
+      parts = 16)
+    (0 until 2).foreach { i =>
+      batchSrc.filter(col("src") % 2 === i)
+        .write.mode("append").parquet(stage)
+      val q = s.readStream.schema(batchSrc.schema).parquet(stage)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$base/cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          Graph.updateLabelStore(storeDir, b, "src", "dst", parts = 16)
+          ()
+        }
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    s.read.parquet(storeDir)
+      .groupBy(col("__pb").cast("long").as("pb"))
+      .agg(count(lit(1)).as("n_nodes"),
+        countDistinct(col("component")).as("n_components"),
+        sum(col("node")).as("sum_node"),
+        sum(col("component")).as("sum_comp"))
+      .orderBy(col("pb"))
+  }
+
+  /** q55's reachability labeling, summarized per store partition. */
+  lazy val q119Sql: String = dupGraphCtes +
+    """,
+      |lbl AS (SELECT n AS node, MIN(l) AS component FROM reach GROUP BY n)
+      |SELECT component % 16 AS pb, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+      |  CAST(COUNT(DISTINCT component) AS BIGINT) AS n_components,
+      |  CAST(SUM(node) AS BIGINT) AS sum_node,
+      |  CAST(SUM(component) AS BIGINT) AS sum_comp
+      |FROM lbl GROUP BY 1 ORDER BY pb""".stripMargin
 
   /** Companion of q26: a copy of each doc with the last 2 tokens dropped,
     * ids offset by 1,000,000.
@@ -4814,5 +4881,6 @@ object Queries {
     "q115_chi2_tokens" -> ((q115Chi2Tokens _, Some(q115Sql))),
     "q116_theta_overlap" -> ((q116ThetaOverlap _, Some(q116Sql))),
     "q117_skyline" -> ((q117Skyline _, Some(q117Sql))),
-    "q118_incremental_cc" -> ((q118IncrementalCC _, Some(q118Sql))))
+    "q118_incremental_cc" -> ((q118IncrementalCC _, Some(q118Sql))),
+    "q119_stream_cc" -> ((q119StreamCC _, Some(q119Sql))))
 }

@@ -277,7 +277,21 @@ object Graph {
     * brand-new nodes seen only in `newEdges`.
     */
   def incrementalCC(labels: DataFrame, nodeCol: String, compCol: String,
-      newEdges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+      newEdges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    incrementalCCDetailed(labels, nodeCol, compCol, newEdges, srcCol,
+      dstCol).updated
+
+  /** [[incrementalCC]] plus the intermediate views a label STORE needs
+    * for a partial rewrite: `touched` = old component ids perturbed by
+    * the batch, `delta` = the rows whose labels are new or changed
+    * (relabeled affected members + brand-new isolated nodes).
+    */
+  final case class IncrementalCC(updated: DataFrame, touched: DataFrame,
+    delta: DataFrame)
+
+  def incrementalCCDetailed(labels: DataFrame, nodeCol: String,
+      compCol: String, newEdges: DataFrame, srcCol: String,
+      dstCol: String): IncrementalCC = {
     val lab = labels.select(col(nodeCol).as("node"), col(compCol).as("component"))
     val batch = newEdges.select(col(srcCol).as("u"), col(dstCol).as("v"))
     val endpoints = batch.select(col("u").as("node"))
@@ -299,8 +313,82 @@ object Graph {
       .select(col("node"), col("node").as("component"))
     val untouched = lab.join(
       relabeled.select(col("node")), Seq("node"), "left_anti")
-    untouched.unionByName(relabeled).unionByName(isolated)
+    val delta = relabeled.unionByName(isolated)
+    IncrementalCC(untouched.unionByName(delta), touched, delta)
   }
+
+  /** Persistent label store with PARTIAL rewrites: labels live as
+    * parquet partitioned by `component % parts`, and folding a batch of
+    * new edges rewrites ONLY the partitions holding an affected or new
+    * component — under dynamic partition overwrite the other
+    * partitions' files are never touched (LabelStoreSpec asserts the
+    * file listing), which is what makes a daily label-store update at
+    * billions of labels a delta-sized job rather than a full-table
+    * rewrite. The partition key uses the component id directly (NOT a
+    * hash) so any engine — including the DuckDB oracle — can recompute
+    * partition membership.
+    *
+    * Store-side join shape per batch: every probe of the stored side
+    * (endpoint lookup, member pull, untouched anti-join) is driven by a
+    * batch-derived broadcast, so the store is scanned but never
+    * exchanged.
+    */
+  def updateLabelStore(storeDir: String, newEdges: DataFrame,
+      srcCol: String, dstCol: String, parts: Int = 16): Unit = {
+    val spark = newEdges.sparkSession
+    val lab = spark.read.parquet(storeDir)
+      .select(col("node"), col("component"), col("__pb"))
+    val r = incrementalCCDetailed(lab, "node", "component", newEdges,
+      srcCol, dstCol)
+    val oldParts = lab.join(r.touched, Seq("component"), "left_semi")
+      .select(col("__pb").cast("long").as("__pb")).distinct()
+    val newParts = r.delta
+      .select(pmod(col("component"), lit(parts.toLong)).as("__pb"))
+      .distinct()
+    // the affected-partition list is bounded by `parts` — a bounded
+    // driver scalar, not a data collect — and must be materialized
+    // BEFORE the rewrite (its lazy plan reads the store's current files)
+    val affected: Set[Long] = oldParts.union(newParts).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val rows = r.updated
+      .withColumn("__pb", pmod(col("component"), lit(parts.toLong)))
+      .where(col("__pb").isin(affected.toSeq: _*))
+    // materialize before writing: the write overwrites (some partitions
+    // of) the very path the plan reads, which Spark's self-overwrite
+    // check rejects on a live lineage — and a lazy plan would re-read
+    // half-rewritten input anyway
+    val mat = rows.select(col("node"), col("component"), col("__pb"))
+      .localCheckpoint()
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try mat.write.mode("overwrite").partitionBy("__pb").parquet(storeDir)
+    finally prev match {
+      case Some(v) => spark.conf.set(
+        "spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    // a merge can VACATE a partition (all its components relabeled into
+    // another partition's range): dynamic overwrite only replaces
+    // partitions that receive rows, so an empty affected partition must
+    // be dropped explicitly or its stale labels survive
+    val present = mat.select(col("__pb")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (affected -- present).foreach { p =>
+      fs.delete(new org.apache.hadoop.fs.Path(storeDir, s"__pb=$p"), true)
+    }
+    // the session caches file listings per path: readers planned after
+    // this update must not resolve against pre-rewrite file names
+    spark.catalog.refreshByPath(storeDir)
+  }
+
+  /** Seed a [[updateLabelStore]] store from an initial labeling. */
+  def writeLabelStore(labels: DataFrame, nodeCol: String, compCol: String,
+      storeDir: String, parts: Int = 16): Unit =
+    labels.select(col(nodeCol).as("node"), col(compCol).as("component"))
+      .withColumn("__pb", pmod(col("component"), lit(parts.toLong)))
+      .write.mode("overwrite").partitionBy("__pb").parquet(storeDir)
 
   /** Synchronous label propagation with self-vote — community labels
     * over the pair graphs a dedup pipeline emits, the vote-based
