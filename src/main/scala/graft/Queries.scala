@@ -1777,6 +1777,110 @@ object Queries {
       |  CAST(SUM(component) AS BIGINT) AS sum_comp
       |FROM lbl GROUP BY 1 ORDER BY pb""".stripMargin
 
+  /** Constellation audio matching
+    * ([[graft.operators.AudioFingerprint]], Wang ISMIR 2003 shape):
+    * per-nation tracks are REAL 16-bit PCM WAVs whose frames each carry
+    * one pure integer-bin cosine (frequency schedule a closed form of
+    * (id, frame)); clips are frame-aligned cuts (frames 8..19) of the
+    * even tracks. The engine runs the genuine DSP path — WAV decode,
+    * per-frame direct DFT, argmax peak, lead-window pair hashes,
+    * inverted-index join, offset voting — while the oracle NEVER
+    * touches bytes: an integer-bin cosine concentrates its spectrum
+    * exactly on its bin (margin ~1000× over int16 rounding noise), so
+    * the oracle rebuilds the identical peak stream from the tone
+    * schedule and replays the identical hash/vote/rank algebra. Every
+    * clip must match its source track at offset 8 with the exact vote
+    * count.
+    */
+  def q120AudioMatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.{AudioFingerprint, Multimodal}
+    val fsz = 256
+    def toneWav(id: Long, startFrame: Int, nFrames: Int): Array[Byte] = {
+      val samples = new Array[Short](nFrames * fsz)
+      var k = 0
+      while (k < nFrames) {
+        val bin = (10 + ((id * 7 + (startFrame + k) * 13) % 100)).toInt
+        var n = 0
+        while (n < fsz) {
+          samples(k * fsz + n) =
+            math.round(1000.0 * math.cos(2.0 * math.Pi * bin * n / fsz))
+              .toShort
+          n += 1
+        }
+        k += 1
+      }
+      Multimodal.MediaCodec.wavEncode(8000, samples)
+    }
+    val ids = t(s, dir, "nation").select(col("n_nationkey").cast("long"))
+      .as[Long]
+    val tracks = ids.map(id => (id, toneWav(id, 0, (24 + id % 8).toInt)))
+      .toDF("id", "wav")
+    val clips = ids.filter(_ % 2 == 0)
+      .map(id => (id + 1000L, toneWav(id, 8, 12)))
+      .toDF("id", "wav")
+    val th = AudioFingerprint.constellation(
+      AudioFingerprint.framePeaks(tracks, "id", "wav", fsz), fsz, maxDt = 3)
+    val ch = AudioFingerprint.constellation(
+      AudioFingerprint.framePeaks(clips, "id", "wav", fsz), fsz, maxDt = 3)
+    AudioFingerprint.matchClips(th, ch)
+      .select(col("clip").as("clip_id"), col("track"),
+        col("offset").cast("long").as("offset"), col("votes"))
+      .orderBy(col("clip_id"))
+  }
+
+  val q120Sql: String =
+    """WITH tracks AS (
+      |  SELECT CAST(n_nationkey AS BIGINT) AS id,
+      |    24 + n_nationkey % 8 AS nf
+      |  FROM nation),
+      |tp AS (
+      |  SELECT id, CAST(k AS INTEGER) AS frame,
+      |    CAST(10 + (id*7 + k*13) % 100 AS INTEGER) AS bin
+      |  FROM (SELECT id, unnest(range(nf)) AS k FROM tracks) u),
+      |cp AS (
+      |  SELECT u.id + 1000 AS id, CAST(u.j AS INTEGER) AS frame,
+      |    CAST(10 + (u.id*7 + (u.j+8)*13) % 100 AS INTEGER) AS bin
+      |  FROM (SELECT id, unnest(range(12)) AS j FROM tracks
+      |        WHERE id % 2 = 0) u),
+      |thl AS (
+      |  SELECT id, frame, bin,
+      |    LEAD(bin, 1) OVER w AS l1, LEAD(bin, 2) OVER w AS l2,
+      |    LEAD(bin, 3) OVER w AS l3
+      |  FROM tp WINDOW w AS (PARTITION BY id ORDER BY frame)),
+      |th AS (
+      |  SELECT id, frame, (bin*128 + l1)*4 + 1 AS hash FROM thl
+      |  WHERE l1 IS NOT NULL
+      |  UNION ALL
+      |  SELECT id, frame, (bin*128 + l2)*4 + 2 FROM thl WHERE l2 IS NOT NULL
+      |  UNION ALL
+      |  SELECT id, frame, (bin*128 + l3)*4 + 3 FROM thl WHERE l3 IS NOT NULL),
+      |chl AS (
+      |  SELECT id, frame, bin,
+      |    LEAD(bin, 1) OVER w AS l1, LEAD(bin, 2) OVER w AS l2,
+      |    LEAD(bin, 3) OVER w AS l3
+      |  FROM cp WINDOW w AS (PARTITION BY id ORDER BY frame)),
+      |ch AS (
+      |  SELECT id, frame, (bin*128 + l1)*4 + 1 AS hash FROM chl
+      |  WHERE l1 IS NOT NULL
+      |  UNION ALL
+      |  SELECT id, frame, (bin*128 + l2)*4 + 2 FROM chl WHERE l2 IS NOT NULL
+      |  UNION ALL
+      |  SELECT id, frame, (bin*128 + l3)*4 + 3 FROM chl WHERE l3 IS NOT NULL),
+      |votes AS (
+      |  SELECT c.id AS clip, t.id AS track,
+      |    CAST(t.frame - c.frame AS BIGINT) AS "offset",
+      |    CAST(COUNT(*) AS BIGINT) AS votes
+      |  FROM ch c JOIN th t ON t.hash = c.hash
+      |  GROUP BY 1, 2, 3),
+      |ranked AS (
+      |  SELECT clip, track, "offset", votes,
+      |    ROW_NUMBER() OVER (PARTITION BY clip
+      |      ORDER BY votes DESC, track ASC, "offset" ASC) AS rn
+      |  FROM votes)
+      |SELECT clip AS clip_id, track, "offset", votes FROM ranked
+      |WHERE rn = 1 ORDER BY clip_id""".stripMargin
+
   /** Companion of q26: a copy of each doc with the last 2 tokens dropped,
     * ids offset by 1,000,000.
     */
@@ -4882,5 +4986,6 @@ object Queries {
     "q116_theta_overlap" -> ((q116ThetaOverlap _, Some(q116Sql))),
     "q117_skyline" -> ((q117Skyline _, Some(q117Sql))),
     "q118_incremental_cc" -> ((q118IncrementalCC _, Some(q118Sql))),
-    "q119_stream_cc" -> ((q119StreamCC _, Some(q119Sql))))
+    "q119_stream_cc" -> ((q119StreamCC _, Some(q119Sql))),
+    "q120_audio_match" -> ((q120AudioMatch _, Some(q120Sql))))
 }

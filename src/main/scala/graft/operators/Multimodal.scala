@@ -246,6 +246,33 @@ object Multimodal {
       Some((n.toLong, peak, sumSq))
     }
 
+    /** Raw mono 16-bit PCM samples — the decode side
+      * [[graft.expressions.AudioPeaks]] runs its DFT over. Same
+      * validation rules as [[pcmStats]]; None on anything malformed.
+      */
+    def pcmSamples(b: Array[Byte]): Option[Array[Short]] = {
+      var audioFormat = 0
+      var bits = 0
+      var dataAt = -1
+      var dataLen = -1
+      val ok = walkRiffChunks(b) { (id, at, len) =>
+        if (id == "fmt " && len >= 16 && at + 16 <= b.length) {
+          audioFormat = le16(b, at)
+          bits = le16(b, at + 14)
+        } else if (id == "data") { dataAt = at; dataLen = len }
+      }
+      if (!ok || audioFormat != 1 || bits != 16 || dataAt < 0 ||
+          dataAt.toLong + dataLen > b.length) return None
+      val n = dataLen / 2
+      val out = new Array[Short](n)
+      var j = 0
+      while (j < n) {
+        out(j) = ((le16(b, dataAt + 2 * j) << 16) >> 16).toShort
+        j += 1
+      }
+      Some(out)
+    }
+
     /** Unified pixel accessor over every REAL pixel decoder in the
       * codec (24-bit BMP, 8-bit PNG, JPEG): `rgb(x, y)` returns packed
       * 0xRRGGBB top-down. Gray and alpha formats map gray→all channels
