@@ -1881,6 +1881,69 @@ object Queries {
       |SELECT clip AS clip_id, track, "offset", votes FROM ranked
       |WHERE rn = 1 ORDER BY clip_id""".stripMargin
 
+  /** Source/sink format coverage: the lineitem slice round-trips
+    * through ORC, CSV (header + explicit schema + microsecond
+    * timestampFormat) and JSON-lines sinks and sources, and each
+    * format's read-back must reproduce the parquet originals
+    * EXACTLY — proven by per-format fidelity stats (exact cents sums
+    * for doubles, summed epoch-micros for timestamps, length sums for
+    * strings, exact counts/distincts) that the oracle computes once
+    * from the parquet table and expects three times over. Catches the
+    * real round-trip hazards: shortest-repr double formatting,
+    * sub-second timestamp truncation, header/schema drift.
+    */
+  def q121FormatRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+      col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+      col("l_returnflag"), col("l_shipdate"))
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_q121_${java.util.UUID.randomUUID().toString.take(8)}").getPath
+    val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    li.write.mode("overwrite").orc(s"$base/orc")
+    li.write.mode("overwrite").option("header", "true")
+      .option("timestampFormat", tsFmt).csv(s"$base/csv")
+    li.write.mode("overwrite").option("timestampFormat", tsFmt)
+      .json(s"$base/json")
+    val orc = s.read.schema(li.schema).orc(s"$base/orc")
+    val csv = s.read.schema(li.schema).option("header", "true")
+      .option("timestampFormat", tsFmt).csv(s"$base/csv")
+    val jsn = s.read.schema(li.schema).option("timestampFormat", tsFmt)
+      .json(s"$base/json")
+    def stats(df: DataFrame, fmt: String): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          moneySum(col("l_quantity")).as("qty_sum"),
+          moneySum(col("l_extendedprice")).as("price_sum"),
+          // bit_xor, not sum: Σ epoch-micros overflows int64 past ~5k
+          // rows; xor is order-independent, overflow-free and detects
+          // any single-row drift
+          expr("bit_xor(unix_micros(cast(l_shipdate as timestamp)))")
+            .as("ship_us_xor"),
+          sum(length(col("l_returnflag"))).as("flag_len_sum"))
+        .select(Seq(lit(fmt).as("fmt")) ++
+          Seq("n_rows", "n_orders", "qty_sum", "price_sum", "ship_us_xor",
+            "flag_len_sum").map(col): _*)
+    stats(csv, "csv").unionByName(stats(jsn, "json"))
+      .unionByName(stats(orc, "orc"))
+      .orderBy(col("fmt"))
+  }
+
+  val q121Sql: String =
+    """WITH s AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+      |    CAST(SUM(CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT)) AS DOUBLE)
+      |      / 100 AS qty_sum,
+      |    CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT))
+      |      AS DOUBLE) / 100 AS price_sum,
+      |    CAST(BIT_XOR(epoch_us(l_shipdate)) AS BIGINT) AS ship_us_xor,
+      |    CAST(SUM(length(l_returnflag)) AS BIGINT) AS flag_len_sum
+      |  FROM lineitem)
+      |SELECT 'csv' AS fmt, s.* FROM s
+      |UNION ALL SELECT 'json', s.* FROM s
+      |UNION ALL SELECT 'orc', s.* FROM s
+      |ORDER BY fmt""".stripMargin
+
   /** Companion of q26: a copy of each doc with the last 2 tokens dropped,
     * ids offset by 1,000,000.
     */
@@ -4987,5 +5050,6 @@ object Queries {
     "q117_skyline" -> ((q117Skyline _, Some(q117Sql))),
     "q118_incremental_cc" -> ((q118IncrementalCC _, Some(q118Sql))),
     "q119_stream_cc" -> ((q119StreamCC _, Some(q119Sql))),
-    "q120_audio_match" -> ((q120AudioMatch _, Some(q120Sql))))
+    "q120_audio_match" -> ((q120AudioMatch _, Some(q120Sql))),
+    "q121_format_roundtrip" -> ((q121FormatRoundtrip _, Some(q121Sql))))
 }
