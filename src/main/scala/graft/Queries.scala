@@ -1944,6 +1944,115 @@ object Queries {
       |UNION ALL SELECT 'orc', s.* FROM s
       |ORDER BY fmt""".stripMargin
 
+  /** Mergeable frequent-items sketch store
+    * ([[graft.expressions.FreqSketchAgg]] family — Misra-Gries over
+    * DataSketches frequencies): per-(day, week) user-count sketches
+    * materialized to parquet, weekly heavy-hitter questions answered by
+    * sketch MERGE over the store — the counting companion to q116's
+    * theta distinct store. Oracle: exact per-week top-3 users by count
+    * plus the sketch family's DETERMINISTIC guarantee — lowerBound ≤
+    * true count ≤ upperBound holds always, not probabilistically — as a
+    * boolean, so the library-specific estimates never cross engines.
+    */
+  def q122FreqStore(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches
+    val de = events(s, dir).select(to_date(col("ts")).as("day"),
+      date_trunc("week", col("ts")).cast("date").as("week"),
+      col("user_id"))
+    val store = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_q122_store").getPath
+    de.groupBy(col("day"), col("week"))
+      .agg(Sketches.freqSketch(col("user_id"), 64).as("sk"))
+      .write.mode("overwrite").parquet(store)
+    val weekly = s.read.parquet(store).groupBy(col("week"))
+      .agg(Sketches.freqMerge(col("sk"), 64).as("sk"))
+    val exact = de.groupBy(col("week"), col("user_id"))
+      .agg(count(lit(1)).as("exact_n"))
+    val w = Window.partitionBy(col("week"))
+      .orderBy(col("exact_n").desc, col("user_id").asc)
+    exact.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 3)
+      .join(weekly, Seq("week"))
+      .select(col("week"), col("rank"), col("user_id"), col("exact_n"),
+        (Sketches.freqLowerBound(col("sk"), col("user_id"))
+          <= col("exact_n") &&
+          Sketches.freqUpperBound(col("sk"), col("user_id"))
+            >= col("exact_n")).as("ok"))
+      .orderBy(col("week"), col("rank"))
+  }
+
+  val q122Sql: String =
+    """WITH de AS (
+      |  SELECT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS week,
+      |    user_id
+      |  FROM events),
+      |exact AS (
+      |  SELECT week, user_id, CAST(COUNT(*) AS BIGINT) AS exact_n
+      |  FROM de GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT week, user_id, exact_n,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY week
+      |      ORDER BY exact_n DESC, user_id ASC) AS BIGINT) AS rank
+      |  FROM exact)
+      |SELECT week, rank, user_id, exact_n, TRUE AS ok FROM ranked
+      |WHERE rank <= 3 ORDER BY week, rank""".stripMargin
+
+  /** Snapshot diff / CDC derivation ([[graft.operators.Cdc
+    * .snapshotDiff]]): version N+1 of orders is planted from version N
+    * (keys %97=1 deleted, %100=0 repriced +1.00, %93=2 re-inserted
+    * under offset keys) and the diff must recover exactly the planted
+    * change set — one full-outer hash join + null-safe struct compare,
+    * unchanged rows dropped before any consumer. The oracle builds the
+    * same two versions and replays the same join/compare in SQL.
+    */
+  def q123SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val v0 = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_totalprice"), col("o_orderpriority"))
+    val survived = v0.where(pmod(col("o_orderkey"), lit(97)) =!= 1)
+      .select(col("o_orderkey"),
+        when(pmod(col("o_orderkey"), lit(100)) === 0,
+          col("o_totalprice") + 1.0).otherwise(col("o_totalprice"))
+          .as("o_totalprice"),
+        col("o_orderpriority"))
+    val inserted = v0.where(pmod(col("o_orderkey"), lit(93)) === 2)
+      .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+        col("o_totalprice"), lit("NEW").as("o_orderpriority"))
+    val v1 = survived.unionByName(inserted)
+    graft.operators.Cdc.snapshotDiff(v0, v1, Seq("o_orderkey"),
+        Seq("o_totalprice", "o_orderpriority"))
+      .orderBy(col("o_orderkey"), col("change"))
+  }
+
+  val q123Sql: String =
+    """WITH v0 AS (
+      |  SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders),
+      |v1 AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice + 1.0
+      |      ELSE o_totalprice END AS o_totalprice,
+      |    o_orderpriority
+      |  FROM v0 WHERE o_orderkey % 97 <> 1
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, o_totalprice, 'NEW'
+      |  FROM v0 WHERE o_orderkey % 93 = 2),
+      |j AS (
+      |  SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+      |    CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+      |      WHEN b.o_orderkey IS NULL THEN 'delete'
+      |      WHEN a.o_totalprice IS NOT DISTINCT FROM b.o_totalprice
+      |        AND a.o_orderpriority IS NOT DISTINCT FROM b.o_orderpriority
+      |        THEN NULL
+      |      ELSE 'update' END AS change,
+      |    a.o_totalprice AS old_o_totalprice,
+      |    b.o_totalprice AS new_o_totalprice,
+      |    a.o_orderpriority AS old_o_orderpriority,
+      |    b.o_orderpriority AS new_o_orderpriority
+      |  FROM v0 a FULL OUTER JOIN v1 b ON b.o_orderkey = a.o_orderkey)
+      |SELECT o_orderkey, change, old_o_totalprice, new_o_totalprice,
+      |  old_o_orderpriority, new_o_orderpriority
+      |FROM j WHERE change IS NOT NULL
+      |ORDER BY o_orderkey, change""".stripMargin
+
   /** Companion of q26: a copy of each doc with the last 2 tokens dropped,
     * ids offset by 1,000,000.
     */
@@ -5051,5 +5160,7 @@ object Queries {
     "q118_incremental_cc" -> ((q118IncrementalCC _, Some(q118Sql))),
     "q119_stream_cc" -> ((q119StreamCC _, Some(q119Sql))),
     "q120_audio_match" -> ((q120AudioMatch _, Some(q120Sql))),
-    "q121_format_roundtrip" -> ((q121FormatRoundtrip _, Some(q121Sql))))
+    "q121_format_roundtrip" -> ((q121FormatRoundtrip _, Some(q121Sql))),
+    "q122_freq_store" -> ((q122FreqStore _, Some(q122Sql))),
+    "q123_snapshot_diff" -> ((q123SnapshotDiff _, Some(q123Sql))))
 }

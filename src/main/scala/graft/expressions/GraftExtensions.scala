@@ -114,7 +114,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "theta_a_not_b takes 2 arguments")
         ThetaANotB(children.head, children(1))
       },
-      "theta_a_not_b(a, b) - sketch of the set difference a \\ b"))
+      "theta_a_not_b(a, b) - sketch of the set difference a \\ b"),
+    ("freq_sketch_agg", classOf[FreqSketchAgg].getName,
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "freq_sketch_agg takes 2 arguments")
+        FreqSketchAgg(children.head,
+          litInt(children(1), "freq_sketch_agg's maxMapSize"))
+          .toAggregateExpression()
+      },
+      "freq_sketch_agg(item, maxMapSize) - Misra-Gries frequency sketch"),
+    ("freq_merge_agg", classOf[FreqMergeAgg].getName,
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "freq_merge_agg takes 2 arguments")
+        FreqMergeAgg(children.head,
+          litInt(children(1), "freq_merge_agg's maxMapSize"))
+          .toAggregateExpression()
+      },
+      "freq_merge_agg(sketch, maxMapSize) - union of frequency sketches"),
+    ("freq_lower_bound", classOf[FreqLowerBound].getName,
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "freq_lower_bound takes 2 arguments")
+        FreqLowerBound(children.head, children(1))
+      },
+      "freq_lower_bound(sketch, item) - guaranteed lower count bound"),
+    ("freq_upper_bound", classOf[FreqUpperBound].getName,
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "freq_upper_bound takes 2 arguments")
+        FreqUpperBound(children.head, children(1))
+      },
+      "freq_upper_bound(sketch, item) - guaranteed upper count bound"))
 
   private def litInt(e: Expression, what: String): Int = e match {
     case Literal(v: Int, IntegerType) => v

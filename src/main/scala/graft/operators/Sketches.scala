@@ -67,6 +67,30 @@ object Sketches {
     bridge.column(graft.expressions.ThetaANotB(
       bridge.expression(a), bridge.expression(b)))
 
+  // ----- frequent-items sketch column API --------------------------------
+  // Mergeable Misra-Gries frequency state with DETERMINISTIC count
+  // bounds — the counting companion to the theta store.
+
+  /** Aggregate: frequency sketch of a long item column. */
+  def freqSketch(c: Column, maxMapSize: Int = 64): Column =
+    bridge.column(graft.expressions.FreqSketchAgg(
+      bridge.expression(c), maxMapSize).toAggregateExpression())
+
+  /** Aggregate: union of stored frequency sketches. */
+  def freqMerge(c: Column, maxMapSize: Int = 64): Column =
+    bridge.column(graft.expressions.FreqMergeAgg(
+      bridge.expression(c), maxMapSize).toAggregateExpression())
+
+  /** Scalar: guaranteed lower bound of an item's count. */
+  def freqLowerBound(sketch: Column, item: Column): Column =
+    bridge.column(graft.expressions.FreqLowerBound(
+      bridge.expression(sketch), bridge.expression(item)))
+
+  /** Scalar: guaranteed upper bound of an item's count. */
+  def freqUpperBound(sketch: Column, item: Column): Column =
+    bridge.column(graft.expressions.FreqUpperBound(
+      bridge.expression(sketch), bridge.expression(item)))
+
   def heavyHittersChecked(df: DataFrame, itemCol: String,
       minShare: Double, support: Double): DataFrame = {
     require(support < minShare,

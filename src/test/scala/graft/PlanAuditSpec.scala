@@ -338,8 +338,11 @@ class PlanAuditSpec extends SparkSpec {
     // q116: theta_sketch_agg is the engine's own TypedImperativeAggregate
     // (graft.expressions.ThetaSketchAgg) — same physical shape as q111's
     // hll_sketch_agg, and the sketch aggregate IS the operator under test.
+    // q122: freq_sketch_agg/freq_merge_agg are the engine's own
+    // TypedImperativeAggregates (graft.expressions.FreqSketchAgg) —
+    // same rationale as q111/q116.
     val objAggWhitelist = Set("q44_collect_sorted", "q64_approx_quantiles",
-      "q111_sketch_store", "q116_theta_overlap")
+      "q111_sketch_store", "q116_theta_overlap", "q122_freq_store")
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val p = fn(spark, dir).queryExecution.executedPlan.toString
       Seq(
