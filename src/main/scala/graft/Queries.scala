@@ -2053,6 +2053,126 @@ object Queries {
       |FROM j WHERE change IS NOT NULL
       |ORDER BY o_orderkey, change""".stripMargin
 
+  /** PMI collocations ([[Retrieval.pmiCollocations]], Church & Hanks
+    * 1990): top-20 adjacent token pairs by pointwise mutual
+    * information at joint count >= 5 — all marginals from the bigram
+    * stream itself, so the score is exact int64 counts + ONE
+    * correctly-rounded double divide (log-free: log is monotone, the
+    * ranking is true PMI's). The oracle rebuilds bigrams, marginals and
+    * the fixed-point score and must agree on every ranked row.
+    */
+  def q124PmiPairs(s: SparkSession, dir: String): DataFrame =
+    Retrieval.pmiCollocations(t(s, dir, "documents"), "doc_id", "text",
+      minCount = 5L, k = 20)
+
+  val q124Sql: String =
+    """WITH base AS (
+      |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ta
+      |  FROM documents),
+      |bg AS (
+      |  SELECT ta[i] AS x, ta[i+1] AS y
+      |  FROM (SELECT ta, unnest(range(1, len(ta))) AS i FROM base) z),
+      |joint AS (
+      |  SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c_xy FROM bg GROUP BY 1, 2),
+      |l AS (SELECT x, CAST(SUM(c_xy) AS BIGINT) AS cl FROM joint GROUP BY 1),
+      |r AS (SELECT y, CAST(SUM(c_xy) AS BIGINT) AS cr FROM joint GROUP BY 1),
+      |nb AS (SELECT CAST(SUM(c_xy) AS BIGINT) AS n FROM joint)
+      |SELECT joint.x, joint.y, c_xy,
+      |  CAST(FLOOR(1000000.0 * CAST(c_xy * nb.n AS DOUBLE)
+      |    / CAST(l.cl * r.cr AS DOUBLE)) AS BIGINT) AS pmi_fp
+      |FROM joint JOIN l ON l.x = joint.x JOIN r ON r.y = joint.y
+      |CROSS JOIN nb
+      |WHERE c_xy >= 5
+      |ORDER BY pmi_fp DESC, joint.x, joint.y LIMIT 20""".stripMargin
+
+  /** Group-wise OLS ([[graft.operators.Regress.olsByGroup]]): the
+    * price-on-quantity line per return flag from one aggregation pass
+    * of exact cents-quantized sufficient statistics; slope/intercept
+    * are a fixed sequence of correctly-rounded double ops over the
+    * int64 sums (cross terms formed in double — n·Sxy overflows int64
+    * at ~1e6 rows; int64→double conversion is correctly rounded, so
+    * the oracle's identical expression tree lands identical bits).
+    */
+  def q125GroupOls(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Regress.olsByGroup(t(s, dir, "lineitem"),
+        "l_returnflag", "l_quantity", "l_extendedprice")
+      .withColumnRenamed("grp", "l_returnflag")
+      .orderBy(col("l_returnflag"))
+
+  val q125Sql: String =
+    """WITH q AS (
+      |  SELECT l_returnflag,
+      |    CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT) AS x,
+      |    CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT) AS y
+      |  FROM lineitem),
+      |sums AS (
+      |  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x*y) AS BIGINT) AS sxy,
+      |    CAST(SUM(x*x) AS BIGINT) AS sxx
+      |  FROM q GROUP BY 1)
+      |SELECT l_returnflag, n,
+      |  CASE WHEN CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) <> 0.0
+      |    THEN CAST(FLOOR(1000000.0 *
+      |      ((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+      |        - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+      |       / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)))) AS BIGINT)
+      |    END AS slope_fp,
+      |  CASE WHEN CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) <> 0.0
+      |    THEN CAST(FLOOR(1000000.0 *
+      |      ((CAST(sy AS DOUBLE)
+      |        - ((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+      |          - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+      |         / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+      |          - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)))
+      |         * CAST(sx AS DOUBLE))
+      |       / CAST(n AS DOUBLE))) AS BIGINT)
+      |    END AS intercept_fp
+      |FROM sums ORDER BY l_returnflag""".stripMargin
+
+  /** Native session windows (`session_window(ts, gap)` — the
+    * streaming-capable built-in, not the hand-rolled
+    * flatMapGroupsWithState path the streaming specs cover): per-user
+    * 30-minute-gap sessions with event counts and cents-exact value
+    * sums. The oracle is the classic gaps-and-islands formulation —
+    * new session when the gap from the previous event exceeds 30
+    * minutes, end = last event + gap — which must agree on every
+    * boundary, count and sum.
+    */
+  def q126SessionWindow(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("__w"))
+      .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("value_sum"))
+      .select(col("user_id"), col("__w.start").as("session_start"),
+        col("__w.end").as("session_end"), col("n_events"),
+        col("value_sum"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  val q126Sql: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |        > INTERVAL 30 MINUTE OR
+      |      LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |      THEN 1 ELSE 0 END AS ns
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id, ts, value,
+      |    SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM marked)
+      |SELECT user_id, MIN(ts) AS session_start,
+      |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS DOUBLE) / 100
+      |    AS value_sum
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   /** Companion of q26: a copy of each doc with the last 2 tokens dropped,
     * ids offset by 1,000,000.
     */
@@ -5162,5 +5282,8 @@ object Queries {
     "q120_audio_match" -> ((q120AudioMatch _, Some(q120Sql))),
     "q121_format_roundtrip" -> ((q121FormatRoundtrip _, Some(q121Sql))),
     "q122_freq_store" -> ((q122FreqStore _, Some(q122Sql))),
-    "q123_snapshot_diff" -> ((q123SnapshotDiff _, Some(q123Sql))))
+    "q123_snapshot_diff" -> ((q123SnapshotDiff _, Some(q123Sql))),
+    "q124_pmi_pairs" -> ((q124PmiPairs _, Some(q124Sql))),
+    "q125_group_ols" -> ((q125GroupOls _, Some(q125Sql))),
+    "q126_session_window" -> ((q126SessionWindow _, Some(q126Sql))))
 }

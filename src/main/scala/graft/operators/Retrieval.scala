@@ -195,6 +195,53 @@ object Retrieval {
     * top-k per doc is a WindowGroupLimit (state O(k) per doc, never the
     * full token list).
     */
+  /** PMI collocations: the top-k adjacent token pairs by pointwise
+    * mutual information — the classic collocation detector (Church &
+    * Hanks 1990) a tokenizer/phrase-mining pipeline runs to find
+    * multiword units worth fusing. All statistics come from the bigram
+    * stream alone (left-slot, right-slot and joint counts over the
+    * same N bigram slots), so the score is a pure count ratio:
+    * `pmi_fp = floor(1e6 · c_xy·N / (c_x_left · c_y_right))` — exact
+    * int64 counts, one correctly-rounded double divide, no logs (log
+    * is monotone, so the RANKING equals true PMI's). `minCount` floors
+    * the joint count (PMI's low-frequency pathology).
+    *
+    * Scale shape: one corpus pass emits bigrams; everything after is
+    * vocabulary-sized (two broadcast marginal joins + a broadcast
+    * single-row total, TakeOrderedAndProject top-k — no global sort).
+    */
+  def pmiCollocations(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long, k: Int): DataFrame = {
+    require(k > 0 && minCount >= 1, "k and minCount must be positive")
+    val toks = docs.select(TextFunctions.tokens(col(textCol)).as("__t"))
+    val bigrams = toks.select(arrays_zip(
+        slice(col("__t"), lit(1), greatest(size(col("__t")) - 1, lit(0)))
+          .as("x"),
+        slice(col("__t"), lit(2), greatest(size(col("__t")) - 1, lit(0)))
+          .as("y")).as("__z"))
+      .select(explode_outer(col("__z")).as("__p"))
+      .where(col("__p").isNotNull)
+      .select(col("__p.x").as("x"), col("__p.y").as("y"))
+    val joint = bigrams.groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("c_xy"))
+    val left = joint.groupBy(col("x")).agg(sum(col("c_xy")).as("__cl"))
+      .withColumnRenamed("x", "__lx")
+    val right = joint.groupBy(col("y")).agg(sum(col("c_xy")).as("__cr"))
+      .withColumnRenamed("y", "__ry")
+    val total = joint.agg(sum(col("c_xy")).as("__nb"))
+    joint.where(col("c_xy") >= minCount)
+      .join(broadcast(left), col("x") === col("__lx"))
+      .join(broadcast(right), col("y") === col("__ry"))
+      .crossJoin(broadcast(total))
+      .select(col("x"), col("y"), col("c_xy"),
+        floor(lit(1000000.0) *
+          (col("c_xy") * col("__nb")).cast("double") /
+          (col("__cl") * col("__cr")).cast("double")).cast("long")
+          .as("pmi_fp"))
+      .orderBy(col("pmi_fp").desc, col("x"), col("y"))
+      .limit(k)
+  }
+
   def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     require(k > 0, "k must be positive")

@@ -116,4 +116,29 @@ class RetrievalSpec extends SparkSpec {
     val a = ranking((1L to 10L).map(i => (1L, i, i)): _*)
     assert(Retrieval.rrfFuse(Seq(a), k = 4).count() === 4)
   }
+
+  test("pmiCollocations: a fused phrase dominates independent pairs") {
+    // "new york" always adjacent; "the" pairs with everything
+    val docs = (0 until 30).map { i =>
+      (i.toLong, s"the a$i new york the b$i the c$i new york the d$i")
+    }.toDF("doc_id", "text")
+    val got = Retrieval.pmiCollocations(docs, "doc_id", "text",
+        minCount = 5L, k = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.head._1 === "new" && got.head._2 === "york")
+    assert(got.head._3 === 60L)
+    // "new york" is a perfect collocation: c_xy = c_left(new) =
+    // c_right(york) = 60 -> pmi_fp = 1e6 * N / 60
+    val n = 30L * 11L // bigram slots per doc = 12 tokens - 1
+    assert(got.head._4 === 1000000L * n / 60L)
+  }
+
+  test("pmiCollocations: minCount floors rare pairs out") {
+    val docs = Seq((1L, "rare pair common common common common"))
+      .toDF("doc_id", "text")
+    assert(Retrieval.pmiCollocations(docs, "doc_id", "text",
+      minCount = 2L, k = 10).collect()
+      .forall(r => r.getLong(2) >= 2L))
+  }
 }
