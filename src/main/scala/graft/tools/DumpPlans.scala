@@ -146,7 +146,32 @@ object DumpPlans {
         + "collapse first (partial agg), corpus counts aggregate from "
         + "that reduced stream, the unigram-prefix table broadcasts; "
         + "probabilities are fixed-point so every per-doc sum is an "
-        + "order-independent integer."))
+        + "order-independent integer."),
+    "q112_triangle_count" ->
+      ("Degree-ordered triangle counting: edges orient low-(deg,id) → "
+        + "high, so the wedge self-join enumerates each triangle once "
+        + "from its lowest corner and hub out-degrees stay O(sqrt m) — "
+        + "equi-joins and hash aggregates only, no cross product; the "
+        + "oriented edge list localCheckpoints once and feeds both "
+        + "wedge legs and the closing probe."),
+    "q117_skyline" ->
+      ("Pareto frontier without a global sort: same-x dominance "
+        + "collapses in one partial-aggregated groupBy; the strict "
+        + "prefix running-min runs per range-chunk in parallel with a "
+        + "broadcast prefix of per-chunk minima (q70 decomposition); "
+        + "one semi-join restores surviving rows."),
+    "q118_incremental_cc" ->
+      ("Label-store update path: the batch's endpoints probe the "
+        + "stored labeling via broadcast semi-joins (store scanned, "
+        + "never exchanged), only touched components' members re-enter "
+        + "CC, untouched labels splice through an anti-join — history "
+        + "pairs are never re-read."),
+    "q124_pmi_pairs" ->
+      ("Collocation mining: ONE corpus pass emits bigrams; joint "
+        + "counts partial-aggregate, both marginals and the total are "
+        + "vocabulary-sized broadcasts, and the top-k is "
+        + "TakeOrderedAndProject — the corpus never crosses the "
+        + "network after the first aggregate."))
 
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
