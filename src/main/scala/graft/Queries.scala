@@ -2173,6 +2173,60 @@ object Queries {
       |FROM sess GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
+  /** Point-in-time join against the q114 SCD Type-2 dimension — the
+    * consumption side of dimension history: every event joins the
+    * version whose half-open validity interval covers its timestamp
+    * (equi hash join on the user key; the interval predicate filters
+    * within each key's small version set, so no range/nested-loop plan
+    * appears). Because the dimension is BUILT from this very event log,
+    * the covered version's attribute must equal the event's own type
+    * for every single event — the per-user summary pins coverage
+    * (exactly one interval per event) and agreement. The oracle
+    * rebuilds the dimension with q114's windows and replays the joins.
+    */
+  def q127PitJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("user_id"), col("ts"),
+      col("event_type"), col("event_id"))
+    val dim = Scd.type2(ev, "user_id", Seq("event_type"), "ts", "event_id")
+      .select(col("user_id").as("__du"), col("event_type").as("__dt"),
+        col("valid_from"), col("valid_to"), col("version"))
+    val joined = ev.join(dim,
+      col("user_id") === col("__du") && col("ts") >= col("valid_from") &&
+        (col("valid_to").isNull || col("ts") < col("valid_to")))
+    joined.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_joined"),
+        countDistinct(col("version")).as("n_versions"),
+        sum(when(col("event_type") === col("__dt"), 1L).otherwise(0L))
+          .as("n_agree"))
+      .orderBy(col("user_id"))
+  }
+
+  val q127Sql: String =
+    """WITH ordered AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev
+      |  FROM events),
+      |changes AS (
+      |  SELECT user_id, event_type, ts, event_id FROM ordered
+      |  WHERE prev IS DISTINCT FROM event_type),
+      |dim AS (
+      |  SELECT user_id, event_type AS dt, ts AS valid_from,
+      |    LEAD(ts) OVER w AS valid_to,
+      |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS version
+      |  FROM changes
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |j AS (
+      |  SELECT e.user_id, e.event_type, d.dt, d.version
+      |  FROM events e JOIN dim d ON d.user_id = e.user_id
+      |    AND e.ts >= d.valid_from
+      |    AND (d.valid_to IS NULL OR e.ts < d.valid_to))
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_joined,
+      |  CAST(COUNT(DISTINCT version) AS BIGINT) AS n_versions,
+      |  CAST(SUM(CASE WHEN event_type = dt THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_agree
+      |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Companion of q26: a copy of each doc with the last 2 tokens dropped,
     * ids offset by 1,000,000.
     */
@@ -5285,5 +5339,6 @@ object Queries {
     "q123_snapshot_diff" -> ((q123SnapshotDiff _, Some(q123Sql))),
     "q124_pmi_pairs" -> ((q124PmiPairs _, Some(q124Sql))),
     "q125_group_ols" -> ((q125GroupOls _, Some(q125Sql))),
-    "q126_session_window" -> ((q126SessionWindow _, Some(q126Sql))))
+    "q126_session_window" -> ((q126SessionWindow _, Some(q126Sql))),
+    "q127_pit_join" -> ((q127PitJoin _, Some(q127Sql))))
 }
