@@ -1571,10 +1571,13 @@ object Queries {
       |  FROM adf JOIN ncls ON ncls.lang = adf.lang CROSS JOIN nn),
       |scored AS (
       |  SELECT lang, token, a AS df_in_cls, df,
-      |    CASE WHEN (ca+cb)*(cc+cd)*(ca+cc)*(cb+cd) > 0
+      |    CASE WHEN CAST((ca+cb)*(cc+cd) AS DOUBLE)
+      |        * CAST((ca+cc)*(cb+cd) AS DOUBLE) > 0.0
       |      THEN CAST(FLOOR(1000000.0
-      |          * CAST(n*(ca*cd - cb*cc)*(ca*cd - cb*cc) AS DOUBLE)
-      |          / CAST((ca+cb)*(cc+cd)*(ca+cc)*(cb+cd) AS DOUBLE))
+      |          * (CAST(n AS DOUBLE) * CAST(ca*cd - cb*cc AS DOUBLE)
+      |             * CAST(ca*cd - cb*cc AS DOUBLE))
+      |          / (CAST((ca+cb)*(cc+cd) AS DOUBLE)
+      |             * CAST((ca+cc)*(cb+cd) AS DOUBLE)))
       |        AS BIGINT)
       |      ELSE 0 END AS chi2_fp
       |  FROM cells),

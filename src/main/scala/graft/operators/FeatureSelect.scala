@@ -27,12 +27,14 @@ import graft.functions.TextFunctions
   * is a rank window that WindowGroupLimit prunes to k rows per
   * partition before the final shuffle.
   *
-  * Determinism contract: the contingency cells a/b/c/d and both
-  * chi-square terms are exact int64 (bounds: the numerator
-  * `N*(ad-bc)^2` stays in int64 while N ≲ 6e9 docs — beyond that,
-  * pre-aggregate per shard or widen to decimal); `chi2_fp` is ONE
-  * correctly-rounded IEEE double divide + floor into fixed-point
-  * millionths, so any engine replaying the ops agrees bit-for-bit.
+  * Determinism contract: the contingency cells a/b/c/d, the cross
+  * term `ad−bc` and the pairwise marginal products are exact int64
+  * (each bounded by N² — exact while N ≲ 3e9 docs); the square and
+  * the 4-way denominator product are formed in DOUBLE (the all-int64
+  * numerator is ~N⁵/16 and overflows at ~20k docs), and `chi2_fp` is
+  * a FIXED sequence of correctly-rounded IEEE double ops finished by
+  * one divide + floor into fixed-point millionths — any engine
+  * replaying the sequence agrees bit-for-bit.
   */
 object FeatureSelect {
 
@@ -70,18 +72,24 @@ object FeatureSelect {
         (col("__nc") - col("df_in_cls")).as("__c2"),
         (col("__N") - col("df") - col("__nc") + col("df_in_cls")).as("__d"),
         col("__N"))
+    // overflow discipline (r8 sf1 lesson: the all-int64 numerator
+    // N*(ad-bc)^2 is ~N^5/16 and dies at ~20k docs): every int64
+    // intermediate is bounded by N^2 (ad, bc, the pairwise marginal
+    // products — exact while N <= 3e9 docs); the square and the final
+    // 4-way product happen in DOUBLE, a fixed correctly-rounded
+    // sequence both engines replay identically.
+    val diff = (col("__a") * col("__d") - col("__b") * col("__c2"))
+      .cast("double")
+    val numD = col("__N").cast("double") * diff * diff
+    val denD = ((col("__a") + col("__b")) * (col("__c2") + col("__d")))
+      .cast("double") *
+      ((col("__a") + col("__c2")) * (col("__b") + col("__d")))
+        .cast("double")
     val scored = cells.select(col("cls"), col("token"),
       col("df_in_cls"), col("df"),
-      (col("__N") *
-        (col("__a") * col("__d") - col("__b") * col("__c2")) *
-        (col("__a") * col("__d") - col("__b") * col("__c2"))).as("__num"),
-      ((col("__a") + col("__b")) * (col("__c2") + col("__d")) *
-        (col("__a") + col("__c2")) * (col("__b") + col("__d"))).as("__den"))
-      .select(col("cls"), col("token"), col("df_in_cls"), col("df"),
-        when(col("__den") > 0,
-          floor(lit(1000000.0) * col("__num").cast("double") /
-            col("__den").cast("double")).cast("long"))
-          .otherwise(lit(0L)).as("chi2_fp"))
+      when(denD > 0.0,
+        floor(lit(1000000.0) * numD / denD).cast("long"))
+        .otherwise(lit(0L)).as("chi2_fp"))
     val w = Window.partitionBy(col("cls"))
       .orderBy(col("chi2_fp").desc, col("token").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))

@@ -58,10 +58,10 @@ class FeatureSelectSpec extends SparkSpec {
     def chi(t: String, c: String): Long = {
       val av = a((t, c)); val dfv = df(t); val nc = byCls(c)
       val b = dfv - av; val cc = nc - av; val d = n - dfv - nc + av
-      val num = n * (av * d - b * cc) * (av * d - b * cc)
-      val den = (av + b) * (cc + d) * (av + cc) * (b + d)
-      if (den > 0) math.floor(1000000.0 * num.toDouble / den.toDouble).toLong
-      else 0L
+      val diff = (av * d - b * cc).toDouble
+      val num = n.toDouble * diff * diff
+      val den = ((av + b) * (cc + d)).toDouble * ((av + cc) * (b + d)).toDouble
+      if (den > 0) math.floor(1000000.0 * num / den).toLong else 0L
     }
     val out = run(docs, k = vocab.size)
     out.foreach { case (c, _, t, dfc, dfAll, fp) =>
