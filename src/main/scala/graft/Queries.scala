@@ -2230,6 +2230,57 @@ object Queries {
       |    AS n_agree
       |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** EXACT set-similarity join via prefix filtering
+    * ([[TextDedup.prefixFilterJoin]], the AllPairs/PPJoin family) over
+    * the q26 planted corpus (docs + last-2-tokens-dropped copies): ALL
+    * pairs with shingle Jaccard >= 0.7, no false negatives — the
+    * deterministic counterpart to q26's LSH. The oracle is the
+    * DEFINITION: overlap counted by a plain shingle equi-join over all
+    * co-occurring size-banded pairs, Jaccard from exact int sizes +
+    * one correctly-rounded divide — so a hash match proves the prefix
+    * filter dropped no qualifying pair and admitted no extra.
+    */
+  def q128PrefixJoin(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val corpus = docs.unionByName(mutatedCopy(docs))
+    TextDedup.prefixFilterJoin(corpus, "doc_id", "text",
+        shingleSize = 3, threshold = 0.7)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val q128Sql: String =
+    """WITH src AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+      |    AS ta
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000,
+      |    w[1:GREATEST(len(w) - 2, 1)]
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |        FROM documents) m),
+      |sets AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(ta) < 3 THEN [array_to_string(ta, ' ')]
+      |      ELSE list_transform(range(1, len(ta) - 1),
+      |             i -> ta[i] || ' ' || ta[i+1] || ' ' || ta[i+2]) END) AS s
+      |  FROM src),
+      |ex AS (
+      |  SELECT doc_id, CAST(len(s) AS BIGINT) AS sz, unnest(s) AS sh
+      |  FROM sets),
+      |ov AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    MIN(a.sz) AS la, MIN(b.sz) AS lb,
+      |    CAST(COUNT(*) AS BIGINT) AS i
+      |  FROM ex a JOIN ex b ON b.sh = a.sh AND a.doc_id < b.doc_id
+      |    AND b.sz * 10 >= a.sz * 7 AND a.sz * 10 >= b.sz * 7
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |  CAST(i AS DOUBLE) / CAST(la + lb - i AS DOUBLE) AS jaccard
+      |FROM ov
+      |WHERE CAST(i AS DOUBLE) / CAST(la + lb - i AS DOUBLE) >= 0.7
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** Companion of q26: a copy of each doc with the last 2 tokens dropped,
     * ids offset by 1,000,000.
     */
@@ -5343,5 +5394,6 @@ object Queries {
     "q124_pmi_pairs" -> ((q124PmiPairs _, Some(q124Sql))),
     "q125_group_ols" -> ((q125GroupOls _, Some(q125Sql))),
     "q126_session_window" -> ((q126SessionWindow _, Some(q126Sql))),
-    "q127_pit_join" -> ((q127PitJoin _, Some(q127Sql))))
+    "q127_pit_join" -> ((q127PitJoin _, Some(q127Sql))),
+    "q128_prefix_join" -> ((q128PrefixJoin _, Some(q128Sql))))
 }

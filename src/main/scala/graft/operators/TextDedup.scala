@@ -24,6 +24,71 @@ import graft.functions.TextFunctions
   */
 object TextDedup {
 
+  /** EXACT set-similarity join via prefix filtering (the
+    * Bayardo/Chaudhuri/Xiao "AllPairs / PPJoin" family): ALL document
+    * pairs with shingle-set Jaccard >= `threshold`, with zero false
+    * negatives — the deterministic counterpart to [[minHashLsh]] (LSH
+    * trades recall for cost; prefix filtering keeps exactness and
+    * prunes by ordering instead of hashing).
+    *
+    * Plan: distinct (doc, shingle) pairs → global document frequency
+    * per shingle → each doc's shingles ranked rarest-first by
+    * (df ASC, shingle ASC) → only the PREFIX (the first
+    * `|s| − ⌈t·|s|⌉ + 1` rarest shingles) enters the candidate
+    * self-join, with the size-band filter `t·|a| ≤ |b| ≤ |a|/t` applied
+    * inside the join. The prefix theorem guarantees every qualifying
+    * pair shares a prefix shingle, and prefix shingles are globally
+    * RARE by construction, so the join fans out on the df tail, never
+    * on hot shingles. Candidates then verify by one array_intersect
+    * against the per-doc sorted shingle arrays (candidate-sized work
+    * only). Shuffles: by shingle (df + candidate join), by doc (rank
+    * window + verify join) — all hash exchanges, no windows over the
+    * corpus order, no cross product.
+    *
+    * Returns `(id_a, id_b, jaccard)` with id_a < id_b.
+    */
+  def prefixFilterJoin(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold < 1, "threshold in (0, 1)")
+    val tN = math.round(threshold * 10).toInt
+    require(math.abs(threshold * 10 - tN) < 1e-9,
+      "threshold must be a multiple of 0.1 (exact integer size filter)")
+    val sets = docs.select(col(idCol).as("id"),
+        array_distinct(TextFunctions.shingles(col(textCol), shingleSize))
+          .as("__s"))
+      .select(col("id"), col("__s"), size(col("__s")).as("sz"))
+      .localCheckpoint() // consumed three times: explode, verify ×2
+    val ex = sets.select(col("id"), col("sz"),
+        explode_outer(col("__s")).as("sh"))
+      .where(col("sh").isNotNull)
+    val dfreq = ex.groupBy(col("sh")).agg(count(lit(1)).as("__df"))
+    val ranked = ex.join(dfreq, Seq("sh"))
+      .withColumn("__rk", row_number().over(Window.partitionBy(col("id"))
+        .orderBy(col("__df").asc, col("sh").asc)))
+    // prefix length |s| - ceil(t*|s|) + 1, all integer at t = tN/10
+    val prefix = ranked.where(
+      col("__rk") <= col("sz") - floor((col("sz") * tN + 9) / 10) + 1)
+    val left = prefix.select(col("id").as("id_a"), col("sz").as("__sza"),
+      col("sh"))
+    val right = prefix.select(col("id").as("id_b"), col("sz").as("__szb"),
+      col("sh"))
+    val cand = left.join(right,
+        left("sh") === right("sh") && col("id_a") < col("id_b") &&
+          col("__szb") * 10 >= col("__sza") * tN &&
+          col("__sza") * 10 >= col("__szb") * tN)
+      .select(col("id_a"), col("id_b")).distinct()
+    val a = sets.select(col("id").as("id_a"), col("__s").as("__sa"),
+      col("sz").as("__la"))
+    val b = sets.select(col("id").as("id_b"), col("__s").as("__sb"),
+      col("sz").as("__lb"))
+    cand.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .withColumn("__i", size(array_intersect(col("__sa"), col("__sb"))))
+      .withColumn("jaccard", col("__i").cast("double") /
+        (col("__la") + col("__lb") - col("__i")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Exact dedup by normalized content hash: deterministic keep-first by
     * tiebreak (pandas-style), one shuffle on the 128-bit fingerprint.
     */

@@ -244,4 +244,56 @@ class TextOpsSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq
     assert(got === Seq("en", "de", "und"))
   }
+
+  // ----- prefixFilterJoin (exact PPJoin-family similarity join) ----------
+
+  private def bruteJaccardPairs(docs: Seq[(Long, String)], n: Int,
+      t: Double): Set[(Long, Long)] = {
+    def sh(s: String): Set[String] = {
+      val w = s.split(" ").filter(_.nonEmpty)
+      if (w.length < n) Set(w.mkString(" "))
+      else w.sliding(n).map(_.mkString(" ")).toSet
+    }
+    val sets = docs.map { case (id, txt) => id -> sh(txt) }
+    (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      i = (sa & sb).size
+      if i.toDouble / (sa.size + sb.size - i) >= t
+    } yield (ia, ib)).toSet
+  }
+
+  private def ppJoin(docs: Seq[(Long, String)], t: Double) =
+    TextDedup.prefixFilterJoin(docs.toDF("doc_id", "text"), "doc_id",
+        "text", shingleSize = 3, threshold = t)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("prefixFilterJoin: exact — matches brute force on random corpora") {
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val rnd = new scala.util.Random(83)
+    for (trial <- 0 until 3) {
+      val docs = (0 until 40).map { i =>
+        val base = Seq.fill(6 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size)))
+        (i.toLong, base.mkString(" "))
+      }
+      for (t <- Seq(0.5, 0.7, 0.9)) {
+        assert(ppJoin(docs, t) === bruteJaccardPairs(docs, 3, t),
+          s"trial $trial t=$t")
+      }
+    }
+  }
+
+  test("prefixFilterJoin: identical docs always pair; disjoint never do") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
+      (3L, "p q r s t u v w"))
+    assert(ppJoin(docs, 0.9) === Set((1L, 2L)))
+  }
+
+  test("prefixFilterJoin: size-band filter cannot drop qualifying pairs") {
+    // |a| = 10 shingles vs |b| = 8 (drop last 2 tokens): jac = 8/10 = 0.8
+    val base = (1 to 12).map(i => s"w$i").mkString(" ")
+    val trimmed = (1 to 10).map(i => s"w$i").mkString(" ")
+    assert(ppJoin(Seq((1L, base), (2L, trimmed)), 0.8) === Set((1L, 2L)))
+    assert(ppJoin(Seq((1L, base), (2L, trimmed)), 0.9) === Set.empty)
+  }
 }
