@@ -2281,6 +2281,68 @@ object Queries {
       |WHERE CAST(i AS DOUBLE) / CAST(la + lb - i AS DOUBLE) >= 0.7
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Column encoding profiles ([[graft.operators.Layout
+    * .encodingProfile]]): the lakehouse writer's per-column
+    * encodability report (exact runs, distinct, int8-delta fraction →
+    * rle/delta/dict/plain recommendation) for two lineitem columns
+    * under the (orderkey, linenumber, suppkey, quantity) total order —
+    * the tiebreak tail makes the order value-deterministic even where
+    * (l_orderkey, l_linenumber) repeats, and any remaining ties carry
+    * equal profiled values, so the run structure is order-stable. The
+    * engine computes it with the q70 chunk decomposition (no global
+    * sort); the oracle uses one global window — they must agree on
+    * every count.
+    */
+  def q129EncodingProfile(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Layout
+    val ordCols = Seq("l_orderkey", "l_linenumber", "l_suppkey",
+      "l_quantity")
+    val li = t(s, dir, "lineitem")
+    val a = Layout.encodingProfile(li, ordCols, "l_suppkey")
+      .select(Seq(lit("l_suppkey").as("column")) ++
+        Seq("n_rows", "n_runs", "n_distinct", "n_small_delta", "encoding")
+          .map(col): _*)
+    val qc = li.withColumn("__qc",
+      floor(col("l_quantity") * 100 + 0.5).cast("long"))
+    val b = Layout.encodingProfile(qc, ordCols, "__qc")
+      .select(Seq(lit("l_quantity_cents").as("column")) ++
+        Seq("n_rows", "n_runs", "n_distinct", "n_small_delta", "encoding")
+          .map(col): _*)
+    a.unionByName(b).orderBy(col("column"))
+  }
+
+  val q129Sql: String =
+    """WITH o AS (
+      |  SELECT l_suppkey AS sv,
+      |    CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT) AS qv,
+      |    LAG(l_suppkey) OVER w AS sp,
+      |    LAG(CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT)) OVER w AS qp
+      |  FROM lineitem
+      |  WINDOW w AS (ORDER BY l_orderkey, l_linenumber, l_suppkey,
+      |    l_quantity)),
+      |s AS (
+      |  SELECT 'l_suppkey' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    CAST(SUM(CASE WHEN sp IS NULL OR sp <> sv THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_runs,
+      |    CAST(COUNT(DISTINCT sv) AS BIGINT) AS n_distinct,
+      |    CAST(SUM(CASE WHEN sp IS NOT NULL AND ABS(sv - sp) <= 127
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_small_delta
+      |  FROM o
+      |  UNION ALL
+      |  SELECT 'l_quantity_cents', CAST(COUNT(*) AS BIGINT),
+      |    CAST(SUM(CASE WHEN qp IS NULL OR qp <> qv THEN 1 ELSE 0 END)
+      |      AS BIGINT),
+      |    CAST(COUNT(DISTINCT qv) AS BIGINT),
+      |    CAST(SUM(CASE WHEN qp IS NOT NULL AND ABS(qv - qp) <= 127
+      |      THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM o)
+      |SELECT "column", n_rows, n_runs, n_distinct, n_small_delta,
+      |  CASE WHEN n_runs * 10 <= n_rows THEN 'rle'
+      |    WHEN n_small_delta * 10 >= (n_rows - 1) * 9 THEN 'delta'
+      |    WHEN n_distinct * 20 <= n_rows THEN 'dict'
+      |    ELSE 'plain' END AS encoding
+      |FROM s ORDER BY "column"""".stripMargin
+
   /** Companion of q26: a copy of each doc with the last 2 tokens dropped,
     * ids offset by 1,000,000.
     */
@@ -5395,5 +5457,6 @@ object Queries {
     "q125_group_ols" -> ((q125GroupOls _, Some(q125Sql))),
     "q126_session_window" -> ((q126SessionWindow _, Some(q126Sql))),
     "q127_pit_join" -> ((q127PitJoin _, Some(q127Sql))),
-    "q128_prefix_join" -> ((q128PrefixJoin _, Some(q128Sql))))
+    "q128_prefix_join" -> ((q128PrefixJoin _, Some(q128Sql))),
+    "q129_encoding_profile" -> ((q129EncodingProfile _, Some(q129Sql))))
 }

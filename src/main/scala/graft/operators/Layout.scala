@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multi-dimensional data-layout clustering via Z-order (Morton)
@@ -83,6 +84,78 @@ object Layout {
         min(col(bCol)).as("b_min"),
         max(col(bCol)).as("b_max"))
       .orderBy(col("bucket"))
+  }
+
+  /** Column encoding profile: the storage-layout advisor's statistics
+    * for ONE integral column under a given total row order — exact run
+    * count, distinct count, and the fraction of adjacent deltas that
+    * fit int8 — from which RLE / delta / dictionary encodability
+    * follows (the decision a lakehouse writer makes per column per
+    * file; companion to [[zClusterStats]]'s clustering report).
+    *
+    * Scale shape: NO global sort. Rows range-partition by the order
+    * key; each chunk computes its run breaks and small-delta count
+    * under a LOCAL window, plus its (first, last) boundary values via
+    * rank-conditional aggregates (long buffers — hash-aggregable); the
+    * nChunks-row boundary table then merges cross-chunk runs and
+    * boundary deltas. Exactly the q70/q117 chunk decomposition.
+    *
+    * Returns one row: `(n_rows, n_runs, n_distinct, n_small_delta,
+    * encoding)` where `encoding` is the rule-based recommendation
+    * (rle when runs <= n/10; delta when >= 90% of deltas fit int8;
+    * dict when distinct <= n/20; else plain — first match wins).
+    */
+  def encodingProfile(df: DataFrame, orderCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val nChunks = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val ord = orderCols.map(col)
+    val chunked = df.select((orderCols :+ valueCol).distinct.map(col): _*)
+      .repartitionByRange(nChunks, ord: _*)
+      .withColumn("__pid", spark_partition_id())
+    val w = Window.partitionBy(col("__pid")).orderBy(ord: _*)
+    val v = col(valueCol).cast("long")
+    val local = chunked
+      .withColumn("__lag", lag(v, 1).over(w))
+      .withColumn("__lead", lead(v, 1).over(w))
+      .withColumn("__rk", row_number().over(w))
+    val perChunk = local.groupBy(col("__pid")).agg(
+      count(lit(1)).as("__n"),
+      sum(when(col("__lag").isNotNull && col("__lag") =!= v, 1L)
+        .otherwise(0L)).as("__breaks"),
+      sum(when(col("__lag").isNotNull &&
+        abs(v - col("__lag")) <= 127, 1L).otherwise(0L))
+        .as("__small"),
+      // boundary values via rank-conditional aggregates over LONG
+      // buffers (a struct-max would plan the banned SortAggregate):
+      // first = the rank-1 value, last = the value whose lead is null
+      max(when(col("__rk") === 1, v)).as("__first"),
+      max(when(col("__lead").isNull, v)).as("__last"))
+    // nChunks rows: merge runs and deltas across chunk boundaries
+    val wb = Window.orderBy(col("__pid"))
+    val bounded = perChunk
+      .withColumn("__prevLast", lag(col("__last"), 1).over(wb))
+      .select(col("__n"), col("__breaks"), col("__small"),
+        when(col("__prevLast").isNotNull &&
+          col("__prevLast") === col("__first"), 1L).otherwise(0L)
+          .as("__merge"),
+        when(col("__prevLast").isNotNull &&
+          abs(col("__first") - col("__prevLast")) <= 127, 1L)
+          .otherwise(0L).as("__bsmall"))
+    val nd = df.agg(countDistinct(col(valueCol)).as("n_distinct"))
+    val totals = bounded.agg(
+      sum(col("__n")).as("n_rows"),
+      (sum(col("__breaks")) + count(lit(1)) - sum(col("__merge")))
+        .as("n_runs"),
+      (sum(col("__small")) + sum(col("__bsmall"))).as("n_small_delta"))
+    totals.crossJoin(broadcast(nd))
+      .select(col("n_rows"), col("n_runs"), col("n_distinct"),
+        col("n_small_delta"),
+        when(col("n_runs") * 10 <= col("n_rows"), lit("rle"))
+          .when(col("n_small_delta") * 10 >= (col("n_rows") - 1) * 9,
+            lit("delta"))
+          .when(col("n_distinct") * 20 <= col("n_rows"), lit("dict"))
+          .otherwise(lit("plain")).as("encoding"))
   }
 
   /** Deterministic pseudo-random shuffle + shard assignment — the

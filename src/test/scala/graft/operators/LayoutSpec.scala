@@ -114,4 +114,54 @@ class LayoutSpec extends SparkSpec {
         "__seq must be a dense 1..n within each shard")
     }
   }
+
+  // ----- encodingProfile -------------------------------------------------
+
+  private def profile(values: Seq[Long]) = {
+    val df = values.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("ord", "v")
+    val r = Layout.encodingProfile(df, Seq("ord"), "v").head()
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))
+  }
+
+  private def bruteProfile(values: Seq[Long]) = {
+    val runs = if (values.isEmpty) 0L
+      else 1L + values.sliding(2).count(p => p.length == 2 && p(0) != p(1))
+    val small = values.sliding(2)
+      .count(p => p.length == 2 && math.abs(p(1) - p(0)) <= 127).toLong
+    (values.size.toLong, runs, values.distinct.size.toLong, small)
+  }
+
+  test("encodingProfile: recommendations hit their closed-form triggers") {
+    // constant column -> 1 run -> rle
+    assert(profile(Seq.fill(100)(7L))._5 === "rle")
+    // strictly ascending by 1 -> all deltas tiny -> delta
+    assert(profile((0L until 100L).toSeq)._5 === "delta")
+    // few distinct scattered with huge jumps -> dict
+    val dict = (0 until 100).map(i => (i % 3) * 100000L)
+    assert(profile(dict)._5 === "dict")
+    // unique values with huge jumps -> plain
+    val plain = (0 until 100).map(i => i.toLong * 100000L)
+    assert(profile(plain)._5 === "plain")
+  }
+
+  test("encodingProfile: chunked counts equal a sequential replay") {
+    val rnd = new scala.util.Random(97)
+    for (trial <- 0 until 4) {
+      val values = Seq.fill(400) {
+        if (rnd.nextBoolean()) rnd.nextInt(3).toLong // runs + small deltas
+        else rnd.nextInt(1000000).toLong // jumps
+      }
+      val (n, runs, dist, small, _) = profile(values)
+      val (wn, wruns, wdist, wsmall) = bruteProfile(values)
+      assert((n, runs, dist, small) === ((wn, wruns, wdist, wsmall)),
+        s"trial $trial")
+    }
+  }
+
+  test("encodingProfile: boundary runs merge across range chunks") {
+    // one long constant run: chunking must not inflate the run count
+    val (_, runs, _, _, enc) = profile(Seq.fill(5000)(42L))
+    assert(runs === 1L && enc === "rle")
+  }
 }
