@@ -2343,6 +2343,66 @@ object Queries {
       |    ELSE 'plain' END AS encoding
       |FROM s ORDER BY "column"""".stripMargin
 
+  /** Deterministic Poisson-bootstrap confidence intervals
+    * ([[graft.operators.Bootstrap.poissonBootstrapCI]], Chamandy et
+    * al. 2012): per-priority order-value mean with a 32-replica
+    * rank band — every replica weight inverts the literal Poisson(1)
+    * CDF thresholds at a portable md5-60 uniform, every replica mean
+    * is exact int64 cents sums + one divide, and the band endpoints
+    * are rank-selected with a replica-index tie-break, so the oracle
+    * replays the ENTIRE resampling procedure bit-for-bit — no
+    * tolerance anywhere.
+    */
+  def q130BootstrapCI(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Bootstrap.poissonBootstrapCI(t(s, dir, "orders"),
+        "o_orderpriority", "o_totalprice", "o_orderkey",
+        replicas = 32, seed = 42)
+      .withColumnRenamed("grp", "o_orderpriority")
+      .orderBy(col("o_orderpriority"))
+
+  val q130Sql: String = {
+    val ts = graft.operators.Bootstrap.poisson1CdfSql
+    val cases = ts.zipWithIndex
+      .map { case (t, k) => s"WHEN uu < $t THEN $k" }.mkString(" ")
+    s"""WITH base AS (
+       |  SELECT o_orderpriority AS grp, o_orderkey AS id,
+       |    CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS c
+       |  FROM orders),
+       |pt AS (
+       |  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |    CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0
+       |      AS mean
+       |  FROM base GROUP BY 1),
+       |reps AS (
+       |  SELECT grp, id, c, b FROM base
+       |  CROSS JOIN (SELECT unnest(range(32)) AS b) t),
+       |uu AS (
+       |  SELECT grp, b, c,
+       |    CAST(CAST('0x' || substr(md5('bs-42:' || CAST(id AS VARCHAR)
+       |      || ':' || CAST(b AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE)
+       |      / CAST(1152921504606846976 AS DOUBLE) AS uu
+       |  FROM reps),
+       |w AS (
+       |  SELECT grp, b, c,
+       |    CAST(CASE $cases ELSE ${ts.size} END AS BIGINT) AS w
+       |  FROM uu),
+       |rm AS (
+       |  SELECT grp, b,
+       |    CAST(SUM(w*c) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) / 100.0 AS m
+       |  FROM w GROUP BY 1, 2 HAVING SUM(w) > 0),
+       |rk AS (
+       |  SELECT grp, b, m,
+       |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY m ASC, b ASC)
+       |      AS rk,
+       |    COUNT(*) OVER (PARTITION BY grp) AS cnt
+       |  FROM rm)
+       |SELECT pt.grp AS o_orderpriority, pt.n_rows, pt.mean,
+       |  MAX(CASE WHEN rk.rk = 2 THEN m END) AS ci_lo,
+       |  MAX(CASE WHEN rk.rk = cnt - 1 THEN m END) AS ci_hi
+       |FROM rk JOIN pt ON pt.grp = rk.grp
+       |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
+  }
+
   /** Companion of q26: a copy of each doc with the last 2 tokens dropped,
     * ids offset by 1,000,000.
     */
@@ -5458,5 +5518,6 @@ object Queries {
     "q126_session_window" -> ((q126SessionWindow _, Some(q126Sql))),
     "q127_pit_join" -> ((q127PitJoin _, Some(q127Sql))),
     "q128_prefix_join" -> ((q128PrefixJoin _, Some(q128Sql))),
-    "q129_encoding_profile" -> ((q129EncodingProfile _, Some(q129Sql))))
+    "q129_encoding_profile" -> ((q129EncodingProfile _, Some(q129Sql))),
+    "q130_bootstrap_ci" -> ((q130BootstrapCI _, Some(q130Sql))))
 }
