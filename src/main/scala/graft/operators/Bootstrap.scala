@@ -43,7 +43,8 @@ object Bootstrap {
     * are excluded identically on both engines.
     */
   def poissonBootstrapCI(df: DataFrame, groupCol: String, valueCol: String,
-      idCol: String, replicas: Int = 32, seed: Int = 42): DataFrame = {
+      idCol: String, replicas: Int = 32, seed: Int = 42,
+      portableHash: Boolean = true): DataFrame = {
     require(replicas >= 4, "need at least 4 replicas for a rank band")
     val cents = floor(col(valueCol) * 100 + 0.5).cast("long")
     val base = df.select(col(groupCol).as("grp"), col(idCol).as("__id"),
@@ -54,8 +55,19 @@ object Bootstrap {
         / lit(100.0)).as("__mean"))
     val reps = base.select(col("grp"), col("__id"), col("__c"),
       explode(array((0 until replicas).map(b => lit(b)): _*)).as("__b"))
-    val u = TextDedup.md5Hash60(concat_ws(":", lit(s"bs-$seed"),
-        col("__id"), col("__b"))).cast("double") /
+    // The uniform's hash family is a deployment knob: md5-60 is the
+    // cross-engine PORTABLE contract (the q130 oracle replays it in
+    // DuckDB); xxhash64 is ~an order of magnitude cheaper per draw and
+    // equally deterministic IN-ENGINE — a production pipeline that
+    // doesn't need an external replayer should run portableHash=false
+    // (measured: the md5 path dominates q130's bench time).
+    val u = (if (portableHash)
+        TextDedup.md5Hash60(concat_ws(":", lit(s"bs-$seed"),
+          col("__id"), col("__b")))
+      else
+        shiftrightunsigned(
+          xxhash64(lit(s"bs-$seed"), col("__id"), col("__b")), 4))
+      .cast("double") /
       lit(1152921504606846976L).cast("double") // 2^60, exact in double
     val w = poisson1Cdf.zipWithIndex
       .foldRight(lit(poisson1Cdf.size.toLong)) { case ((t, k), rest) =>

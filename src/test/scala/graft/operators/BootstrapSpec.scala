@@ -63,6 +63,22 @@ class BootstrapSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("xxhash64 fast path: valid ordered band, deterministic, distinct draws") {
+    val rows = (1 to 400).map(i => ("a", (i % 50) / 2.0, i.toLong))
+    def fast() = Bootstrap.poissonBootstrapCI(
+        rows.toDF("g", "v", "id"), "g", "v", "id", portableHash = false)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))).head
+    val (n, mean, lo, hi) = fast()
+    assert(n === 400L && lo <= mean && mean <= hi)
+    assert(fast() === ((n, mean, lo, hi)), "fast path must be deterministic")
+    val slow = Bootstrap.poissonBootstrapCI(
+        rows.toDF("g", "v", "id"), "g", "v", "id", portableHash = true)
+      .collect().map(r => (r.getDouble(3), r.getDouble(4))).head
+    assert(slow._1 <= mean && mean <= slow._2,
+      "both hash families must produce bracketing bands here")
+  }
+
   test("groups are independent and all present") {
     val rows = (1 to 100).map(i => ("x", 1.0, i.toLong)) ++
       (1 to 100).map(i => ("y", 100.0, 1000L + i))
