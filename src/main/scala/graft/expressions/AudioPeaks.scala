@@ -42,6 +42,13 @@ case class AudioPeaks(child: Expression, frameSize: Int)
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
+  // The kernel returns null for malformed/non-PCM16 payloads even when the
+  // input bytes are non-null, so the expression must be declared nullable
+  // and the codegen must propagate the kernel's null into ev.isNull —
+  // defineCodeGen would silently drop it and downstream ArrayData access
+  // would NPE under whole-stage codegen.
+  override def nullable: Boolean = true
+
   override def nullIntolerant: Boolean = true
 
   override def prettyName: String = "audio_peaks"
@@ -50,8 +57,12 @@ case class AudioPeaks(child: Expression, frameSize: Int)
     AudioPeaksImpl.peaks(input.asInstanceOf[Array[Byte]], frameSize)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      c => s"graft.expressions.AudioPeaksImpl.peaks($c, $frameSize)")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.expressions.AudioPeaksImpl.peaks($c, $frameSize);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): AudioPeaks =
     copy(child = newChild)

@@ -84,45 +84,60 @@ case class CosineSim(left: Expression, right: Expression)
     dot / d
   }
 
-  private def getter(side: Expression, arr: String): String =
-    if (elemIsDouble(side.dataType)) s"$arr.getDouble(i)"
-    else s"(double) $arr.getFloat(i)"
+  private def getter(side: Expression, arr: String, i: String): String =
+    if (elemIsDouble(side.dataType)) s"$arr.getDouble($i)"
+    else s"(double) $arr.getFloat($i)"
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // freshName everything: this code can nest inside another
+    // expression's generated block (CASE WHEN / HOF bodies), where raw
+    // `i`/`na`/`v` shadow enclosing locals — Janino rejects shadowing
+    // and the projection silently falls back to interpreted eval (the
+    // r9 fix: the banded near-dup verify ran INTERPRETED through r8)
+    val na = ctx.freshName("csNa")
+    val nb = ctx.freshName("csNb")
+    val na2 = ctx.freshName("csNa2")
+    val nb2 = ctx.freshName("csNb2")
+    val nullElem = ctx.freshName("csNullElem")
+    val v = ctx.freshName("csV")
+    val d = ctx.freshName("csD")
+    val dot = ctx.freshName("csDot")
+    val i = ctx.freshName("csIdx")
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
-         |int na = $a.numElements();
-         |int nb = $b.numElements();
-         |double na2 = 0.0, nb2 = 0.0;
-         |boolean nullElem = false;
-         |for (int i = 0; i < na; i++) {
-         |  if ($a.isNullAt(i)) { nullElem = true; break; }
-         |  double v = ${getter(left, a)}; na2 += v * v;
+         |int $na = $a.numElements();
+         |int $nb = $b.numElements();
+         |double $na2 = 0.0, $nb2 = 0.0;
+         |boolean $nullElem = false;
+         |for (int $i = 0; $i < $na; $i++) {
+         |  if ($a.isNullAt($i)) { $nullElem = true; break; }
+         |  double $v = ${getter(left, a, i)}; $na2 += $v * $v;
          |}
-         |if (!nullElem) {
-         |  for (int i = 0; i < nb; i++) {
-         |    if ($b.isNullAt(i)) { nullElem = true; break; }
-         |    double v = ${getter(right, b)}; nb2 += v * v;
+         |if (!$nullElem) {
+         |  for (int $i = 0; $i < $nb; $i++) {
+         |    if ($b.isNullAt($i)) { $nullElem = true; break; }
+         |    double $v = ${getter(right, b, i)}; $nb2 += $v * $v;
          |  }
          |}
-         |if (nullElem) {
+         |if ($nullElem) {
          |  ${ev.value} = 0.0;
          |} else {
-         |  double d = Math.sqrt(na2) * Math.sqrt(nb2);
-         |  if (!(d > 0)) {
+         |  double $d = Math.sqrt($na2) * Math.sqrt($nb2);
+         |  if (!($d > 0)) {
          |    ${ev.value} = 0.0;
-         |  } else if (na != nb) {
+         |  } else if ($na != $nb) {
          |    ${ev.isNull} = true;
          |  } else {
-         |    double dot = 0.0;
-         |    for (int i = 0; i < na; i++) {
-         |      dot += ${getter(left, a)} * ${getter(right, b)};
+         |    double $dot = 0.0;
+         |    for (int $i = 0; $i < $na; $i++) {
+         |      $dot += ${getter(left, a, i)} * ${getter(right, b, i)};
          |    }
-         |    ${ev.value} = dot / d;
+         |    ${ev.value} = $dot / $d;
          |  }
          |}
        """.stripMargin
     })
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSim =

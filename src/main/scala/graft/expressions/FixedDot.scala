@@ -78,28 +78,37 @@ case class FixedDot(left: Expression, right: Expression)
     s
   }
 
-  private def getter(side: Expression, arr: String): String =
-    if (elemIsDouble(side.dataType)) s"$arr.getDouble(i)"
-    else s"(double) $arr.getFloat(i)"
+  private def getter(side: Expression, arr: String, i: String): String =
+    if (elemIsDouble(side.dataType)) s"$arr.getDouble($i)"
+    else s"(double) $arr.getFloat($i)"
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // freshName everything: this code can nest inside another
+    // expression's generated block (CASE WHEN / HOF bodies), where raw
+    // `i`/`n`/`s`/`p` shadow enclosing locals — Janino rejects shadowing
+    // and the projection silently falls back to interpreted eval
+    val n = ctx.freshName("fdLen")
+    val s = ctx.freshName("fdSum")
+    val i = ctx.freshName("fdIdx")
+    val p = ctx.freshName("fdProd")
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
-         |int n = $a.numElements();
-         |if ($b.numElements() != n) {
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
          |  ${ev.isNull} = true;
          |} else {
-         |  long s = 0L;
-         |  for (int i = 0; i < n; i++) {
-         |    if ($a.isNullAt(i) || $b.isNullAt(i)) { ${ev.isNull} = true; break; }
-         |    double p = ${getter(left, a)} * ${getter(right, b)} * 1.0E9 + 0.5;
-         |    if (Double.isNaN(p) || Double.isInfinite(p)) { ${ev.isNull} = true; break; }
-         |    s += (long) Math.floor(p);
+         |  long $s = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $p = ${getter(left, a, i)} * ${getter(right, b, i)} * 1.0E9 + 0.5;
+         |    if (Double.isNaN($p) || Double.isInfinite($p)) { ${ev.isNull} = true; break; }
+         |    $s += (long) Math.floor($p);
          |  }
-         |  if (!${ev.isNull}) ${ev.value} = s;
+         |  if (!${ev.isNull}) ${ev.value} = $s;
          |}
        """.stripMargin
     })
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): FixedDot =

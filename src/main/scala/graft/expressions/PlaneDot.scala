@@ -68,18 +68,25 @@ case class PlaneDot(child: Expression, weights: Array[Double])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val w = ctx.addReferenceObj("planeWeights", weights, "double[]")
-    val getter = if (elemIsDouble) "getDouble(i)" else "getFloat(i)"
+    // every local goes through freshName: emitted code can NEST inside
+    // another expression's generated block (CASE WHEN branches and HOF
+    // bodies inline child code), where a raw `i`/`s` shadows an
+    // enclosing local — Janino rejects shadowing and the whole
+    // projection silently falls back to interpreted eval
+    val s = ctx.freshName("pdSum")
+    val i = ctx.freshName("pdIdx")
+    val getter = if (elemIsDouble) s"getDouble($i)" else s"getFloat($i)"
     nullSafeCodeGen(ctx, ev, c => {
       s"""
          |if ($c.numElements() != $w.length) {
          |  ${ev.isNull} = true;
          |} else {
-         |  double s = 0.0;
-         |  for (int i = 0; i < $w.length; i++) {
-         |    if ($c.isNullAt(i)) { ${ev.isNull} = true; break; }
-         |    s += ((double) $c.$getter) * $w[i];
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $w.length; $i++) {
+         |    if ($c.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += ((double) $c.$getter) * $w[$i];
          |  }
-         |  if (!${ev.isNull}) ${ev.value} = s;
+         |  if (!${ev.isNull}) ${ev.value} = $s;
          |}
        """.stripMargin
     })

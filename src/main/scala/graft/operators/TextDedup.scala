@@ -69,13 +69,28 @@ object TextDedup {
     val prefix = ranked.where(
       col("__rk") <= col("sz") - floor((col("sz") * tN + 9) / 10) + 1)
     val left = prefix.select(col("id").as("id_a"), col("sz").as("__sza"),
-      col("sh"))
+      col("__rk").as("__rka"), col("sh"))
     val right = prefix.select(col("id").as("id_b"), col("sz").as("__szb"),
-      col("sh"))
+      col("__rk").as("__rkb"), col("sh"))
+    // PPJoin positional filter (Xiao et al., WWW'08): a shared token at
+    // ranks (p_a, p_b) of the per-doc (df ASC, shingle ASC) order caps
+    // the achievable overlap at 1 + min(|a|−p_a, |b|−p_b) — only suffix
+    // tokens can still match. Jaccard >= t needs overlap
+    // >= ⌈t·(|a|+|b|)/(1+t)⌉; with t = tN/10 that is
+    // (1 + min(…))·(10+tN) >= tN·(|a|+|b|) in exact integers. EXACT
+    // pruning under the join's exists-semantics: for a qualifying pair
+    // the FIRST common token (no earlier common tokens in either list)
+    // attains the bound and sits inside both prefixes, so its candidate
+    // row always survives; rows for later shared tokens may drop, which
+    // only shrinks the distinct() input. Kills the AllPairs-sized
+    // candidate tail that made q128 the widest-variance bench entry.
     val cand = left.join(right,
         left("sh") === right("sh") && col("id_a") < col("id_b") &&
           col("__szb") * 10 >= col("__sza") * tN &&
-          col("__sza") * 10 >= col("__szb") * tN)
+          col("__sza") * 10 >= col("__szb") * tN &&
+          (lit(1) + least(col("__sza") - col("__rka"),
+            col("__szb") - col("__rkb"))) * (10 + tN) >=
+            (col("__sza") + col("__szb")) * tN)
       .select(col("id_a"), col("id_b")).distinct()
     val a = sets.select(col("id").as("id_a"), col("__s").as("__sa"),
       col("sz").as("__la"))

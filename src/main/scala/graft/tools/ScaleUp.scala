@@ -35,6 +35,24 @@ import org.apache.spark.sql.functions._
   * (defaults: /root/testdata/sf0.1 → target/sf1, 10×).
   */
 object ScaleUp {
+
+  import org.apache.spark.sql.Column
+
+  /** diag(±1) reflection per replica: sign from a high bit of a real
+    * 64-bit avalanche hash of (replica, dim). Orthogonal ⇒ within-replica
+    * cosine/L2 geometry unchanged. NOTE: `(x*odd) % 2` is just parity of
+    * x — it yields only TWO distinct flip patterns across replicas (all
+    * odd replicas bit-identical), which silently duplicates vectors
+    * verbatim and makes cross-replica ANN structure quadratic. xxhash64
+    * has no such algebraic collapse: every replica gets an
+    * independent-looking sign pattern ([[ScaleUpSpec]] pins pairwise
+    * distinctness and ~balanced flip counts).
+    */
+  def reflectedEmbedding(embedding: Column, replica: Column): Column =
+    transform(embedding, (x, i) =>
+      when(shiftright(xxhash64(replica, i), 32).bitwiseAND(1) === 0, x)
+        .otherwise(-x))
+
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val dst = if (args.length > 1) args(1) else "target/sf1"
@@ -114,13 +132,9 @@ object ScaleUp {
 
     val vecOff = maxOf("embeddings", "vec_id")
     write(replicate("embeddings") { df =>
-      // diag(±1) reflection per replica: parity of a cheap integer mix of
-      // (replica, dim). Orthogonal ⇒ within-replica geometry unchanged.
-      val flipped = transform(col("embedding"), (x, i) =>
-        when(((i + col("__r") * 7919L) * 2654435761L % 2) === 0, x)
-          .otherwise(-x))
       df.withColumn("embedding",
-          when(col("__r") === 0, col("embedding")).otherwise(flipped))
+          when(col("__r") === 0, col("embedding"))
+            .otherwise(reflectedEmbedding(col("embedding"), col("__r"))))
         .withColumn("vec_id", col("vec_id") + col("__r") * vecOff)
     }, "embeddings")
 

@@ -58,6 +58,26 @@ class AudioFingerprintSpec extends SparkSpec {
     assert(peaksOf(Array[Byte](1, 2, 3, 4)) === Seq.empty)
   }
 
+  test("malformed bytes survive the whole-stage-codegen path (non-local input)") {
+    // Seq.toDF is folded to a LocalRelation (interpreted eval);
+    // repartition forces a real exchange so the generated code runs.
+    // The kernel returns null for garbage — the codegen must propagate
+    // that into isNull instead of NPE-ing on ArrayData access.
+    val df = Seq((1L, wav(tone(9, 2))), (2L, Array[Byte](1, 2, 3, 4)),
+        (3L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "wav").repartition(2)
+    val out = AudioFingerprint.framePeaks(df, "id", "wav", F)
+      .orderBy("id", "frame").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 1L))
+    assert(out.map(_.getInt(2)).toSeq === Seq(9, 9))
+    // direct expression check: null result, not a crash, under codegen
+    val peaks = AudioFingerprint.audioPeaks(col("wav"), F)
+    val vals = df.select(col("id"), peaks.as("p")).orderBy("id").collect()
+    assert(vals.length === 3)
+    assert(!vals(0).isNullAt(1))
+    assert(vals(1).isNullAt(1) && vals(2).isNullAt(1))
+  }
+
   test("clip matches its source track at the cut offset with full votes") {
     // track: 20 frames of a pseudo-random schedule; clip = frames 5..12
     def sched(k: Int) = 10 + (k * 29) % 110

@@ -401,4 +401,134 @@ class SimilaritySpec extends SparkSpec {
       "no query gained candidates from multi-probe across 40 seeds — " +
         "probe generation is broken")
   }
+
+  // ----- r9: data-derived scale knobs + persisted quantizer ------------
+
+  test("NearestCell loop kernel matches the unrolled struct-argmax bit for bit") {
+    val dim = 8
+    val rnd = new scala.util.Random(31)
+    def unitD(): Array[Double] = {
+      val v = Array.fill(dim)(rnd.nextDouble() * 2 - 1)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val cents = Array.fill(24)(unitD())
+    // planted exact tie (duplicate UNIT centroids 7 == 19): row 300 IS
+    // cents(7), so its dot is 1.0 in cells 7/19 and < 1 everywhere else
+    // (Cauchy-Schwarz, strict for non-parallel unit vectors) — both
+    // paths must resolve the tie to the LOWER cell id; degenerate rows
+    // must be null in both paths
+    cents(19) = cents(7).clone()
+    val rows = (0L until 300L).map(i =>
+      (i, Array.fill(dim)(rnd.nextDouble() * 2 - 1))) ++ Seq(
+      (300L, cents(7).clone()), // exact tie between cells 7 and 19
+      (301L, null.asInstanceOf[Array[Double]]),
+      (302L, Array(1.0, 2.0))) // wrong dimension
+    // repartition: force real whole-stage codegen, not LocalRelation eval
+    val df = rows.toDF("vec_id", "embedding").repartition(3)
+    val both = df.select(col("vec_id"),
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.expressions.NearestCell(
+            org.apache.spark.sql.graft.ColumnBridge.expression(
+              col("embedding")), cents)).as("kernel"),
+        Similarity.cellColumnUnrolled(col("embedding"), cents).as("unrolled"))
+      .collect()
+    assert(both.length === 303)
+    both.foreach { r =>
+      val k = if (r.isNullAt(1)) null else r.getInt(1)
+      val u = if (r.isNullAt(2)) null else r.getInt(2)
+      assert(k === u, s"vec ${r.getLong(0)}: kernel=$k unrolled=$u")
+    }
+    val tie = both.find(_.getLong(0) == 300L).get
+    assert(tie.getInt(1) === 7, "exact tie must resolve to the lowest cell")
+    assert(both.filter(r => r.getLong(0) >= 301L).forall(_.isNullAt(1)))
+  }
+
+  test("autoNlist ~ sqrt(N) with clamps; autoPlanes holds bucket occupancy") {
+    assert(Similarity.autoNlist(0L) === 16)
+    assert(Similarity.autoNlist(100L) === 16)
+    assert(Similarity.autoNlist(10000L) === 100)
+    assert(Similarity.autoNlist(1000000L) === 1000)
+    assert(Similarity.autoNlist(Long.MaxValue / 4) === 65536)
+    // monotone non-decreasing
+    val ns = Seq(0L, 10L, 1000L, 123456L, 10000000L).map(Similarity.autoNlist(_))
+    assert(ns === ns.sorted)
+    assert(Similarity.autoPlanes(0L) === 8)
+    assert(Similarity.autoPlanes(15000L) === 8)   // 15000/2^8 = 58 <= 64
+    assert(Similarity.autoPlanes(150000L) === 12) // 150000/2^12 = 36 <= 64
+    assert(Similarity.autoPlanes(Long.MaxValue / 2) === 24) // clamp
+    val ps = Seq(0L, 15000L, 150000L, 1500000L, 15000000L)
+      .map(Similarity.autoPlanes(_))
+    assert(ps === ps.sorted)
+    // expected occupancy bound holds whenever the clamp isn't active
+    for (n <- Seq(20000L, 333333L, 5000000L)) {
+      val p = Similarity.autoPlanes(n)
+      assert((n >> p) <= 64L, s"occupancy ${n >> p} at n=$n planes=$p")
+    }
+  }
+
+  test("quantizer store: train once, load bit-identical, retrain on corpus change") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_qstore_spec")
+      .toString
+    val rnd = new scala.util.Random(41)
+    def unit(): Array[Float] = {
+      val v = Array.fill(8)(rnd.nextFloat() * 2 - 1)
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / n)
+    }
+    val df = (0L until 80L).map(i => (i, unit())).toDF("vec_id", "embedding")
+    val first = Similarity.trainOrLoadIvfCentroids(df, "vec_id", "embedding",
+      dim = 8, nlist = 4, storeDir = dir, iters = 2)
+    val storeKeys = new java.io.File(dir).list().toSeq
+    assert(storeKeys.size === 1 && storeKeys.head.startsWith("ivf_nlist=4"))
+    // second call must LOAD (no retrain): same store content, identical model
+    val second = Similarity.trainOrLoadIvfCentroids(df, "vec_id", "embedding",
+      dim = 8, nlist = 4, storeDir = dir, iters = 2)
+    assert(first.length === second.length)
+    first.zip(second).foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
+    assert(new java.io.File(dir).list().toSeq === storeKeys)
+    // a corpus change (one extra row) misses the fingerprint and retrains
+    val grown = df.unionByName(Seq((999L, unit())).toDF("vec_id", "embedding"))
+    Similarity.trainOrLoadIvfCentroids(grown, "vec_id", "embedding",
+      dim = 8, nlist = 4, storeDir = dir, iters = 2)
+    assert(new java.io.File(dir).list().length === 2,
+      "grown corpus must produce a second store entry")
+    // re-ordering the SAME rows keeps the fingerprint (order-independent)
+    val shuffled = df.orderBy(rand(7))
+    val third = Similarity.trainOrLoadIvfCentroids(shuffled, "vec_id",
+      "embedding", dim = 8, nlist = 4, storeDir = dir, iters = 2)
+    assert(new java.io.File(dir).list().length === 2)
+    first.zip(third).foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
+  }
+
+  test("semDedupAuto == semDedup at the derived nlist (store or fresh)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_qstore_spec2")
+      .toString
+    val rnd = new scala.util.Random(43)
+    def unit(): Array[Float] = {
+      val v = Array.fill(8)(rnd.nextFloat() * 2 - 1)
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / n)
+    }
+    val base = (0L until 120L).map(i => (i, unit()))
+    val copies = base.filter(_._1 % 10 == 0)
+      .map { case (i, v) => (i + 1000L, v.clone()) }
+    val emb = (base ++ copies).toDF("vec_id", "embedding")
+    val derived = Similarity.autoNlist(132L)
+    assert(derived === 16)
+    val auto = Similarity.semDedupAuto(emb, "vec_id", "embedding", dim = 8,
+        tau = 0.999, storeDir = dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val manual = Similarity.semDedup(emb, "vec_id", "embedding", dim = 8,
+        nlist = derived, tau = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto === manual)
+    assert(auto === base.filter(_._1 % 10 == 0)
+      .map { case (i, _) => (i + 1000L, i) }.toSet)
+    // second run hits the store and keeps the identical answer
+    val again = Similarity.semDedupAuto(emb, "vec_id", "embedding", dim = 8,
+        tau = 0.999, storeDir = dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again === auto)
+  }
 }
