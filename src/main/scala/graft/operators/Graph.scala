@@ -150,9 +150,24 @@ object Graph {
       .distinct()
     val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
     // Degree-annotated edges and the node set, each materialized once:
-    // both are consumed every round.
-    val ewd = sym.join(deg, Seq("u")).localCheckpoint()
-    val nodes = deg.select(col("u").as("id")).localCheckpoint()
+    // both are consumed every round. PRE-PARTITIONED on their join keys
+    // before the checkpoint (LogicalRDD preserves the partitioning), so
+    // every round's join shuffles ONLY the rank vector — the static
+    // edge side never re-exchanges and never re-broadcasts (r8 stall
+    // frames showed the driver re-running SizeEstimator on the degree
+    // table each first-run round). The explicit shuffle_hash hint keeps
+    // AQE from demoting to broadcast at small SFs: at 100 TB neither
+    // side of edges ⋈ ranks is broadcastable, so the bench must
+    // exercise the shuffled shape.
+    // SERIALIZED checkpoint blocks: deserialized block storage walks
+    // every cached object graph with SizeEstimator on the driver-side
+    // accounting path — measured as the dominant first-run stall frames
+    // at sf0.1. Serialized blocks have exact byte sizes for free.
+    val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val ewd = sym.join(deg, Seq("u"))
+      .repartition(col("u")).localCheckpoint(true, ser)
+    val nodes = deg.select(col("u").as("id"))
+      .repartition(col("id")).localCheckpoint(true, ser)
     // Node count: a single-row aggregate (bounded driver scalar, same
     // class as the IVF centroid collects). The seed and teleport terms
     // replay the oracle's double-division-then-floor exactly.
@@ -164,7 +179,7 @@ object Graph {
       math.floor((100 - dampingPct).toDouble * base / 100).toLong
     var r = nodes.select(col("id"), lit(base).as("r"))
     for (i <- 0 until iterations) {
-      val contrib = ewd
+      val contrib = ewd.hint("shuffle_hash")
         .join(r, col("u") === col("id"))
         .select(col("v"),
           floor(col("r").cast("double") / col("d")).cast("long").as("__c"))
@@ -184,7 +199,8 @@ object Graph {
       // materialization is a full write+read of the rank vector).
       // Lineage is still truncated every 3 rounds so plan size stays
       // bounded if a caller asks for many iterations.
-      if ((i + 1) % 3 == 0 && i + 1 < iterations) r = r.localCheckpoint()
+      if ((i + 1) % 3 == 0 && i + 1 < iterations)
+        r = r.localCheckpoint(true, ser)
     }
     r.select(col("id").as("node"), col("r").as("rank_fp"))
   }

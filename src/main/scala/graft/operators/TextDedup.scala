@@ -53,9 +53,12 @@ object TextDedup {
     val tN = math.round(threshold * 10).toInt
     require(math.abs(threshold * 10 - tN) < 1e-9,
       "threshold must be a multiple of 0.1 (exact integer size filter)")
+    // per-doc shingle sets SORTED once (array_sort = UTF8String binary
+    // order), so the per-PAIR verify below is an allocation-free merge
+    // walk (sorted_intersect_count) instead of a hash set per candidate
     val sets = docs.select(col(idCol).as("id"),
-        array_distinct(TextFunctions.shingles(col(textCol), shingleSize))
-          .as("__s"))
+        array_sort(array_distinct(
+          TextFunctions.shingles(col(textCol), shingleSize))).as("__s"))
       .select(col("id"), col("__s"), size(col("__s")).as("sz"))
       .localCheckpoint() // consumed three times: explode, verify ×2
     val ex = sets.select(col("id"), col("sz"),
@@ -96,8 +99,12 @@ object TextDedup {
       col("sz").as("__la"))
     val b = sets.select(col("id").as("id_b"), col("__s").as("__sb"),
       col("sz").as("__lb"))
+    val sic = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.SortedIntersectCount(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("__sa")),
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("__sb"))))
     cand.join(a, Seq("id_a")).join(b, Seq("id_b"))
-      .withColumn("__i", size(array_intersect(col("__sa"), col("__sb"))))
+      .withColumn("__i", sic)
       .withColumn("jaccard", col("__i").cast("double") /
         (col("__la") + col("__lb") - col("__i")).cast("double"))
       .where(col("jaccard") >= threshold)
@@ -574,11 +581,26 @@ object TextDedup {
       threshold: Double,
       maxBandBucketRows: Long): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    minHashLshIncremental(index,
+      buildLshIndex(batch, batchId, batchText, numHashes, bands,
+        shingleSize, maxBandBucketRows),
+      threshold)
+  }
+
+  /** Index × index incremental near-dup — the daily-loop shape where
+    * the batch's signatures are computed ONCE and reused: join them
+    * against the store here, then [[appendLshIndex]] the SAME
+    * [[LshIndex]] (persist/localCheckpoint its frames first — both are
+    * consumed twice, and an unmaterialized lineage would re-shingle the
+    * batch per consumer, which is exactly the recompute this overload
+    * exists to kill; r8 measured it as ~25% of q100's steady state).
+    */
+  def minHashLshIncremental(index: LshIndex, batchIndex: LshIndex,
+      threshold: Double): DataFrame = {
     val snapRows = index.shingles
     val snapBanded = index.bands
-    val (batchRows, batchBanded0) =
-      lshSide(batch, batchId, batchText, numHashes, bands, shingleSize)
-    val batchBanded = capBandBuckets(batchBanded0, maxBandBucketRows)
+    val batchRows = batchIndex.shingles
+    val batchBanded = batchIndex.bands
     // Same pin discipline as minHashLsh: candidates is consumed twice
     // (verify + final restore-join), so both copies must reference all
     // four columns or pruning specializes one into a fresh corpus pass.

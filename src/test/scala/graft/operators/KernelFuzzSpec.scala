@@ -139,4 +139,37 @@ class KernelFuzzSpec extends SparkSpec {
       Multimodal.MediaCodec.pngStats(m.take(rnd.nextInt(m.length + 1)))
     }
   }
+  test("sorted_intersect_count == size(array_intersect) on sorted sets") {
+    val rnd = new scala.util.Random(303)
+    // word pools with heavy overlap so intersections are non-trivial;
+    // include empties, singletons, unicode and near-identical strings
+    val pool = (0 until 40).map(i => s"w$i") ++
+      Seq("", "a", "aa", "ab", "emoji\u00e9", "Z")
+    def arr(): Seq[String] = {
+      val n = rnd.nextInt(12)
+      Seq.fill(n)(pool(rnd.nextInt(pool.length)))
+    }
+    import spark.implicits._
+    val df = (0 until 600).map(_ => (arr(), arr())).toDF("a", "b")
+      .repartition(3) // force the codegen path, not LocalRelation eval
+      .select(
+        org.apache.spark.sql.functions.array_sort(
+          org.apache.spark.sql.functions.array_distinct(col("a"))).as("sa"),
+        org.apache.spark.sql.functions.array_sort(
+          org.apache.spark.sql.functions.array_distinct(col("b"))).as("sb"))
+    val got = df.select(
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.expressions.SortedIntersectCount(
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("sa")),
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("sb"))))
+          .as("merge"),
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.array_intersect(col("sa"), col("sb")))
+          .cast("long").as("builtin"))
+      .collect()
+    got.zipWithIndex.foreach { case (r, i) =>
+      assert(!r.isNullAt(0), s"row $i: kernel returned null on clean input")
+      assert(r.getLong(0) === r.getLong(1), s"row $i: $r")
+    }
+  }
 }
