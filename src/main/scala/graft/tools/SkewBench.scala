@@ -65,6 +65,11 @@ object SkewBench {
       .withColumn("k",
         when(pmod(col("l_orderkey"), lit(10)) < 9, lit(0L))
           .otherwise(col("l_orderkey")))
+      // 16 map tasks: AQE's skew split unit is the MAP-output chunk —
+      // a single-file scan gives ONE mapper, and a one-mapper hot
+      // partition is physically unsplittable (measured: the rule
+      // silently skips it). Real clusters always have many mappers.
+      .repartition(16)
       .localCheckpoint() // freeze the input: every variant reads the
                          // same materialized rows, no re-scan noise
     val dim = li.select(col("k")).distinct()
@@ -107,10 +112,15 @@ object SkewBench {
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
       "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4m")
 
+    // the aggregate reads fact PAYLOAD columns (not just the key), so
+    // column pruning cannot strip the shuffled rows down to a
+    // constant-compressible key stream: the hot partition carries real
+    // bytes, as a production fact join would
     def plainJoin(): DataFrame =
       li.join(dim.hint("shuffle_merge"), Seq("k"))
         .groupBy(col("k") % 97)
-        .agg(count(lit(1)).as("n"), sum(col("payload")).as("s"))
+        .agg(count(lit(1)).as("n"), sum(col("payload")).as("s"),
+          sum(col("l_quantity")).as("q"), max(col("l_partkey")).as("p"))
 
     conf(aqeOff: _*)
     time("join_plain_aqe_off")(plainJoin())
@@ -122,7 +132,8 @@ object SkewBench {
     def saltedJoin(): DataFrame =
       graft.operators.Skew.saltedJoin(li, dim, Seq("k"), saltBuckets = 32)
         .groupBy(col("k") % 97)
-        .agg(count(lit(1)).as("n"), sum(col("payload")).as("s"))
+        .agg(count(lit(1)).as("n"), sum(col("payload")).as("s"),
+          sum(col("l_quantity")).as("q"), max(col("l_partkey")).as("p"))
 
     conf(aqeOff: _*)
     time("join_salted_aqe_off")(saltedJoin())
