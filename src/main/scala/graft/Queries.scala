@@ -1223,7 +1223,12 @@ object Queries {
       .trainMerges(t(s, dir, "documents"), "text", merges = 6, passes = 3)
       .orderBy(col("rank"))
 
-  val q107Sql: String = {
+  /** The BPE training CTE chain (w0 → r0 → pc/pg/m/r 1..6), shared by
+    * q107 (emit the merge table) and q131 (apply the merge table to
+    * encode documents): both oracles must derive the IDENTICAL
+    * vocabulary, so the derivation text exists exactly once.
+    */
+  private val bpeTrainCtes: String = {
     def iter(k: Int): String =
       s"""pc$k AS (
          |  SELECT sy[i] || ' ' || sy[i+1] AS pair, freq
@@ -1241,7 +1246,7 @@ object Queries {
          |  FROM r${k - 1} CROSS JOIN (
          |    SELECT ' ' || pair || ' ' AS pp,
          |      ' ' || REPLACE(pair, ' ', '') || ' ' AS mm FROM m$k) x)""".stripMargin
-    s"""WITH w0 AS (
+    s"""w0 AS (
        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
        |  FROM (SELECT unnest(list_filter(string_split(text, ' '),
        |          x -> x <> '')) AS w
@@ -1251,17 +1256,23 @@ object Queries {
        |  SELECT ' ' || array_to_string(regexp_extract_all(w, '.'), ' ')
        |    || ' ' AS ws, freq
        |  FROM w0),
-       |${(1 to 6).map(iter).mkString(",\n")}
-       |SELECT rank, pair, REPLACE(pair, ' ', '') AS merged, cnt AS pair_freq
-       |FROM (
-       |  SELECT CAST(1 AS BIGINT) AS rank, pair, cnt FROM m1
-       |  UNION ALL SELECT 2, pair, cnt FROM m2
-       |  UNION ALL SELECT 3, pair, cnt FROM m3
-       |  UNION ALL SELECT 4, pair, cnt FROM m4
-       |  UNION ALL SELECT 5, pair, cnt FROM m5
-       |  UNION ALL SELECT 6, pair, cnt FROM m6)
-       |ORDER BY rank""".stripMargin
+       |${(1 to 6).map(iter).mkString(",\n")}""".stripMargin
   }
+
+  // NOTE: composed by concatenating SEPARATELY-stripped pieces — calling
+  // stripMargin on a template that interpolates the already-stripped CTE
+  // text would eat the first '|' of every SQL '||' concat in it.
+  val q107Sql: String =
+    s"WITH $bpeTrainCtes\n" +
+      """SELECT rank, pair, REPLACE(pair, ' ', '') AS merged, cnt AS pair_freq
+        |FROM (
+        |  SELECT CAST(1 AS BIGINT) AS rank, pair, cnt FROM m1
+        |  UNION ALL SELECT 2, pair, cnt FROM m2
+        |  UNION ALL SELECT 3, pair, cnt FROM m3
+        |  UNION ALL SELECT 4, pair, cnt FROM m4
+        |  UNION ALL SELECT 5, pair, cnt FROM m5
+        |  UNION ALL SELECT 6, pair, cnt FROM m6)
+        |ORDER BY rank""".stripMargin
 
   /** Unpivot/melt — the inverse reshaping of q42's pivot (`Dataset
     * .unpivot`, Spark's native melt): the four lineitem measures become
@@ -5432,6 +5443,237 @@ object Queries {
       |  CAST(MAX(299*r + 587*g + 114*b) AS INTEGER) AS lum_max
       |FROM c GROUP BY id, f ORDER BY media_id, frame_idx""".stripMargin
 
+  /** Tokenizer APPLICATION at scale ([[graft.operators.BpeTrainer
+    * .bpeTokenCount]]): learn the q107 vocabulary (6 merges) from the
+    * full corpus, then encode a document subset and emit each doc's
+    * BPE token count — the number every packing/budgeting step
+    * downstream actually consumes. The merge table is a 6-row bounded
+    * driver collect (a vocabulary is small by definition; same class
+    * as the IVF centroid collects), baked into a flat codegen'd
+    * replace tower, so encoding is ONE pass over the subset with no
+    * joins. The oracle re-derives the identical vocabulary via the
+    * shared [[bpeTrainCtes]] and replays the per-word replace chain —
+    * any divergence in training OR application flips a count.
+    * Empty-token docs are pinned to 0 via LEFT JOIN + COALESCE on both
+    * sides. 100 TB shape: training reads the word HISTOGRAM (vocab-
+    * sized after the first aggregate), encoding is embarrassingly
+    * parallel scan work.
+    */
+  def q131BpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val mergeList = graft.operators.BpeTrainer
+      .trainMerges(docs, "text", merges = 6, passes = 3)
+      .orderBy(col("rank")).collect() // 6 rows: the learned vocabulary
+      .map { r =>
+        val p = r.getString(1).split(" ", 2)
+        (p(0), p(1))
+      }.toSeq
+    graft.operators.BpeTrainer
+      .bpeTokenCount(docs.filter(col("doc_id") % 10 === 0), "doc_id",
+        "text", mergeList, passes = 3)
+      .orderBy(col("doc_id"))
+  }
+
+  val q131Sql: String = {
+    def enc(k: Int): String =
+      s"""x$k AS (
+         |  SELECT ' ' || pair || ' ' AS pp,
+         |    ' ' || REPLACE(pair, ' ', '') || ' ' AS mm FROM m$k),
+         |e$k AS (
+         |  SELECT doc_id, REPLACE(REPLACE(REPLACE(ws, x.pp, x.mm),
+         |      x.pp, x.mm), x.pp, x.mm) AS ws
+         |  FROM e${k - 1} CROSS JOIN x$k x)""".stripMargin
+    // separately-stripped pieces, same reason as q107Sql
+    s"WITH $bpeTrainCtes,\n" +
+      """dsub AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        |dw AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+        |    x -> x <> '')) AS w
+        |  FROM dsub),
+        |e0 AS (
+        |  SELECT doc_id, ' ' || array_to_string(regexp_extract_all(w, '.'), ' ')
+        |    || ' ' AS ws
+        |  FROM dw),
+        |""".stripMargin +
+      (1 to 6).map(enc).mkString(",\n") + ",\n" +
+      """cnt AS (
+        |  SELECT doc_id, CAST(SUM(len(string_split(trim(ws), ' '))) AS BIGINT)
+        |    AS n
+        |  FROM e6 GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(c.n, 0) AS n_bpe_tokens
+        |FROM dsub d LEFT JOIN cnt c USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Streaming stateful dedup (`dropDuplicates` over a keyed stream):
+    * the events feed replayed as 3 single-file micro-batches through
+    * ONE AvailableNow stream; the dedup state store guarantees each
+    * (user_id, event_type) key is emitted EXACTLY ONCE across the whole
+    * replay no matter how arrivals split. Keys are projected before the
+    * dedup so the surviving row is the key itself — first-arrival
+    * row CONTENT would be partition-order-dependent, the key set is
+    * not. The oracle is the batch DISTINCT over the same feed: the
+    * streaming machinery must be result-invisible. State is unbounded
+    * by design for the replay (exact); the production path bounds it
+    * with `withWatermark` + `dropDuplicatesWithinWatermark`, which
+    * trades exactness for bounded state and cannot be oracle-hashed
+    * (late arrivals re-emit).
+    */
+  def q132StreamDedup(s: SparkSession, dir: String): DataFrame = {
+    val src = events(s, dir).filter(col("user_id") < 200)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    val base = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_q132_${java.util.UUID.randomUUID().toString.take(8)}")
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(base)) fs.delete(base, true)
+    fs.deleteOnExit(base)
+    val stage = s"$base/stage"
+    val outP = s"$base/out"
+    (0 until 3).foreach { i =>
+      src.filter(col("event_id") % 3 === i)
+        .coalesce(1).write.mode("append").parquet(stage)
+    }
+    var batches = 0
+    val q = s.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$base/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("append").parquet(outP)
+        batches += 1
+      }
+      .start()
+    try q.awaitTermination() finally q.stop()
+    require(batches == 3,
+      s"q132 replay expected 3 micro-batches, saw $batches")
+    s.read.parquet(outP)
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  val q132Sql: String =
+    """SELECT DISTINCT user_id, event_type
+      |FROM events WHERE user_id < 200
+      |ORDER BY user_id, event_type""".stripMargin
+
+  /** kNN majority-vote labeling over embeddings — the semi-supervised
+    * labeling step of a curation pipeline: every 20th vector is the
+    * "unlabeled" query set, classified by its 5 nearest labeled
+    * neighbors (fixed-point dot scores, [[Similarity.bruteForceTopK]]),
+    * majority vote with (votes DESC, best rank, label) tie-break so the
+    * prediction is total-order deterministic. Brute force is the
+    * oracle-checkable core; the 100 TB path swaps the scorer for
+    * [[Similarity.lshTopK]]/IVF (q53/q110) and keeps the vote stage
+    * verbatim — scores feed the SAME window + count, so the vote logic
+    * is validated here independent of the candidate generator.
+    */
+  def q133KnnLabel(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") % 20 === 0)
+    val corpus = emb.filter(col("vec_id") % 20 =!= 0)
+    val top = Similarity.bruteForceTopK(corpus, queries, "vec_id",
+      "embedding", k = 5)
+    val lab = corpus.select(col("vec_id").as("neighbor_id"), col("label"))
+    val votes = top.join(lab, Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("votes"), min(col("rank")).as("__best"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("__best").asc, col("label").asc)
+    votes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("query_id"), col("label").cast("long").as("pred_label"),
+        col("votes"))
+      .orderBy(col("query_id"))
+  }
+
+  val q133Sql: String =
+    """WITH top AS (
+      |  SELECT query_id, neighbor_id, rank FROM (
+      |    SELECT query_id, neighbor_id,
+      |      ROW_NUMBER() OVER (PARTITION BY query_id
+      |                         ORDER BY score_fp DESC, neighbor_id) AS rank
+      |    FROM (
+      |      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+      |        CAST(list_aggregate(list_transform(
+      |          list_zip(q.embedding, e.embedding),
+      |          p -> CAST(FLOOR(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)
+      |            * 1e9 + 0.5) AS BIGINT)), 'sum') AS BIGINT) AS score_fp
+      |      FROM (SELECT * FROM embeddings WHERE vec_id % 20 = 0) q
+      |      JOIN embeddings e ON e.vec_id % 20 <> 0) s) r
+      |  WHERE rank <= 5),
+      |v AS (
+      |  SELECT t.query_id, e.label, CAST(COUNT(*) AS BIGINT) AS votes,
+      |    MIN(t.rank) AS best_rank
+      |  FROM top t JOIN embeddings e ON e.vec_id = t.neighbor_id
+      |  GROUP BY 1, 2)
+      |SELECT query_id, CAST(label AS BIGINT) AS pred_label, votes FROM (
+      |  SELECT query_id, label, votes,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |                       ORDER BY votes DESC, best_rank, label) AS rn
+      |  FROM v) z
+      |WHERE rn = 1 ORDER BY query_id""".stripMargin
+
+  /** DSIR-style importance scoring (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", 2023): documents are
+    * scored by how target-like their hashed bigram features are. The
+    * feature space is word bigrams hashed to 16384 buckets with the
+    * portable md5-60 hash; the target distribution is the lang='en'
+    * slice. Per-instance odds in exact parts-per-million —
+    * `en_cnt * 1e6 div all_cnt`, all-BIGINT so engine and oracle agree
+    * bit-for-bit (the classic log-likelihood-ratio form needs ln,
+    * whose libm rounding is not portable) — summed per document.
+    * 100 TB shape: ONE corpus pass builds both count columns of the
+    * bucket table (conditional sum, no second scan), the 16384-row
+    * stats table broadcasts, and scoring is a map-side join + one
+    * aggregate; nothing scales with corpus² anywhere.
+    */
+  def q134ImportanceOdds(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val bi = docs.select(col("doc_id"), col("lang"),
+        explode_outer(TextFunctions.shinglesFromTokens(
+          TextFunctions.tokens(col("text")), 2)).as("bg"))
+      .where(col("bg").isNotNull && col("bg").like("% %"))
+    val feat = bi.withColumn("b",
+      pmod(TextDedup.md5Hash60(col("bg")), lit(16384L)))
+    val stats = feat.groupBy(col("b"))
+      .agg(count(lit(1)).as("all_cnt"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("en_cnt"))
+    feat.filter(col("doc_id") < 1000)
+      .join(broadcast(stats), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_features"),
+        sum(expr("en_cnt * 1000000 div all_cnt")).as("odds_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q134Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS ta
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, lang, ta[i] || ' ' || ta[i+1] AS bg
+      |  FROM toks, (SELECT unnest(range(1, (SELECT COALESCE(MAX(len(ta)), 1)
+      |    FROM toks))) AS i)
+      |  WHERE i < len(ta)),
+      |f AS (
+      |  SELECT doc_id, lang,
+      |    CAST('0x' || substr(md5(bg), 1, 15) AS BIGINT) % 16384 AS b
+      |  FROM bg),
+      |st AS (
+      |  SELECT b, CAST(COUNT(*) AS BIGINT) AS all_cnt,
+      |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS en_cnt
+      |  FROM f GROUP BY b)
+      |SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_features,
+      |  CAST(SUM(CAST(FLOOR(st.en_cnt * 1000000.0 / st.all_cnt) AS BIGINT))
+      |    AS BIGINT) AS odds_score
+      |FROM f JOIN st USING (b) WHERE f.doc_id < 1000
+      |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -5567,5 +5809,9 @@ object Queries {
     "q127_pit_join" -> ((q127PitJoin _, Some(q127Sql))),
     "q128_prefix_join" -> ((q128PrefixJoin _, Some(q128Sql))),
     "q129_encoding_profile" -> ((q129EncodingProfile _, Some(q129Sql))),
-    "q130_bootstrap_ci" -> ((q130BootstrapCI _, Some(q130Sql))))
+    "q130_bootstrap_ci" -> ((q130BootstrapCI _, Some(q130Sql))),
+    "q131_bpe_encode" -> ((q131BpeEncode _, Some(q131Sql))),
+    "q132_stream_dedup" -> ((q132StreamDedup _, Some(q132Sql))),
+    "q133_knn_label" -> ((q133KnnLabel _, Some(q133Sql))),
+    "q134_importance_odds" -> ((q134ImportanceOdds _, Some(q134Sql))))
 }
