@@ -5674,6 +5674,336 @@ object Queries {
       |FROM f JOIN st USING (b) WHERE f.doc_id < 1000
       |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin
 
+  /** Gopher-style rule-based quality gate (Rae et al., "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher", 2021,
+    * §A1.1 heuristics re-expressed over this corpus): per document, five
+    * independent pass/fail rules — word count in [30, 100000], mean word
+    * length in [3, 10], ≥ 2 stopword hits, ≥ half the words unique, and
+    * no single token covering > 20% of the document — plus the combined
+    * `keep`. Every rule is an INTEGER cross-multiplied comparison
+    * (`3n ≤ chars ≤ 10n`, `5·max_tok ≤ n`), never a double ratio, so
+    * engine and oracle agree bit-for-bit with no float rounding story.
+    * 100 TB shape: one explode → (doc, token) count → per-doc aggregate;
+    * both aggregations are hash aggregates with map-side partials and
+    * nothing is ever collected or joined corpus×corpus.
+    */
+  def q135GopherRules(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val perTok = docs.select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val stats = perTok.groupBy(col("doc_id")).agg(
+      sum(col("c")).as("n_words"),
+      count(lit(1)).as("n_unique"),
+      sum(length(col("tok")).cast("long") * col("c")).as("n_chars"),
+      sum(when(col("tok").isInCollection(TextFunctions.stopwordsEn),
+        col("c")).otherwise(0L)).as("n_stop"),
+      max(col("c")).as("max_tok"))
+    // Left join from the doc spine so an all-whitespace doc still gets a
+    // row (all rules fail on NULL stats → 0, mirrored in the oracle).
+    docs.select(col("doc_id")).join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        when(col("n_words") >= 30 && col("n_words") <= 100000, 1L)
+          .otherwise(0L).as("r_word_count"),
+        when(col("n_chars") >= col("n_words") * 3
+          && col("n_chars") <= col("n_words") * 10, 1L)
+          .otherwise(0L).as("r_mean_word_len"),
+        when(col("n_stop") >= 2, 1L).otherwise(0L).as("r_stopwords"),
+        when(col("n_unique") * 2 >= col("n_words"), 1L)
+          .otherwise(0L).as("r_unique_frac"),
+        when(col("max_tok") * 5 <= col("n_words"), 1L)
+          .otherwise(0L).as("r_top_token"))
+      .withColumn("keep",
+        col("r_word_count") * col("r_mean_word_len") * col("r_stopwords")
+          * col("r_unique_frac") * col("r_top_token"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q135Sql: String = {
+    val stop = TextFunctions.stopwordsEn.map(w => s"'$w'")
+      .mkString("[", ",", "]")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS ta
+       |  FROM documents),
+       |tc AS (
+       |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM (SELECT doc_id, unnest(ta) AS tok FROM toks) u
+       |  GROUP BY doc_id, tok),
+       |st AS (
+       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+       |    CAST(COUNT(*) AS BIGINT) AS n_unique,
+       |    CAST(SUM(length(tok) * c) AS BIGINT) AS n_chars,
+       |    CAST(SUM(CASE WHEN list_contains($stop, tok)
+       |      THEN c ELSE 0 END) AS BIGINT) AS n_stop,
+       |    CAST(MAX(c) AS BIGINT) AS max_tok
+       |  FROM tc GROUP BY doc_id)
+       |SELECT d.doc_id, COALESCE(st.n_words, 0) AS n_words,
+       |  CAST(CASE WHEN st.n_words >= 30 AND st.n_words <= 100000
+       |    THEN 1 ELSE 0 END AS BIGINT) AS r_word_count,
+       |  CAST(CASE WHEN st.n_chars >= st.n_words * 3
+       |    AND st.n_chars <= st.n_words * 10
+       |    THEN 1 ELSE 0 END AS BIGINT) AS r_mean_word_len,
+       |  CAST(CASE WHEN st.n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT)
+       |    AS r_stopwords,
+       |  CAST(CASE WHEN st.n_unique * 2 >= st.n_words
+       |    THEN 1 ELSE 0 END AS BIGINT) AS r_unique_frac,
+       |  CAST(CASE WHEN st.max_tok * 5 <= st.n_words
+       |    THEN 1 ELSE 0 END AS BIGINT) AS r_top_token,
+       |  CAST(CASE WHEN st.n_words >= 30 AND st.n_words <= 100000
+       |      AND st.n_chars >= st.n_words * 3
+       |      AND st.n_chars <= st.n_words * 10
+       |      AND st.n_stop >= 2 AND st.n_unique * 2 >= st.n_words
+       |      AND st.max_tok * 5 <= st.n_words
+       |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** Fuzzy decontamination — the near-duplicate companion to q57's exact
+    * n-gram leak check: every corpus document is scored against a small
+    * "benchmark" set (`doc_id % 97 == 0`, standing in for an eval suite)
+    * by 3-shingle Jaccard, and the best-matching benchmark doc is
+    * reported when similarity clears 1% (exact parts-per-million:
+    * `i·1e6 div (na+nb−i)`, all BIGINT). The engine path is an inverted
+    * shingle index: explode both sides, equi-join on the shingle,
+    * count shared shingles per pair — EXACT (a pair with intersection 0
+    * can never clear the threshold, so only co-occurring pairs matter),
+    * unlike LSH which trades recall. 100 TB shape: eval suites are tiny
+    * by nature, so the benchmark side always broadcasts and the corpus
+    * is a single streaming pass; nothing is quadratic in the corpus.
+    */
+  def q136FuzzyDecontam(s: SparkSession, dir: String): DataFrame = {
+    val sh = t(s, dir, "documents").select(col("doc_id"),
+      array_distinct(TextFunctions.shinglesFromTokens(
+        TextFunctions.tokens(col("text")), 3)).as("sh"))
+    val bench = sh.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("bench_id"), size(col("sh")).as("nb"),
+        explode(col("sh")).as("g"))
+    val corpus = sh.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), size(col("sh")).as("na"),
+        explode(col("sh")).as("g"))
+    val inter = corpus.join(broadcast(bench), Seq("g"))
+      .groupBy(col("doc_id"), col("bench_id"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("i"))
+      .withColumn("jac_ppm", expr("i * 1000000 div (na + nb - i)"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("jac_ppm").desc, col("bench_id").asc)
+    inter.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("jac_ppm") >= 10000)
+      .select(col("doc_id"), col("bench_id"), col("jac_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q136Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS ta
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(ta) < 3 THEN [array_to_string(ta, ' ')]
+      |      ELSE list_transform(range(1, len(ta) - 1),
+      |             i -> ta[i] || ' ' || ta[i+1] || ' ' || ta[i+2]) END) AS sh
+      |  FROM toks),
+      |pair AS (
+      |  SELECT c.doc_id, b.doc_id AS bench_id,
+      |    CAST(len(list_filter(c.sh, x -> list_contains(b.sh, x)))
+      |      AS BIGINT) AS i,
+      |    CAST(len(c.sh) AS BIGINT) AS na, CAST(len(b.sh) AS BIGINT) AS nb
+      |  FROM (SELECT * FROM sh WHERE doc_id % 97 <> 0) c
+      |  CROSS JOIN (SELECT * FROM sh WHERE doc_id % 97 = 0) b),
+      |sc AS (
+      |  SELECT doc_id, bench_id, i * 1000000 // (na + nb - i) AS jac_ppm
+      |  FROM pair WHERE i > 0),
+      |best AS (
+      |  SELECT doc_id, bench_id, jac_ppm,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id
+      |      ORDER BY jac_ppm DESC, bench_id) AS rn
+      |  FROM sc)
+      |SELECT doc_id, bench_id, CAST(jac_ppm AS BIGINT) AS jac_ppm
+      |FROM best WHERE rn = 1 AND jac_ppm >= 10000
+      |ORDER BY doc_id""".stripMargin
+
+  /** Temperature-scaled domain mixture (the multi-corpus sampling recipe
+    * of multilingual/multi-source LM training, e.g. alpha-smoothed
+    * mixing in XLM-R): per `source`, weight ∝ tokens^0.5, then a budget
+    * of 100000 samples allocated by the largest-remainder method. Every
+    * step is EXACT integer arithmetic: the square root is an integer
+    * sqrt of `tokens·1e6` (double `sqrt` then a ±1 correction against
+    * the exact square, so libm rounding differences between engines
+    * cannot move the floor), shares are `B·w div W` with the leftover
+    * distributed by (remainder DESC, source) rank. 100 TB shape: the
+    * per-source aggregate is one map-side-combined pass; the window
+    * runs over one row per SOURCE (dozens, not rows), so the
+    * unpartitioned window is a non-issue by construction.
+    */
+  def q137MixtureAlloc(s: SparkSession, dir: String): DataFrame = {
+    val perSrc = t(s, dir, "documents")
+      .select(col("source"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("n"))
+      .groupBy(col("source")).agg(sum(col("n")).as("tokens"))
+    val scaled = perSrc.withColumn("__x", col("tokens") * 1000000L)
+      .withColumn("__v0",
+        floor(sqrt(col("__x").cast("double"))).cast("long"))
+      .withColumn("weight",
+        when((col("__v0") + 1) * (col("__v0") + 1) <= col("__x"),
+          col("__v0") + 1)
+          .when(col("__v0") * col("__v0") > col("__x"), col("__v0") - 1)
+          .otherwise(col("__v0")))
+    val wAll = Window.partitionBy()
+    val wRank = Window.partitionBy()
+      .orderBy(col("__rem").desc, col("source").asc)
+    scaled
+      .withColumn("__tw", sum(col("weight")).over(wAll))
+      .withColumn("__alloc0", expr("100000 * weight div __tw"))
+      .withColumn("__rem", expr("(100000 * weight) % __tw"))
+      .withColumn("__leftover", lit(100000L) - sum(col("__alloc0")).over(wAll))
+      .withColumn("__rk", row_number().over(wRank).cast("long"))
+      .select(col("source"), col("tokens"), col("weight"),
+        (col("__alloc0") + when(col("__rk") <= col("__leftover"), 1L)
+          .otherwise(0L)).as("alloc"))
+      .orderBy(col("source"))
+  }
+
+  val q137Sql: String =
+    """WITH ps AS (
+      |  SELECT source, CAST(SUM(len(list_filter(string_split(text, ' '),
+      |    x -> x <> ''))) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY source),
+      |w0 AS (
+      |  SELECT source, tokens, tokens * 1000000 AS x,
+      |    CAST(FLOOR(SQRT(CAST(tokens * 1000000 AS DOUBLE))) AS BIGINT)
+      |      AS v0
+      |  FROM ps),
+      |w1 AS (
+      |  SELECT source, tokens,
+      |    CASE WHEN (v0 + 1) * (v0 + 1) <= x THEN v0 + 1
+      |         WHEN v0 * v0 > x THEN v0 - 1 ELSE v0 END AS weight
+      |  FROM w0),
+      |a AS (
+      |  SELECT source, tokens, weight,
+      |    CAST(SUM(weight) OVER () AS BIGINT) AS tw
+      |  FROM w1),
+      |b AS (
+      |  SELECT source, tokens, weight,
+      |    100000 * weight // tw AS alloc0,
+      |    (100000 * weight) % tw AS rem
+      |  FROM a),
+      |c AS (
+      |  SELECT source, tokens, weight, alloc0, rem,
+      |    100000 - CAST(SUM(alloc0) OVER () AS BIGINT) AS leftover,
+      |    ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+      |  FROM b)
+      |SELECT source, tokens, CAST(weight AS BIGINT) AS weight,
+      |  CAST(alloc0 + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+      |    AS BIGINT) AS alloc
+      |FROM c ORDER BY source""".stripMargin
+
+  /** Token-distribution drift between two corpus halves (`doc_id % 2` —
+    * standing in for "last month's crawl vs this month's"): per-token
+    * frequency in exact parts-per-million on each side, ranked by
+    * absolute ppm shift — the total-variation-style drift report a
+    * pipeline runs before retraining a tokenizer or re-weighting a
+    * mixture (the ln-free analog of a KL/PSI monitor, kept all-BIGINT
+    * so both engines agree exactly). 100 TB shape: one explode → one
+    * vocab-keyed hash aggregate computes both sides' counts in the same
+    * pass (conditional sums — the corpus is never scanned twice); the
+    * grand totals reuse that aggregate's exchange (ReusedExchange) and
+    * broadcast back as a single row; top-50 is a TakeOrdered, never a
+    * full sort.
+    */
+  def q138TokenDrift(s: SparkSession, dir: String): DataFrame = {
+    val tok = t(s, dir, "documents")
+      .select((col("doc_id") % 2).as("h"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+    val cnt = tok.groupBy(col("tok")).agg(
+      sum(when(col("h") === 0, 1L).otherwise(0L)).as("c0"),
+      sum(when(col("h") === 1, 1L).otherwise(0L)).as("c1"))
+    val totals = cnt.agg(sum(col("c0")).as("t0"), sum(col("c1")).as("t1"))
+    cnt.crossJoin(broadcast(totals))
+      .withColumn("ppm0", expr("c0 * 1000000 div t0"))
+      .withColumn("ppm1", expr("c1 * 1000000 div t1"))
+      .withColumn("drift_ppm", abs(col("ppm0") - col("ppm1")))
+      .select(col("tok"), col("c0"), col("c1"), col("ppm0"), col("ppm1"),
+        col("drift_ppm"))
+      .orderBy(col("drift_ppm").desc, col("tok").asc)
+      .limit(50)
+  }
+
+  val q138Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id % 2 AS h, unnest(list_filter(string_split(text, ' '),
+      |    x -> x <> '')) AS tok
+      |  FROM documents),
+      |cnt AS (
+      |  SELECT tok,
+      |    CAST(SUM(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+      |    CAST(SUM(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+      |  FROM tok GROUP BY tok),
+      |tot AS (
+      |  SELECT CAST(SUM(c0) AS BIGINT) AS t0,
+      |    CAST(SUM(c1) AS BIGINT) AS t1
+      |  FROM cnt)
+      |SELECT tok, c0, c1,
+      |  c0 * 1000000 // t0 AS ppm0,
+      |  c1 * 1000000 // t1 AS ppm1,
+      |  ABS(c0 * 1000000 // t0 - c1 * 1000000 // t1) AS drift_ppm
+      |FROM cnt CROSS JOIN tot
+      |ORDER BY drift_ppm DESC, tok LIMIT 50""".stripMargin
+
+  /** Hard-negative mining for contrastive training: for each query
+    * vector (every 20th id), the 3 most similar corpus vectors with a
+    * DIFFERENT label — the "looks close, means different" pairs a
+    * retrieval/embedding fine-tune wants as negatives. Scores are the
+    * engine's portable fixed-point dot ([[Similarity.dotFixed]], 1e-9
+    * units, BIGINT) so ordering is bit-identical across engines; ties
+    * break on neighbor id. Brute force is the oracle-checkable core;
+    * at 100 TB the candidate generator swaps to lshTopK/IVF (q53/q110)
+    * with a wider k and the label-mismatch filter + re-rank stays
+    * verbatim. The query side broadcasts (it is the small side by
+    * construction); the corpus streams map-side, and the only shuffle
+    * is the per-query top-k window.
+    */
+  def q139HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("query_id"), col("label").as("__qlab"),
+        col("embedding").as("__qv"))
+    val c = emb.filter(col("vec_id") % 20 =!= 0)
+      .select(col("vec_id").as("neighbor_id"), col("label").as("__nlab"),
+        col("embedding").as("__cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_fp").desc, col("neighbor_id").asc)
+    c.join(broadcast(q), col("__nlab") =!= col("__qlab"))
+      .withColumn("score_fp", Similarity.dotFixed(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("score_fp"), col("__nlab").cast("long").as("neg_label"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val q139Sql: String =
+    """SELECT query_id, neighbor_id, rank, score_fp, neg_label FROM (
+      |  SELECT query_id, neighbor_id,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY score_fp DESC, neighbor_id) AS rank,
+      |    score_fp, neg_label
+      |  FROM (
+      |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+      |      CAST(e.label AS BIGINT) AS neg_label,
+      |      CAST(list_aggregate(list_transform(
+      |        list_zip(q.embedding, e.embedding),
+      |        p -> CAST(FLOOR(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)
+      |          * 1e9 + 0.5) AS BIGINT)), 'sum') AS BIGINT) AS score_fp
+      |    FROM (SELECT * FROM embeddings WHERE vec_id % 20 = 0) q
+      |    JOIN embeddings e
+      |      ON e.vec_id % 20 <> 0 AND e.label <> q.label) s) r
+      |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -5813,5 +6143,10 @@ object Queries {
     "q131_bpe_encode" -> ((q131BpeEncode _, Some(q131Sql))),
     "q132_stream_dedup" -> ((q132StreamDedup _, Some(q132Sql))),
     "q133_knn_label" -> ((q133KnnLabel _, Some(q133Sql))),
-    "q134_importance_odds" -> ((q134ImportanceOdds _, Some(q134Sql))))
+    "q134_importance_odds" -> ((q134ImportanceOdds _, Some(q134Sql))),
+    "q135_gopher_rules" -> ((q135GopherRules _, Some(q135Sql))),
+    "q136_fuzzy_decontam" -> ((q136FuzzyDecontam _, Some(q136Sql))),
+    "q137_mixture_alloc" -> ((q137MixtureAlloc _, Some(q137Sql))),
+    "q138_token_drift" -> ((q138TokenDrift _, Some(q138Sql))),
+    "q139_hard_negatives" -> ((q139HardNegatives _, Some(q139Sql))))
 }

@@ -47,6 +47,86 @@ class CurationQueriesSpec extends SparkSpec {
     assert(out(0).getLong(2) === 2L)
   }
 
+  test("q135 gopher rules: each rule trips independently and gates keep") {
+    val dir = fixtureDir()
+    val stops = "the of is to and in on a an it"
+    // doc 0: 30 words, all rules pass. doc 1: only 10 words (word-count
+    // rule fails; everything else passes). doc 2: one token repeated 40x
+    // (top-token + unique-frac fail). doc 3: all-whitespace (no tokens;
+    // every rule fails on the NULL stats branch).
+    val good = (1 to 20).map(i => f"word$i%02d").mkString(" ") + " " + stops
+    val short = "alpha beta gamma delta epsilon " + stops.split(" ").take(5).mkString(" ")
+    val repet = Array.fill(40)("spam").mkString(" ") + " " + stops
+    Seq((0L, good), (1L, short), (2L, repet), (3L, "   "))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val out = Queries.registry.toMap.apply("q135_gopher_rules")
+      ._1(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def flags(id: Long): Seq[Long] = (2 to 7).map(out(id).getLong(_))
+    assert(flags(0) === Seq(1L, 1L, 1L, 1L, 1L, 1L), s"good doc: ${flags(0)}")
+    assert(out(1).getLong(2) === 0L && out(1).getLong(7) === 0L,
+      "short doc must fail word-count and keep")
+    assert(out(1).getLong(4) === 1L, "short doc still has stopwords")
+    assert(out(2).getLong(5) === 0L && out(2).getLong(6) === 0L
+      && out(2).getLong(7) === 0L, s"repetitive doc: ${flags(2)}")
+    assert(out(3).getLong(1) === 0L && flags(3).forall(_ === 0L),
+      "whitespace doc: zero words, all rules fail")
+  }
+
+  test("q136 fuzzy decontam: planted benchmark copy flagged, stranger is not") {
+    val dir = fixtureDir()
+    val leak = "alpha beta gamma delta epsilon zeta eta theta"
+    val clean = "one two three four five six seven eight nine ten"
+    // doc 0 is benchmark (0 % 97 == 0); doc 1 a verbatim leak of it;
+    // doc 2 shares nothing.
+    Seq((0L, leak), (1L, leak), (2L, clean))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val out = Queries.registry.toMap.apply("q136_fuzzy_decontam")
+      ._1(spark, dir).collect()
+    assert(out.length === 1, s"only the leak should clear 1%: ${out.toSeq}")
+    assert(out(0).getLong(0) === 1L && out(0).getLong(1) === 0L)
+    assert(out(0).getLong(2) === 1000000L, "identical doc => jaccard 1.0")
+  }
+
+  test("q137 mixture alloc: exact isqrt weights, budget sums to 100000") {
+    val dir = fixtureDir()
+    // source a: 4 tokens total -> weight isqrt(4e6) = 2000;
+    // source b: 1 token -> weight 1000. Largest remainder gives a the
+    // leftover unit: a = 66667, b = 33333.
+    Seq((0L, "w x y z", "a"), (1L, "solo", "b"))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = Queries.registry.toMap.apply("q137_mixture_alloc")
+      ._1(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out("a") === ((2000L, 66667L)), s"source a: ${out("a")}")
+    assert(out("b") === ((1000L, 33333L)), s"source b: ${out("b")}")
+  }
+
+  test("q137 mixture alloc: budget exactly exhausted on real data") {
+    val out = Queries.registry.toMap.apply("q137_mixture_alloc")
+      ._1(spark, "/root/testdata/sf0.001").collect()
+    assert(out.map(_.getLong(3)).sum === 100000L)
+  }
+
+  test("q139 hard negatives: never the query's own label, scores ranked") {
+    val out = Queries.registry.toMap.apply("q139_hard_negatives")
+      ._1(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("label").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      assert(r.getLong(4) !== emb(r.getLong(0)),
+        s"query ${r.getLong(0)} got its own label back")
+    }
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getLong(2)).map(_.getLong(3))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        "scores must be non-increasing in rank")
+    }
+  }
+
   test("q132 streaming dedup: replays are deterministic and equal batch DISTINCT") {
     val dir = fixtureDir()
     val rnd = new scala.util.Random(17)
