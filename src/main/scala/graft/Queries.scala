@@ -5779,12 +5779,18 @@ object Queries {
     val sh = t(s, dir, "documents").select(col("doc_id"),
       array_distinct(TextFunctions.shinglesFromTokens(
         TextFunctions.tokens(col("text")), 3)).as("sh"))
+    // explode_OUTER + post-Generate null filter: a plain explode would
+    // let InferFiltersFromGenerate push size(shingle_array(...)) > 0
+    // into the scan filter and run the shingle tower twice per row
+    // (PlanAuditSpec's engine-wide sweep pins this).
     val bench = sh.filter(col("doc_id") % 97 === 0)
       .select(col("doc_id").as("bench_id"), size(col("sh")).as("nb"),
-        explode(col("sh")).as("g"))
+        explode_outer(col("sh")).as("g"))
+      .where(col("g").isNotNull)
     val corpus = sh.filter(col("doc_id") % 97 =!= 0)
       .select(col("doc_id"), size(col("sh")).as("na"),
-        explode(col("sh")).as("g"))
+        explode_outer(col("sh")).as("g"))
+      .where(col("g").isNotNull)
     val inter = corpus.join(broadcast(bench), Seq("g"))
       .groupBy(col("doc_id"), col("bench_id"), col("na"), col("nb"))
       .agg(count(lit(1)).as("i"))

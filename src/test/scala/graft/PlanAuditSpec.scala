@@ -470,4 +470,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(finalPlan.contains("ReusedExchange"),
       "no runtime exchange reuse in q26 final plan")
   }
+
+  test("q136 decontam broadcasts the benchmark side; rank-1 is group-limited") {
+    val p = plan("q136_fuzzy_decontam")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      p.take(800))
+    assert(p.contains("BroadcastHashJoin"),
+      "the benchmark (eval-suite) side must broadcast")
+    assert(p.contains("WindowGroupLimit"),
+      "best-match rank must push the rn=1 limit into the sort")
+  }
+
+  test("q138 drift totals reuse the vocab aggregate exchange (one corpus pass)") {
+    val df = SparkEntry.queries("q138_token_drift")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p.take(200))
+    val finalPlan = p.split("== Initial Plan ==")(0)
+    assert(finalPlan.contains("ReusedExchange"),
+      "grand totals must reuse the per-token count exchange, not re-explode")
+    assert(finalPlan.contains("TakeOrderedAndProject"),
+      "top-50 drift must be a heap take, not a global sort")
+  }
+
+  test("q139 hard negatives broadcast the query side; top-3 is group-limited") {
+    val p = plan("q139_hard_negatives")
+    assert(p.contains("Broadcast"), "query vectors must broadcast")
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+  }
 }
