@@ -5687,7 +5687,11 @@ object Queries {
     * both aggregations are hash aggregates with map-side partials and
     * nothing is ever collected or joined corpus×corpus.
     */
-  def q135GopherRules(s: SparkSession, dir: String): DataFrame = {
+  /** Per-doc rule flags of the Gopher gate — the shared core of q135
+    * (per-doc report) and q143 (per-source attrition funnel). Output:
+    * doc_id, n_words, the five 0/1 rule columns, keep.
+    */
+  private def gopherFlags(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val perTok = docs.select(col("doc_id"),
         explode(TextFunctions.tokens(col("text"))).as("tok"))
@@ -5718,10 +5722,16 @@ object Queries {
       .withColumn("keep",
         col("r_word_count") * col("r_mean_word_len") * col("r_stopwords")
           * col("r_unique_frac") * col("r_top_token"))
-      .orderBy(col("doc_id"))
   }
 
-  val q135Sql: String = {
+  def q135GopherRules(s: SparkSession, dir: String): DataFrame =
+    gopherFlags(s, dir).orderBy(col("doc_id"))
+
+  /** Shared CTE prefix of q135Sql/q143Sql: per-doc Gopher rule flags.
+    * ONE definition so the per-doc report and the per-source funnel can
+    * never disagree about the rules they evaluate.
+    */
+  private val gopherCtes: String = {
     val stop = TextFunctions.stopwordsEn.map(w => s"'$w'")
       .mkString("[", ",", "]")
     s"""WITH toks AS (
@@ -5739,28 +5749,34 @@ object Queries {
        |    CAST(SUM(CASE WHEN list_contains($stop, tok)
        |      THEN c ELSE 0 END) AS BIGINT) AS n_stop,
        |    CAST(MAX(c) AS BIGINT) AS max_tok
-       |  FROM tc GROUP BY doc_id)
-       |SELECT d.doc_id, COALESCE(st.n_words, 0) AS n_words,
-       |  CAST(CASE WHEN st.n_words >= 30 AND st.n_words <= 100000
-       |    THEN 1 ELSE 0 END AS BIGINT) AS r_word_count,
-       |  CAST(CASE WHEN st.n_chars >= st.n_words * 3
-       |    AND st.n_chars <= st.n_words * 10
-       |    THEN 1 ELSE 0 END AS BIGINT) AS r_mean_word_len,
-       |  CAST(CASE WHEN st.n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT)
-       |    AS r_stopwords,
-       |  CAST(CASE WHEN st.n_unique * 2 >= st.n_words
-       |    THEN 1 ELSE 0 END AS BIGINT) AS r_unique_frac,
-       |  CAST(CASE WHEN st.max_tok * 5 <= st.n_words
-       |    THEN 1 ELSE 0 END AS BIGINT) AS r_top_token,
-       |  CAST(CASE WHEN st.n_words >= 30 AND st.n_words <= 100000
-       |      AND st.n_chars >= st.n_words * 3
+       |  FROM tc GROUP BY doc_id),
+       |fl AS (
+       |  SELECT d.doc_id, COALESCE(st.n_words, 0) AS n_words,
+       |    CAST(CASE WHEN st.n_words >= 30 AND st.n_words <= 100000
+       |      THEN 1 ELSE 0 END AS BIGINT) AS r_word_count,
+       |    CAST(CASE WHEN st.n_chars >= st.n_words * 3
        |      AND st.n_chars <= st.n_words * 10
-       |      AND st.n_stop >= 2 AND st.n_unique * 2 >= st.n_words
-       |      AND st.max_tok * 5 <= st.n_words
-       |    THEN 1 ELSE 0 END AS BIGINT) AS keep
-       |FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
-       |ORDER BY d.doc_id""".stripMargin
+       |      THEN 1 ELSE 0 END AS BIGINT) AS r_mean_word_len,
+       |    CAST(CASE WHEN st.n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT)
+       |      AS r_stopwords,
+       |    CAST(CASE WHEN st.n_unique * 2 >= st.n_words
+       |      THEN 1 ELSE 0 END AS BIGINT) AS r_unique_frac,
+       |    CAST(CASE WHEN st.max_tok * 5 <= st.n_words
+       |      THEN 1 ELSE 0 END AS BIGINT) AS r_top_token,
+       |    CAST(CASE WHEN st.n_words >= 30 AND st.n_words <= 100000
+       |        AND st.n_chars >= st.n_words * 3
+       |        AND st.n_chars <= st.n_words * 10
+       |        AND st.n_stop >= 2 AND st.n_unique * 2 >= st.n_words
+       |        AND st.max_tok * 5 <= st.n_words
+       |      THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |  FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id)""".stripMargin
   }
+
+  val q135Sql: String = gopherCtes +
+    """
+      |SELECT doc_id, n_words, r_word_count, r_mean_word_len, r_stopwords,
+      |  r_unique_frac, r_top_token, keep
+      |FROM fl ORDER BY doc_id""".stripMargin
 
   /** Fuzzy decontamination — the near-duplicate companion to q57's exact
     * n-gram leak check: every corpus document is scored against a small
@@ -6010,6 +6026,199 @@ object Queries {
       |      ON e.vec_id % 20 <> 0 AND e.label <> q.label) s) r
       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
+  /** Pairwise vocabulary overlap between sources — the cross-domain
+    * contamination / redundancy matrix a mixture designer reads before
+    * setting weights (two sources sharing 90% of their vocabulary are
+    * not two independent domains). Exact distinct-token Jaccard per
+    * unordered source pair, in integer ppm. 100 TB shape: the join is
+    * vocab×vocab keyed on the TOKEN (vocabulary is sublinear in corpus
+    * bytes), never docs×docs; per-source vocab sizes broadcast back
+    * onto the 190-row pair table; the distinct + both aggregates are
+    * ordinary hash aggregates.
+    */
+  def q140SourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val vt = t(s, dir, "documents")
+      .select(col("source"),
+        explode_outer(TextFunctions.tokens(col("text"))).as("tok"))
+      .where(col("tok").isNotNull)
+      .distinct()
+    val sizes = vt.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val ov = vt.as("a").join(vt.as("b"),
+        col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("overlap"))
+    ov.join(broadcast(sizes.withColumnRenamed("source", "src_a")
+        .withColumnRenamed("n", "vocab_a")), Seq("src_a"))
+      .join(broadcast(sizes.withColumnRenamed("source", "src_b")
+        .withColumnRenamed("n", "vocab_b")), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("vocab_a"), col("vocab_b"),
+        col("overlap"),
+        expr("overlap * 1000000 div (vocab_a + vocab_b - overlap)")
+          .as("jac_ppm"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val q140Sql: String =
+    """WITH vt AS (
+      |  SELECT DISTINCT source, tok FROM (
+      |    SELECT source, unnest(list_filter(string_split(text, ' '),
+      |      x -> x <> '')) AS tok
+      |    FROM documents) u),
+      |sz AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM vt
+      |  GROUP BY source),
+      |ov AS (
+      |  SELECT a.source AS src_a, b.source AS src_b,
+      |    CAST(COUNT(*) AS BIGINT) AS overlap
+      |  FROM vt a JOIN vt b ON a.tok = b.tok AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT src_a, src_b, za.n AS vocab_a, zb.n AS vocab_b, overlap,
+      |  overlap * 1000000 // (za.n + zb.n - overlap) AS jac_ppm
+      |FROM ov JOIN sz za ON za.source = src_a
+      |        JOIN sz zb ON zb.source = src_b
+      |ORDER BY src_a, src_b""".stripMargin
+
+  /** Power-of-2 bucket boundaries shared by q141's engine and oracle —
+    * ONE list so the CASE towers cannot drift. 2^17 > the Gopher word
+    * cap, so the top bucket is unreachable-by-construction headroom.
+    */
+  private val lengthBuckets: Seq[Long] = (0 to 17).map(1L << _)
+
+  /** Context-length curve: token-count histogram in power-of-2 buckets
+    * with cumulative docs/tokens — the report that picks max_seq_len
+    * (what % of documents/tokens fit in 512? 2048?). The bucket is a
+    * generated descending CASE tower over INTEGER comparisons (never
+    * floor(log2(n)) — libm log2 at exact powers of two is the classic
+    * cross-engine off-by-one), emitted from [[lengthBuckets]] on both
+    * sides. 100 TB shape: one narrow pass → ≤19-group aggregate; the
+    * cumulative window runs over bucket rows, not data rows.
+    */
+  def q141LengthCurve(s: SparkSession, dir: String): DataFrame = {
+    val n = size(TextFunctions.tokens(col("text"))).cast("long")
+    // Ascending fold nests earlier (smaller) thresholds INSIDE later
+    // ones, so the outermost test is the largest bucket — the same
+    // first-match-wins order as the oracle's descending CASE tower.
+    val bucket = lengthBuckets.foldLeft(lit(0L)) {
+      case (els, b) => when(n >= b, lit(b)).otherwise(els)
+    }
+    val w = Window.partitionBy().orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "documents")
+      .select(bucket.as("bucket"), n.as("n"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("tokens"))
+      .withColumn("cum_docs", sum(col("n_docs")).over(w))
+      .withColumn("cum_tokens", sum(col("tokens")).over(w))
+      .orderBy(col("bucket"))
+  }
+
+  val q141Sql: String = {
+    val cases = lengthBuckets.reverse
+      .map(b => s"WHEN n >= $b THEN $b").mkString("\n      ")
+    s"""WITH ln AS (
+       |  SELECT CAST(len(list_filter(string_split(text, ' '),
+       |    x -> x <> '')) AS BIGINT) AS n
+       |  FROM documents),
+       |bk AS (
+       |  SELECT CAST(CASE
+       |      $cases
+       |      ELSE 0 END AS BIGINT) AS bucket, n
+       |  FROM ln),
+       |h AS (
+       |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(n) AS BIGINT) AS tokens
+       |  FROM bk GROUP BY bucket)
+       |SELECT bucket, n_docs, tokens,
+       |  CAST(SUM(n_docs) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED
+       |    PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_docs,
+       |  CAST(SUM(tokens) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED
+       |    PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |FROM h ORDER BY bucket""".stripMargin
+  }
+
+  /** N-gram novelty / memorization-risk profile: per document, the
+    * fraction (exact ppm) of its DISTINCT 3-shingles that occur in no
+    * other document — the docs whose content the model can only learn
+    * by memorizing them, and the first thing to check before judging a
+    * "novel generation". 100 TB shape: document frequency is one hash
+    * aggregate on the shingle key; the join back is shingle-keyed
+    * (vocab-sized build side per partition, never docs×docs); the
+    * per-doc rollup is a second hash aggregate. No driver collects.
+    */
+  def q142NovelNgrams(s: SparkSession, dir: String): DataFrame = {
+    val sh = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode_outer(array_distinct(TextFunctions.shinglesFromTokens(
+          TextFunctions.tokens(col("text")), 3))).as("g"))
+      .where(col("g").isNotNull)
+    val df = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    sh.join(df, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("novel_cnt"))
+      .withColumn("novel_ppm", expr("novel_cnt * 1000000 div n_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q142Sql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    CASE WHEN len(ta) < 3 THEN [array_to_string(ta, ' ')]
+      |      ELSE list_transform(range(1, len(ta) - 1),
+      |             i -> ta[i] || ' ' || ta[i+1] || ' ' || ta[i+2]) END)) AS g
+      |  FROM (SELECT doc_id, list_filter(string_split(text, ' '),
+      |          x -> x <> '') AS ta
+      |        FROM documents) i),
+      |df AS (
+      |  SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY g),
+      |agg AS (
+      |  SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+      |    CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS novel_cnt
+      |  FROM sh JOIN df USING (g) GROUP BY sh.doc_id)
+      |SELECT doc_id, n_shingles, novel_cnt,
+      |  novel_cnt * 1000000 // n_shingles AS novel_ppm
+      |FROM agg ORDER BY doc_id""".stripMargin
+
+  /** Per-source attrition funnel through the Gopher gate (q135's flags,
+    * applied as a sequential pipeline): how many documents each source
+    * contributes, and how many survive after each successive rule —
+    * the report that tells you WHICH filter is eating WHICH domain
+    * before you ship a curation config. Shares [[gopherFlags]] (and the
+    * oracle shares [[gopherCtes]]) with q135, so report and funnel can
+    * never disagree. The funnel counts are sums of cumulative flag
+    * PRODUCTS — pure integer algebra on the flag columns, one extra
+    * 20-group aggregate on top of the q135 plan.
+    */
+  def q143FilterFunnel(s: SparkSession, dir: String): DataFrame = {
+    val fl = gopherFlags(s, dir)
+    val src = t(s, dir, "documents").select(col("doc_id"), col("source"))
+    fl.join(src, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("r_word_count")).as("pass_wc"),
+        sum(col("r_word_count") * col("r_mean_word_len")).as("pass_mwl"),
+        sum(col("r_word_count") * col("r_mean_word_len")
+          * col("r_stopwords")).as("pass_stop"),
+        sum(col("r_word_count") * col("r_mean_word_len")
+          * col("r_stopwords") * col("r_unique_frac")).as("pass_uniq"),
+        sum(col("keep")).as("kept"))
+      .orderBy(col("source"))
+  }
+
+  val q143Sql: String = gopherCtes +
+    """
+      |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS docs,
+      |  CAST(SUM(r_word_count) AS BIGINT) AS pass_wc,
+      |  CAST(SUM(r_word_count * r_mean_word_len) AS BIGINT) AS pass_mwl,
+      |  CAST(SUM(r_word_count * r_mean_word_len * r_stopwords) AS BIGINT)
+      |    AS pass_stop,
+      |  CAST(SUM(r_word_count * r_mean_word_len * r_stopwords
+      |    * r_unique_frac) AS BIGINT) AS pass_uniq,
+      |  CAST(SUM(keep) AS BIGINT) AS kept
+      |FROM fl JOIN documents d ON fl.doc_id = d.doc_id
+      |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -6154,5 +6363,9 @@ object Queries {
     "q136_fuzzy_decontam" -> ((q136FuzzyDecontam _, Some(q136Sql))),
     "q137_mixture_alloc" -> ((q137MixtureAlloc _, Some(q137Sql))),
     "q138_token_drift" -> ((q138TokenDrift _, Some(q138Sql))),
-    "q139_hard_negatives" -> ((q139HardNegatives _, Some(q139Sql))))
+    "q139_hard_negatives" -> ((q139HardNegatives _, Some(q139Sql))),
+    "q140_source_overlap" -> ((q140SourceOverlap _, Some(q140Sql))),
+    "q141_length_curve" -> ((q141LengthCurve _, Some(q141Sql))),
+    "q142_novel_ngrams" -> ((q142NovelNgrams _, Some(q142Sql))),
+    "q143_filter_funnel" -> ((q143FilterFunnel _, Some(q143Sql))))
 }

@@ -127,6 +127,65 @@ class CurationQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q140 source overlap: exact pairwise vocabulary jaccard") {
+    val dir = fixtureDir()
+    // vocab a = {x,y,z,w}, b = {x,y,q}, c = {p}. jac(a,b) = 2/5,
+    // jac(a,c) = 0 (pair absent — overlap join is inner), jac(b,c) = 0.
+    Seq((0L, "x y z w", "a"), (1L, "x y q", "b"), (2L, "p", "c"))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = Queries.registry.toMap.apply("q140_source_overlap")
+      ._1(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(5)).toMap
+    assert(out === Map(("a", "b") -> 400000L),
+      s"expected only the a-b pair with 2/5 jaccard: $out")
+  }
+
+  test("q141 length curve: power-of-2 buckets and cumulative counts") {
+    val dir = fixtureDir()
+    // token counts 1,2,3,5,8 and one empty doc -> buckets 1,2,2,4,8,0
+    Seq((0L, "a"), (1L, "a b"), (2L, "a b c"), (3L, "a b c d e"),
+      (4L, "a b c d e f g h"), (5L, " "))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val out = Queries.registry.toMap.apply("q141_length_curve")
+      ._1(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq === Seq(
+      (0L, 1L, 0L, 1L, 0L),
+      (1L, 1L, 1L, 2L, 1L),
+      (2L, 2L, 5L, 4L, 6L),
+      (4L, 1L, 5L, 5L, 11L),
+      (8L, 1L, 8L, 6L, 19L)), out.toSeq.toString)
+  }
+
+  test("q142 novel ngrams: duplicated content scores 0, unique scores 1e6") {
+    val dir = fixtureDir()
+    val dup = "alpha beta gamma delta epsilon"
+    Seq((0L, dup), (1L, dup), (2L, "one two three four"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val out = Queries.registry.toMap.apply("q142_novel_ngrams")
+      ._1(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out === Map(0L -> 0L, 1L -> 0L, 2L -> 1000000L), out.toString)
+  }
+
+  test("q143 funnel is monotone and agrees with q135's keep column") {
+    val sfDir = "/root/testdata/sf0.001"
+    val funnel = Queries.registry.toMap.apply("q143_filter_funnel")
+      ._1(spark, sfDir).collect()
+    funnel.foreach { r =>
+      val seq = (1 to 6).map(r.getLong)
+      assert(seq.zip(seq.tail).forall { case (a, b) => a >= b },
+        s"funnel must be non-increasing for ${r.getString(0)}: $seq")
+    }
+    val keptTotal = funnel.map(_.getLong(6)).sum
+    val q135Kept = Queries.registry.toMap.apply("q135_gopher_rules")
+      ._1(spark, sfDir).collect().map(_.getLong(7)).sum
+    assert(keptTotal === q135Kept,
+      "funnel kept-total must equal the per-doc keep sum")
+  }
+
   test("q132 streaming dedup: replays are deterministic and equal batch DISTINCT") {
     val dir = fixtureDir()
     val rnd = new scala.util.Random(17)
