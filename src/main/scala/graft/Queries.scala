@@ -637,7 +637,11 @@ object Queries {
       .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
       .orderBy(col("doc_id"))
 
-  val q24Sql: String = {
+  /** (marker-score projections, argmax CASE) of the langId oracle —
+    * generated from [[TextFunctions.langMarkers]], shared by q24Sql and
+    * q146Sql so the two oracles can never disagree about the classifier.
+    */
+  private lazy val langPredSqlParts: (String, String) = {
     val markers = TextFunctions.langMarkers.map { case (lang, ws) =>
       lang -> ws.map(w => s"'$w'").mkString("[", ",", "]")
     }
@@ -648,9 +652,13 @@ object Queries {
     val best = s"GREATEST(${langs.map("s_" + _).mkString(", ")})"
     val cases = langs.map(l =>
       s"WHEN $best > 0 AND s_$l = $best THEN '$l'").mkString("\n    ")
+    (scores, s"CASE $cases\n    ELSE 'und' END")
+  }
+
+  val q24Sql: String = {
+    val (scores, caseExpr) = langPredSqlParts
     s"""SELECT doc_id,
-       |  CASE $cases
-       |    ELSE 'und' END AS lang_pred
+       |  $caseExpr AS lang_pred
        |FROM (SELECT doc_id,
        |        $scores
        |      FROM (SELECT doc_id,
@@ -6219,6 +6227,143 @@ object Queries {
       |FROM fl JOIN documents d ON fl.doc_id = d.doc_id
       |GROUP BY d.source ORDER BY d.source""".stripMargin
 
+  /** Count-based repetition weighting (the SoftDeDup idea: down-WEIGHT
+    * exact duplicates instead of dropping them — the loss then sees each
+    * unique content unit with equal total mass): docs cluster by the
+    * q21/q25 normalized content fingerprint; every member gets
+    * `1e6 div cluster_size` ppm weight and the cluster's min-id member
+    * is marked canonical. Complements q25 (which keeps one and drops
+    * the rest) — same key, opposite retention policy. 100 TB shape:
+    * ONE shuffle on the fingerprint; both cluster stats come from the
+    * same window partition, fingerprint keys are uniform md5 so the
+    * shuffle cannot skew.
+    */
+  def q144SoftDedupWeights(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("fp"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("__min_id", min(col("doc_id")).over(w))
+      .select(col("doc_id"), col("cluster_size"),
+        expr("1000000 div cluster_size").as("weight_ppm"),
+        when(col("doc_id") === col("__min_id"), 1L).otherwise(0L)
+          .as("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q144Sql: String =
+    """SELECT doc_id, cluster_size,
+      |  1000000 // cluster_size AS weight_ppm,
+      |  CAST(CASE WHEN doc_id = min_id THEN 1 ELSE 0 END AS BIGINT)
+      |    AS is_canonical
+      |FROM (
+      |  SELECT doc_id,
+      |    CAST(COUNT(*) OVER (PARTITION BY fp) AS BIGINT) AS cluster_size,
+      |    MIN(doc_id) OVER (PARTITION BY fp) AS min_id
+      |  FROM (SELECT doc_id,
+      |          md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+      |        FROM documents) f) c
+      |ORDER BY doc_id""".stripMargin
+
+  /** Per-source corpus diversity profile: total tokens, vocabulary
+    * size, singleton vocabulary (hapax legomena — the classic "is this
+    * source generated/templated?" tell), and the single most frequent
+    * token with its exact ppm share. Head-concentration stays in BIGINT
+    * at ANY corpus size (max_count·1e6 ≤ 9.2e18 needs count ≤ 9.2e12 —
+    * fine per-source; no T² terms like a Simpson index would need).
+    * 100 TB shape: one (source, token) hash aggregate; the argmax is a
+    * WindowGroupLimit-able rank over the VOCAB table (not the corpus);
+    * the final join is per-source rows only.
+    */
+  def q145SourceProfile(s: SparkSession, dir: String): DataFrame = {
+    val perTok = t(s, dir, "documents")
+      .select(col("source"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val prof = perTok.groupBy(col("source")).agg(
+      sum(col("c")).as("tokens"),
+      count(lit(1)).as("vocab"),
+      sum(when(col("c") === 1, 1L).otherwise(0L)).as("singletons"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("c").desc, col("tok").asc)
+    val top = perTok.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("source"), col("tok").as("top_token"),
+        col("c").as("__topc"))
+    prof.join(top, Seq("source"))
+      .select(col("source"), col("tokens"), col("vocab"), col("singletons"),
+        col("top_token"),
+        expr("__topc * 1000000 div tokens").as("top_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val q145Sql: String =
+    """WITH tc AS (
+      |  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM (SELECT source, unnest(list_filter(string_split(text, ' '),
+      |          x -> x <> '')) AS tok
+      |        FROM documents) u
+      |  GROUP BY source, tok),
+      |prof AS (
+      |  SELECT source, CAST(SUM(c) AS BIGINT) AS tokens,
+      |    CAST(COUNT(*) AS BIGINT) AS vocab,
+      |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS singletons
+      |  FROM tc GROUP BY source),
+      |top AS (
+      |  SELECT source, tok AS top_token, c FROM (
+      |    SELECT source, tok, c, ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY c DESC, tok) AS rn
+      |    FROM tc) r
+      |  WHERE rn = 1)
+      |SELECT p.source, p.tokens, p.vocab, p.singletons, t.top_token,
+      |  t.c * 1000000 // p.tokens AS top_ppm
+      |FROM prof p JOIN top t ON p.source = t.source
+      |ORDER BY p.source""".stripMargin
+
+  /** Language-label noise audit: confusion matrix of the stored `lang`
+    * label against the engine's marker-argmax language ID (q24's
+    * classifier — [[TextFunctions.langId]]; the oracle shares q24's
+    * generated CASE via [[langPredSqlParts]]). Each (label, prediction)
+    * cell carries its count and exact ppm share of the label row — the
+    * report that decides whether a source's labels can be trusted
+    * before lang-conditioned sampling (q137) uses them. 100 TB shape:
+    * per-row kernel → 25-cell hash aggregate; the row totals are a
+    * window over the CELL table, not the corpus.
+    */
+  def q146LangConfusion(s: SparkSession, dir: String): DataFrame = {
+    val cells = t(s, dir, "documents")
+      .select(col("lang"), TextFunctions.langId(col("text")).as("lang_pred"))
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("lang"))
+    cells.withColumn("__row_total", sum(col("n")).over(w))
+      .select(col("lang"), col("lang_pred"), col("n"),
+        expr("n * 1000000 div __row_total").as("row_ppm"))
+      .orderBy(col("lang"), col("lang_pred"))
+  }
+
+  val q146Sql: String = {
+    val (scores, caseExpr) = langPredSqlParts
+    s"""WITH pred AS (
+       |  SELECT lang,
+       |    $caseExpr AS lang_pred
+       |  FROM (SELECT lang,
+       |          $scores
+       |        FROM (SELECT lang,
+       |                list_filter(string_split(text, ' '), x -> x <> '')
+       |                  AS toks
+       |              FROM documents) i) o),
+       |cells AS (
+       |  SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM pred GROUP BY lang, lang_pred)
+       |SELECT lang, lang_pred, n,
+       |  n * 1000000 // CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT)
+       |    AS row_ppm
+       |FROM cells ORDER BY lang, lang_pred""".stripMargin
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -6367,5 +6512,8 @@ object Queries {
     "q140_source_overlap" -> ((q140SourceOverlap _, Some(q140Sql))),
     "q141_length_curve" -> ((q141LengthCurve _, Some(q141Sql))),
     "q142_novel_ngrams" -> ((q142NovelNgrams _, Some(q142Sql))),
-    "q143_filter_funnel" -> ((q143FilterFunnel _, Some(q143Sql))))
+    "q143_filter_funnel" -> ((q143FilterFunnel _, Some(q143Sql))),
+    "q144_soft_dedup" -> ((q144SoftDedupWeights _, Some(q144Sql))),
+    "q145_source_profile" -> ((q145SourceProfile _, Some(q145Sql))),
+    "q146_lang_confusion" -> ((q146LangConfusion _, Some(q146Sql))))
 }

@@ -186,6 +186,55 @@ class CurationQueriesSpec extends SparkSpec {
       "funnel kept-total must equal the per-doc keep sum")
   }
 
+  test("q144 soft dedup: weights split by cluster, normalization folds variants") {
+    val dir = fixtureDir()
+    // docs 0,1 identical; doc 3 differs only in case/inner-whitespace
+    // (the q21 fingerprint lowercases and collapses runs — but does NOT
+    // trim, so no leading/trailing space here); doc 2 unique.
+    Seq((0L, "alpha beta gamma"), (1L, "alpha beta gamma"),
+      (2L, "something else"), (3L, "ALPHA  beta   GAMMA"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val out = Queries.registry.toMap.apply("q144_soft_dedup")
+      ._1(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(0L) === ((3L, 333333L, 1L)), out.toString)
+    assert(out(1L) === ((3L, 333333L, 0L)))
+    assert(out(3L) === ((3L, 333333L, 0L)))
+    assert(out(2L) === ((1L, 1000000L, 1L)))
+  }
+
+  test("q145 source profile: counts exact, top-token tie breaks lexicographic") {
+    val dir = fixtureDir()
+    Seq((0L, "x x x y", "a"), (1L, "p q", "b"))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = Queries.registry.toMap.apply("q145_source_profile")
+      ._1(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4),
+          r.getLong(5)))).toMap
+    assert(out("a") === ((4L, 2L, 1L, "x", 750000L)), out.toString)
+    assert(out("b") === ((2L, 2L, 2L, "p", 500000L)),
+      "count tie must pick the lexicographically first token")
+  }
+
+  test("q146 lang confusion: mislabeled doc lands in the off-diagonal cell") {
+    val dir = fixtureDir()
+    // label says en; text is German markers -> cell (en, de). Second
+    // doc is honest English -> (en, en). row_ppm splits 500000/500000.
+    Seq((0L, "der die das und ist", "en"), (1L, "the and of to is", "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = Queries.registry.toMap.apply("q146_lang_confusion")
+      ._1(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out === Map(
+      ("en", "de") -> ((1L, 500000L)),
+      ("en", "en") -> ((1L, 500000L))), out.toString)
+  }
+
   test("q132 streaming dedup: replays are deterministic and equal batch DISTINCT") {
     val dir = fixtureDir()
     val rnd = new scala.util.Random(17)
