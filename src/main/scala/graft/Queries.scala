@@ -6364,6 +6364,218 @@ object Queries {
        |FROM cells ORDER BY lang, lang_pred""".stripMargin
   }
 
+  /** Boilerplate-header detection: groups of documents sharing an
+    * IDENTICAL 16-token prefix while differing in full content — the
+    * shared-template / scraped-banner families that full-text dedup
+    * (q25/q144) cannot see and per-line boilerplate (q93) only sees
+    * line-wise. Key is md5 of the joined prefix tokens, so the group
+    * shuffle is uniform. A group qualifies when it has ≥ 2 docs AND ≥ 2
+    * distinct full-text fingerprints (all-identical docs are q144's
+    * business, not a template family). 100 TB shape: one narrow map →
+    * one hash aggregate on the prefix hash; COUNT(DISTINCT fp) expands
+    * to a two-level aggregate, still map-side-partial on the first.
+    */
+  def q147PrefixDup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        md5(array_join(slice(TextFunctions.tokens(col("text")),
+          1, 16), " ")).as("prefix_key"),
+        TextFunctions.fingerprint(col("text")).as("fp"))
+      .groupBy(col("prefix_key"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_texts"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2 && col("n_texts") >= 2)
+      .orderBy(col("prefix_key"))
+
+  val q147Sql: String =
+    """SELECT prefix_key, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_texts,
+      |  MIN(doc_id) AS first_doc
+      |FROM (
+      |  SELECT doc_id,
+      |    md5(array_to_string(list_filter(string_split(text, ' '),
+      |      x -> x <> '')[1:16], ' ')) AS prefix_key,
+      |    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+      |  FROM documents) p
+      |GROUP BY prefix_key
+      |HAVING COUNT(*) >= 2 AND COUNT(DISTINCT fp) >= 2
+      |ORDER BY prefix_key""".stripMargin
+
+  /** Power-of-4 document-count boundaries of q148's growth curve —
+    * shared by engine and oracle CASE towers.
+    */
+  private val growthBoundaries: Seq[Long] =
+    (0 to 10).map(k => math.pow(4, k).toLong)
+
+  /** Vocabulary growth (Heaps-law) curve: how many NEW distinct tokens
+    * the corpus introduces within its first 1, 4, 16, … 4^10 documents
+    * (corpus order = doc_id) — the measurement behind "how big must the
+    * tokenizer vocab be, and has the crawl saturated?". Token first
+    * occurrence is `min(doc_id)` per token; each token lands in the
+    * smallest boundary bucket containing its first doc (integer CASE
+    * tower from [[growthBoundaries]] — NO global row-order cumsum, so
+    * there is no single-partition window anywhere). 100 TB shape: one
+    * vocab-keyed aggregate + an ≤11-row cumulative window.
+    */
+  def q148VocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    val firstDoc = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode_outer(TextFunctions.tokens(col("text"))).as("tok"))
+      .where(col("tok").isNotNull)
+      .groupBy(col("tok")).agg(min(col("doc_id")).as("fd"))
+    // foldRight over ascending boundaries puts the SMALLEST test
+    // outermost — first match wins, same order as the oracle's CASE.
+    val bucket = growthBoundaries.foldRight(lit(-1L)) {
+      case (b, els) => when(col("fd") < b, lit(b)).otherwise(els)
+    }
+    val w = Window.partitionBy().orderBy(col("first_docs"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    firstDoc.select(bucket.as("first_docs"))
+      .groupBy(col("first_docs"))
+      .agg(count(lit(1)).as("new_tokens"))
+      .withColumn("cum_vocab", sum(col("new_tokens")).over(w))
+      .orderBy(col("first_docs"))
+  }
+
+  val q148Sql: String = {
+    val cases = growthBoundaries
+      .map(b => s"WHEN fd < $b THEN $b").mkString("\n      ")
+    s"""WITH fdoc AS (
+       |  SELECT tok, MIN(doc_id) AS fd
+       |  FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+       |          x -> x <> '')) AS tok
+       |        FROM documents) u
+       |  GROUP BY tok),
+       |bk AS (
+       |  SELECT CAST(CASE
+       |      $cases
+       |      ELSE -1 END AS BIGINT) AS first_docs
+       |  FROM fdoc),
+       |h AS (
+       |  SELECT first_docs, CAST(COUNT(*) AS BIGINT) AS new_tokens
+       |  FROM bk GROUP BY first_docs)
+       |SELECT first_docs, new_tokens,
+       |  CAST(SUM(new_tokens) OVER (ORDER BY first_docs
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS cum_vocab
+       |FROM h ORDER BY first_docs""".stripMargin
+  }
+
+  /** Dedup savings attribution: per source, how much the exact-dedup
+    * pass (q25's keep-first over the q21 fingerprint) would save —
+    * duplicate docs, duplicated tokens, and the exact ppm of the
+    * source's token mass that is redundant. The report that says WHICH
+    * feed is paying for its own crawl twice. 100 TB shape: one
+    * fingerprint-keyed window (uniform md5 keys) + one per-source
+    * aggregate; no joins against the corpus.
+    */
+  def q149DedupSavings(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("n"),
+        TextFunctions.fingerprint(col("text")).as("fp"))
+      .withColumn("__rn", row_number().over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        sum(when(col("__rn") > 1, 1L).otherwise(0L)).as("dup_docs"),
+        sum(col("n")).as("tokens"),
+        sum(when(col("__rn") > 1, col("n")).otherwise(0L))
+          .as("dup_tokens"))
+      .withColumn("savings_ppm", expr("dup_tokens * 1000000 div tokens"))
+      .orderBy(col("source"))
+  }
+
+  val q149Sql: String =
+    """WITH r AS (
+      |  SELECT source,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+      |      AS BIGINT) AS n,
+      |    ROW_NUMBER() OVER (
+      |      PARTITION BY md5(regexp_replace(lower(text), '\s+', ' ', 'g'))
+      |      ORDER BY doc_id) AS rn
+      |  FROM documents),
+      |g AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
+      |    CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS dup_docs,
+      |    CAST(SUM(n) AS BIGINT) AS tokens,
+      |    CAST(SUM(CASE WHEN rn > 1 THEN n ELSE 0 END) AS BIGINT)
+      |      AS dup_tokens
+      |  FROM r GROUP BY source)
+      |SELECT source, docs, dup_docs, tokens, dup_tokens,
+      |  dup_tokens * 1000000 // tokens AS savings_ppm
+      |FROM g ORDER BY source""".stripMargin
+
+  /** Streaming curation monitor: the corpus replayed as three
+    * micro-batches through a STATEFUL streaming aggregation — per
+    * source, running document/kept/token counters under
+    * `outputMode(complete)`, where "kept" is the q23 quality score
+    * clearing 0.55 (row-local kernel, so the gate itself needs no
+    * second aggregation — streaming allows only one). The final
+    * complete snapshot must equal the batch aggregate (the oracle), and
+    * the replay must take exactly 3 micro-batches — this is q132's
+    * exactly-once replay harness pointed at the quality gate, proving
+    * the curation funnel can run AS the data arrives. 100 TB shape:
+    * state is one row per SOURCE; each batch shuffles only its own
+    * partial counts.
+    */
+  def q150StreamQuality(s: SparkSession, dir: String): DataFrame = {
+    val src = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val base = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_q150_${java.util.UUID.randomUUID().toString.take(8)}")
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(base)) fs.delete(base, true)
+    fs.deleteOnExit(base)
+    val stage = s"$base/stage"
+    val outP = s"$base/out"
+    (0 until 3).foreach { i =>
+      src.filter(col("doc_id") % 3 === i)
+        .coalesce(1).write.mode("append").parquet(stage)
+    }
+    var batches = 0
+    val q = s.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+      .select(col("source"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("__n"),
+        when(TextFunctions.qualityScore(col("text")) >= 0.55, 1L)
+          .otherwise(0L).as("__keep"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"), sum(col("__keep")).as("kept"),
+        sum(col("__n")).as("tokens"))
+      .writeStream.outputMode("complete")
+      .option("checkpointLocation", s"$base/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("overwrite").parquet(outP)
+        batches += 1
+      }
+      .start()
+    try q.awaitTermination() finally q.stop()
+    require(batches == 3,
+      s"q150 replay expected 3 micro-batches, saw $batches")
+    s.read.parquet(outP).orderBy(col("source"))
+  }
+
+  val q150Sql: String =
+    """SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
+      |  CAST(SUM(CASE WHEN
+      |    (CASE WHEN CAST(n AS DOUBLE) > 0 THEN CAST(u AS DOUBLE) / CAST(n AS DOUBLE) ELSE 0.0 END) * 0.5
+      |    + (CASE WHEN (CASE WHEN CAST(n AS DOUBLE) > 0 THEN CAST(st AS DOUBLE) / CAST(n AS DOUBLE) ELSE 0.0 END) BETWEEN 0.05 AND 0.6 THEN 1.0 ELSE 0.0 END) * 0.25
+      |    + (CASE WHEN (CASE WHEN CAST(n AS DOUBLE) > 0 THEN CAST(ch AS DOUBLE) / CAST(n AS DOUBLE) ELSE 0.0 END) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END) * 0.25
+      |    >= 0.55 THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+      |  CAST(SUM(n) AS BIGINT) AS tokens
+      |FROM (SELECT source, len(toks) AS n, len(list_distinct(toks)) AS u,
+      |        list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS ch,
+      |        len(list_filter(toks, x -> list_contains(['the','a','an','of','to','and','in','is','on','for','it','with','as','at','by'], x))) AS st
+      |      FROM (SELECT source,
+      |              list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |            FROM documents) i) o
+      |GROUP BY source ORDER BY source""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -6515,5 +6727,9 @@ object Queries {
     "q143_filter_funnel" -> ((q143FilterFunnel _, Some(q143Sql))),
     "q144_soft_dedup" -> ((q144SoftDedupWeights _, Some(q144Sql))),
     "q145_source_profile" -> ((q145SourceProfile _, Some(q145Sql))),
-    "q146_lang_confusion" -> ((q146LangConfusion _, Some(q146Sql))))
+    "q146_lang_confusion" -> ((q146LangConfusion _, Some(q146Sql))),
+    "q147_prefix_dup" -> ((q147PrefixDup _, Some(q147Sql))),
+    "q148_vocab_growth" -> ((q148VocabGrowth _, Some(q148Sql))),
+    "q149_dedup_savings" -> ((q149DedupSavings _, Some(q149Sql))),
+    "q150_stream_quality" -> ((q150StreamQuality _, Some(q150Sql))))
 }

@@ -235,6 +235,82 @@ class CurationQueriesSpec extends SparkSpec {
       ("en", "en") -> ((1L, 500000L))), out.toString)
   }
 
+  test("q147 prefix dup: template family found, verbatim dups excluded") {
+    val dir = fixtureDir()
+    val header = (1 to 16).map(i => s"h$i").mkString(" ")
+    // docs 0,1 share the 16-token header with different bodies (a
+    // template family); docs 2,3 are VERBATIM duplicates (one distinct
+    // fingerprint -> excluded); doc 4 is unrelated.
+    Seq((0L, s"$header body one"), (1L, s"$header other content"),
+      (2L, "same same same"), (3L, "same same same"),
+      (4L, "nothing shared here"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val out = Queries.registry.toMap.apply("q147_prefix_dup")
+      ._1(spark, dir).collect()
+    assert(out.length === 1, out.toSeq.toString)
+    assert(out(0).getLong(1) === 2L && out(0).getLong(2) === 2L
+      && out(0).getLong(3) === 0L)
+  }
+
+  test("q148 vocab growth: tokens bucket by first-occurrence doc") {
+    val dir = fixtureDir()
+    // a,b first in doc 0 (bucket 1); c first in doc 2 (bucket 4);
+    // d first in doc 5 (bucket 16). cum_vocab = 2, 3, 4.
+    Seq((0L, "a b"), (1L, "a"), (2L, "a c"), (3L, "b"), (4L, "c"),
+      (5L, "d"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val out = Queries.registry.toMap.apply("q148_vocab_growth")
+      ._1(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, 2L, 2L), (4L, 1L, 3L), (16L, 1L, 4L)),
+      out.toSeq.toString)
+  }
+
+  test("q149 dedup savings: duplicate tokens attributed to their source") {
+    val dir = fixtureDir()
+    // source a: dup pair of 3 tokens + one unique 2-token doc ->
+    // dup_tokens 3 of 8 = 375000 ppm. source b: no dups.
+    Seq((0L, "x y z", "a"), (1L, "x y z", "a"), (2L, "p q", "a"),
+      (3L, "u v w", "b"))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = Queries.registry.toMap.apply("q149_dedup_savings")
+      ._1(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out("a") === ((3L, 1L, 8L, 3L, 375000L)), out.toString)
+    assert(out("b") === ((1L, 0L, 3L, 0L, 0L)))
+  }
+
+  test("q150 streaming quality gate: replays deterministic, equal batch aggregate") {
+    val sfDir = "/root/testdata/sf0.001"
+    val fn = Queries.registry.toMap.apply("q150_stream_quality")._1
+    def run(): Seq[(String, Long, Long, Long)] =
+      fn(spark, sfDir).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+    val a = run()
+    val b = run()
+    assert(a === b, "two streaming replays diverged")
+    val batch = spark.read
+      .parquet(s"$sfDir/documents.parquet")
+      .select(col("source"),
+        functions.TextFunctions.qualityScore(col("text")).as("q"),
+        org.apache.spark.sql.functions.size(
+          functions.TextFunctions.tokens(col("text"))).cast("long").as("n"))
+      .groupBy("source")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("docs"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.when(col("q") >= 0.55, 1L)
+            .otherwise(0L)).as("kept"),
+        org.apache.spark.sql.functions.sum(col("n")).as("tokens"))
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(a === batch, "streaming complete snapshot must equal batch agg")
+  }
+
   test("q132 streaming dedup: replays are deterministic and equal batch DISTINCT") {
     val dir = fixtureDir()
     val rnd = new scala.util.Random(17)
