@@ -166,6 +166,23 @@ object DumpPlans {
         + "never exchanged), only touched components' members re-enter "
         + "CC, untouched labels splice through an anti-join — history "
         + "pairs are never re-read."),
+    "q136_fuzzy_decontam" ->
+      ("Fuzzy decontamination: the benchmark (eval-suite) side explodes "
+        + "to an inverted shingle index and BROADCASTS — eval sets are "
+        + "small by nature, so the corpus streams map-side through one "
+        + "equi-join on the shingle; best-match rank-1 compiles to "
+        + "WindowGroupLimit. Exact (recall-lossless), unlike LSH."),
+    "q138_token_drift" ->
+      ("Snapshot drift: both halves' counts come from ONE conditional-sum "
+        + "vocab aggregate; the grand totals re-aggregate the SAME "
+        + "exchange (ReusedExchange in the final adaptive plan) and "
+        + "broadcast back as a single row; top-50 is TakeOrdered, never "
+        + "a global sort."),
+    "q148_vocab_growth" ->
+      ("Heaps curve without a global cumsum: token first-occurrence is a "
+        + "vocab-keyed min aggregate; power-of-4 bucketing is a generated "
+        + "integer CASE tower; the only window runs over ≤11 bucket rows "
+        + "— corpus row order never needs a single-partition sort."),
     "q124_pmi_pairs" ->
       ("Collocation mining: ONE corpus pass emits bigrams; joint "
         + "counts partial-aggregate, both marginals and the total are "
