@@ -6576,6 +6576,249 @@ object Queries {
       |            FROM documents) i) o
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** DuckDB list literal of [[TextFunctions.stopwordsEn]] — single
+    * source of truth for every oracle that replays the quality score.
+    */
+  private val stopwordsSqlList: String =
+    TextFunctions.stopwordsEn.map(w => s"'$w'").mkString("[", ",", "]")
+
+  /** The q23 quality-score formula over pre-computed per-doc token
+    * stats columns `n` (tokens), `u` (unique), `ch` (token chars),
+    * `sw` (stopword hits) — the exact double algebra of
+    * [[TextFunctions.qualityScore]], reproducible bit-for-bit on any
+    * IEEE engine.
+    */
+  private def qualitySqlExpr(n: String, u: String, ch: String,
+      sw: String): String =
+    s"""(CASE WHEN CAST($n AS DOUBLE) > 0 THEN CAST($u AS DOUBLE) / CAST($n AS DOUBLE) ELSE 0.0 END) * 0.5
+       |    + (CASE WHEN (CASE WHEN CAST($n AS DOUBLE) > 0 THEN CAST($sw AS DOUBLE) / CAST($n AS DOUBLE) ELSE 0.0 END) BETWEEN 0.05 AND 0.6 THEN 1.0 ELSE 0.0 END) * 0.25
+       |    + (CASE WHEN (CAST($n AS DOUBLE) > 0 AND (CAST($ch AS DOUBLE) / CAST($n AS DOUBLE)) BETWEEN 3.0 AND 10.0) THEN 1.0 ELSE 0.0 END) * 0.25""".stripMargin
+
+  /** Train/held-out contamination audit: split the corpus 80/20 with
+    * the PORTABLE md5-60 uniform (the q62 sampler — any engine replays
+    * the exact membership, unlike xxhash64), then count held-out docs
+    * whose q21 content fingerprint also appears in train — the
+    * eval-set leakage that silently inflates benchmark scores when
+    * train/test are split AFTER crawling but BEFORE dedup. Per source:
+    * held-out size, leaked docs, leak ppm. 100 TB shape: one DISTINCT
+    * on the train side's fingerprint + one fp-keyed equi join — both
+    * shuffles on the same uniformly-distributed md5 key, never
+    * corpus × corpus; the train fp set is dedup state that already
+    * exists in any pipeline running q25.
+    */
+  def q151SplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val u = TextDedup.md5Hash60(concat_ws(":", lit(151), col("doc_id")))
+      .cast("double") / lit(math.pow(2, 60))
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        TextFunctions.fingerprint(col("text")).as("fp"),
+        (u < 0.8).as("is_train"))
+    val trainFp = base.filter(col("is_train"))
+      .select(col("fp")).distinct().withColumn("__hit", lit(1L))
+    base.filter(!col("is_train"))
+      .join(trainFp, Seq("fp"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("heldout_docs"),
+        sum(when(col("__hit").isNotNull, 1L).otherwise(0L))
+          .as("leaked_docs"))
+      .withColumn("leak_ppm",
+        expr("leaked_docs * 1000000 div heldout_docs"))
+      .orderBy(col("source"))
+  }
+
+  val q151Sql: String =
+    """WITH b AS (
+      |  SELECT doc_id, source,
+      |    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+      |    CAST(CAST('0x' || substr(md5(151 || ':' || doc_id), 1, 15) AS BIGINT) AS DOUBLE)
+      |      / 1152921504606846976.0 < 0.8 AS is_train
+      |  FROM documents),
+      |tr AS (SELECT DISTINCT fp FROM b WHERE is_train),
+      |te AS (SELECT source, fp FROM b WHERE NOT is_train)
+      |SELECT te.source, CAST(COUNT(*) AS BIGINT) AS heldout_docs,
+      |  CAST(SUM(CASE WHEN tr.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS leaked_docs,
+      |  CAST(SUM(CASE WHEN tr.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    * 1000000 // CAST(COUNT(*) AS BIGINT) AS leak_ppm
+      |FROM te LEFT JOIN tr ON te.fp = tr.fp
+      |GROUP BY te.source ORDER BY te.source""".stripMargin
+
+  /** Vocabulary-truncation OOV audit: build the top-1000 corpus
+    * vocabulary by (frequency DESC, token ASC) — the deterministic
+    * truncation every fixed-vocab tokenizer performs — then measure,
+    * per source, the token mass that falls outside it (the OOV/UNK
+    * rate that vocabulary would impose). Sources with high OOV ppm are
+    * the ones a vocab trained on the mix underserves. 100 TB shape:
+    * the vocab is a word-count aggregate (map-side partials on the
+    * token key) + TakeOrdered top-k; the per-source pass joins the
+    * token stream against the BROADCAST 1000-row vocab — one corpus
+    * shuffle total (the word count), never a sort of the corpus.
+    */
+  def q152OovCoverage(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("source"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+    val vocab = toks.groupBy(col("tok"))
+      .agg(count(lit(1)).as("__cnt"))
+      .orderBy(col("__cnt").desc, col("tok")).limit(1000)
+      .select(col("tok"), lit(1L).as("__in"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("oov_tokens"))
+      .withColumn("oov_ppm", expr("oov_tokens * 1000000 div tokens"))
+      .orderBy(col("source"))
+  }
+
+  val q152Sql: String =
+    """WITH toks AS (
+      |  SELECT source, unnest(list_filter(string_split(text, ' '),
+      |    x -> x <> '')) AS tok
+      |  FROM documents),
+      |v AS (
+      |  SELECT tok FROM (
+      |    SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok)
+      |  ORDER BY c DESC, tok LIMIT 1000)
+      |SELECT t.source, CAST(COUNT(*) AS BIGINT) AS tokens,
+      |  CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS oov_tokens,
+      |  CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    * 1000000 // CAST(COUNT(*) AS BIGINT) AS oov_ppm
+      |FROM toks t LEFT JOIN v ON t.tok = v.tok
+      |GROUP BY t.source ORDER BY t.source""".stripMargin
+
+  /** Tokenizer fertility by language: apply the q107-learned BPE
+    * vocabulary (q131's replace tower) to the q131 subset and report,
+    * per language, chars-per-BPE-token in exact ppm — the standard
+    * "which languages does this tokenizer serve badly" audit (high
+    * fertility = more tokens per char = that language pays more
+    * compute per byte of text). Shares the training CTEs with
+    * q107/q131: ONE source of vocabulary truth. 100 TB shape: the
+    * vocabulary is driver-side literals (it is a vocabulary), the
+    * tower is codegen'd per-row string work, and the only shuffles are
+    * the per-doc count re-aggregate and a lang-sized final aggregate;
+    * the doc_id join is equi on a unique key.
+    */
+  def q153TokenizerFertility(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val mergeList = graft.operators.BpeTrainer
+      .trainMerges(docs, "text", merges = 6, passes = 3)
+      .orderBy(col("rank")).collect() // 6 rows: the learned vocabulary
+      .map { r =>
+        val p = r.getString(1).split(" ", 2)
+        (p(0), p(1))
+      }.toSeq
+    val sub = docs.filter(col("doc_id") % 10 === 0)
+    val counts = graft.operators.BpeTrainer
+      .bpeTokenCount(sub, "doc_id", "text", mergeList, passes = 3)
+    sub.select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("__chars"))
+      .join(counts, Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("docs"), sum(col("__chars")).as("chars"),
+        sum(col("n_bpe_tokens")).as("bpe_tokens"))
+      .withColumn("chars_per_token_ppm",
+        expr("chars * 1000000 div bpe_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  val q153Sql: String = {
+    def enc(k: Int): String =
+      s"""x$k AS (
+         |  SELECT ' ' || pair || ' ' AS pp,
+         |    ' ' || REPLACE(pair, ' ', '') || ' ' AS mm FROM m$k),
+         |e$k AS (
+         |  SELECT doc_id, REPLACE(REPLACE(REPLACE(ws, x.pp, x.mm),
+         |      x.pp, x.mm), x.pp, x.mm) AS ws
+         |  FROM e${k - 1} CROSS JOIN x$k x)""".stripMargin
+    s"WITH $bpeTrainCtes,\n" +
+      """dsub AS (SELECT doc_id, lang, length(text) AS chars, text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |dw AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+        |    x -> x <> '')) AS w
+        |  FROM dsub),
+        |e0 AS (
+        |  SELECT doc_id, ' ' || array_to_string(regexp_extract_all(w, '.'), ' ')
+        |    || ' ' AS ws
+        |  FROM dw),
+        |""".stripMargin +
+      (1 to 6).map(enc).mkString(",\n") + ",\n" +
+      """cnt AS (
+        |  SELECT doc_id, CAST(SUM(len(string_split(trim(ws), ' '))) AS BIGINT)
+        |    AS n
+        |  FROM e6 GROUP BY doc_id)
+        |SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS docs,
+        |  CAST(SUM(d.chars) AS BIGINT) AS chars,
+        |  CAST(SUM(COALESCE(c.n, 0)) AS BIGINT) AS bpe_tokens,
+        |  CAST(SUM(d.chars) AS BIGINT) * 1000000
+        |    // CAST(SUM(COALESCE(c.n, 0)) AS BIGINT) AS chars_per_token_ppm
+        |FROM dsub d LEFT JOIN cnt c USING (doc_id)
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+  }
+
+  /** Quality-aware dedup canonicalization: within each q21 exact-dup
+    * cluster keep the member with the HIGHEST q23 quality score
+    * (doc_id breaks ties) instead of q25's keep-first — real pipelines
+    * keep the best-rendered copy of a page, not the first-crawled one.
+    * Reports, per source, how often the quality policy disagrees with
+    * keep-first (the docs keep-first would have thrown away wrongly).
+    * The fingerprint normalizes case/whitespace, so cluster members
+    * genuinely differ in quality (casing changes stopword hits and
+    * unique-token counts). 100 TB shape: ONE shuffle on the uniform
+    * md5 fingerprint serves both window functions; the per-source
+    * aggregate is sources-sized.
+    */
+  def q154BestOfDup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("fp"))
+    val scored = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        TextFunctions.fingerprint(col("text")).as("fp"),
+        TextFunctions.qualityScore(col("text")).as("__q"))
+    scored
+      .withColumn("__rn", row_number().over(
+        w.orderBy(col("__q").desc, col("doc_id"))))
+      .withColumn("__first", min(col("doc_id")).over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("canonicals"),
+        sum(when(col("__rn") === 1 && col("doc_id") =!= col("__first"), 1L)
+          .otherwise(0L)).as("policy_changed"))
+      .withColumn("changed_ppm",
+        expr("policy_changed * 1000000 div canonicals"))
+      .orderBy(col("source"))
+  }
+
+  val q154Sql: String =
+    s"""WITH st AS (
+       |  SELECT doc_id, source, text, len(tk) AS n,
+       |    len(list_distinct(tk)) AS u,
+       |    list_aggregate(list_transform(tk, x -> length(x)), 'sum') AS ch,
+       |    len(list_filter(tk, x -> list_contains($stopwordsSqlList, x))) AS sw
+       |  FROM (SELECT doc_id, source, text,
+       |          list_filter(string_split(text, ' '), x -> x <> '') AS tk
+       |        FROM documents) i),
+       |q AS (
+       |  SELECT doc_id, source,
+       |    md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp,
+       |    ${qualitySqlExpr("n", "u", "ch", "sw")} AS qs
+       |  FROM st),
+       |w AS (
+       |  SELECT source, doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY fp ORDER BY qs DESC, doc_id) AS rn,
+       |    MIN(doc_id) OVER (PARTITION BY fp) AS fid
+       |  FROM q)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
+       |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS canonicals,
+       |  CAST(SUM(CASE WHEN rn = 1 AND doc_id <> fid THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS policy_changed,
+       |  CAST(SUM(CASE WHEN rn = 1 AND doc_id <> fid THEN 1 ELSE 0 END)
+       |    AS BIGINT) * 1000000
+       |    // CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS changed_ppm
+       |FROM w GROUP BY source ORDER BY source""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -6731,5 +6974,9 @@ object Queries {
     "q147_prefix_dup" -> ((q147PrefixDup _, Some(q147Sql))),
     "q148_vocab_growth" -> ((q148VocabGrowth _, Some(q148Sql))),
     "q149_dedup_savings" -> ((q149DedupSavings _, Some(q149Sql))),
-    "q150_stream_quality" -> ((q150StreamQuality _, Some(q150Sql))))
+    "q150_stream_quality" -> ((q150StreamQuality _, Some(q150Sql))),
+    "q151_split_leakage" -> ((q151SplitLeakage _, Some(q151Sql))),
+    "q152_oov_coverage" -> ((q152OovCoverage _, Some(q152Sql))),
+    "q153_tokenizer_fertility" -> ((q153TokenizerFertility _, Some(q153Sql))),
+    "q154_best_of_dup" -> ((q154BestOfDup _, Some(q154Sql))))
 }

@@ -498,4 +498,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Broadcast"), "query vectors must broadcast")
     assert(p.contains("WindowGroupLimit"), p.take(800))
   }
+
+  test("q152 vocab is a heap take-k and broadcasts against the token stream") {
+    val p = plan("q152_oov_coverage")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-1000 vocab must be a heap take, never a global sort")
+    assert(p.contains("BroadcastHashJoin"),
+      "the 1000-row vocab must broadcast; the corpus token stream " +
+        "must not shuffle for the membership join")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      p.take(800))
+  }
+
+  test("q151/q154 cluster queries: one uniform-key shuffle, no cross product") {
+    Seq("q151_split_leakage", "q154_best_of_dup").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+        s"$q: ${p.take(800)}")
+      assert(!p.toLowerCase.contains("sortaggregate"),
+        s"$q must hash-aggregate: ${p.take(800)}")
+    }
+  }
 }
