@@ -6819,6 +6819,202 @@ object Queries {
        |    AS changed_ppm
        |FROM w GROUP BY source ORDER BY source""".stripMargin
 
+  /** Exact set-containment join ([[TextDedup.containmentJoin]]): every
+    * ordered pair where ≥ 90% of doc A's distinct 3-shingles appear in
+    * doc B — "snippet inside page" detection (quotes, syndicated
+    * excerpts, clipped re-crawls) that symmetric Jaccard structurally
+    * misses (a half-doc snippet inside its source has Jaccard ≈ 0.5
+    * but containment 1.0). The corpus plants one half-length snippet
+    * per document, so every doc yields at least its own snippet pair.
+    * The oracle is the DEFINITION (shared-shingle equi join + exact
+    * intersect count over ALL pairs) — a hash match proves the prefix
+    * + positional pruning dropped no qualifying pair and invented
+    * none.
+    */
+  def q155ContainmentJoin(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val toks = TextFunctions.tokens(col("text"))
+    val snippets = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat_ws(" ", slice(toks, lit(1),
+        greatest((size(toks) / lit(2)).cast("int"), lit(1)))).as("text"))
+    TextDedup.containmentJoin(docs.unionByName(snippets), "doc_id",
+        "text", shingleSize = 3, threshold = 0.9)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val q155Sql: String =
+    """WITH src AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+      |    AS ta
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000,
+      |    w[1:GREATEST(len(w) // 2, 1)]
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |        FROM documents) m),
+      |sets AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(ta) < 3 THEN [array_to_string(ta, ' ')]
+      |      ELSE list_transform(range(1, len(ta) - 1),
+      |             i -> ta[i] || ' ' || ta[i+1] || ' ' || ta[i+2]) END) AS s
+      |  FROM src),
+      |ex AS (
+      |  SELECT doc_id, CAST(len(s) AS BIGINT) AS sz, unnest(s) AS sh
+      |  FROM sets),
+      |ov AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    MIN(a.sz) AS la, CAST(COUNT(*) AS BIGINT) AS i
+      |  FROM ex a JOIN ex b ON b.sh = a.sh AND a.doc_id <> b.doc_id
+      |    AND b.sz * 10 >= a.sz * 9
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b, i * 1000000 // la AS containment_ppm
+      |FROM ov WHERE i * 10 >= la * 9
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** Scrub impact report: what the q49 PII scrubber would actually do
+    * to each source — per-stage replacement counts (emails, then URLs
+    * on the email-masked text, then long digit runs on the URL-masked
+    * text — counted stage-wise because masking an earlier pattern can
+    * consume a later one's match), affected docs, and the exact char
+    * delta. PII is planted on doc_id % 7 == 0 (q49's synthetic
+    * contacts), so the report has a known-clean majority. 100 TB
+    * shape: all counting is per-row regex work inside codegen; the
+    * only shuffle is the sources-sized aggregate.
+    */
+  def q156ScrubImpact(s: SparkSession, dir: String): DataFrame = {
+    val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val urlPat = "https?://[^ ]+"
+    val numPat = "[0-9]{6,}"
+    val planted = when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or https://example.com/d/"), col("doc_id"),
+          lit(" ref "), col("doc_id") + 1000000L))
+      .otherwise(col("text"))
+    val t0 = col("__t0")
+    val t1 = regexp_replace(t0, emailPat, "<EMAIL>")
+    val t2 = regexp_replace(t1, urlPat, "<URL>")
+    val t3 = regexp_replace(t2, numPat, "<NUM>")
+    t(s, dir, "documents")
+      .select(col("source"), planted.as("__t0"))
+      .select(col("source"),
+        regexp_count(t0, lit(emailPat)).cast("long").as("__em"),
+        regexp_count(t1, lit(urlPat)).cast("long").as("__ur"),
+        regexp_count(t2, lit(numPat)).cast("long").as("__nm"),
+        when(t0 =!= t3, 1L).otherwise(0L).as("__aff"),
+        (length(t3) - length(t0)).cast("long").as("__dc"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"), sum(col("__em")).as("email_hits"),
+        sum(col("__ur")).as("url_hits"), sum(col("__nm")).as("num_hits"),
+        sum(col("__aff")).as("affected_docs"),
+        sum(col("__dc")).as("char_delta"))
+      .orderBy(col("source"))
+  }
+
+  val q156Sql: String =
+    """WITH d AS (
+      |  SELECT source,
+      |    CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' ||
+      |      CAST(doc_id AS VARCHAR) || '@example.com or https://example.com/d/'
+      |      || CAST(doc_id AS VARCHAR) || ' ref '
+      |      || CAST(doc_id + 1000000 AS VARCHAR)
+      |    ELSE text END AS t0
+      |  FROM documents),
+      |st AS (
+      |  SELECT source, t0,
+      |    regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+      |  FROM d),
+      |st2 AS (
+      |  SELECT source, t0, t1,
+      |    regexp_replace(t1, 'https?://[^ ]+', '<URL>', 'g') AS t2
+      |  FROM st),
+      |st3 AS (
+      |  SELECT source, t0, t1, t2,
+      |    regexp_replace(t2, '[0-9]{6,}', '<NUM>', 'g') AS t3
+      |  FROM st2)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
+      |  CAST(SUM(len(regexp_extract_all(t0,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT)
+      |    AS email_hits,
+      |  CAST(SUM(len(regexp_extract_all(t1, 'https?://[^ ]+'))) AS BIGINT)
+      |    AS url_hits,
+      |  CAST(SUM(len(regexp_extract_all(t2, '[0-9]{6,}'))) AS BIGINT)
+      |    AS num_hits,
+      |  CAST(SUM(CASE WHEN t0 <> t3 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS affected_docs,
+      |  CAST(SUM(length(t3) - length(t0)) AS BIGINT) AS char_delta
+      |FROM st3 GROUP BY source ORDER BY source""".stripMargin
+
+  /** Per-dimension Fisher discriminant score of the embedding space
+    * against the stored labels: between-class vs within-class scatter,
+    * the "which dimensions actually separate the classes" audit run
+    * before training a probe or pruning dimensions. Exact arithmetic
+    * in the q60 fixed-point envelope (values at 1e6, squares at 1e12,
+    * int64-exact to ~3·10⁷ rows/dim at unit-scale embeddings); each
+    * per-class S²/n term is ONE correctly-rounded double
+    * multiply-divide-floor (the q112/q115 pattern), so any IEEE engine
+    * reproduces every output bit. 100 TB shape: one posexplode pass,
+    * partial-aggregated (dim, label) cells (64×10 rows), dims-sized
+    * finish — no second data pass, no collect.
+    */
+  def q157FisherScore(s: SparkSession, dir: String): DataFrame = {
+    val rows = t(s, dir, "embeddings")
+      .select(col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("__i", "__xf")))
+      .select(col("label"), col("__i").cast("long").as("dim"),
+        col("__xf").cast("double").as("__x"))
+    val cells = rows.groupBy(col("dim"), col("label"))
+      .agg(count(lit(1)).as("__nc"),
+        sum(floor(col("__x") * 1e6 + lit(0.5)).cast("long")).as("__sc"),
+        sum(floor(col("__x") * col("__x") * 1e12 + lit(0.5)).cast("long"))
+          .as("__qc"))
+    cells.groupBy(col("dim"))
+      .agg(sum(col("__nc")).as("n"), sum(col("__sc")).as("__s"),
+        sum(col("__qc")).as("__q"),
+        sum(floor(col("__sc").cast("double") * col("__sc").cast("double")
+          / col("__nc")).cast("long")).as("__a"))
+      .select(col("dim"), col("n"),
+        greatest(col("__a") - floor(col("__s").cast("double")
+          * col("__s").cast("double") / col("n")).cast("long"), lit(0L))
+          .as("between_scaled"),
+        greatest(col("__q") - col("__a"), lit(0L)).as("within_scaled"))
+      .withColumn("fisher_ppm",
+        when(col("within_scaled") > 0,
+          floor(col("between_scaled").cast("double") * 1e6
+            / col("within_scaled")).cast("long")))
+      .orderBy(col("dim"))
+  }
+
+  val q157Sql: String =
+    """WITH rows_ AS (
+      |  SELECT CAST(label AS BIGINT) AS label,
+      |    CAST(i - 1 AS BIGINT) AS dim,
+      |    CAST(embedding[i] AS DOUBLE) AS x
+      |  FROM (SELECT label, embedding,
+      |          unnest(range(1, len(embedding) + 1)) AS i
+      |        FROM embeddings) e),
+      |cells AS (
+      |  SELECT dim, label, CAST(COUNT(*) AS BIGINT) AS nc,
+      |    CAST(SUM(CAST(FLOOR(x * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sc,
+      |    CAST(SUM(CAST(FLOOR(x * x * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS qc
+      |  FROM rows_ GROUP BY dim, label),
+      |agg AS (
+      |  SELECT dim, CAST(SUM(nc) AS BIGINT) AS n,
+      |    CAST(SUM(sc) AS BIGINT) AS s, CAST(SUM(qc) AS BIGINT) AS q,
+      |    CAST(SUM(CAST(FLOOR(CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / nc)
+      |      AS BIGINT)) AS BIGINT) AS a
+      |  FROM cells GROUP BY dim)
+      |SELECT dim, n,
+      |  GREATEST(a - CAST(FLOOR(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+      |    AS BIGINT), 0) AS between_scaled,
+      |  GREATEST(q - a, 0) AS within_scaled,
+      |  CASE WHEN GREATEST(q - a, 0) > 0 THEN
+      |    CAST(FLOOR(CAST(GREATEST(a - CAST(FLOOR(CAST(s AS DOUBLE)
+      |      * CAST(s AS DOUBLE) / n) AS BIGINT), 0) AS DOUBLE) * 1e6
+      |      / GREATEST(q - a, 0)) AS BIGINT)
+      |  END AS fisher_ppm
+      |FROM agg ORDER BY dim""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -6978,5 +7174,8 @@ object Queries {
     "q151_split_leakage" -> ((q151SplitLeakage _, Some(q151Sql))),
     "q152_oov_coverage" -> ((q152OovCoverage _, Some(q152Sql))),
     "q153_tokenizer_fertility" -> ((q153TokenizerFertility _, Some(q153Sql))),
-    "q154_best_of_dup" -> ((q154BestOfDup _, Some(q154Sql))))
+    "q154_best_of_dup" -> ((q154BestOfDup _, Some(q154Sql))),
+    "q155_containment_join" -> ((q155ContainmentJoin _, Some(q155Sql))),
+    "q156_scrub_impact" -> ((q156ScrubImpact _, Some(q156Sql))),
+    "q157_fisher_score" -> ((q157FisherScore _, Some(q157Sql))))
 }

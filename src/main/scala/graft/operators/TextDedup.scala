@@ -111,6 +111,76 @@ object TextDedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** EXACT set-CONTAINMENT join: all ordered pairs (a, b), a ≠ b, with
+    * `|A ∩ B| / |A| >= threshold` over distinct `shingleSize`-shingle
+    * sets — the asymmetric cousin of [[prefixFilterJoin]]. Jaccard
+    * misses "snippet inside page" (a quote, a syndicated excerpt, a
+    * clipped re-crawl): a 50-shingle doc fully contained in a
+    * 500-shingle doc has Jaccard ≈ 0.1 but containment 1.0. Zero false
+    * negatives, no LSH probabilism.
+    *
+    * Prefix theorem, containment form: a qualifying pair shares
+    * `o = ⌈t·|A|⌉` shingles, so by pigeonhole at least one shared
+    * shingle sits in A's first `|A| − o + 1` rarest-first entries —
+    * only A's PREFIX explodes into the candidate join; the B side is
+    * the full inverted index, but the join key is always one of A's
+    * globally-rare prefix shingles, so fan-out rides the df tail,
+    * never hot shingles. Positional filter (first-common-token
+    * argument, exact under the join's exists-semantics as in
+    * [[prefixFilterJoin]]): `1 + min(|A|−p_a, |B|−p_b) >= o` in exact
+    * integers. Size filter inside the join: `|B| >= o`. Verify =
+    * sorted merge-walk intersect on candidates only.
+    *
+    * Returns `(id_a, id_b, containment_ppm)` — id_a is the CONTAINED
+    * doc; ppm is exact `⌊10⁶·|A∩B| / |A|⌋`. Near-equal sets emit both
+    * directions (each row is a claim about its own id_a).
+    */
+  def containmentJoin(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold < 1, "threshold in (0, 1)")
+    val tN = math.round(threshold * 10).toInt
+    require(math.abs(threshold * 10 - tN) < 1e-9,
+      "threshold must be a multiple of 0.1 (exact integer size filter)")
+    val sets = docs.select(col(idCol).as("id"),
+        array_sort(array_distinct(
+          TextFunctions.shingles(col(textCol), shingleSize))).as("__s"))
+      .select(col("id"), col("__s"), size(col("__s")).as("sz"))
+      .localCheckpoint() // consumed three times: explode, verify ×2
+    val ex = sets.select(col("id"), col("sz"),
+        explode_outer(col("__s")).as("sh"))
+      .where(col("sh").isNotNull)
+    val dfreq = ex.groupBy(col("sh")).agg(count(lit(1)).as("__df"))
+    val ranked = ex.join(dfreq, Seq("sh"))
+      .withColumn("__rk", row_number().over(Window.partitionBy(col("id"))
+        .orderBy(col("__df").asc, col("sh").asc)))
+    // o = ⌈t·|A|⌉ = (tN·|A| + 9) div 10; prefix length |A| − o + 1
+    val left = ranked.where(
+        col("__rk") <= col("sz") - floor((col("sz") * tN + 9) / 10) + 1)
+      .select(col("id").as("id_a"), col("sz").as("__sza"),
+        col("__rk").as("__rka"), col("sh"))
+    val right = ranked.select(col("id").as("id_b"), col("sz").as("__szb"),
+      col("__rk").as("__rkb"), col("sh"))
+    val cand = left.join(right,
+        left("sh") === right("sh") && col("id_a") =!= col("id_b") &&
+          col("__szb") * 10 >= col("__sza") * tN &&
+          (lit(1) + least(col("__sza") - col("__rka"),
+            col("__szb") - col("__rkb"))) * 10 >= col("__sza") * tN)
+      .select(col("id_a"), col("id_b")).distinct()
+    val a = sets.select(col("id").as("id_a"), col("__s").as("__sa"),
+      col("sz").as("__la"))
+    val b = sets.select(col("id").as("id_b"), col("__s").as("__sb"))
+    val sic = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.SortedIntersectCount(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("__sa")),
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("__sb"))))
+    cand.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .withColumn("__i", sic)
+      .where(col("__i") * 10 >= col("__la") * tN)
+      .select(col("id_a"), col("id_b"),
+        expr("__i * CAST(1000000 AS BIGINT) div __la")
+          .as("containment_ppm"))
+  }
+
   /** Exact dedup by normalized content hash: deterministic keep-first by
     * tiebreak (pandas-style), one shuffle on the 128-bit fingerprint.
     */

@@ -423,4 +423,49 @@ class CurationQueriesSpec extends SparkSpec {
     // s2: 3 docs, 2 canonicals, no change (doc 2 best of its pair)
     assert(out("s2") === ((3L, 2L, 0L)), s"s2: $out")
   }
+
+  test("q156 scrub impact: stage-wise counts, digits inside URLs masked as URL") {
+    val dir = fixtureDir()
+    // doc 1 (1 % 7 != 0): two emails + a URL whose path is a long digit
+    // run — stage-wise counting must attribute those digits to the URL
+    // stage (masked away before the NUM stage sees them), plus one
+    // standalone digit run. doc 3: clean. (doc_id % 7 == 0 planting is
+    // avoided by picking ids 1 and 3.)
+    val dirty = "mail a@b.com and c@d.org see https://x.y/1234567 ref 7654321"
+    Seq((1L, dirty, "s1"), (3L, "totally clean text here", "s2"))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = Queries.registry.toMap.apply("q156_scrub_impact")
+      ._1(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val s1 = out("s1")
+    assert((s1.getLong(2), s1.getLong(3), s1.getLong(4)) === ((2L, 1L, 1L)),
+      s"email/url/num hits: $s1")
+    assert(s1.getLong(5) === 1L, "one affected doc in s1")
+    val s2 = out("s2")
+    assert((s2.getLong(2), s2.getLong(3), s2.getLong(4), s2.getLong(5)) ===
+      ((0L, 0L, 0L, 0L)), s"clean source must report zeros: $s2")
+    assert(s2.getLong(6) === 0L, "clean source: no char delta")
+  }
+
+  test("q157 fisher: separating dim -> within 0; label-blind dim -> fisher 0") {
+    val dir = fixtureDir()
+    // dim0 = the label (+1 / -1): between > 0, within = 0 -> ppm NULL.
+    // dim1 = constant: between = within = 0 -> ppm NULL.
+    // dim2 = (+1,-1) inside EACH class: between = 0, within > 0 -> ppm 0.
+    val rows = Seq(
+      (0L, Array(1f, 1f, 1f), 0), (1L, Array(1f, 1f, -1f), 0),
+      (2L, Array(-1f, 1f, 1f), 1), (3L, Array(-1f, 1f, -1f), 1))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = Queries.registry.toMap.apply("q157_fisher_score")
+      ._1(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getLong(2) === 4000000000000L, "between = 4e12 (q60 1e12 scale)")
+    assert(out(0L).getLong(3) === 0L && out(0L).isNullAt(4),
+      "perfect separator: zero within-class scatter, undefined ratio")
+    assert(out(1L).getLong(2) === 0L && out(1L).getLong(3) === 0L)
+    assert(out(2L).getLong(2) === 0L && out(2L).getLong(3) === 4000000000000L)
+    assert(out(2L).getLong(4) === 0L, "label-blind dim scores exactly 0")
+  }
 }

@@ -510,6 +510,23 @@ class PlanAuditSpec extends SparkSpec {
       p.take(800))
   }
 
+  test("q155 containment join: no cross product, verify is candidate-only") {
+    val p = plan("q155_containment_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      p.take(800))
+    assert(p.contains("sorted_intersect_count"),
+      "verify must be the merge-walk kernel, not a per-pair hash set")
+  }
+
+  test("q157 fisher: one posexplode pass, hash aggregates only") {
+    val p = plan("q157_fisher_score")
+    assert("(?i)generate".r.findAllIn(p).size <= 2,
+      "embedding must explode once (plan may print it twice across " +
+        "adaptive sections), never per-class: " + p.take(400))
+    assert(!p.toLowerCase.contains("sortaggregate"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(400))
+  }
+
   test("q151/q154 cluster queries: one uniform-key shuffle, no cross product") {
     Seq("q151_split_leakage", "q154_best_of_dup").foreach { q =>
       val p = plan(q)

@@ -296,4 +296,66 @@ class TextOpsSpec extends SparkSpec {
     assert(ppJoin(Seq((1L, base), (2L, trimmed)), 0.8) === Set((1L, 2L)))
     assert(ppJoin(Seq((1L, base), (2L, trimmed)), 0.9) === Set.empty)
   }
+
+  // ----- containmentJoin (exact asymmetric set-containment join) ---------
+
+  private def bruteContainPairs(docs: Seq[(Long, String)], n: Int,
+      t: Double): Set[(Long, Long)] = {
+    def sh(s: String): Set[String] = {
+      val w = s.split(" ").filter(_.nonEmpty)
+      if (w.length < n) Set(w.mkString(" "))
+      else w.sliding(n).map(_.mkString(" ")).toSet
+    }
+    val sets = docs.map { case (id, txt) => id -> sh(txt) }
+    (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia != ib
+      i = (sa & sb).size
+      if i.toDouble / sa.size >= t
+    } yield (ia, ib)).toSet
+  }
+
+  private def cJoin(docs: Seq[(Long, String)], t: Double) =
+    TextDedup.containmentJoin(docs.toDF("doc_id", "text"), "doc_id",
+        "text", shingleSize = 3, threshold = t)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("containmentJoin: exact — matches brute force on random corpora") {
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val rnd = new scala.util.Random(157)
+    for (trial <- 0 until 3) {
+      val docs = (0 until 40).map { i =>
+        val base = Seq.fill(6 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size)))
+        (i.toLong, base.mkString(" "))
+      }
+      for (t <- Seq(0.5, 0.7, 0.9)) {
+        assert(cJoin(docs, t) === bruteContainPairs(docs, 3, t),
+          s"trial $trial t=$t")
+      }
+    }
+  }
+
+  test("containmentJoin: snippet inside page that Jaccard misses") {
+    // snippet = first 5 tokens of a 20-token page: containment 1.0,
+    // jaccard = 3/18 = 0.17 — the asymmetric join's whole point.
+    val page = (1 to 20).map(i => s"w$i").mkString(" ")
+    val snip = (1 to 5).map(i => s"w$i").mkString(" ")
+    assert(cJoin(Seq((1L, snip), (2L, page)), 0.9) === Set((1L, 2L)))
+    assert(ppJoin(Seq((1L, snip), (2L, page)), 0.5) === Set.empty)
+    // exact duplicates emit BOTH directions
+    assert(cJoin(Seq((1L, page), (2L, page)), 0.9) ===
+      Set((1L, 2L), (2L, 1L)))
+  }
+
+  test("containmentJoin: ppm is exact floor(1e6*i/|A|)") {
+    // A has 10 shingles (12 tokens), 9 shared with B: 900000 ppm at
+    // t=0.9 survives; at t=0.9 a doc with 8/10 does not appear.
+    val a = (1 to 12).map(i => s"w$i").mkString(" ")
+    val b = (1 to 11).map(i => s"w$i").mkString(" ") // 9 shingles, all in A
+    val out = TextDedup.containmentJoin(
+        Seq((1L, a), (2L, b)).toDF("doc_id", "text"),
+        "doc_id", "text", 3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // B (9 shingles) fully contained in A; A has 10, 9 shared = 900000
+    assert(out.toSet === Set((2L, 1L, 1000000L), (1L, 2L, 900000L)))
+  }
 }
