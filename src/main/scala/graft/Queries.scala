@@ -7015,6 +7015,72 @@ object Queries {
       |  END AS fisher_ppm
       |FROM agg ORDER BY dim""".stripMargin
 
+  /** Mergeable KLL quantile-sketch store ([[graft.operators.Sketches
+    * .kllSketch]]/`kllMerge`): per-day sketches of `events.value`
+    * materialized to parquet; weekly p50/p95 answered by MERGING the
+    * days' sketches — constant-size state per day, raw history never
+    * rescanned. Completes the sketch-store family (q111 HLL distinct,
+    * q122 frequent items, q116 theta set algebra; this = order
+    * statistics, the incremental counterpart of q64's one-shot exact
+    * percentiles). Verification is the q116/q64 pattern: the exact
+    * per-week n plus band booleans — the merged sketch's quantile is
+    * joined back against the week's raw values and its EXACT inclusive
+    * rank must sit within ±0.03 of the requested rank (k = 800 ⇒
+    * rank σ ≈ 0.2%, so the band is ~15σ; below k per week the sketch
+    * is exact and the rank condition is tight by construction). n
+    * itself comes from the sketch (`kll_n` is exact through every
+    * compaction/merge) and must equal the recount.
+    */
+  def q158QuantileStore(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches
+    val ev = events(s, dir)
+      .select(col("ts").cast("date").as("day"), col("value"))
+      .where(col("value").isNotNull)
+    val store = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_q158_store").getPath
+    ev.groupBy(col("day"))
+      .agg(Sketches.kllSketch(col("value"), 800).as("sk"))
+      .write.mode("overwrite").parquet(store)
+    val weekly = s.read.parquet(store)
+      .groupBy(date_trunc("week", col("day")).cast("date").as("week"))
+      .agg(Sketches.kllMerge(col("sk"), 800).as("sk"))
+      .select(col("week"), Sketches.kllN(col("sk")).as("n"),
+        Sketches.kllQuantile(col("sk"), lit(0.5)).as("__p50"),
+        Sketches.kllQuantile(col("sk"), lit(0.95)).as("__p95"))
+    val ranks = ev
+      .select(date_trunc("week", col("day")).cast("date").as("week"),
+        col("value"))
+      .join(broadcast(weekly.select(col("week"), col("__p50"),
+        col("__p95"))), Seq("week"))
+      .groupBy(col("week"))
+      .agg(count(lit(1)).as("__cnt"),
+        sum(when(col("value") <= col("__p50"), 1L).otherwise(0L))
+          .as("__le50"),
+        sum(when(col("value") < col("__p50"), 1L).otherwise(0L))
+          .as("__lt50"),
+        sum(when(col("value") <= col("__p95"), 1L).otherwise(0L))
+          .as("__le95"),
+        sum(when(col("value") < col("__p95"), 1L).otherwise(0L))
+          .as("__lt95"))
+    weekly.join(ranks, Seq("week"))
+      .select(col("week"), col("n"),
+        (col("n") === col("__cnt")).as("n_exact"),
+        (col("__le50").cast("double") >= col("n") * (0.5 - 0.03) &&
+          col("__lt50").cast("double") < col("n") * (0.5 + 0.03))
+          .as("ok_p50"),
+        (col("__le95").cast("double") >= col("n") * (0.95 - 0.03) &&
+          col("__lt95").cast("double") < col("n") * (0.95 + 0.03))
+          .as("ok_p95"))
+      .orderBy(col("week"))
+  }
+
+  val q158Sql: String =
+    """SELECT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS week,
+      |  CAST(COUNT(*) AS BIGINT) AS n, TRUE AS n_exact,
+      |  TRUE AS ok_p50, TRUE AS ok_p95
+      |FROM events WHERE value IS NOT NULL
+      |GROUP BY 1 ORDER BY week""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -7177,5 +7243,6 @@ object Queries {
     "q154_best_of_dup" -> ((q154BestOfDup _, Some(q154Sql))),
     "q155_containment_join" -> ((q155ContainmentJoin _, Some(q155Sql))),
     "q156_scrub_impact" -> ((q156ScrubImpact _, Some(q156Sql))),
-    "q157_fisher_score" -> ((q157FisherScore _, Some(q157Sql))))
+    "q157_fisher_score" -> ((q157FisherScore _, Some(q157Sql))),
+    "q158_quantile_store" -> ((q158QuantileStore _, Some(q158Sql))))
 }

@@ -142,7 +142,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "freq_upper_bound takes 2 arguments")
         FreqUpperBound(children.head, children(1))
       },
-      "freq_upper_bound(sketch, item) - guaranteed upper count bound"))
+      "freq_upper_bound(sketch, item) - guaranteed upper count bound"),
+    ("kll_sketch_agg", classOf[KllSketchAgg].getName,
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "kll_sketch_agg takes 2 arguments")
+        KllSketchAgg(children.head,
+          litInt(children(1), "kll_sketch_agg's k")).toAggregateExpression()
+      },
+      "kll_sketch_agg(col, k) - KLL quantile sketch of a numeric column"),
+    ("kll_merge_agg", classOf[KllMergeAgg].getName,
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "kll_merge_agg takes 2 arguments")
+        KllMergeAgg(children.head,
+          litInt(children(1), "kll_merge_agg's k")).toAggregateExpression()
+      },
+      "kll_merge_agg(sketch, k) - merge of stored KLL sketches"),
+    ("kll_quantile", classOf[KllQuantile].getName,
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "kll_quantile takes 2 arguments")
+        KllQuantile(children.head, children(1))
+      },
+      "kll_quantile(sketch, q) - inclusive-rank quantile value"),
+    ("kll_rank", classOf[KllRank].getName,
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "kll_rank takes 2 arguments")
+        KllRank(children.head, children(1))
+      },
+      "kll_rank(sketch, value) - inclusive normalized rank"),
+    ("kll_n", classOf[KllN].getName,
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "kll_n takes 1 argument")
+        KllN(children.head)
+      },
+      "kll_n(sketch) - exact update count carried by a sketch"))
 
   private def litInt(e: Expression, what: String): Int = e match {
     case Literal(v: Int, IntegerType) => v

@@ -91,6 +91,36 @@ object Sketches {
     bridge.column(graft.expressions.FreqUpperBound(
       bridge.expression(sketch), bridge.expression(item)))
 
+  // ----- KLL quantile-sketch column API ----------------------------------
+  // Mergeable rank/quantile state (order statistics) — completes the
+  // sketch-store family: HLL = distinct, freq = heavy hitters, theta =
+  // set algebra, KLL = quantiles. Rank error is bounded independent of
+  // n (exact while n <= k), so per-day sketches answer any window.
+
+  /** Aggregate: KLL quantile sketch of a numeric column. */
+  def kllSketch(c: Column, k: Int = 800): Column =
+    bridge.column(graft.expressions.KllSketchAgg(
+      bridge.expression(c), k).toAggregateExpression())
+
+  /** Aggregate: merge of stored KLL sketches (store merge). */
+  def kllMerge(c: Column, k: Int = 800): Column =
+    bridge.column(graft.expressions.KllMergeAgg(
+      bridge.expression(c), k).toAggregateExpression())
+
+  /** Scalar: inclusive-rank quantile value of a sketch (null if empty). */
+  def kllQuantile(sketch: Column, rank: Column): Column =
+    bridge.column(graft.expressions.KllQuantile(
+      bridge.expression(sketch), bridge.expression(rank)))
+
+  /** Scalar: inclusive normalized rank of a value (null if empty). */
+  def kllRank(sketch: Column, value: Column): Column =
+    bridge.column(graft.expressions.KllRank(
+      bridge.expression(sketch), bridge.expression(value)))
+
+  /** Scalar: exact update count carried by a sketch. */
+  def kllN(sketch: Column): Column =
+    bridge.column(graft.expressions.KllN(bridge.expression(sketch)))
+
   def heavyHittersChecked(df: DataFrame, itemCol: String,
       minShare: Double, support: Double): DataFrame = {
     require(support < minShare,

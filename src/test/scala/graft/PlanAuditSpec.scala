@@ -341,8 +341,12 @@ class PlanAuditSpec extends SparkSpec {
     // q122: freq_sketch_agg/freq_merge_agg are the engine's own
     // TypedImperativeAggregates (graft.expressions.FreqSketchAgg) —
     // same rationale as q111/q116.
+    // q158: kll_sketch_agg/kll_merge_agg likewise
+    // (graft.expressions.KllSketchAgg — the quantile-store member of
+    // the same sketch family).
     val objAggWhitelist = Set("q44_collect_sorted", "q64_approx_quantiles",
-      "q111_sketch_store", "q116_theta_overlap", "q122_freq_store")
+      "q111_sketch_store", "q116_theta_overlap", "q122_freq_store",
+      "q158_quantile_store")
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val p = fn(spark, dir).queryExecution.executedPlan.toString
       Seq(

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class KllSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact mode: inclusive quantile is the ceil(q*n)-th order statistic") {
+    // n = 100 <= k: no compaction, the sketch holds every item.
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val sk = df.agg(Sketches.kllSketch(col("v"), 800).as("sk"))
+    val r = sk.select(
+      Sketches.kllQuantile(col("sk"), lit(0.5)).as("p50"),
+      Sketches.kllQuantile(col("sk"), lit(0.95)).as("p95"),
+      Sketches.kllQuantile(col("sk"), lit(0.01)).as("p01"),
+      Sketches.kllN(col("sk")).as("n")).head()
+    assert(r.getDouble(0) === 50.0) // ceil(0.5*100) = 50th
+    assert(r.getDouble(1) === 95.0)
+    assert(r.getDouble(2) === 1.0)
+    assert(r.getLong(3) === 100L)
+  }
+
+  test("merge across partitions is value-correct in exact mode") {
+    // 32 partitions each holding a slice; exact-mode merge must see
+    // the full ordered multiset, not per-partition artifacts.
+    val df = spark.range(0, 500, 1, 32).select((col("id") + 1).cast("double").as("v"))
+    val r = df.agg(Sketches.kllSketch(col("v"), 800).as("sk"))
+      .select(Sketches.kllQuantile(col("sk"), lit(0.5)),
+        Sketches.kllN(col("sk"))).head()
+    assert(r.getDouble(0) === 250.0)
+    assert(r.getLong(1) === 500L)
+  }
+
+  test("merge agg over stored sketches == sketch of the union") {
+    val df = (1 to 600).map(i => (i % 3, i.toDouble)).toDF("g", "v")
+    val perGroup = df.groupBy("g")
+      .agg(Sketches.kllSketch(col("v"), 800).as("sk"))
+    val r = perGroup.agg(Sketches.kllMerge(col("sk"), 800).as("m"))
+      .select(Sketches.kllQuantile(col("m"), lit(0.5)),
+        Sketches.kllN(col("m"))).head()
+    assert(r.getDouble(0) === 300.0)
+    assert(r.getLong(1) === 600L)
+  }
+
+  test("estimation mode: rank error inside the k=200 band; n stays exact") {
+    // 50k updates >> k=200: genuine compaction. The rank of the
+    // returned quantile must sit within the published ~1.65% (99%)
+    // band; n is tracked exactly regardless.
+    val df = spark.range(0, 50000).select(col("id").cast("double").as("v"))
+    val r = df.agg(Sketches.kllSketch(col("v"), 200).as("sk"))
+      .select(Sketches.kllQuantile(col("sk"), lit(0.5)).as("p50"),
+        Sketches.kllN(col("sk")).as("n"),
+        Sketches.kllRank(col("sk"), lit(25000.0)).as("rk")).head()
+    assert(math.abs(r.getDouble(0) / 50000.0 - 0.5) < 0.02,
+      s"p50 = ${r.getDouble(0)}")
+    assert(r.getLong(1) === 50000L, "n must be exact through compaction")
+    assert(math.abs(r.getDouble(2) - 0.5) < 0.02, s"rank = ${r.getDouble(2)}")
+  }
+
+  test("nulls are ignored; empty sketch yields null quantile and n 0") {
+    val df = Seq(Some(1.0), None, Some(3.0)).toDF("v")
+    val r = df.agg(Sketches.kllSketch(col("v"), 800).as("sk"))
+      .select(Sketches.kllN(col("sk"))).head()
+    assert(r.getLong(0) === 2L)
+    val empty = Seq.empty[Double].toDF("v")
+      .agg(Sketches.kllSketch(col("v"), 800).as("sk"))
+      .select(Sketches.kllQuantile(col("sk"), lit(0.5)).as("q"),
+        Sketches.kllN(col("sk")).as("n")).head()
+    assert(empty.isNullAt(0), "empty sketch must yield null, not throw")
+    assert(empty.getLong(1) === 0L)
+  }
+
+  test("codegen path: scalars survive a repartitioned (non-local) plan") {
+    // ConvertToLocalRelation folds Seq.toDF into interpreted eval;
+    // repartition forces whole-stage codegen through doGenCode.
+    val df = spark.range(0, 1000, 1, 4).select(col("id").cast("double").as("v"))
+      .repartition(3)
+    val r = df.agg(Sketches.kllSketch(col("v"), 800).as("sk"))
+      .repartition(2)
+      .select(Sketches.kllQuantile(col("sk"), lit(0.5)).as("q"),
+        Sketches.kllRank(col("sk"), lit(500.0)).as("rk"),
+        Sketches.kllN(col("sk")).as("n")).head()
+    assert(r.getLong(2) === 1000L)
+    assert(r.getDouble(0) === 500.0) // exact mode: 500th of 0..999
+  }
+
+  test("SQL surface: the kll family is registered and runs end to end") {
+    val fns = new graft.expressions.GraftExtensions().functions
+      .filter(_._1.startsWith("kll_")).map(f => f._1 -> f._3).toMap
+    assert(fns.keySet === Set("kll_sketch_agg", "kll_merge_agg",
+      "kll_quantile", "kll_rank", "kll_n"))
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val agg = fns("kll_sketch_agg")(Seq(Literal(1.0), Literal(800)))
+    assert(agg.dataType === org.apache.spark.sql.types.BinaryType)
+  }
+}
