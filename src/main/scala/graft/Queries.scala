@@ -7041,8 +7041,19 @@ object Queries {
     ev.groupBy(col("day"))
       .agg(Sketches.kllSketch(col("value"), 800).as("sk"))
       .write.mode("overwrite").parquet(store)
+    kllStoreWeeklyReport(s, ev, store)
+  }
+
+  /** Shared tail of q158/q160: weekly merge over a day-keyed KLL
+    * sketch store + the exact-rank band verification (see q158's
+    * scaladoc for the band arithmetic).
+    */
+  private def kllStoreWeeklyReport(s: SparkSession, ev: DataFrame,
+      store: String): DataFrame = {
+    import graft.operators.Sketches
     val weekly = s.read.parquet(store)
-      .groupBy(date_trunc("week", col("day")).cast("date").as("week"))
+      .groupBy(date_trunc("week", col("day").cast("date")).cast("date")
+        .as("week"))
       .agg(Sketches.kllMerge(col("sk"), 800).as("sk"))
       .select(col("week"), Sketches.kllN(col("sk")).as("n"),
         Sketches.kllQuantile(col("sk"), lit(0.5)).as("__p50"),
@@ -7080,6 +7091,90 @@ object Queries {
       |  TRUE AS ok_p50, TRUE AS ok_p95
       |FROM events WHERE value IS NOT NULL
       |GROUP BY 1 ORDER BY week""".stripMargin
+
+  /** Incrementally-maintained KLL quantile store
+    * ([[graft.operators.Sketches.writeDaySketches]]): the q158 store
+    * built the way a daily pipeline actually builds it — an initial
+    * load (days ≤ 21) followed by a DELTA write of the remaining days
+    * through dynamic partition overwrite, which touches ONLY the new
+    * day partitions (KllSketchSpec pins the old partitions' file
+    * listing byte-identical). The weekly report over the
+    * incrementally-built store must equal q158's one-shot build —
+    * same oracle, same bands. 100 TB shape: a day's append costs one
+    * day's scan + one partition write regardless of store size; the
+    * store is the constant-size-per-day state.
+    */
+  def q160QuantileStoreInc(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches
+    val ev = events(s, dir)
+      .select(col("ts").cast("date").as("day"), col("value"))
+      .where(col("value").isNotNull)
+    val store = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_q160_store_${Integer.toHexString(dir.hashCode)}").getPath
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(store), true)
+    Sketches.writeDaySketches(ev.where(dayofmonth(col("day")) <= 21),
+      "day", "value", store, 800)
+    Sketches.writeDaySketches(ev.where(dayofmonth(col("day")) > 21),
+      "day", "value", store, 800)
+    kllStoreWeeklyReport(s, ev, store)
+  }
+
+  val q160Sql: String = q158Sql
+
+  /** Cross-source duplication-flow matrix: every EXACT near-dup pair
+    * (q128's prefix-filter join at Jaccard ≥ 0.7 — no LSH
+    * probabilism) attributed to its unordered source pair — the
+    * "which feeds syndicate each other" report that decides whether
+    * two crawls should share one dedup domain. Diagonal cells =
+    * within-source duplication. 100 TB shape: the pair stream is
+    * q128's (prefix-pruned, positional-filtered); the two
+    * source-lookup joins are equi on the unique doc key; the final
+    * aggregate is |sources|²-sized.
+    */
+  def q159DupFlowMatrix(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+    val pairs = TextDedup.prefixFilterJoin(docs, "doc_id", "text",
+      shingleSize = 3, threshold = 0.7)
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("__sa")),
+        Seq("id_a"))
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("__sb")),
+        Seq("id_b"))
+      .groupBy(least(col("__sa"), col("__sb")).as("source_a"),
+        greatest(col("__sa"), col("__sb")).as("source_b"))
+      .agg(count(lit(1)).as("pairs"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val q159Sql: String =
+    """WITH sets AS (
+      |  SELECT doc_id, source,
+      |    list_distinct(CASE WHEN len(ta) < 3 THEN [array_to_string(ta, ' ')]
+      |      ELSE list_transform(range(1, len(ta) - 1),
+      |             i -> ta[i] || ' ' || ta[i+1] || ' ' || ta[i+2]) END) AS s
+      |  FROM (SELECT doc_id, source,
+      |          list_filter(string_split(text, ' '), x -> x <> '') AS ta
+      |        FROM documents) i),
+      |ex AS (
+      |  SELECT doc_id, source, CAST(len(s) AS BIGINT) AS sz, unnest(s) AS sh
+      |  FROM sets),
+      |ov AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    MIN(a.source) AS sa, MIN(b.source) AS sb,
+      |    MIN(a.sz) AS la, MIN(b.sz) AS lb,
+      |    CAST(COUNT(*) AS BIGINT) AS i
+      |  FROM ex a JOIN ex b ON b.sh = a.sh AND a.doc_id < b.doc_id
+      |    AND b.sz * 10 >= a.sz * 7 AND a.sz * 10 >= b.sz * 7
+      |  GROUP BY 1, 2)
+      |SELECT LEAST(sa, sb) AS source_a, GREATEST(sa, sb) AS source_b,
+      |  CAST(COUNT(*) AS BIGINT) AS pairs
+      |FROM ov
+      |WHERE CAST(i AS DOUBLE) / CAST(la + lb - i AS DOUBLE) >= 0.7
+      |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
 
   // ---------------------------------------------------------------------
   // Registry
@@ -7244,5 +7339,7 @@ object Queries {
     "q155_containment_join" -> ((q155ContainmentJoin _, Some(q155Sql))),
     "q156_scrub_impact" -> ((q156ScrubImpact _, Some(q156Sql))),
     "q157_fisher_score" -> ((q157FisherScore _, Some(q157Sql))),
-    "q158_quantile_store" -> ((q158QuantileStore _, Some(q158Sql))))
+    "q158_quantile_store" -> ((q158QuantileStore _, Some(q158Sql))),
+    "q159_dup_flow_matrix" -> ((q159DupFlowMatrix _, Some(q159Sql))),
+    "q160_quantile_store_inc" -> ((q160QuantileStoreInc _, Some(q160Sql))))
 }

@@ -121,6 +121,30 @@ object Sketches {
   def kllN(sketch: Column): Column =
     bridge.column(graft.expressions.KllN(bridge.expression(sketch)))
 
+  /** Materialize per-day KLL sketches as a DAY-PARTITIONED parquet
+    * store via dynamic partition overwrite: ONLY the days present in
+    * `df` are (re)written — the daily-increment path of the quantile
+    * store (the WeatherSink/LabelStore partial-rewrite pattern;
+    * untouched day partitions' files are never rewritten,
+    * KllSketchSpec pins the listing byte-identical). Re-running a day
+    * is idempotent: its sketch is rebuilt from that day's rows, never
+    * merged with its stale self.
+    */
+  def writeDaySketches(df: DataFrame, dayCol: String, valueCol: String,
+      store: String, k: Int = 800): Unit = {
+    val spark = df.sparkSession
+    val sk = df.groupBy(col(dayCol))
+      .agg(kllSketch(col(valueCol), k).as("sk"))
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try sk.write.mode("overwrite").partitionBy(dayCol).parquet(store)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   def heavyHittersChecked(df: DataFrame, itemCol: String,
       minShare: Double, support: Double): DataFrame = {
     require(support < minShare,

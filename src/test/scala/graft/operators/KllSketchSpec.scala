@@ -86,6 +86,57 @@ class KllSketchSpec extends SparkSpec {
     assert(r.getDouble(0) === 500.0) // exact mode: 500th of 0..999
   }
 
+  test("day-store delta append leaves existing partitions byte-identical") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val store = Files.createTempDirectory("graft_kllstore").toString + "/sk"
+    def listing(): Map[String, Map[String, Long]] = {
+      val root = Paths.get(store)
+      Files.list(root).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("day="))
+        .map { p =>
+          p.getFileName.toString ->
+            Files.list(p).iterator().asScala
+              .filter(_.getFileName.toString.endsWith(".parquet"))
+              .map(f => f.getFileName.toString -> Files.size(f)).toMap
+        }.toMap
+    }
+    val d1 = java.sql.Date.valueOf("2024-01-01")
+    val d2 = java.sql.Date.valueOf("2024-01-02")
+    val d3 = java.sql.Date.valueOf("2024-01-03")
+    val initial = Seq((d1, 1.0), (d1, 2.0), (d2, 10.0)).toDF("day", "value")
+    Sketches.writeDaySketches(initial, "day", "value", store, 800)
+    val before = listing()
+    assert(before.keySet === Set("day=2024-01-01", "day=2024-01-02"))
+    // delta: a NEW day only — days 1 and 2 must not be rewritten
+    Sketches.writeDaySketches(Seq((d3, 7.0), (d3, 8.0)).toDF("day", "value"),
+      "day", "value", store, 800)
+    val after = listing()
+    assert(after.keySet === before.keySet + "day=2024-01-03")
+    assert(after("day=2024-01-01") === before("day=2024-01-01"),
+      "untouched partition files must be byte-identical")
+    assert(after("day=2024-01-02") === before("day=2024-01-02"))
+    // re-running an EXISTING day rebuilds (not merges) that day only
+    Sketches.writeDaySketches(Seq((d2, 99.0)).toDF("day", "value"),
+      "day", "value", store, 800)
+    val rerun = listing()
+    assert(rerun("day=2024-01-01") === before("day=2024-01-01"))
+    val d2q = spark.read.parquet(store)
+      .where(col("day") === d2)
+      .select(Sketches.kllQuantile(col("sk"), lit(1.0)),
+        Sketches.kllN(col("sk"))).head()
+    assert(d2q.getLong(1) === 1L, "stale day-2 rows must not survive")
+    assert(d2q.getDouble(0) === 99.0)
+    // merged store answers == one-shot sketch over the union (exact mode)
+    val merged = spark.read.parquet(store)
+      .agg(Sketches.kllMerge(col("sk"), 800).as("m"))
+      .select(Sketches.kllQuantile(col("m"), lit(0.5)),
+        Sketches.kllN(col("m"))).head()
+    // values now: 1,2 (d1), 99 (d2), 7,8 (d3) -> p50 = 3rd of {1,2,7,8,99}
+    assert(merged.getLong(1) === 5L)
+    assert(merged.getDouble(0) === 7.0)
+  }
+
   test("SQL surface: the kll family is registered and runs end to end") {
     val fns = new graft.expressions.GraftExtensions().functions
       .filter(_._1.startsWith("kll_")).map(f => f._1 -> f._3).toMap
