@@ -990,15 +990,30 @@ object Queries {
         Multimodal.MediaRecord(id + 1000000L, "image",
           Multimodal.MediaCodec.pngEncode(24, 16, (x, y) => pix(id, x, y)),
           "image/png", "synth")), dim)
-    // r9: planes DERIVED from corpus size (expected bucket occupancy
-    // held ≈ constant) — the r8 sweep measured candidate pairs ×100 at
-    // 10× data under fixed planes = 8; autoPlanes keeps the bucket join
-    // linear. Correctness is planes-independent: the lossless re-encode
-    // has the bit-identical embedding, so it shares its twin's bucket
-    // under ANY hyperplane count and scores exactly 1.0 there.
-    val planes = Similarity.autoPlanes(ids.count())
-    Similarity.lshTopK(corpus, queries, "media_id", "embedding", k = 1,
-        dim = dim, planes = planes)
+    // r9 (planes → IVF): the r9 autoPlanes derivation held EXPECTED
+    // occupancy constant, but the sf10 sweep measured the sign-pattern
+    // buckets catastrophically SKEWED on image embeddings (Q102Skew at
+    // sf1: 485 of 4096 buckets occupied, max occupancy 8012 vs uniform
+    // 37 — pHash+histogram features concentrate in few orthants, and
+    // more hyperplanes cannot split a dense orthant), so the bucket
+    // join paid ~750 of q102's 682-in-suite seconds at sf10
+    // (Q102Probe). Generator swapped to the data-ADAPTIVE IVF coarse
+    // quantizer: k-means cells track the embedding DISTRIBUTION, nlist
+    // = autoNlist ≈ √N, centroids trained once per corpus fingerprint
+    // and reused (the q96 store regime); nprobe = 1 rides the
+    // NearestCell loop kernel on both sides. Correctness is
+    // generator-independent: the lossless re-encode has the
+    // bit-identical embedding, lands in its twin's argmax cell under
+    // ANY centroids, and scores exactly 1.0 there.
+    val idsDf = t(s, dir, "customer")
+      .select(col("c_custkey").cast("long").as("media_id"))
+    val fp = Similarity.corpusFingerprint(idsDf, "media_id")
+    val nlist = Similarity.autoNlist(fp._1)
+    val centroids = Similarity.trainOrLoadIvfCentroids(corpus,
+      "media_id", "embedding", dim, nlist, quantizerStoreDir,
+      fingerprint = Some(fp))
+    Similarity.ivfTopK(corpus, queries, "media_id", "embedding", k = 1,
+        centroids = centroids, nprobe = 1)
       .select(col("query_id"), col("neighbor_id"))
       .orderBy(col("query_id"))
   }
@@ -7123,6 +7138,184 @@ object Queries {
 
   val q160Sql: String = q158Sql
 
+  /** Rendezvous (highest-random-weight) resharding report: every doc
+    * routed to `argmax_j md5_60("hrw-v1:j:" + doc_id)` under 12 and
+    * 13 shards, plus the naive `doc_id % n` routing for contrast. Per
+    * OLD shard: docs, how many move when shard 13 is added under HRW
+    * vs under mod. The two structural properties a 100 TB store
+    * re-balance depends on fall out of the report itself: (a)
+    * `moved_elsewhere` is identically 0 — a doc that moves can ONLY
+    * move to the NEW shard (Thaler-Ravishankar rendezvous invariant),
+    * so growing a bucketed store from 12 to 13 shards rewrites one new
+    * bucket and touches nothing else; (b) `hrw_moved` is ~1/13 of
+    * each shard while `mod_moved` is ~12/13 — mod-routing rewrites the
+    * WHOLE store. Pure unrolled Column algebra: 25 md5 towers +
+    * `greatest` over (hash, shard) structs, all codegen'd, one
+    * hash-aggregate; no HOF lambdas, no shuffle before the 12-row agg.
+    */
+  def q161HrwReshard(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    def h(j: Int): Column = TextDedup.md5Hash60(
+      concat(lit(s"hrw-v1:$j:"), col("doc_id").cast("string")))
+    def shardOf(n: Int): Column =
+      greatest((0 until n).map(j =>
+        struct(h(j).as("h"), lit(j.toLong).as("j"))): _*).getField("j")
+    docs
+      .select(col("doc_id"), shardOf(12).as("__s12"), shardOf(13).as("__s13"))
+      .groupBy(col("__s12").as("shard"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(when(col("__s13") =!= col("__s12"), 1L).otherwise(0L))
+          .as("hrw_moved"),
+        sum(when(col("__s13") =!= col("__s12") && col("__s13") =!= 12L, 1L)
+          .otherwise(0L)).as("moved_elsewhere"),
+        sum(when(pmod(col("doc_id"), lit(12L)) =!= pmod(col("doc_id"), lit(13L)),
+          1L).otherwise(0L)).as("mod_moved"))
+      .orderBy(col("shard"))
+  }
+
+  /** Per-label embedding-centroid drift between two snapshots (the
+    * vec_id-parity halves standing in for "last week's corpus vs this
+    * week's"): per label, the L1 and max per-dimension shift between
+    * the halves' centroids — the "did the embedding space move under
+    * me" monitor run before reusing a trained ANN index or classifier
+    * on refreshed embeddings. Exact cross-engine arithmetic via the
+    * q60 envelope: per-(label, half, dim) sums of the 1e6-quantized
+    * coordinates in BIGINT, each centroid coordinate ONE
+    * correctly-rounded double divide + floor (sums stay ≤ 2^53, so
+    * the divide inputs are exact), drift aggregation pure BIGINT.
+    * One posexplode pass; everything after the (label, half, dim)
+    * hash-aggregate is |labels|×dims-sized. Labels missing from
+    * either half drop (inner join) — drift of a new/retired label is
+    * undefined, not zero.
+    */
+  def q163CentroidDrift(s: SparkSession, dir: String): DataFrame = {
+    val rows = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        posexplode_outer(col("embedding")).as(Seq("dim", "x")))
+      .where(col("x").isNotNull)
+    val agg = rows
+      .groupBy(col("label"), (col("vec_id") % 2 === 0).as("__a"),
+        col("dim").cast("long").as("dim"))
+      .agg(sum(floor(col("x").cast("double") * 1e6 + lit(0.5))
+          .cast("long")).as("__sx"),
+        count(lit(1)).as("__n"))
+      .select(col("label"), col("__a"), col("dim"), col("__n"),
+        floor(col("__sx").cast("double") / col("__n")).cast("long")
+          .as("__mf"))
+    val a = agg.where(col("__a")).select(col("label"), col("dim"),
+      col("__mf").as("__ma"), col("__n").as("__na"))
+    val b = agg.where(!col("__a")).select(col("label").as("__lb"),
+      col("dim").as("__db"), col("__mf").as("__mb"), col("__n").as("__nb"))
+    a.join(b, col("label") === col("__lb") && col("dim") === col("__db"))
+      .groupBy(col("label"))
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        sum(abs(col("__ma") - col("__mb"))).as("l1_drift_fp"),
+        max(abs(col("__ma") - col("__mb"))).as("max_drift_fp"))
+      .orderBy(col("label"))
+  }
+
+  val q163Sql: String =
+    """WITH r AS (
+      |  SELECT label, vec_id % 2 = 0 AS a, CAST(i - 1 AS BIGINT) AS dim,
+      |    CAST(embedding[i] AS DOUBLE) AS x
+      |  FROM (SELECT vec_id, label, embedding,
+      |          unnest(range(1, len(embedding) + 1)) AS i
+      |        FROM embeddings) u),
+      |m AS (
+      |  SELECT label, a, dim, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(FLOOR(CAST(SUM(CAST(FLOOR(x * 1e6 + 0.5) AS BIGINT))
+      |      AS DOUBLE) / COUNT(*)) AS BIGINT) AS mf
+      |  FROM r GROUP BY 1, 2, 3)
+      |SELECT ma.label, MAX(ma.n) AS n_a, MAX(mb.n) AS n_b,
+      |  CAST(SUM(ABS(ma.mf - mb.mf)) AS BIGINT) AS l1_drift_fp,
+      |  CAST(MAX(ABS(ma.mf - mb.mf)) AS BIGINT) AS max_drift_fp
+      |FROM m ma JOIN m mb ON mb.label = ma.label AND mb.dim = ma.dim
+      |  AND ma.a AND NOT mb.a
+      |GROUP BY 1 ORDER BY ma.label""".stripMargin
+
+  /** Token k-core ([[graft.operators.Graph.kCorePeel]]): the 3-core
+    * of q112's bigram co-occurrence graph by 10 synchronous peel
+    * rounds — the "structurally embedded vocabulary" (tokens whose
+    * co-occurrence survives recursive low-degree pruning; hubs and
+    * hapax chains fall out in round 1, thin bridges cascade out in
+    * later rounds). Round count is part of the operator definition:
+    * the oracle unrolls EXACTLY 10 rounds (generated CTE chain), the
+    * engine early-stops only at the provable fixpoint (a round that
+    * deletes nothing — identical result by definition), and
+    * GraphSpec pins that cascades longer than the round budget are
+    * honored round-for-round. Per round: one degree hash-aggregate +
+    * two semi joins on the shrinking edge set, lineage checkpointed —
+    * the q113 iteration envelope.
+    */
+  def q162TokenKcore(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(TextFunctions.tokens(col("text")).as("__ta"))
+    val bigrams = toks.select(arrays_zip(
+        slice(col("__ta"), lit(1), greatest(size(col("__ta")) - 1, lit(0)))
+          .as("x"),
+        slice(col("__ta"), lit(2), greatest(size(col("__ta")) - 1, lit(0)))
+          .as("y")).as("__z"))
+      .select(explode_outer(col("__z")).as("__p"))
+      .where(col("__p").isNotNull)
+      .select(col("__p.x").as("a"), col("__p.y").as("b"))
+      .where(col("a") =!= col("b"))
+    Graph.kCorePeel(bigrams, "a", "b", k = 3, rounds = 10)
+      .orderBy(col("node"))
+  }
+
+  val q162Sql: String = {
+    val rounds = 10
+    val sb = new StringBuilder
+    // every CTE is MATERIALIZED: DuckDB inlines plain CTEs, and each
+    // round references its predecessor ~5 times, so the naive chain
+    // expands 5^10 scans of the base table
+    sb.append(
+      """WITH base AS MATERIALIZED (
+        |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ta
+        |  FROM documents),
+        |e0 AS MATERIALIZED (
+        |  SELECT DISTINCT LEAST(ta[i], ta[i+1]) AS u,
+        |    GREATEST(ta[i], ta[i+1]) AS v
+        |  FROM (SELECT ta, unnest(range(1, len(ta))) AS i FROM base) z
+        |  WHERE ta[i] <> ta[i+1])""".stripMargin)
+    for (r <- 1 to rounds) {
+      sb.append(s""",
+        |n$r AS MATERIALIZED (
+        |  SELECT u FROM (SELECT u FROM e${r - 1}
+        |                 UNION ALL SELECT v FROM e${r - 1}) s(u)
+        |  GROUP BY u HAVING COUNT(*) >= 3),
+        |e$r AS MATERIALIZED (
+        |  SELECT e.u, e.v FROM e${r - 1} e
+        |  JOIN n$r a ON a.u = e.u JOIN n$r b ON b.u = e.v)""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg
+      |FROM (SELECT u FROM e$rounds UNION ALL SELECT v FROM e$rounds) s(u)
+      |GROUP BY u ORDER BY node""".stripMargin)
+    sb.toString
+  }
+
+  val q161Sql: String =
+    """WITH ex AS (
+      |  SELECT doc_id, j,
+      |    CAST('0x' || substr(md5('hrw-v1:' || CAST(j AS VARCHAR) || ':'
+      |      || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+      |  FROM documents, (SELECT unnest(range(13)) AS j) js),
+      |s12 AS (SELECT doc_id, arg_max(j, h) AS shard12
+      |        FROM ex WHERE j < 12 GROUP BY doc_id),
+      |s13 AS (SELECT doc_id, arg_max(j, h) AS shard13
+      |        FROM ex GROUP BY doc_id)
+      |SELECT shard12 AS shard, CAST(COUNT(*) AS BIGINT) AS docs,
+      |  CAST(SUM(CASE WHEN shard13 <> shard12 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS hrw_moved,
+      |  CAST(SUM(CASE WHEN shard13 <> shard12 AND shard13 <> 12
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS moved_elsewhere,
+      |  CAST(SUM(CASE WHEN (s12.doc_id % 12) <> (s12.doc_id % 13)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS mod_moved
+      |FROM s12 JOIN s13 USING (doc_id)
+      |GROUP BY 1 ORDER BY shard""".stripMargin
+
   /** Cross-source duplication-flow matrix: every EXACT near-dup pair
     * (q128's prefix-filter join at Jaccard ≥ 0.7 — no LSH
     * probabilism) attributed to its unordered source pair — the
@@ -7341,5 +7534,8 @@ object Queries {
     "q157_fisher_score" -> ((q157FisherScore _, Some(q157Sql))),
     "q158_quantile_store" -> ((q158QuantileStore _, Some(q158Sql))),
     "q159_dup_flow_matrix" -> ((q159DupFlowMatrix _, Some(q159Sql))),
-    "q160_quantile_store_inc" -> ((q160QuantileStoreInc _, Some(q160Sql))))
+    "q160_quantile_store_inc" -> ((q160QuantileStoreInc _, Some(q160Sql))),
+    "q161_hrw_reshard" -> ((q161HrwReshard _, Some(q161Sql))),
+    "q162_token_kcore" -> ((q162TokenKcore _, Some(q162Sql))),
+    "q163_centroid_drift" -> ((q163CentroidDrift _, Some(q163Sql))))
 }

@@ -456,4 +456,52 @@ object Graph {
     }
     lab.select(col("id").as("node"), col("l").as("label"))
   }
+
+  /** `rounds`-round synchronous k-core peel (Seidman 1983 cores via
+    * the Matula–Beck peeling dynamics, run a FIXED number of
+    * synchronous rounds): each round deletes EVERY node of current
+    * degree < k together with its edges. The result after `rounds`
+    * rounds is a well-defined over-approximation of the k-core that
+    * EQUALS it once a round deletes nothing; the loop early-stops on
+    * that fixpoint (edge-signature compare — results are identical
+    * with or without the stop, so the stop is pure cost control).
+    * Returns the surviving nodes with their residual degrees.
+    *
+    * Edges are canonicalized on entry (u < v, distinct, no
+    * self-loops) like [[triangleStats]]. Node ids may be any
+    * orderable type (tokens included).
+    *
+    * 100 TB shape: each round is ONE degree hash-aggregate over the
+    * shrinking edge set plus two semi joins (no row ever widens);
+    * `localCheckpoint` every 3 rounds caps lineage like
+    * [[labelPropagation]]; the per-round fixpoint probe is a
+    * 2-column scalar aggregate, not a collect.
+    */
+  def kCorePeel(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, "k and rounds must be positive")
+    var e = canon(edges.select(col(srcCol).as("u"), col(dstCol).as("v")))
+      .localCheckpoint()
+    var sig = signature(e)
+    var converged = false
+    var i = 0
+    while (i < rounds && !converged) {
+      val deg = e.select(col("u")).union(e.select(col("v").as("u")))
+        .groupBy(col("u")).agg(count(lit(1)).as("__d"))
+      val keep = deg.where(col("__d") >= k)
+        .select(col("u").as("__keep"))
+      var next = e
+        .join(keep, e("u") === col("__keep"), "left_semi")
+        .join(keep, e("v") === col("__keep"), "left_semi")
+      if ((i + 1) % 3 == 0 && i + 1 < rounds) next = next.localCheckpoint()
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      sig = nextSig
+      e = next
+      i += 1
+    }
+    e.select(col("u")).union(e.select(col("v").as("u")))
+      .groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      .select(col("u").as("node"), col("deg"))
+  }
 }

@@ -395,17 +395,30 @@ object Similarity {
     val c = cellRows(corpus,
       Seq(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
       col(vecCol), centroids) // degenerate vectors are not indexed
-    // per-query top-nprobe cells: sort the (score, −cell) structs in a
-    // projection and explode the first nprobe — descending score, ties
-    // to the LOWEST cell id (−cell descending), all inside codegen
     val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-    val probed = qv.select(col("query_id"), col("__qv"),
-        explode(slice(
-          sort_array(array(centroidScores(col("__qv"), centroids): _*),
-            asc = false),
-          1, nprobe)).as("__sc"))
-      .select(col("query_id"), col("__qv"),
-        (-col("__sc.negc")).as("cell"))
+    val probed =
+      if (nprobe == 1) {
+        // nprobe=1: the probed cell IS the nearest cell — use the
+        // [[graft.expressions.NearestCell]] loop kernel (O(1) tree in
+        // nlist) instead of the unrolled sort_array tower below, which
+        // is linear in nlist and pathological at auto-derived nlist ≈
+        // √N (r9 sf10: q102's quantizer has ~1.2k cells). Identical
+        // result: same fixed-point dots, same ties-to-lowest-cell.
+        cellRows(qv, Seq(col("query_id"), col("__qv")), col("__qv"),
+          centroids)
+      } else {
+        // per-query top-nprobe cells: sort the (score, −cell) structs
+        // in a projection and explode the first nprobe — descending
+        // score, ties to the LOWEST cell id (−cell descending), all
+        // inside codegen
+        qv.select(col("query_id"), col("__qv"),
+            explode(slice(
+              sort_array(array(centroidScores(col("__qv"), centroids): _*),
+                asc = false),
+              1, nprobe)).as("__sc"))
+          .select(col("query_id"), col("__qv"),
+            (-col("__sc.negc")).as("cell"))
+      }
     val scored = c.join(broadcast(probed), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("score_fp", dotFixed(col("__qv"), col("__cv")))

@@ -468,4 +468,50 @@ class CurationQueriesSpec extends SparkSpec {
     assert(out(2L).getLong(2) === 0L && out(2L).getLong(3) === 4000000000000L)
     assert(out(2L).getLong(4) === 0L, "label-blind dim scores exactly 0")
   }
+
+  test("q161 hrw reshard: rendezvous invariant, movement bands, determinism") {
+    val dir = fixtureDir()
+    spark.range(2000).select(col("id").as("doc_id"))
+      .write.parquet(s"$dir/documents.parquet")
+    val fn = Queries.registry.toMap.apply("q161_hrw_reshard")._1
+    val rows = fn(spark, dir).collect()
+    assert(rows.length === 12, "all 12 old shards populated at n=2000")
+    val docs = rows.map(_.getLong(1)).sum
+    val hrw = rows.map(_.getLong(2)).sum
+    val mod = rows.map(_.getLong(4)).sum
+    assert(docs === 2000L)
+    // THE rendezvous property: a doc that moves when shard 13 is added
+    // can only move TO shard 13 — growing the store rewrites one new
+    // bucket, nothing else.
+    assert(rows.forall(_.getLong(3) == 0L),
+      s"moved_elsewhere must be identically 0: ${rows.mkString(",")}")
+    // expected movement 1/13 ~ 154 of 2000; allow a generous band that
+    // still cleanly separates it from mod's ~12/13 ~ 1846
+    assert(hrw > 80 && hrw < 300, s"hrw movement ~1/13, got $hrw")
+    assert(mod > 1600, s"mod movement ~12/13, got $mod")
+    // pure function of doc_id: a second run is bit-identical
+    assert(fn(spark, dir).collect().toSeq === rows.toSeq)
+  }
+
+  test("q163 centroid drift: closed-form fixed-point means, one-half label drops") {
+    val dir = fixtureDir()
+    // label 0 half A (even ids): [1,0],[0,1] -> means (0.5, 0.5);
+    // half B (odd ids): [1,0],[1,0] -> means (1, 0).
+    // drift_fp per dim = |5e5-1e6|, |5e5-0| -> l1 1e6, max 5e5.
+    // label 1 exists only in half A -> dropped (inner join).
+    val rows = Seq(
+      (0L, Array(1f, 0f), 0), (2L, Array(0f, 1f), 0),
+      (1L, Array(1f, 0f), 0), (3L, Array(1f, 0f), 0),
+      (4L, Array(0.25f, 0.75f), 1))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = Queries.registry.toMap.apply("q163_centroid_drift")
+      ._1(spark, dir).collect()
+    assert(out.length === 1, s"one-half label must drop: ${out.toSeq}")
+    val r = out.head
+    assert(r.getInt(0) === 0)
+    assert((r.getLong(1), r.getLong(2)) === ((2L, 2L)))
+    assert(r.getLong(3) === 1000000L, "l1 drift in exact ppm")
+    assert(r.getLong(4) === 500000L, "max per-dim drift in exact ppm")
+  }
 }

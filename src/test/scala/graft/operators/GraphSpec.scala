@@ -295,4 +295,45 @@ class GraphSpec extends SparkSpec {
       .filter(p => p._1 != p._2)
     assert(lpa(edges) === lpa(edges))
   }
+
+  private def kcore(edges: Seq[(Long, Long)], k: Int,
+      rounds: Int): Map[Long, Long] =
+    Graph.kCorePeel(edges.toDF("u", "v"), "u", "v", k, rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("kCorePeel: K4 is its own 3-core; plus-a-tail loses only the tail") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(kcore(k4, 3, 10) === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    val tailed = k4 :+ ((4L, 5L))
+    assert(kcore(tailed, 3, 10) ===
+      Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    assert(kcore(tailed, 2, 10) ===
+      Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), "2-core also drops the tail")
+  }
+
+  test("kCorePeel: round budget is honored on a cascading path") {
+    // path 1-2-3-4-5-6, k=2: round 1 peels the ends {1,6}, round 2
+    // peels {2,5}, round 3 empties it — the cascade the FIXED round
+    // count must reproduce exactly (the oracle unrolls the same rounds)
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    assert(kcore(path, 2, 1) ===
+      Map(2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
+    assert(kcore(path, 2, 2) === Map(3L -> 1L, 4L -> 1L))
+    assert(kcore(path, 2, 3) === Map.empty)
+    assert(kcore(path, 2, 10) === Map.empty,
+      "early-stop after the empty fixpoint changes nothing")
+  }
+
+  test("kCorePeel: canonicalizes duplicates, reversals and self-loops") {
+    val messy = Seq((2L, 1L), (1L, 2L), (2L, 3L), (3L, 2L), (1L, 3L),
+      (3L, 3L))
+    assert(kcore(messy, 2, 10) === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCorePeel: deterministic and type-generic (string nodes)") {
+    val e = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"))
+    val out = Graph.kCorePeel(e.toDF("u", "v"), "u", "v", 2, 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
+  }
 }
