@@ -924,8 +924,14 @@ object Queries {
     * cross-engine constant).
     */
   def q101CompressionFilter(s: SparkSession, dir: String): DataFrame = {
+    // q102's lesson (r9 sf10): the work here is GENERATED per id (zlib
+    // deflate of synthesized text), so it must not inherit the id
+    // scan's byte-based split count — the sf10 customer file is one
+    // 9 MB row group, i.e. one task. Repartitioning shuffles only the
+    // long ids.
     val base = t(s, dir, "customer")
       .select(col("c_custkey").cast("long").as("id"))
+      .repartition(s.sessionState.conf.numShufflePartitions)
     val text = when(col("id") % 2 === 0,
       concat(col("id").cast("string"), lit(" "),
         repeat(lit("the quick brown fox jumps over the lazy dog "), 12)))
@@ -976,8 +982,15 @@ object Queries {
       val b = (x + y + p + q) % 256
       (r << 16) | (g << 8) | b
     }
+    // repartition BEFORE the per-row synthesis+DCT: the id scan is a
+    // single ~40 MB parquet split even at sf10 (1.5M rows), and without
+    // the exchange the whole image pipeline — encode, decode, DCT,
+    // assignment — inherits that one partition (r9 sf10: jstack showed
+    // ONE task burning 570+ s). CPU-bound generated work must not ride
+    // the input's byte-based split count.
     val ids = t(s, dir, "customer")
       .select(col("c_custkey").cast("long")).as[Long]
+      .repartition(s.sessionState.conf.numShufflePartitions)
     val dim = Multimodal.MediaCodec.imageEmbeddingDim
     val corpus = Multimodal.extractFeatures(
       ids.map(id => Multimodal.MediaRecord(id, "image",
@@ -7174,6 +7187,59 @@ object Queries {
       .orderBy(col("shard"))
   }
 
+  /** Streaming-maintained KLL quantile store: the q158 day-keyed
+    * sketch store built by a STREAM — complete-mode streaming
+    * aggregation whose state IS the per-day KLL buffers
+    * (TypedImperativeAggregate state survives micro-batches in the
+    * state store; each batch folds only its own rows into the day's
+    * sketch), 3-micro-batch AvailableNow replay, final snapshot
+    * written as the store and verified with q158's exact-rank bands.
+    * Completes the store-build triptych — one-shot (q158),
+    * incremental batch (q160), streaming (q164) — all three answer
+    * the weekly report identically and share one oracle. The report
+    * is band-based BY DESIGN, so sketch-internal row order (the one
+    * thing the replay changes) cannot flip it; day counts `n` are
+    * exact under any order.
+    */
+  def q164StreamQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches
+    val ev = events(s, dir)
+      .select(col("ts").cast("date").as("day"), col("value"),
+        col("event_id"))
+      .where(col("value").isNotNull)
+    val base = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_q164_${java.util.UUID.randomUUID().toString.take(8)}")
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(base)) fs.delete(base, true)
+    fs.deleteOnExit(base)
+    val stage = s"$base/stage"
+    val store = s"$base/store"
+    (0 until 3).foreach { i =>
+      ev.filter(col("event_id") % 3 === i)
+        .coalesce(1).write.mode("append").parquet(stage)
+    }
+    var batches = 0
+    val q = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+      .groupBy(col("day"))
+      .agg(Sketches.kllSketch(col("value"), 800).as("sk"))
+      .writeStream.outputMode("complete")
+      .option("checkpointLocation", s"$base/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("overwrite").parquet(store)
+        batches += 1
+      }
+      .start()
+    try q.awaitTermination() finally q.stop()
+    require(batches == 3,
+      s"q164 replay expected 3 micro-batches, saw $batches")
+    kllStoreWeeklyReport(s, ev.select(col("day"), col("value")), store)
+  }
+
+  val q164Sql: String = q158Sql
+
   /** Per-label embedding-centroid drift between two snapshots (the
     * vec_id-parity halves standing in for "last week's corpus vs this
     * week's"): per label, the L1 and max per-dimension shift between
@@ -7537,5 +7603,6 @@ object Queries {
     "q160_quantile_store_inc" -> ((q160QuantileStoreInc _, Some(q160Sql))),
     "q161_hrw_reshard" -> ((q161HrwReshard _, Some(q161Sql))),
     "q162_token_kcore" -> ((q162TokenKcore _, Some(q162Sql))),
-    "q163_centroid_drift" -> ((q163CentroidDrift _, Some(q163Sql))))
+    "q163_centroid_drift" -> ((q163CentroidDrift _, Some(q163Sql))),
+    "q164_stream_quantiles" -> ((q164StreamQuantiles _, Some(q164Sql))))
 }

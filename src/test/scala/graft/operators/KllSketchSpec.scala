@@ -75,6 +75,11 @@ class KllSketchSpec extends SparkSpec {
   test("codegen path: scalars survive a repartitioned (non-local) plan") {
     // ConvertToLocalRelation folds Seq.toDF into interpreted eval;
     // repartition forces whole-stage codegen through doGenCode.
+    // n = 1000 > k = 800 puts the sketch in ESTIMATION mode (KLL
+    // compaction is randomized, so an exact-value assert here flakes
+    // run-to-run — r9 caught 498 vs 500); the codegen path is what's
+    // under test, so the value asserts are the published rank band
+    // while n stays exact.
     val df = spark.range(0, 1000, 1, 4).select(col("id").cast("double").as("v"))
       .repartition(3)
     val r = df.agg(Sketches.kllSketch(col("v"), 800).as("sk"))
@@ -82,8 +87,10 @@ class KllSketchSpec extends SparkSpec {
       .select(Sketches.kllQuantile(col("sk"), lit(0.5)).as("q"),
         Sketches.kllRank(col("sk"), lit(500.0)).as("rk"),
         Sketches.kllN(col("sk")).as("n")).head()
-    assert(r.getLong(2) === 1000L)
-    assert(r.getDouble(0) === 500.0) // exact mode: 500th of 0..999
+    assert(r.getLong(2) === 1000L, "n must be exact through compaction")
+    assert(math.abs(r.getDouble(0) / 1000.0 - 0.5) < 0.02,
+      s"p50 = ${r.getDouble(0)}")
+    assert(math.abs(r.getDouble(1) - 0.5) < 0.02, s"rank = ${r.getDouble(1)}")
   }
 
   test("day-store delta append leaves existing partitions byte-identical") {
@@ -135,6 +142,38 @@ class KllSketchSpec extends SparkSpec {
     // values now: 1,2 (d1), 99 (d2), 7,8 (d3) -> p50 = 3rd of {1,2,7,8,99}
     assert(merged.getLong(1) === 5L)
     assert(merged.getDouble(0) === 7.0)
+  }
+
+  test("streaming state: complete-mode kll agg folds across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, Double)]
+    var last: Array[org.apache.spark.sql.Row] = Array.empty
+    val q = mem.toDF().toDF("day", "value")
+      .groupBy(col("day"))
+      .agg(Sketches.kllSketch(col("value"), 800).as("sk"))
+      .select(col("day"), Sketches.kllN(col("sk")).as("n"),
+        Sketches.kllQuantile(col("sk"), lit(0.5)).as("p50"),
+        Sketches.kllQuantile(col("sk"), lit(1.0)).as("max"))
+      .writeStream.outputMode("complete")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_kllstream").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        last = b.collect()
+      }
+      .trigger(Trigger.AvailableNow())
+    // batch 1: day A gets 1..4; batch 2 ADDS 5..8 to A and starts B —
+    // the day-A buffer must carry over in the state store, not reset
+    mem.addData((1 to 4).map(i => ("A", i.toDouble)): _*)
+    val s1 = q.start(); s1.awaitTermination()
+    mem.addData(((5 to 8).map(i => ("A", i.toDouble)) :+ ("B", 42.0)): _*)
+    val s2 = q.start(); s2.awaitTermination()
+    val m = last.map(r => r.getString(0) ->
+      ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(m("A") === ((8L, 4.0, 8.0)),
+      s"day-A state must accumulate across batches: $m")
+    assert(m("B") === ((1L, 42.0, 42.0)))
   }
 
   test("SQL surface: the kll family is registered and runs end to end") {
