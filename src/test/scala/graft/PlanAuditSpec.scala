@@ -344,9 +344,12 @@ class PlanAuditSpec extends SparkSpec {
     // q158: kll_sketch_agg/kll_merge_agg likewise
     // (graft.expressions.KllSketchAgg — the quantile-store member of
     // the same sketch family).
+    // q160/q164 (round 9): the same KLL store built incrementally /
+    // by a stream — identical aggregate, identical rationale.
     val objAggWhitelist = Set("q44_collect_sorted", "q64_approx_quantiles",
       "q111_sketch_store", "q116_theta_overlap", "q122_freq_store",
-      "q158_quantile_store")
+      "q158_quantile_store", "q160_quantile_store_inc",
+      "q164_stream_quantiles")
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val p = fn(spark, dir).queryExecution.executedPlan.toString
       Seq(
@@ -539,5 +542,31 @@ class PlanAuditSpec extends SparkSpec {
       assert(!p.toLowerCase.contains("sortaggregate"),
         s"$q must hash-aggregate: ${p.take(800)}")
     }
+  }
+
+  test("q161 hrw reshard: pure projection + one hash aggregate, no lambdas") {
+    val p = plan("q161_hrw_reshard")
+    assert(!p.contains("lambdafunction("),
+      "the 25 md5 towers and the struct-greatest argmax must unroll " +
+        "at build time, not evaluate as HOFs: " + p.take(600))
+    assert(!p.toLowerCase.contains("sortaggregate"), p.take(800))
+    assert(!p.contains("Join"), "no join anywhere — routing is a pure " +
+      "function of doc_id: " + p.take(600))
+  }
+
+  test("q162 k-core: equi/semi joins only, hash-aggregated degrees") {
+    val p = plan("q162_token_kcore")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      p.take(800))
+    assert(!p.toLowerCase.contains("sortaggregate"), p.take(800))
+  }
+
+  test("q163 centroid drift: one posexplode pass, hash aggregates only") {
+    val p = plan("q163_centroid_drift")
+    assert("(?i)generate".r.findAllIn(p).size <= 2,
+      "embedding must explode once (adaptive sections may reprint): " +
+        p.take(400))
+    assert(!p.toLowerCase.contains("sortaggregate"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(400))
   }
 }
