@@ -7187,6 +7187,92 @@ object Queries {
       .orderBy(col("shard"))
   }
 
+  /** Luhn-validated payment-card candidate audit: maximal digit runs
+    * of plausible PAN length (13-19) per source, with the Luhn mod-10
+    * checksum separating structurally-valid candidates from random
+    * digit noise — the check real PII scrubbers use to cut
+    * false-positive digit runs before redaction (q49/q156 count runs;
+    * this ranks their RISK). The checksum is a generated 19-term
+    * expression tower shared verbatim between the engine (Column
+    * algebra via [[luhnContribTerms]]) and the oracle (the same terms
+    * printed as SQL) — positional `substr(s, len-p+1, 1)` arithmetic,
+    * doubled-digit fold as a CASE, zero HOF lambdas, fully codegen'd.
+    * One regexp_extract_all pass + explode; |sources|-sized output
+    * with exact ppm.
+    */
+  def q165LuhnAudit(s: SparkSession, dir: String): DataFrame = {
+    // the synthetic corpus carries no PAN-length digit runs, so (the
+    // q156 pattern) every 5th doc gets a deterministic planted
+    // 16-digit candidate spliced in-query — "4539" + zero-padded
+    // doc_id — whose Luhn validity varies with doc_id, giving the
+    // audit a real valid/noise mix both engines reproduce exactly
+    val aug = concat(col("text"),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" card 4539"),
+          lpad(pmod(col("doc_id"), lit(1000000000000L)).cast("string"),
+            12, "0"))).otherwise(lit("")))
+    val runs = t(s, dir, "documents")
+      .select(col("source"), aug.as("__text"))
+      .select(col("source"),
+        explode_outer(expr("regexp_extract_all(__text, '[0-9]+', 0)"))
+          .as("__run"))
+      .where(col("__run").isNotNull)
+      .where(length(col("__run")).between(13, 19))
+    val total = (1 to 19).map { p =>
+      when(length(col("__run")) >= p,
+        luhnContrib(col("__run"), p)).otherwise(0)
+    }.reduce(_ + _)
+    runs
+      .select(col("source"), (total % 10 === 0).as("__ok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("candidates"),
+        sum(when(col("__ok"), 1L).otherwise(0L)).as("luhn_valid"))
+      .select(col("source"), col("candidates"), col("luhn_valid"),
+        floor(col("luhn_valid") * lit(1000000L) / col("candidates"))
+          .cast("long").as("valid_ppm"))
+      .orderBy(col("source"))
+  }
+
+  /** Luhn contribution of the p-th digit from the RIGHT of digit
+    * string `c`: doubled (and 9-subtracted above 9) at even p. Engine
+    * half of the shared tower; [[luhnContribSql]] is the SQL half —
+    * both generated from the same arithmetic so the checksum cannot
+    * drift between engines.
+    */
+  private def luhnContrib(c: Column, p: Int): Column = {
+    val d = substring(c, -p, 1).cast("int")
+    if (p % 2 == 0) when(d * 2 > 9, d * 2 - 9).otherwise(d * 2) else d
+  }
+
+  private def luhnContribSql(p: Int): String = {
+    val d = s"CAST(substr(r, len(r) - $p + 1, 1) AS INTEGER)"
+    val term =
+      if (p % 2 == 0) s"(CASE WHEN $d * 2 > 9 THEN $d * 2 - 9 ELSE $d * 2 END)"
+      else d
+    s"(CASE WHEN len(r) >= $p THEN $term ELSE 0 END)"
+  }
+
+  val q165Sql: String = {
+    val tower = (1 to 19).map(luhnContribSql).mkString(" + ")
+    s"""WITH aug AS (
+       |  SELECT source, text || CASE WHEN doc_id % 5 = 0
+       |    THEN ' card 4539' || lpad(CAST(doc_id % 1000000000000 AS VARCHAR),
+       |      12, '0') ELSE '' END AS t
+       |  FROM documents),
+       |runs AS (
+       |  SELECT source, r FROM (
+       |    SELECT source, unnest(regexp_extract_all(t, '[0-9]+')) AS r
+       |    FROM aug) u
+       |  WHERE len(r) BETWEEN 13 AND 19),
+       |ck AS (
+       |  SELECT source, ($tower) % 10 = 0 AS ok FROM runs)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS candidates,
+       |  CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS luhn_valid,
+       |  CAST(FLOOR(SUM(CASE WHEN ok THEN 1 ELSE 0 END) * 1000000.0
+       |    / COUNT(*)) AS BIGINT) AS valid_ppm
+       |FROM ck GROUP BY source ORDER BY source""".stripMargin
+  }
+
   /** Streaming-maintained KLL quantile store: the q158 day-keyed
     * sketch store built by a STREAM — complete-mode streaming
     * aggregation whose state IS the per-day KLL buffers
@@ -7604,5 +7690,6 @@ object Queries {
     "q161_hrw_reshard" -> ((q161HrwReshard _, Some(q161Sql))),
     "q162_token_kcore" -> ((q162TokenKcore _, Some(q162Sql))),
     "q163_centroid_drift" -> ((q163CentroidDrift _, Some(q163Sql))),
-    "q164_stream_quantiles" -> ((q164StreamQuantiles _, Some(q164Sql))))
+    "q164_stream_quantiles" -> ((q164StreamQuantiles _, Some(q164Sql))),
+    "q165_luhn_audit" -> ((q165LuhnAudit _, Some(q165Sql))))
 }

@@ -514,4 +514,36 @@ class CurationQueriesSpec extends SparkSpec {
     assert(r.getLong(3) === 1000000L, "l1 drift in exact ppm")
     assert(r.getLong(4) === 500000L, "max per-dim drift in exact ppm")
   }
+
+  test("q165 luhn audit: independent checksum reference, length gates") {
+    // independent driver-side Luhn (the spec's own arithmetic, not the
+    // engine's tower): doubled every 2nd digit from the right
+    def luhnOk(s: String): Boolean = s.reverse.zipWithIndex.map {
+      case (c, i) =>
+        val d = c - '0'
+        if (i % 2 == 1) { val t = d * 2; if (t > 9) t - 9 else t } else d
+    }.sum % 10 == 0
+    def withCheck(base15: String): String = {
+      val d = (0 to 9).find(d => luhnOk(base15 + d)).get
+      base15 + d
+    }
+    val valid = withCheck("453957876362148")
+    val invalid = valid.init + ((valid.last - '0' + 1) % 10)
+    assert(luhnOk(valid) && !luhnOk(invalid))
+    val dir = fixtureDir()
+    Seq(
+      (1L, s"pay with $valid today", "s1"),
+      (2L, s"or maybe $invalid instead", "s1"),
+      (3L, "short 123456789012 and long 12345678901234567890 skip", "s1"),
+      (4L, s"two runs $valid and $valid here", "s2"))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = Queries.registry.toMap.apply("q165_luhn_audit")
+      ._1(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(out("s1") === ((2L, 1L, 500000L)),
+      s"12/20-digit runs gated out; one of two candidates valid: $out")
+    assert(out("s2") === ((2L, 2L, 1000000L)))
+  }
 }
