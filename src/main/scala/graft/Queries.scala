@@ -7187,6 +7187,158 @@ object Queries {
       .orderBy(col("shard"))
   }
 
+  /** Near-dup graph transitivity audit: global clustering statistics
+    * of the EXACT near-dup pair graph (q128's prefix-filter join at
+    * Jaccard ≥ 0.7 — the same pair stream q159 attributes and q55
+    * resolves into clusters). Transitivity = 3·triangles / wedges is
+    * THE policy number for dedup-domain design: high closure means
+    * single-linkage clusters (q55) are tight and keep-one-per-cluster
+    * is safe; low closure means chains link dissimilar docs and
+    * single-linkage over-merges. Exact integer algebra end-to-end:
+    * wedges = Σ d(d−1) DIV 2 in BIGINT, triangles counted once each
+    * via [[graft.operators.Graph.triangleStats]]'s degree-ordered
+    * wedge join (per-corner counts summed DIV 3), closure ppm one
+    * correctly-rounded divide. 100 TB shape: pair stream is q128's
+    * (prefix-pruned); everything after the per-node aggregate is
+    * nodes-sized.
+    */
+  def q166DupTransitivity(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val pairs = TextDedup.prefixFilterJoin(docs, "doc_id", "text",
+      shingleSize = 3, threshold = 0.7)
+    Graph.triangleStats(pairs, "id_a", "id_b")
+      .agg(count(lit(1)).as("__n"),
+        sum(col("degree")).as("__sd"),
+        sum(col("degree") * (col("degree") - 1)).as("__sw2"),
+        sum(col("triangles")).as("__st"))
+      .select(col("__n").as("nodes"),
+        expr("__sd DIV 2").as("edges"),
+        expr("__sw2 DIV 2").as("wedges"),
+        expr("__st DIV 3").as("triangles"),
+        when(col("__sw2") > 0,
+          expr("(__st * 1000000) DIV (__sw2 DIV 2)"))
+          .as("transitivity_ppm"))
+  }
+
+  val q166Sql: String =
+    """WITH sets AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(ta) < 3 THEN [array_to_string(ta, ' ')]
+      |      ELSE list_transform(range(1, len(ta) - 1),
+      |             i -> ta[i] || ' ' || ta[i+1] || ' ' || ta[i+2]) END) AS s
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split(text, ' '), x -> x <> '') AS ta
+      |        FROM documents) i),
+      |ex AS (
+      |  SELECT doc_id, CAST(len(s) AS BIGINT) AS sz, unnest(s) AS sh
+      |  FROM sets),
+      |ov AS (
+      |  SELECT a.doc_id AS ia, b.doc_id AS ib,
+      |    MIN(a.sz) AS la, MIN(b.sz) AS lb, CAST(COUNT(*) AS BIGINT) AS i
+      |  FROM ex a JOIN ex b ON b.sh = a.sh AND a.doc_id < b.doc_id
+      |    AND b.sz * 10 >= a.sz * 7 AND a.sz * 10 >= b.sz * 7
+      |  GROUP BY 1, 2),
+      |p AS (
+      |  SELECT ia AS u, ib AS v FROM ov
+      |  WHERE CAST(i AS DOUBLE) / CAST(la + lb - i AS DOUBLE) >= 0.7),
+      |deg AS (
+      |  SELECT u, CAST(COUNT(*) AS BIGINT) AS d
+      |  FROM (SELECT u FROM p UNION ALL SELECT v FROM p) s(u) GROUP BY u),
+      |tri AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS t
+      |  FROM p e1 JOIN p e2 ON e2.u = e1.v JOIN p e3
+      |    ON e3.u = e1.u AND e3.v = e2.v)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS nodes,
+      |  CAST(SUM(d) // 2 AS BIGINT) AS edges,
+      |  CAST(SUM(d * (d - 1)) // 2 AS BIGINT) AS wedges,
+      |  (SELECT t FROM tri) AS triangles,
+      |  CAST(CASE WHEN SUM(d * (d - 1)) > 0
+      |    THEN ((SELECT t FROM tri) * 3 * 1000000) // (SUM(d * (d - 1)) // 2)
+      |  END AS BIGINT) AS transitivity_ppm
+      |FROM deg""".stripMargin
+
+  /** Exact two-sample Kolmogorov-Smirnov drift per source: the KS
+    * distance between each source's document-length distribution and
+    * the corpus-wide one — the distribution-shift alarm run before a
+    * new crawl joins the training mix. Exact integer algebra: the
+    * sup is over the merged jump grid (every distinct corpus length —
+    * both CDFs are right-continuous steps, so the max lives there);
+    * at each grid point the numerator |cum_s·N − cum_g·n_s| stays in
+    * BIGINT via cross-multiplication (no per-point division), and the
+    * final ppm is ONE integer DIV. The source×grid densification is a
+    * constant-key broadcast join (sources × distinct lengths, both
+    * bounded — NOT data-sized), window cumsums partitioned by source.
+    */
+  def q167KsDrift(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select(col("source"), col("n_chars"))
+    val per = base.groupBy(col("source"), col("n_chars"))
+      .agg(count(lit(1)).as("__c"))
+    val glob = base.groupBy(col("n_chars")).agg(count(lit(1)).as("__g"))
+    val nTot = base.groupBy().agg(count(lit(1)).as("__N"))
+      .withColumn("__k", lit(1))
+    val grid = glob.select(col("n_chars").as("__x"), col("__g"))
+    val srcs = base.groupBy(col("source")).agg(count(lit(1)).as("__ns"))
+    val perR = per.select(col("source").as("__ps"),
+      col("n_chars").as("__px"), col("__c"))
+    val dense = srcs.withColumn("__k", lit(1))
+      .join(broadcast(grid.withColumn("__k", lit(1))), Seq("__k"))
+      .join(perR, col("source") === col("__ps") &&
+        col("__x") === col("__px"), "left")
+      .select(col("source"), col("__ns"), col("__x"), col("__g"),
+        coalesce(col("__c"), lit(0L)).as("__c"))
+      .withColumn("__k", lit(1))
+    val wS = Window.partitionBy(col("source")).orderBy(col("__x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = dense
+      .select(col("source"), col("__ns"), col("__x"), col("__k"),
+        sum(col("__c")).over(wS).as("__cs"),
+        sum(col("__g")).over(wS).as("__cg"))
+      .join(broadcast(nTot), Seq("__k"))
+      .select(col("source"), col("__ns"), col("__x"),
+        abs(col("__cs") * col("__N") - col("__cg") * col("__ns"))
+          .as("__d"))
+    val wMax = Window.partitionBy(col("source"))
+    cum
+      .withColumn("__dm", max(col("__d")).over(wMax))
+      .where(col("__d") === col("__dm"))
+      .groupBy(col("source"))
+      .agg(max(col("__ns")).as("n_docs"), min(col("__x")).as("ks_at"),
+        max(col("__dm")).as("__num"))
+      .withColumn("__k", lit(1))
+      .join(broadcast(nTot), Seq("__k"))
+      .select(col("source"), col("n_docs"), col("ks_at"),
+        expr("(__num * 1000000) DIV (n_docs * __N)").as("ks_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val q167Sql: String =
+    """WITH base AS (SELECT source, n_chars FROM documents),
+      |per AS (SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS c
+      |        FROM base GROUP BY 1, 2),
+      |gcnt AS (SELECT n_chars, CAST(COUNT(*) AS BIGINT) AS g
+      |         FROM base GROUP BY 1),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS N FROM base),
+      |srcs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS ns
+      |         FROM base GROUP BY 1),
+      |dense AS (
+      |  SELECT s.source, s.ns, gl.n_chars AS x, gl.g,
+      |    COALESCE(p.c, 0) AS c
+      |  FROM srcs s CROSS JOIN gcnt gl
+      |  LEFT JOIN per p ON p.source = s.source AND p.n_chars = gl.n_chars),
+      |cum AS (
+      |  SELECT source, ns, x,
+      |    ABS(SUM(c) OVER (PARTITION BY source ORDER BY x) * (SELECT N FROM tot)
+      |      - SUM(g) OVER (PARTITION BY source ORDER BY x) * ns) AS d
+      |  FROM dense),
+      |mx AS (
+      |  SELECT source, ns, x, d,
+      |    MAX(d) OVER (PARTITION BY source) AS dm
+      |  FROM cum)
+      |SELECT source, MAX(ns) AS n_docs, MIN(x) AS ks_at,
+      |  CAST((MAX(dm) * 1000000) // (MAX(ns) * (SELECT N FROM tot))
+      |    AS BIGINT) AS ks_ppm
+      |FROM mx WHERE d = dm GROUP BY source ORDER BY source""".stripMargin
+
   /** Luhn-validated payment-card candidate audit: maximal digit runs
     * of plausible PAN length (13-19) per source, with the Luhn mod-10
     * checksum separating structurally-valid candidates from random
@@ -7691,5 +7843,7 @@ object Queries {
     "q162_token_kcore" -> ((q162TokenKcore _, Some(q162Sql))),
     "q163_centroid_drift" -> ((q163CentroidDrift _, Some(q163Sql))),
     "q164_stream_quantiles" -> ((q164StreamQuantiles _, Some(q164Sql))),
-    "q165_luhn_audit" -> ((q165LuhnAudit _, Some(q165Sql))))
+    "q165_luhn_audit" -> ((q165LuhnAudit _, Some(q165Sql))),
+    "q166_dup_transitivity" -> ((q166DupTransitivity _, Some(q166Sql))),
+    "q167_ks_drift" -> ((q167KsDrift _, Some(q167Sql))))
 }

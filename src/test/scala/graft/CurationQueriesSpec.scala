@@ -546,4 +546,39 @@ class CurationQueriesSpec extends SparkSpec {
       s"12/20-digit runs gated out; one of two candidates valid: $out")
     assert(out("s2") === ((2L, 2L, 1000000L)))
   }
+
+  test("q166 dup transitivity: planted triangle + open pair, exact closure") {
+    val dir = fixtureDir()
+    // three identical docs (a 3-clique in the pair graph), two identical
+    // docs from a disjoint vocabulary (one edge), one singleton (not in
+    // the graph): nodes 5, edges 4, wedges 3, triangles 1, closure 1e6
+    val tri = "alpha beta gamma delta epsilon zeta"
+    val pair = "one two three four five six"
+    val solo = "lonely words that match nothing else at all"
+    Seq((1L, tri), (2L, tri), (3L, tri), (4L, pair), (5L, pair),
+      (6L, solo))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = Queries.registry.toMap.apply("q166_dup_transitivity")
+      ._1(spark, dir).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) === ((5L, 4L, 3L, 1L, 1000000L)), r.toString)
+  }
+
+  test("q167 ks drift: closed-form two-source distance, argmax at the jump") {
+    val dir = fixtureDir()
+    // s1 lengths {1,2}, s2 lengths {3,4}; N=4, ns=2. For s1 the sup of
+    // |cum_s*N - cum_g*ns| over the grid {1,2,3,4} is 4 at x=2
+    // (2*4 - 2*2), so ks = 4 / (2*4) = 500000 ppm; symmetric for s2
+    // (sup also 4, first attained at x=2 where cum_s=0, cum_g=2).
+    Seq((1L, "s1", 1L), (2L, "s1", 2L), (3L, "s2", 3L), (4L, "s2", 4L))
+      .toDF("doc_id", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = Queries.registry.toMap.apply("q167_ks_drift")
+      ._1(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(out("s1") === ((2L, 2L, 500000L)), out.toString)
+    assert(out("s2") === ((2L, 2L, 500000L)), out.toString)
+  }
 }
