@@ -7674,6 +7674,237 @@ object Queries {
       |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Round-9 batch 4 (q168+): interval algebra, geo assignment, audits,
+  // weighted sampling, layout/locality, CDC, vocabulary truncation
+  // ---------------------------------------------------------------------
+
+  /** Interval coalescing (gaps-and-islands): each event opens a
+    * deterministic activity interval `[ts, ts + (1 + event_id % 7200) s)`;
+    * overlapping/touching intervals per user merge into islands, the
+    * canonical "covered time" computation (ad sessions, machine uptime,
+    * span-level scrub regions). Island detection is the running-max-end
+    * window trick — one shuffle on `user_id`, no self-join (the naive
+    * interval self-join is quadratic per user). All math on exact epoch
+    * nanos ([[normalizeEvents]] `ts_ns` is bit-identical to DuckDB's
+    * `epoch_ns`), so island boundaries agree exactly across engines.
+    */
+  def q168IntervalMerge(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns"), col("event_id"))
+    val prevMaxEnd = max(col("__end")).over(
+      byUser.rowsBetween(Window.unboundedPreceding, -1))
+    events(s, dir)
+      .withColumn("__end",
+        col("ts_ns") + (pmod(col("event_id"), lit(7200L)) + 1L)
+          * 1000000000L)
+      .withColumn("__new",
+        when(prevMaxEnd.isNull || col("ts_ns") > prevMaxEnd, 1L)
+          .otherwise(0L))
+      .withColumn("__island", sum(col("__new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("__island"))
+      .agg(count(lit(1)).as("__n"),
+        (max(col("__end")) - min(col("ts_ns"))).as("__cov"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("__n")).as("n_events"),
+        count(lit(1)).as("n_intervals"),
+        sum(col("__cov")).as("covered_ns"))
+      .orderBy(col("user_id"))
+  }
+
+  val q168Sql: String =
+    """WITH iv AS (
+      |  SELECT user_id, event_id, epoch_ns(ts) AS st,
+      |    epoch_ns(ts) + ((event_id % 7200) + 1) * 1000000000 AS en
+      |  FROM events),
+      |flag AS (
+      |  SELECT user_id, st, en,
+      |    CASE WHEN MAX(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      |      OR st > MAX(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      THEN 1 ELSE 0 END AS isnew,
+      |    event_id
+      |  FROM iv),
+      |isl AS (
+      |  SELECT user_id, st, en,
+      |    SUM(isnew) OVER (PARTITION BY user_id ORDER BY st, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM flag),
+      |agg AS (
+      |  SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS n,
+      |    MAX(en) - MIN(st) AS cov
+      |  FROM isl GROUP BY 1, 2)
+      |SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_events,
+      |  CAST(COUNT(*) AS BIGINT) AS n_intervals,
+      |  CAST(SUM(cov) AS BIGINT) AS covered_ns
+      |FROM agg GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** The 15 weather-dim sites in exact integer microdegrees — ONE Scala
+    * value feeds both the engine literal array and the oracle's VALUES
+    * list (the q165 shared-tower pattern), so no float parsing can
+    * diverge. Source: the reference's region map (py:27-43) via
+    * [[graft.model.WeatherModel.regions]].
+    */
+  private val geoSites: Seq[(String, Long, Long)] =
+    graft.model.WeatherModel.regions.map { case (n, la, lo) =>
+      (n, math.round(la * 1e6), math.round(lo * 1e6)) }
+
+  /** Nearest-site geo assignment: every customer gets a deterministic
+    * pseudo-location in the Kenya bounding box (portable md5-60 integers,
+    * DuckDB-reproducible bit for bit) and is assigned to the nearest of
+    * the 15 weather sites by squared planar microdegree distance — the
+    * geofencing/catchment-area operator. The 100 TB plan is MAP-ONLY:
+    * the site list rides as a 15-element literal struct array and the
+    * per-row argmin is `sort_array(transform(...))[1]` (no join, no
+    * per-point shuffle; ties break on site name inside the same struct
+    * comparison); the only exchange is the final 15-group partial-agg
+    * rollup. Exact BIGINT algebra: |Δ| ≤ 9.7e6 µdeg ⇒ d² ≤ 1.6e14.
+    */
+  def q169GeoNearest(s: SparkSession, dir: String): DataFrame = {
+    val siteArr = array(geoSites.map { case (n, la, lo) =>
+      struct(lit(la).as("slat"), lit(lo).as("slon"), lit(n).as("region"))
+    }: _*)
+    val plat = lit(-4700000L) +
+      pmod(TextDedup.md5Hash60(
+        concat(lit("geo-lat-v1:"), col("c_custkey").cast("string"))),
+        lit(9700001L))
+    val plon = lit(33900000L) +
+      pmod(TextDedup.md5Hash60(
+        concat(lit("geo-lon-v1:"), col("c_custkey").cast("string"))),
+        lit(8000001L))
+    t(s, dir, "customer")
+      .select(col("c_custkey"), plat.as("__plat"), plon.as("__plon"))
+      .withColumn("__best", element_at(sort_array(transform(siteArr,
+        r => struct(
+          ((col("__plat") - r("slat")) * (col("__plat") - r("slat")) +
+            (col("__plon") - r("slon")) * (col("__plon") - r("slon")))
+            .as("d2"),
+          r("region").as("region")))), 1))
+      .select(col("__best")("region").as("region"),
+        col("__best")("d2").as("d2"))
+      .groupBy(col("region"))
+      .agg(count(lit(1)).as("n_points"), min(col("d2")).as("min_d2"),
+        max(col("d2")).as("max_d2"), sum(col("d2")).as("sum_d2"))
+      .orderBy(col("region"))
+  }
+
+  val q169Sql: String = {
+    val values = geoSites.map { case (n, la, lo) => s"('$n', $la, $lo)" }
+      .mkString(",\n      |    ")
+    s"""WITH pts AS (
+      |  SELECT c_custkey,
+      |    -4700000 + CAST('0x' || substr(md5('geo-lat-v1:' ||
+      |      CAST(c_custkey AS VARCHAR)), 1, 15) AS BIGINT) % 9700001
+      |      AS plat,
+      |    33900000 + CAST('0x' || substr(md5('geo-lon-v1:' ||
+      |      CAST(c_custkey AS VARCHAR)), 1, 15) AS BIGINT) % 8000001
+      |      AS plon
+      |  FROM customer),
+      |sites(region, slat, slon) AS (VALUES
+      |    $values),
+      |d AS (
+      |  SELECT c_custkey, region,
+      |    (plat - slat) * (plat - slat) + (plon - slon) * (plon - slon)
+      |      AS d2
+      |  FROM pts CROSS JOIN sites),
+      |best AS (
+      |  SELECT c_custkey, region, d2,
+      |    ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY d2, region)
+      |      AS rn
+      |  FROM d)
+      |SELECT region, CAST(COUNT(*) AS BIGINT) AS n_points,
+      |  MIN(d2) AS min_d2, MAX(d2) AS max_d2,
+      |  CAST(SUM(d2) AS BIGINT) AS sum_d2
+      |FROM best WHERE rn = 1
+      |GROUP BY region ORDER BY region""".stripMargin
+  }
+
+  /** Benford first-digit ppm shares, shared engine/oracle literals
+    * (round(log10(1+1/d)*1e6)). */
+  private val benfordPpm: Seq[(Int, Long)] = (1 to 9).map { d =>
+    d -> math.round(math.log10(1.0 + 1.0 / d) * 1e6) }
+
+  /** Benford's-law first-digit audit on `l_extendedprice` — the
+    * fabricated-numbers smoke test auditors run on financial columns
+    * (synthetic TPC-H prices are ~uniform, so the audit should FLAG
+    * them; the point is the exact deviation report, not conformance).
+    * First significant digit via the exact cents integer (the engine's
+    * standard `FLOOR(x*100+0.5)` fixed-point idiom), expected shares as
+    * shared round(log10(1+1/d)·1e6) literals — one scan, 9-group agg,
+    * observed/expected/delta all exact BIGINT ppm.
+    */
+  def q170BenfordAudit(s: SparkSession, dir: String): DataFrame = {
+    val expected = benfordPpm.foldLeft(lit(0L)) { case (acc, (d, p)) =>
+      when(col("digit") === d, lit(p)).otherwise(acc) }
+    t(s, dir, "lineitem")
+      .select(substring(floor(col("l_extendedprice") * 100 + 0.5)
+        .cast("long").cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("__tot", sum(col("cnt")).over(Window.partitionBy()))
+      .select(col("digit"), col("cnt"),
+        expr("cnt * 1000000 DIV __tot").as("observed_ppm"),
+        expected.as("expected_ppm"))
+      .withColumn("delta_ppm", col("observed_ppm") - col("expected_ppm"))
+      .orderBy(col("digit"))
+  }
+
+  val q170Sql: String = {
+    val values = benfordPpm.map { case (d, p) => s"($d, $p)" }
+      .mkString(", ")
+    s"""WITH digits AS (
+      |  SELECT CAST(substr(CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5)
+      |    AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      |  FROM lineitem),
+      |cnts AS (
+      |  SELECT digit, CAST(COUNT(*) AS BIGINT) AS cnt FROM digits
+      |  GROUP BY digit),
+      |exp(digit, expected_ppm) AS (VALUES $values)
+      |SELECT c.digit, c.cnt,
+      |  CAST(c.cnt * 1000000 // (SELECT SUM(cnt) FROM cnts) AS BIGINT)
+      |    AS observed_ppm,
+      |  CAST(e.expected_ppm AS BIGINT) AS expected_ppm,
+      |  CAST(c.cnt * 1000000 // (SELECT SUM(cnt) FROM cnts)
+      |    - e.expected_ppm AS BIGINT) AS delta_ppm
+      |FROM cnts c JOIN exp e ON e.digit = c.digit
+      |ORDER BY c.digit""".stripMargin
+  }
+
+  /** Weighted sampling without replacement via integer ticket
+    * replication: doc weight w = 1 + min(n_chars DIV 500, 7) buys w
+    * lottery tickets `md5-60("ws-v1:<id>:<i>")`; the sample is the
+    * global top-k by MIN ticket — the exact-integer analogue of
+    * Efraimidis-Spirakis u^(1/w) keys (P(selected) rises with w; every
+    * arithmetic step is BIGINT, so both engines draw the IDENTICAL
+    * sample — no float pow/ln whose ulp could flip a rank). Map-only
+    * ticket fold (≤8 md5s per row, no explode), then TakeOrdered k=100
+    * — the 100 TB plan: no shuffle beyond the top-k tree reduction.
+    */
+  def q171WeightedSample(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("weight",
+        expr("1 + least(n_chars DIV 500, 7)").cast("long"))
+      .withColumn("ticket", array_min(transform(
+        sequence(lit(0L), col("weight") - 1L),
+        i => TextDedup.md5Hash60(concat(lit("ws-v1:"),
+          col("doc_id").cast("string"), lit(":"), i.cast("string"))))))
+      .select(col("doc_id"), col("source"), col("weight"), col("ticket"))
+      .orderBy(col("ticket"), col("doc_id"))
+      .limit(100)
+
+  val q171Sql: String =
+    """SELECT doc_id, source, weight, ticket FROM (
+      |  SELECT doc_id, source,
+      |    1 + LEAST(n_chars // 500, 7) AS weight,
+      |    list_min(list_transform(range(0, 1 + LEAST(n_chars // 500, 7)),
+      |      i -> CAST('0x' || substr(md5('ws-v1:' ||
+      |        CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)),
+      |        1, 15) AS BIGINT))) AS ticket
+      |  FROM documents) t
+      |ORDER BY ticket, doc_id LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
 
@@ -7845,5 +8076,9 @@ object Queries {
     "q164_stream_quantiles" -> ((q164StreamQuantiles _, Some(q164Sql))),
     "q165_luhn_audit" -> ((q165LuhnAudit _, Some(q165Sql))),
     "q166_dup_transitivity" -> ((q166DupTransitivity _, Some(q166Sql))),
-    "q167_ks_drift" -> ((q167KsDrift _, Some(q167Sql))))
+    "q167_ks_drift" -> ((q167KsDrift _, Some(q167Sql))),
+    "q168_interval_merge" -> ((q168IntervalMerge _, Some(q168Sql))),
+    "q169_geo_nearest" -> ((q169GeoNearest _, Some(q169Sql))),
+    "q170_benford_audit" -> ((q170BenfordAudit _, Some(q170Sql))),
+    "q171_weighted_sample" -> ((q171WeightedSample _, Some(q171Sql))))
 }

@@ -1,0 +1,118 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Closed-form fixtures for the round-9 batch-4 queries (q168+). The
+  * value-level gate is the DuckDB oracle at sf0.001/sf0.01; these pin the
+  * properties the oracle cannot isolate: island merge/touch semantics,
+  * the md5-60 geo assignment against an independent JVM reimplementation,
+  * exact Benford ppm arithmetic, and weighted-ticket sampling monotonics.
+  */
+class AuditQueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixtureDir(): String =
+    Files.createTempDirectory("graft_auditfix").toString
+
+  /** Independent md5-60 (java.security, not Spark) for cross-checks. */
+  private def md5_60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val hex = d.map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
+  private val t0 = 1700000000000000000L // µs-aligned epoch nanos
+
+  private def writeEvents(dir: String, rows: Seq[(Long, Long, Long)]): Unit =
+    rows.map { case (id, ns, user) =>
+      (id, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        ns / 1000000000L, ns % 1000000000L)), user)
+    }.toDF("event_id", "ts", "user_id")
+      .write.parquet(s"$dir/events.parquet")
+
+  test("q168 interval merge: overlap merges, gap splits, touch merges") {
+    val dir = fixtureDir()
+    val sec = 1000000000L
+    // user 0: id 0 -> dur 1 s at t0; id 2 -> dur 3 s at t0+0.5 s
+    // (overlaps, island covers [t0, t0+3.5 s]); id 4 -> dur 5 s at
+    // t0+10 s (gap -> new island). covered = 3.5 s + 5 s.
+    // user 1: id 6 -> dur 7 s at t0; id 7200 -> dur 1 s at EXACTLY
+    // t0+7 s (start == prev max end -> touch MERGES). covered = 8 s.
+    writeEvents(dir, Seq(
+      (0L, t0, 0L), (2L, t0 + sec / 2, 0L), (4L, t0 + 10 * sec, 0L),
+      (6L, t0, 1L), (7200L, t0 + 7 * sec, 1L)))
+    val out = Queries.registry.toMap.apply("q168_interval_merge")
+      ._1(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(out(0L) === ((3L, 2L, 3500000000L + 5000000000L)), out.toString)
+    assert(out(1L) === ((2L, 1L, 8000000000L)), out.toString)
+  }
+
+  test("q169 geo nearest matches an independent JVM argmin") {
+    val dir = fixtureDir()
+    val keys = (0L until 40L).toSeq
+    keys.map(k => (k, s"c$k")).toDF("c_custkey", "c_name")
+      .write.parquet(s"$dir/customer.parquet")
+    val sites = graft.model.WeatherModel.regions.map { case (n, la, lo) =>
+      (n, math.round(la * 1e6), math.round(lo * 1e6)) }
+    // reimplement point derivation + argmin with java.security md5
+    val expected = keys.map { k =>
+      val plat = -4700000L + md5_60(s"geo-lat-v1:$k") % 9700001L
+      val plon = 33900000L + md5_60(s"geo-lon-v1:$k") % 8000001L
+      sites.map { case (n, sla, slo) =>
+        ((plat - sla) * (plat - sla) + (plon - slo) * (plon - slo), n)
+      }.min
+    }
+    val expByRegion = expected.groupBy(_._2).map { case (r, ds) =>
+      r -> ((ds.size.toLong, ds.map(_._1).min, ds.map(_._1).max,
+        ds.map(_._1).sum)) }
+    val out = Queries.registry.toMap.apply("q169_geo_nearest")
+      ._1(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(out === expByRegion, s"got $out\nwant $expByRegion")
+  }
+
+  test("q170 benford: exact ppm shares and deltas on a fixed digit mix") {
+    val dir = fixtureDir()
+    // cents: 100,199,150 (digit 1) x3; 2550 (digit 2) x1 -> 750000 /
+    // 250000 ppm observed against 301030 / 176091 expected
+    Seq((1L, 1L, 1.00), (1L, 2L, 1.99), (2L, 1L, 1.50), (2L, 2L, 25.50))
+      .toDF("l_orderkey", "l_linenumber", "l_extendedprice")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val out = Queries.registry.toMap.apply("q170_benford_audit")
+      ._1(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) === ((3L, 750000L, 301030L, 448970L)), out.toString)
+    assert(out(2L) === ((1L, 250000L, 176091L, 73909L)), out.toString)
+  }
+
+  test("q171 weighted sample: tickets are min over w independent draws") {
+    val dir = fixtureDir()
+    // doc 0/1/2: w=1; doc 3: n_chars 1600 -> w=4 (more tickets -> its
+    // min ticket is stochastically smaller; here we assert EXACT values)
+    Seq((0L, "a", "s", 10L), (1L, "b", "s", 499L), (2L, "c", "s", 500L),
+      (3L, "d", "s", 1600L))
+      .toDF("doc_id", "text", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = Queries.registry.toMap.apply("q171_weighted_sample")
+      ._1(spark, dir).collect()
+    assert(out.length === 4)
+    val got = out.map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    def ticket(id: Long, w: Long): Long =
+      (0L until w).map(i => md5_60(s"ws-v1:$id:$i")).min
+    assert(got(0L) === ((1L, ticket(0, 1))))
+    assert(got(1L) === ((1L, ticket(1, 1))))
+    assert(got(2L) === ((2L, ticket(2, 2)))) // 500 DIV 500 = 1 -> w=2
+    assert(got(3L) === ((4L, ticket(3, 4))))
+    // output ordering is (ticket, doc_id) ascending
+    val tickets = out.map(_.getLong(3)).toSeq
+    assert(tickets === tickets.sorted, tickets.toString)
+  }
+}
