@@ -7904,6 +7904,232 @@ object Queries {
       |  FROM documents) t
       |ORDER BY ticket, doc_id LIMIT 100""".stripMargin
 
+  /** Prefix-cache locality reorder gain: inference/batching serving
+    * stacks reuse KV-cache across requests that share a token prefix, so
+    * the scheduler question is "how many prefix chars do ADJACENT docs
+    * share under my ordering?". Reports exact adjacent-pair LCP totals
+    * (capped at 64 chars) under (a) arrival order — doc_id within
+    * 100-doc blocks — and (b) prefix-sorted order within 2-char shard
+    * buckets. Both pairings are PARTITIONED BY DESIGN (block / bucket),
+    * so the windows shuffle-scale instead of collapsing to one global
+    * sort partition; that is also the real serving shape (requests are
+    * sharded by prefix). LCP is exact positional algebra — max i with
+    * equal i-prefixes — identical on both engines.
+    */
+  def q172PrefixOrder(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), substring(col("text"), 1, 64).as("__p64"))
+    def lcp(a: Column, b: Column): Column = {
+      val cap = least(length(a), length(b))
+      array_max(transform(sequence(lit(1L), lit(64L)),
+        i => when(i <= cap &&
+          a.substr(lit(1), i.cast("int")) === b.substr(lit(1), i.cast("int")),
+          i).otherwise(lit(0L))))
+    }
+    def report(strategy: String, paired: DataFrame): DataFrame =
+      paired.where(col("__prev").isNotNull)
+        .select(lcp(col("__prev"), col("__p64")).as("__lcp"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("__lcp")).as("total_lcp"))
+        .select(lit(strategy).as("strategy"), col("n_pairs"),
+          col("total_lcp"),
+          when(col("n_pairs") > 0,
+            expr("total_lcp * 1000000 DIV n_pairs")).as("avg_lcp_ppm"))
+    val idOrder = docs
+      .withColumn("__prev", lag(col("__p64"), 1).over(
+        Window.partitionBy(expr("doc_id DIV 100")).orderBy(col("doc_id"))))
+    val sorted = docs
+      .withColumn("__prev", lag(col("__p64"), 1).over(
+        Window.partitionBy(substring(col("__p64"), 1, 2))
+          .orderBy(col("__p64"), col("doc_id"))))
+    report("id_order", idOrder)
+      .unionAll(report("prefix_sorted", sorted))
+      .orderBy(col("strategy"))
+  }
+
+  val q172Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, substr(text, 1, 64) AS p64 FROM documents
+      |  WHERE text IS NOT NULL),
+      |ido AS (
+      |  SELECT p64, LAG(p64) OVER (PARTITION BY doc_id // 100
+      |    ORDER BY doc_id) AS prev
+      |  FROM docs),
+      |srt AS (
+      |  SELECT p64, LAG(p64) OVER (PARTITION BY substr(p64, 1, 2)
+      |    ORDER BY p64, doc_id) AS prev
+      |  FROM docs),
+      |lcps AS (
+      |  SELECT 'id_order' AS strategy,
+      |    list_max(list_transform(range(1, 65), i -> CASE
+      |      WHEN i <= LEAST(len(prev), len(p64))
+      |        AND substr(prev, 1, i) = substr(p64, 1, i)
+      |      THEN i ELSE 0 END)) AS lcp
+      |  FROM ido WHERE prev IS NOT NULL
+      |  UNION ALL
+      |  SELECT 'prefix_sorted' AS strategy,
+      |    list_max(list_transform(range(1, 65), i -> CASE
+      |      WHEN i <= LEAST(len(prev), len(p64))
+      |        AND substr(prev, 1, i) = substr(p64, 1, i)
+      |      THEN i ELSE 0 END)) AS lcp
+      |  FROM srt WHERE prev IS NOT NULL)
+      |SELECT strategy, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  CAST(SUM(lcp) AS BIGINT) AS total_lcp,
+      |  CAST(CASE WHEN COUNT(*) > 0
+      |    THEN SUM(lcp) * 1000000 // COUNT(*) END AS BIGINT)
+      |    AS avg_lcp_ppm
+      |FROM lcps GROUP BY strategy ORDER BY strategy""".stripMargin
+
+  /** CDC apply with deletes: replay an insert/update/delete op log onto
+    * a snapshot — latest sequence number wins per key, a winning D
+    * removes the row (the piece q11's last-writer upsert does not
+    * cover). The op log is derived deterministically from `orders`
+    * (I for every key at seq 1; U with +10% price — exact cents
+    * arithmetic `c + c DIV 10` — at seq 2 for keys ≡0 mod 5; D at seq 3
+    * for keys ≡0 mod 7), so both engines replay the identical log. One
+    * shuffle on the key for the row_number arbitration; at 100 TB the
+    * log side is the small delta and the snapshot side stays bucketed.
+    */
+  def q173CdcApply(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderpriority"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("__c"))
+    val ins = base.select(col("o_orderkey"), col("o_orderpriority"),
+      col("__c").as("cents"), lit("I").as("op"), lit(1L).as("seq"))
+    val upd = base.where(pmod(col("o_orderkey"), lit(5L)) === 0L)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        (col("__c") + expr("__c DIV 10")).as("cents"),
+        lit("U").as("op"), lit(2L).as("seq"))
+    val del = base.where(pmod(col("o_orderkey"), lit(7L)) === 0L)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        lit(null).cast("long").as("cents"), lit("D").as("op"),
+        lit(3L).as("seq"))
+    val byKey = Window.partitionBy(col("o_orderkey"))
+      .orderBy(col("seq").desc)
+    ins.unionAll(upd).unionAll(del)
+      .withColumn("__rn", row_number().over(byKey))
+      .where(col("__rn") === 1 && col("op") =!= "D")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q173Sql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+      |  FROM orders),
+      |ops AS (
+      |  SELECT o_orderkey, o_orderpriority, c AS cents, 'I' AS op,
+      |    1 AS seq FROM base
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderpriority, c + c // 10, 'U', 2
+      |  FROM base WHERE o_orderkey % 5 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderpriority, NULL, 'D', 3
+      |  FROM base WHERE o_orderkey % 7 = 0),
+      |win AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+      |    ORDER BY seq DESC) AS rn
+      |  FROM ops)
+      |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(cents) AS BIGINT) AS total_cents
+      |FROM win WHERE rn = 1 AND op <> 'D'
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Nucleus (top-p) vocabulary coverage per source: sort each source's
+    * token histogram by count, keep the minimal prefix covering ≥90% of
+    * token mass — the truncation tokenizer/vocab designers run to size
+    * a vocabulary against a corpus slice. Decision in exact integers
+    * (`prev_cum·10 < total·9`: a token is retained iff mass is still
+    * missing before it), deterministic (count DESC, token ASC) order.
+    * One tokenize pass → (source, token) partial-agg histogram; the
+    * window runs over vocab-sized rows (bounded by distinct tokens per
+    * source), never the raw token stream.
+    */
+  def q174ToppVocab(s: SparkSession, dir: String): DataFrame = {
+    val hist = t(s, dir, "documents")
+      .select(col("source"),
+        explode_outer(TextFunctions.tokens(col("text"))).as("tok"))
+      .where(col("tok").isNotNull)
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("__c"))
+    val bySrc = Window.partitionBy(col("source"))
+    val ordered = bySrc.orderBy(col("__c").desc, col("tok"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("__tot", sum(col("__c")).over(bySrc))
+      .withColumn("__cum", sum(col("__c")).over(ordered))
+      .withColumn("__keep",
+        (col("__cum") - col("__c")) * 10 < col("__tot") * 9)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab_size"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("tokens_retained"),
+        max(col("__tot")).as("__t"),
+        sum(when(col("__keep"), col("__c")).otherwise(0L)).as("__kc"))
+      .select(col("source"), col("vocab_size"), col("tokens_retained"),
+        expr("__kc * 1000000 DIV __t").as("coverage_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val q174Sql: String =
+    """WITH hist AS (
+      |  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
+      |    SELECT source,
+      |      unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+      |        AS tok
+      |    FROM documents) u
+      |  GROUP BY source, tok),
+      |win AS (
+      |  SELECT source, c,
+      |    SUM(c) OVER (PARTITION BY source) AS tot,
+      |    SUM(c) OVER (PARTITION BY source ORDER BY c DESC, tok
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM hist)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab_size,
+      |  CAST(SUM(CASE WHEN (cum - c) * 10 < tot * 9 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS tokens_retained,
+      |  CAST(SUM(CASE WHEN (cum - c) * 10 < tot * 9 THEN c ELSE 0 END)
+      |    * 1000000 // MAX(tot) AS BIGINT) AS coverage_ppm
+      |FROM win GROUP BY source ORDER BY source""".stripMargin
+
+  /** The FK edges of the TPC-H-ish star, shared engine/oracle. */
+  private val riEdges: Seq[(String, String, String, String, String)] = Seq(
+    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+
+  /** Referential-integrity audit: orphan counts + exact ppm for every
+    * FK edge of the star — the data-contract check run before a corpus
+    * snapshot is published. Each edge is one left join on the key with
+    * a null-probe count (PK sides are unique, so no distinct shuffle);
+    * small dims broadcast, fact-fact edges shuffle on the key. Edge
+    * list is ONE Scala value spliced into both the engine loop and the
+    * oracle's UNION ALL.
+    */
+  def q175RiAudit(s: SparkSession, dir: String): DataFrame =
+    riEdges.map { case (edge, child, ck, parent, pk) =>
+      t(s, dir, child).select(col(ck))
+        .join(t(s, dir, parent).select(col(pk), lit(1L).as("__hit")),
+          col(ck) === col(pk), "left")
+        .agg(count(lit(1)).as("child_rows"),
+          sum(when(col("__hit").isNull, 1L).otherwise(0L)).as("orphans"))
+        .select(lit(edge).as("edge"), col("child_rows"), col("orphans"),
+          expr("orphans * 1000000 DIV child_rows").as("orphan_ppm"))
+    }.reduce(_ unionAll _).orderBy(col("edge"))
+
+  val q175Sql: String = riEdges.map { case (edge, child, ck, parent, pk) =>
+    s"""SELECT '$edge' AS edge, CAST(COUNT(*) AS BIGINT) AS child_rows,
+      |  CAST(COUNT(*) FILTER (WHERE p.$pk IS NULL) AS BIGINT) AS orphans,
+      |  CAST(COUNT(*) FILTER (WHERE p.$pk IS NULL) * 1000000 // COUNT(*)
+      |    AS BIGINT) AS orphan_ppm
+      |FROM $child c LEFT JOIN $parent p ON p.$pk = c.$ck""".stripMargin
+  }.mkString("", "\nUNION ALL\n", "\nORDER BY edge")
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -8080,5 +8306,9 @@ object Queries {
     "q168_interval_merge" -> ((q168IntervalMerge _, Some(q168Sql))),
     "q169_geo_nearest" -> ((q169GeoNearest _, Some(q169Sql))),
     "q170_benford_audit" -> ((q170BenfordAudit _, Some(q170Sql))),
-    "q171_weighted_sample" -> ((q171WeightedSample _, Some(q171Sql))))
+    "q171_weighted_sample" -> ((q171WeightedSample _, Some(q171Sql))),
+    "q172_prefix_order" -> ((q172PrefixOrder _, Some(q172Sql))),
+    "q173_cdc_apply" -> ((q173CdcApply _, Some(q173Sql))),
+    "q174_topp_vocab" -> ((q174ToppVocab _, Some(q174Sql))),
+    "q175_ri_audit" -> ((q175RiAudit _, Some(q175Sql))))
 }

@@ -115,4 +115,85 @@ class AuditQueriesSpec extends SparkSpec {
     val tickets = out.map(_.getLong(3)).toSeq
     assert(tickets === tickets.sorted, tickets.toString)
   }
+
+  test("q172 prefix order: exact adjacent LCP under both pairings") {
+    val dir = fixtureDir()
+    // id_order (one 100-block): (0,1) lcp 5, (1,2) lcp 0, (2,3) lcp 0
+    //   -> n 3, total 5
+    // prefix_sorted (bucket "aa" order: doc0 "aaaa bbbb", doc3
+    //   "aaaa bbbb x", doc1 "aaaa cccc"): (0,3) lcp 9, (3,1) lcp 5;
+    //   bucket "zz" is a singleton -> n 2, total 14
+    Seq((0L, "aaaa bbbb"), (1L, "aaaa cccc"), (2L, "zzzz"),
+      (3L, "aaaa bbbb x"))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = Queries.registry.toMap.apply("q172_prefix_order")
+      ._1(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(out("id_order") === ((3L, 5L, 1666666L)), out.toString)
+    assert(out("prefix_sorted") === ((2L, 14L, 7000000L)), out.toString)
+  }
+
+  test("q173 cdc apply: latest seq wins, winning D drops the row") {
+    val dir = fixtureDir()
+    // keys 0..9 at 10.00 (1000 cents). U(+10%) for %5==0 -> 0,5.
+    // D for %7==0 -> 0,7. key 0: D wins (gone); key 5: U wins (1100);
+    // key 7: D wins (gone). Survivors 8 rows, cents 7*1000 + 1100.
+    (0L to 9L).map(k => (k, "P", 10.00))
+      .toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    val out = Queries.registry.toMap.apply("q173_cdc_apply")
+      ._1(spark, dir).collect()
+    assert(out.length === 1)
+    assert((out(0).getString(0), out(0).getLong(1), out(0).getLong(2))
+      === (("P", 8L, 8100L)), out(0).toString)
+  }
+
+  test("q174 top-p vocab: strict 90% mass cutoff, tie order token asc") {
+    val dir = fixtureDir()
+    // s1: a x9, b x1 -> total 10; 'a' retained (prev 0), 'b' NOT
+    //   (prev_cum*10 = 90 is NOT < tot*9 = 90) -> retained 1, 900000 ppm
+    // s2: x,y once each -> total 2; both retained (0<18, 10<18)
+    Seq((0L, ("a " * 9).trim, "s1"), (1L, "b", "s1"), (2L, "x y", "s2"))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = Queries.registry.toMap.apply("q174_topp_vocab")
+      ._1(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(out("s1") === ((2L, 1L, 900000L)), out.toString)
+    assert(out("s2") === ((2L, 2L, 1000000L)), out.toString)
+  }
+
+  test("q175 ri audit: planted orphans are counted per edge") {
+    val dir = fixtureDir()
+    Seq(Tuple1(1L)).toDF("r_regionkey")
+      .write.parquet(s"$dir/region.parquet")
+    Seq((1L, 1L)).toDF("n_nationkey", "n_regionkey")
+      .write.parquet(s"$dir/nation.parquet")
+    Seq((1L, 1L), (2L, 99L)).toDF("c_custkey", "c_nationkey")
+      .write.parquet(s"$dir/customer.parquet")
+    Seq((1L, 1L)).toDF("s_suppkey", "s_nationkey")
+      .write.parquet(s"$dir/supplier.parquet")
+    Seq(Tuple1(1L)).toDF("p_partkey")
+      .write.parquet(s"$dir/part.parquet")
+    Seq((10L, 1L)).toDF("o_orderkey", "o_custkey")
+      .write.parquet(s"$dir/orders.parquet")
+    Seq((10L, 1L, 1L), (11L, 2L, 1L))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val out = Queries.registry.toMap.apply("q175_ri_audit")
+      ._1(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(out === Map(
+      "customer->nation" -> ((2L, 1L, 500000L)),
+      "lineitem->orders" -> ((2L, 1L, 500000L)),
+      "lineitem->part" -> ((2L, 1L, 500000L)),
+      "lineitem->supplier" -> ((2L, 0L, 0L)),
+      "nation->region" -> ((1L, 0L, 0L)),
+      "orders->customer" -> ((1L, 0L, 0L)),
+      "supplier->nation" -> ((1L, 0L, 0L))), out.toString)
+  }
 }
