@@ -7755,16 +7755,15 @@ object Queries {
     * DuckDB-reproducible bit for bit) and is assigned to the nearest of
     * the 15 weather sites by squared planar microdegree distance — the
     * geofencing/catchment-area operator. The 100 TB plan is MAP-ONLY:
-    * the site list rides as a 15-element literal struct array and the
-    * per-row argmin is `sort_array(transform(...))[1]` (no join, no
-    * per-point shuffle; ties break on site name inside the same struct
-    * comparison); the only exchange is the final 15-group partial-agg
-    * rollup. Exact BIGINT algebra: |Δ| ≤ 9.7e6 µdeg ⇒ d² ≤ 1.6e14.
+    * the 15 per-site distances unroll at expression-build time into one
+    * flat codegen'd projection (no join, no per-point shuffle, no HOF
+    * lambda — the engine-wide interpreted-eval ban), argmin =
+    * `least(d2_*)` + a name-ordered first-match CASE chain (ties break
+    * on site name); the only exchange is the final 15-group
+    * partial-agg rollup. Exact BIGINT: |Δ| ≤ 9.7e6 µdeg ⇒ d² ≤ 1.6e14.
     */
   def q169GeoNearest(s: SparkSession, dir: String): DataFrame = {
-    val siteArr = array(geoSites.map { case (n, la, lo) =>
-      struct(lit(la).as("slat"), lit(lo).as("slon"), lit(n).as("region"))
-    }: _*)
+    val sitesByName = geoSites.sortBy(_._1)
     val plat = lit(-4700000L) +
       pmod(TextDedup.md5Hash60(
         concat(lit("geo-lat-v1:"), col("c_custkey").cast("string"))),
@@ -7773,16 +7772,21 @@ object Queries {
       pmod(TextDedup.md5Hash60(
         concat(lit("geo-lon-v1:"), col("c_custkey").cast("string"))),
         lit(8000001L))
+    val d2Cols = sitesByName.zipWithIndex.map { case ((_, la, lo), i) =>
+      ((col("__plat") - lit(la)) * (col("__plat") - lit(la)) +
+        (col("__plon") - lit(lo)) * (col("__plon") - lit(lo)))
+        .as(s"__d2_$i")
+    }
+    val minD2 = least(sitesByName.indices.map(i => col(s"__d2_$i")): _*)
+    val regionCol = sitesByName.zipWithIndex
+      .foldRight(lit(null).cast("string")) { case (((n, _, _), i), acc) =>
+        when(col(s"__d2_$i") === col("__d2"), lit(n)).otherwise(acc)
+      }
     t(s, dir, "customer")
-      .select(col("c_custkey"), plat.as("__plat"), plon.as("__plon"))
-      .withColumn("__best", element_at(sort_array(transform(siteArr,
-        r => struct(
-          ((col("__plat") - r("slat")) * (col("__plat") - r("slat")) +
-            (col("__plon") - r("slon")) * (col("__plon") - r("slon")))
-            .as("d2"),
-          r("region").as("region")))), 1))
-      .select(col("__best")("region").as("region"),
-        col("__best")("d2").as("d2"))
+      .select(plat.as("__plat"), plon.as("__plon"))
+      .select(d2Cols: _*)
+      .withColumn("__d2", minD2)
+      .select(regionCol.as("region"), col("__d2").as("d2"))
       .groupBy(col("region"))
       .agg(count(lit(1)).as("n_points"), min(col("d2")).as("min_d2"),
         max(col("d2")).as("max_d2"), sum(col("d2")).as("sum_d2"))
@@ -7877,21 +7881,27 @@ object Queries {
     * global top-k by MIN ticket — the exact-integer analogue of
     * Efraimidis-Spirakis u^(1/w) keys (P(selected) rises with w; every
     * arithmetic step is BIGINT, so both engines draw the IDENTICAL
-    * sample — no float pow/ln whose ulp could flip a rank). Map-only
-    * ticket fold (≤8 md5s per row, no explode), then TakeOrdered k=100
-    * — the 100 TB plan: no shuffle beyond the top-k tree reduction.
+    * sample — no float pow/ln whose ulp could flip a rank). Map-only:
+    * the ≤8 ticket draws unroll statically (draw i masked to MaxValue
+    * when i ≥ w, then one n-ary `least` — flat codegen, no HOF lambda,
+    * no explode), then TakeOrdered k=100 — the 100 TB plan: no shuffle
+    * beyond the top-k tree reduction.
     */
-  def q171WeightedSample(s: SparkSession, dir: String): DataFrame =
+  def q171WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val ticket = least((0 until 8).map { i =>
+      when(lit(i.toLong) < col("weight"),
+        TextDedup.md5Hash60(concat(lit("ws-v1:"),
+          col("doc_id").cast("string"), lit(s":$i"))))
+        .otherwise(lit(Long.MaxValue))
+    }: _*)
     t(s, dir, "documents")
       .withColumn("weight",
         expr("1 + least(n_chars DIV 500, 7)").cast("long"))
-      .withColumn("ticket", array_min(transform(
-        sequence(lit(0L), col("weight") - 1L),
-        i => TextDedup.md5Hash60(concat(lit("ws-v1:"),
-          col("doc_id").cast("string"), lit(":"), i.cast("string"))))))
+      .withColumn("ticket", ticket)
       .select(col("doc_id"), col("source"), col("weight"), col("ticket"))
       .orderBy(col("ticket"), col("doc_id"))
       .limit(100)
+  }
 
   val q171Sql: String =
     """SELECT doc_id, source, weight, ticket FROM (
@@ -7914,7 +7924,9 @@ object Queries {
     * so the windows shuffle-scale instead of collapsing to one global
     * sort partition; that is also the real serving shape (requests are
     * sharded by prefix). LCP is exact positional algebra — max i with
-    * equal i-prefixes — identical on both engines.
+    * equal i-prefixes, the 64 positions statically unrolled into one
+    * n-ary `greatest` (flat codegen, no HOF lambda) — identical on
+    * both engines.
     */
   def q172PrefixOrder(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
@@ -7922,10 +7934,10 @@ object Queries {
       .select(col("doc_id"), substring(col("text"), 1, 64).as("__p64"))
     def lcp(a: Column, b: Column): Column = {
       val cap = least(length(a), length(b))
-      array_max(transform(sequence(lit(1L), lit(64L)),
-        i => when(i <= cap &&
-          a.substr(lit(1), i.cast("int")) === b.substr(lit(1), i.cast("int")),
-          i).otherwise(lit(0L))))
+      greatest((1 to 64).map { i =>
+        when(lit(i) <= cap && substring(a, 1, i) === substring(b, 1, i),
+          lit(i.toLong)).otherwise(lit(0L))
+      }: _*)
     }
     def report(strategy: String, paired: DataFrame): DataFrame =
       paired.where(col("__prev").isNotNull)

@@ -569,4 +569,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("sortaggregate"), p.take(800))
     assert(!p.contains("CartesianProduct"), p.take(400))
   }
+
+  test("q169 geo nearest is MAP-ONLY up to the 15-group rollup: no join") {
+    val p = plan("q169_geo_nearest")
+    assert(!p.contains("Join"), "the 15-site argmin must unroll into a " +
+      "flat projection, never a dim join: " + p.take(600))
+    assert(!p.contains("lambdafunction("), p.take(600))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expected partial + final HashAggregate for the region rollup")
+  }
+
+  test("q171 weighted sample takes top-k without a global sort or explode") {
+    val p = plan("q171_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+    assert(!p.contains("Generate"), "ticket fold must unroll, not " +
+      "explode a per-weight sequence: " + p.take(600))
+    assert(!p.contains("lambdafunction("), p.take(600))
+  }
+
+  test("q172 LCP windows are partitioned (no single-partition global sort)") {
+    val p = plan("q172_prefix_order")
+    // the only SinglePartition exchanges allowed are the two scalar
+    // (count,sum) rollups AFTER the per-pair LCP projection; the lag
+    // windows themselves must hash-partition on the block/bucket keys
+    assert("Exchange hashpartitioning".r.findAllIn(p).size >= 2,
+      "both lag windows must exchange on their pairing keys: " +
+        p.take(800))
+    assert("Exchange SinglePartition".r.findAllIn(p).size <= 2,
+      "only the two 2-row scalar rollups may single-partition: " +
+        p.take(800))
+    assert(p.contains("Window"), p.take(400))
+    assert(!p.contains("lambdafunction("), p.take(600))
+  }
 }
