@@ -8142,6 +8142,291 @@ object Queries {
       |FROM $child c LEFT JOIN $parent p ON p.$pk = c.$ck""".stripMargin
   }.mkString("", "\nUNION ALL\n", "\nORDER BY edge")
 
+  /** The 31 detail blocks of an unnormalized 32-point Haar transform:
+    * (level, pos, plus-indices, minus-indices). Level ℓ coefficient p =
+    * Σ c[first half of block] − Σ c[second half]; closed form, so the
+    * whole transform unrolls into flat ±1 sums over the 32 day columns
+    * — no recursion, no lambdas, one shared Scala value feeding both
+    * engine Columns and oracle SQL. Emitted level-major/pos-ascending =
+    * the burst-argmax tie priority.
+    */
+  private val haarBlocks: Seq[(Int, Int, Seq[Int], Seq[Int])] = for {
+    l <- 1 to 5
+    size = 1 << l
+    half = size >> 1
+    p <- 0 until 32 / size
+  } yield (l, p, (0 until half).map(p * size + _),
+    (0 until half).map(p * size + half + _))
+
+  /** Haar-wavelet burst profile per event type: daily counts on a
+    * 32-day wheel (day-of-cycle = epoch-days mod 32) run through an
+    * unnormalized 32-point Haar transform; the report is each type's
+    * dominant detail coefficient — (level, position, signed value) of
+    * the max |coef|, ties to the finest level then lowest position —
+    * plus total count and exact detail energy. Level-1 spikes = single
+    * -day bursts, level-5 = half-cycle regime shifts: the multi-scale
+    * burst detector over activity series. Everything is ±1 integer
+    * sums of counts: ONE partial-aggregated pass builds the 32
+    * per-day columns (map-side combine, |types| rows out), the
+    * transform + argmax unroll statically (31 shared blocks, flat
+    * codegen). Energy ≤ 63·(32·max_daily)² stays far inside BIGINT.
+    */
+  def q176HaarBursts(s: SparkSession, dir: String): DataFrame = {
+    val day = pmod(datediff(to_date(col("ts")),
+      lit(java.sql.Date.valueOf("1970-01-01"))), lit(32))
+    val dayCounts = (0 until 32).map(i =>
+      sum(when(col("__day") === i, 1L).otherwise(0L)).as(s"__c$i"))
+    val coefCols = haarBlocks.map { case (l, p, plusIdx, minusIdx) =>
+      (plusIdx.map(i => col(s"__c$i")).reduce(_ + _) -
+        minusIdx.map(i => col(s"__c$i")).reduce(_ + _)).as(s"__d${l}_$p")
+    }
+    val totalCol = (0 until 32).map(i => col(s"__c$i")).reduce(_ + _)
+      .as("__tot")
+    def dn(l: Int, p: Int) = col(s"__d${l}_$p")
+    val babs = greatest(haarBlocks.map { case (l, p, _, _) =>
+      abs(dn(l, p)) }: _*)
+    val burst = haarBlocks.foldRight(
+      lit(null).cast("struct<l:bigint,p:bigint,c:bigint>")) {
+      case ((l, p, _, _), acc) =>
+        when(abs(dn(l, p)) === col("__babs"),
+          struct(lit(l.toLong).as("l"), lit(p.toLong).as("p"),
+            dn(l, p).as("c"))).otherwise(acc)
+    }
+    val energy = haarBlocks.map { case (l, p, _, _) =>
+      dn(l, p) * dn(l, p) }.reduce(_ + _)
+    events(s, dir)
+      .select(col("event_type"), day.as("__day"))
+      .groupBy(col("event_type"))
+      .agg(dayCounts.head, dayCounts.tail: _*)
+      .select(col("event_type") +: totalCol +: coefCols: _*)
+      .withColumn("__babs", babs)
+      .withColumn("__burst", burst)
+      .select(col("event_type"), col("__tot").as("total"),
+        col("__burst")("l").as("burst_level"),
+        col("__burst")("p").as("burst_pos"),
+        col("__burst")("c").as("burst_coef"),
+        energy.as("detail_energy"))
+      .orderBy(col("event_type"))
+  }
+
+  val q176Sql: String = {
+    val cDefs = (0 until 32).map(i =>
+      s"SUM(CASE WHEN day = $i THEN 1 ELSE 0 END) AS c$i").mkString(",\n      |    ")
+    val dDefs = haarBlocks.map { case (l, p, plusIdx, minusIdx) =>
+      val plus = plusIdx.map(i => s"c$i").mkString(" + ")
+      val minus = minusIdx.map(i => s"c$i").mkString(" + ")
+      s"($plus) - ($minus) AS d${l}_$p"
+    }.mkString(",\n      |    ")
+    val tot = (0 until 32).map(i => s"c$i").mkString(" + ")
+    val gre = haarBlocks.map { case (l, p, _, _) => s"ABS(d${l}_$p)" }
+      .mkString(", ")
+    def chain(pick: (Int, Int) => String): String =
+      haarBlocks.map { case (l, p, _, _) =>
+        s"WHEN ABS(d${l}_$p) = babs THEN ${pick(l, p)}"
+      }.mkString("CASE ", " ", " END")
+    val energy = haarBlocks.map { case (l, p, _, _) =>
+      s"d${l}_$p * d${l}_$p" }.mkString(" + ")
+    s"""WITH ev AS (
+      |  SELECT event_type,
+      |    (CAST(ts AS DATE) - DATE '1970-01-01') % 32 AS day
+      |  FROM events),
+      |counts AS (
+      |  SELECT event_type,
+      |    $cDefs
+      |  FROM ev GROUP BY event_type),
+      |coefs AS (
+      |  SELECT event_type, $tot AS tot,
+      |    $dDefs
+      |  FROM counts),
+      |b AS (SELECT *, GREATEST($gre) AS babs FROM coefs)
+      |SELECT event_type, CAST(tot AS BIGINT) AS total,
+      |  CAST(${chain((l, _) => l.toString)} AS BIGINT) AS burst_level,
+      |  CAST(${chain((_, p) => p.toString)} AS BIGINT) AS burst_pos,
+      |  CAST(${chain((l, p) => s"d${l}_$p")} AS BIGINT) AS burst_coef,
+      |  CAST($energy AS BIGINT) AS detail_energy
+      |FROM b ORDER BY event_type""".stripMargin
+  }
+
+  /** First-order Markov transition matrix over each user's event-type
+    * sequence (lag over exact epoch-nanos order) — the behavioral
+    * sequence-mining report (what follows what, and how concentrated
+    * each type's outgoing distribution is). One shuffle on user_id for
+    * the lag, one hash agg on the (from, to) pair, outgoing totals as
+    * a window over the |types|²-sized matrix — never the raw stream.
+    */
+  def q177TransitionMatrix(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns"), col("event_id"))
+    events(s, dir)
+      .withColumn("__from", lag(col("event_type"), 1).over(byUser))
+      .where(col("__from").isNotNull)
+      .groupBy(col("__from").as("from_type"),
+        col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("__out",
+        sum(col("n")).over(Window.partitionBy(col("from_type"))))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("n * 1000000 DIV __out").as("share_ppm"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val q177Sql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |    LAG(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_ns(ts), event_id) AS from_type
+      |  FROM events),
+      |pairs AS (
+      |  SELECT from_type, event_type AS to_type,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM seq WHERE from_type IS NOT NULL
+      |  GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  CAST(n * 1000000 // SUM(n) OVER (PARTITION BY from_type)
+      |    AS BIGINT) AS share_ppm
+      |FROM pairs ORDER BY from_type, to_type""".stripMargin
+
+  /** The joins the cardinality-estimator audit covers, shared
+    * engine/oracle: (name, left table, left key, right table, right key).
+    */
+  private val cardJoins: Seq[(String, String, String, String, String)] =
+    Seq(
+      ("lineitem*orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("lineitem*part", "lineitem", "l_partkey", "part", "p_partkey"),
+      ("orders*customer", "orders", "o_custkey", "customer", "c_custkey"))
+
+  /** Join-cardinality estimator audit: the textbook uniform estimate
+    * |A|·|B| / max(ndv_A, ndv_B) against the EXACT join cardinality —
+    * the statistics-quality check an optimizer team runs against a
+    * corpus before trusting its plans. Actual count never materializes
+    * the join: Σ_k c_A(k)·c_B(k) over the two key histograms (two
+    * partial-aggregated scans + one histogram-sized equi-join). All
+    * BIGINT; est_ppm_of_actual = est·1e6 DIV actual.
+    */
+  def q178JoinCardinality(s: SparkSession, dir: String): DataFrame =
+    cardJoins.map { case (jn, lt, lk, rt, rk) =>
+      val ca = t(s, dir, lt).groupBy(col(lk).as("__k"))
+        .agg(count(lit(1)).as("__ca"))
+      val cb = t(s, dir, rt).groupBy(col(rk).as("__k"))
+        .agg(count(lit(1)).as("__cb"))
+      val statsA = ca.agg(sum(col("__ca")).as("__ra"),
+        count(lit(1)).as("__na")).withColumn("__j", lit(1))
+      val statsB = cb.agg(sum(col("__cb")).as("__rb"),
+        count(lit(1)).as("__nb")).withColumn("__j", lit(1))
+      val actual = ca.join(cb, "__k")
+        .agg(coalesce(sum(col("__ca") * col("__cb")), lit(0L))
+          .as("__act")).withColumn("__j", lit(1))
+      statsA.join(broadcast(statsB), Seq("__j"))
+        .join(broadcast(actual), Seq("__j"))
+        .select(lit(jn).as("join_name"),
+          col("__ra").as("rows_a"), col("__rb").as("rows_b"),
+          col("__na").as("ndv_a"), col("__nb").as("ndv_b"),
+          expr("__ra * __rb DIV greatest(__na, __nb)").as("est"),
+          col("__act").as("actual"),
+          when(col("__act") > 0,
+            expr("(__ra * __rb DIV greatest(__na, __nb)) * 1000000 DIV __act"))
+            .as("est_ppm_of_actual"))
+    }.reduce(_ unionAll _).orderBy(col("join_name"))
+
+  val q178Sql: String = cardJoins.map { case (jn, lt, lk, rt, rk) =>
+    s"""SELECT '$jn' AS join_name, ra AS rows_a, rb AS rows_b,
+      |  na AS ndv_a, nb AS ndv_b,
+      |  CAST(ra * rb // GREATEST(na, nb) AS BIGINT) AS est,
+      |  act AS actual,
+      |  CAST(CASE WHEN act > 0
+      |    THEN (ra * rb // GREATEST(na, nb)) * 1000000 // act
+      |  END AS BIGINT) AS est_ppm_of_actual
+      |FROM (
+      |  SELECT
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM $lt) AS ra,
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM $rt) AS rb,
+      |    (SELECT CAST(COUNT(DISTINCT $lk) AS BIGINT) FROM $lt) AS na,
+      |    (SELECT CAST(COUNT(DISTINCT $rk) AS BIGINT) FROM $rt) AS nb,
+      |    (SELECT CAST(COALESCE(SUM(ca * cb), 0) AS BIGINT) FROM
+      |      (SELECT $lk AS k, CAST(COUNT(*) AS BIGINT) AS ca
+      |       FROM $lt GROUP BY 1) a
+      |      JOIN
+      |      (SELECT $rk AS k, CAST(COUNT(*) AS BIGINT) AS cb
+      |       FROM $rt GROUP BY 1) b ON b.k = a.k) AS act) x""".stripMargin
+  }.mkString("", "\nUNION ALL\n", "\nORDER BY join_name")
+
+  /** Zipf slope per source: fit log₂-rank vs log₂-count (integer bit
+    * lengths — `length(bin(x))`, exact on both engines) over the token
+    * histogram by bucketed-mean OLS: rank buckets x = bitlen(rank)
+    * (≤ ~40 points), per-bucket mean y in exact milli units
+    * (Σ bitlen(count)·1000 DIV m), then the closed-form OLS slope over
+    * the ≤40 (x, ȳ) points — one integer DIV at the end, slope in ppm
+    * (a Zipfian corpus sits near −1e6). Bucketing keeps every product
+    * far inside BIGINT at any corpus size (the raw-point OLS
+    * numerator·1e6 overflows at ~1e15 vocab·bitlen scale) and is the
+    * scale plan: the histogram aggregates to ≤40 rows per source
+    * before any window.
+    */
+  def q179ZipfSlope(s: SparkSession, dir: String): DataFrame = {
+    val hist = t(s, dir, "documents")
+      .select(col("source"),
+        explode_outer(TextFunctions.tokens(col("text"))).as("tok"))
+      .where(col("tok").isNotNull)
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("__c"))
+    val ranked = hist.withColumn("__rank", row_number().over(
+      Window.partitionBy(col("source"))
+        .orderBy(col("__c").desc, col("tok"))))
+    val buckets = ranked
+      .select(col("source"),
+        length(bin(col("__rank"))).cast("long").as("__x"),
+        length(bin(col("__c"))).cast("long").as("__y"))
+      .groupBy(col("source"), col("__x"))
+      .agg(count(lit(1)).as("__m"), sum(col("__y")).as("__sy"))
+      .select(col("source"), col("__x"),
+        expr("__sy * 1000 DIV __m").as("__ybar"))
+    buckets
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("__x")).as("__sx"), sum(col("__ybar")).as("__sy"),
+        sum(col("__x") * col("__ybar")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"))
+      .select(col("source"), col("n_buckets"),
+        when(col("n_buckets") * col("__sxx") - col("__sx") * col("__sx")
+          =!= 0,
+          expr("""(n_buckets * __sxy - __sx * __sy) * 1000
+                 |DIV (n_buckets * __sxx - __sx * __sx)""".stripMargin
+            .replace("\n", " ")))
+          .as("slope_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val q179Sql: String =
+    """WITH hist AS (
+      |  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
+      |    SELECT source,
+      |      unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+      |        AS tok
+      |    FROM documents) u
+      |  GROUP BY source, tok),
+      |ranked AS (
+      |  SELECT source,
+      |    CAST(len(bin(ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY c DESC, tok))) AS BIGINT) AS x,
+      |    CAST(len(bin(c)) AS BIGINT) AS y
+      |  FROM hist),
+      |buckets AS (
+      |  SELECT source, x,
+      |    CAST(SUM(y) * 1000 // COUNT(*) AS BIGINT) AS ybar
+      |  FROM ranked GROUP BY source, x),
+      |stats AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(ybar) AS BIGINT) AS sy,
+      |    CAST(SUM(x * ybar) AS BIGINT) AS sxy,
+      |    CAST(SUM(x * x) AS BIGINT) AS sxx
+      |  FROM buckets GROUP BY source)
+      |SELECT source, n_buckets,
+      |  CAST(CASE WHEN n_buckets * sxx - sx * sx <> 0
+      |    THEN (n_buckets * sxy - sx * sy) * 1000
+      |      // (n_buckets * sxx - sx * sx)
+      |  END AS BIGINT) AS slope_ppm
+      |FROM stats ORDER BY source""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -8322,5 +8607,9 @@ object Queries {
     "q172_prefix_order" -> ((q172PrefixOrder _, Some(q172Sql))),
     "q173_cdc_apply" -> ((q173CdcApply _, Some(q173Sql))),
     "q174_topp_vocab" -> ((q174ToppVocab _, Some(q174Sql))),
-    "q175_ri_audit" -> ((q175RiAudit _, Some(q175Sql))))
+    "q175_ri_audit" -> ((q175RiAudit _, Some(q175Sql))),
+    "q176_haar_bursts" -> ((q176HaarBursts _, Some(q176Sql))),
+    "q177_transition_matrix" -> ((q177TransitionMatrix _, Some(q177Sql))),
+    "q178_join_cardinality" -> ((q178JoinCardinality _, Some(q178Sql))),
+    "q179_zipf_slope" -> ((q179ZipfSlope _, Some(q179Sql))))
 }

@@ -166,6 +166,94 @@ class AuditQueriesSpec extends SparkSpec {
     assert(out("s2") === ((2L, 2L, 1000000L)), out.toString)
   }
 
+  private def writeTypedEvents(dir: String,
+      rows: Seq[(Long, Long, Long, String)]): Unit =
+    rows.map { case (id, ns, user, tpe) =>
+      (id, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        ns / 1000000000L, ns % 1000000000L)), user, tpe)
+    }.toDF("event_id", "ts", "user_id", "event_type")
+      .write.parquet(s"$dir/events.parquet")
+
+  test("q176 haar: closed-form coefficients, argmax ties to finest level") {
+    val dir = fixtureDir()
+    val dayNs = 86400L * 1000000000L
+    // type A: c0=3, c1=1 -> d1_0=2, d2_0=d3_0=d4_0=d5_0=4; babs=4,
+    //   first match (finest-level priority skips d1_0 at |2|) is
+    //   level 2 pos 0 coef 4; energy 4 + 4*16 = 68; total 4.
+    // type B: c16=2 -> d1_8=d2_4=d3_2=d4_1=2, d5_0=-2; babs=2, first
+    //   match level 1 pos 8 coef 2; energy 5*4 = 20; total 2.
+    writeTypedEvents(dir, Seq(
+      (0L, 0L, 0L, "A"), (1L, 1000L, 0L, "A"), (2L, 2000L, 0L, "A"),
+      (3L, dayNs, 0L, "A"),
+      (4L, 16L * dayNs, 1L, "B"), (5L, 16L * dayNs + 5000L, 1L, "B")))
+    val out = Queries.registry.toMap.apply("q176_haar_bursts")
+      ._1(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out("A") === ((4L, 2L, 0L, 4L, 68L)), out.toString)
+    assert(out("B") === ((2L, 1L, 8L, 2L, 20L)), out.toString)
+  }
+
+  test("q177 transitions: per-user lag pairs, exact outgoing shares") {
+    val dir = fixtureDir()
+    // user 0: A -> B -> A; user 1: A -> A. from A: {A:1, B:1} (500000
+    // ppm each); from B: {A:1} (1000000 ppm).
+    writeTypedEvents(dir, Seq(
+      (0L, t0, 0L, "A"), (1L, t0 + 1000L, 0L, "B"),
+      (2L, t0 + 2000L, 0L, "A"),
+      (3L, t0, 1L, "A"), (4L, t0 + 1000L, 1L, "A")))
+    val out = Queries.registry.toMap.apply("q177_transition_matrix")
+      ._1(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out === Map(
+      ("A", "A") -> ((1L, 500000L)), ("A", "B") -> ((1L, 500000L)),
+      ("B", "A") -> ((1L, 1000000L))), out.toString)
+  }
+
+  test("q178 join cardinality: exact actual vs uniform estimate") {
+    val dir = fixtureDir()
+    Seq((1L, 1L), (1L, 1L), (2L, 5L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    Seq((1L, 7L), (2L, 7L), (3L, 8L))
+      .toDF("o_orderkey", "o_custkey")
+      .write.parquet(s"$dir/orders.parquet")
+    Seq(Tuple1(1L)).toDF("p_partkey").write.parquet(s"$dir/part.parquet")
+    Seq(Tuple1(7L)).toDF("c_custkey")
+      .write.parquet(s"$dir/customer.parquet")
+    val out = Queries.registry.toMap.apply("q178_join_cardinality")
+      ._1(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7)))).toMap
+    // lineitem*orders: 3x3 / max(2,3) = 3 est; actual 2*1 + 1*1 = 3
+    assert(out("lineitem*orders") ===
+      ((3L, 3L, 2L, 3L, 3L, 3L, 1000000L)), out.toString)
+    // lineitem*part: 3x1 / max(2,1) = 1 est; actual c_l(1)*1 = 2
+    assert(out("lineitem*part") ===
+      ((3L, 1L, 2L, 1L, 1L, 2L, 500000L)), out.toString)
+    // orders*customer: 3x1 / max(2,1) = 1 est; actual c_o(7)*1 = 2
+    assert(out("orders*customer") ===
+      ((3L, 1L, 2L, 1L, 1L, 2L, 500000L)), out.toString)
+  }
+
+  test("q179 zipf slope: closed-form bucketed-mean OLS") {
+    val dir = fixtureDir()
+    // counts a:8 b:4 c:2 d:1 -> ranks 1..4; x=bitlen(rank)=1,2,2,3;
+    // y=bitlen(count)=4,3,2,1. buckets: (1,4000),(2,2500),(3,1000).
+    // n=3 sx=6 sy=7500 sxy=12000 sxx=14 -> num=-9000 den=6
+    // -> slope = -9000*1000/6 = -1500000 ppm (exact).
+    val text = (("a " * 8) + ("b " * 4) + ("c " * 2) + "d").trim
+    Seq((0L, text, "s1")).toDF("doc_id", "text", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = Queries.registry.toMap.apply("q179_zipf_slope")
+      ._1(spark, dir).collect()
+    assert(out.length === 1)
+    assert((out(0).getString(0), out(0).getLong(1), out(0).getLong(2))
+      === (("s1", 3L, -1500000L)), out(0).toString)
+  }
+
   test("q175 ri audit: planted orphans are counted per edge") {
     val dir = fixtureDir()
     Seq(Tuple1(1L)).toDF("r_regionkey")
