@@ -8427,6 +8427,222 @@ object Queries {
       |  END AS BIGINT) AS slope_ppm
       |FROM stats ORDER BY source""".stripMargin
 
+  /** Time-weighted average value per user (TWAP): each event's value
+    * holds until the user's next event; the average weights values by
+    * exact hold duration — the finance/ops aggregate a plain AVG gets
+    * wrong whenever sampling is irregular. Durations in exact integer
+    * milliseconds (`Δns DIV 1e6` — deterministic truncation on both
+    * engines); per-user Σ(Δms) telescopes to the user's span, so
+    * Σ(cents·Δms) ≤ max_cents·span stays far inside BIGINT at any
+    * event count. One lead window on (user, ts), one hash agg. Users
+    * with a single event have no hold intervals and drop out.
+    */
+  def q180TimeWeightedAvg(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns"), col("event_id"))
+    events(s, dir)
+      .withColumn("__next", lead(col("ts_ns"), 1).over(byUser))
+      .where(col("__next").isNotNull)
+      .select(col("user_id"),
+        expr("(__next - ts_ns) DIV 1000000").as("__dms"),
+        floor(col("value") * 100 + 0.5).cast("long").as("__vc"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("__dms")).as("span_ms"),
+        sum(col("__vc") * col("__dms")).as("__wsum"))
+      .select(col("user_id"), col("n_intervals"), col("span_ms"),
+        when(col("span_ms") > 0, expr("__wsum DIV span_ms"))
+          .as("twa_cents"))
+      .orderBy(col("user_id"))
+  }
+
+  val q180Sql: String =
+    """WITH iv AS (
+      |  SELECT user_id,
+      |    (LEAD(epoch_ns(ts)) OVER (PARTITION BY user_id
+      |       ORDER BY epoch_ns(ts), event_id) - epoch_ns(ts)) // 1000000
+      |      AS dms,
+      |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc
+      |  FROM events)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+      |  CAST(SUM(dms) AS BIGINT) AS span_ms,
+      |  CAST(CASE WHEN SUM(dms) > 0
+      |    THEN CAST(SUM(vc * dms) AS BIGINT) // CAST(SUM(dms) AS BIGINT)
+      |  END AS BIGINT) AS twa_cents
+      |FROM iv WHERE dms IS NOT NULL
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** CUSUM changepoint per event type: the day where the cumulative
+    * event count deviates most from the uniform-rate line — the
+    * level-shift detector run over activity series before/after a
+    * rollout. Exact integer algebra on the q167 pattern: deviation at
+    * day k is |cum_k·D − k·N| (cross-multiplied, no per-day division),
+    * the argmax reports the day (ties to the earliest) and the
+    * deviation as ONE integer DIV ppm of the D·N envelope. Day grid =
+    * the type's distinct dates (counts partial-aggregate first; the
+    * windows run over |dates| rows per type, never raw events).
+    */
+  def q181CusumChangepoint(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .select(col("event_type"),
+        datediff(to_date(col("ts")),
+          lit(java.sql.Date.valueOf("1970-01-01"))).cast("long")
+          .as("__day"))
+      .groupBy(col("event_type"), col("__day"))
+      .agg(count(lit(1)).as("__c"))
+    val byType = Window.partitionBy(col("event_type"))
+    val ordered = byType.orderBy(col("__day"))
+    val dev = daily
+      .withColumn("__i", row_number().over(ordered).cast("long"))
+      .withColumn("__cum", sum(col("__c")).over(
+        ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__D", count(lit(1)).over(byType))
+      .withColumn("__N", sum(col("__c")).over(byType))
+      .withColumn("__dev",
+        abs(col("__cum") * col("__D") - col("__i") * col("__N")))
+    dev
+      .withColumn("__mx", max(col("__dev")).over(byType))
+      .where(col("__dev") === col("__mx"))
+      .groupBy(col("event_type"))
+      .agg(max(col("__D")).as("n_days"), max(col("__N")).as("total"),
+        min(col("__day")).as("change_day"), max(col("__mx")).as("__m"))
+      .select(col("event_type"), col("n_days"), col("total"),
+        col("change_day"),
+        expr("__m * 1000000 DIV (n_days * total)").as("cusum_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  val q181Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |dev AS (
+      |  SELECT event_type, day,
+      |    ABS(SUM(c) OVER (PARTITION BY event_type ORDER BY day)
+      |        * COUNT(*) OVER (PARTITION BY event_type)
+      |      - ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+      |        * SUM(c) OVER (PARTITION BY event_type)) AS d,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS nd,
+      |    SUM(c) OVER (PARTITION BY event_type) AS nt
+      |  FROM daily),
+      |mx AS (
+      |  SELECT *, MAX(d) OVER (PARTITION BY event_type) AS m FROM dev)
+      |SELECT event_type, CAST(MAX(nd) AS BIGINT) AS n_days,
+      |  CAST(MAX(nt) AS BIGINT) AS total,
+      |  CAST(MIN(day) AS BIGINT) AS change_day,
+      |  CAST(MAX(m) * 1000000 // (MAX(nd) * MAX(nt)) AS BIGINT)
+      |    AS cusum_ppm
+      |FROM mx WHERE d = m GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** RFM segmentation within market: recency (last order day) /
+    * frequency (order count) / monetary (exact cents) quartiles per
+    * customer, assigned WITHIN the customer's nation — the marketing
+    * segmentation cube, partitioned by design so every quartile window
+    * runs inside a market, never a global single-partition sort (also
+    * the semantically right scope: quartiles mean "vs your market").
+    * NTILE(4) ties break on custkey (identical first-tiles-get-extra
+    * semantics on both engines). Segment code = r·100 + f·10 + m;
+    * report = customers + exact mean monetary cents per (nation,
+    * segment).
+    */
+  def q182RfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val perCust = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(max(datediff(to_date(col("o_orderdate")),
+          lit(java.sql.Date.valueOf("1970-01-01"))).cast("long"))
+          .as("__r"),
+        count(lit(1)).as("__f"),
+        sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+          .as("__m"))
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    def q(metric: Column): Column = ntile(4).over(
+      Window.partitionBy(col("c_nationkey"))
+        .orderBy(metric, col("c_custkey"))).cast("long")
+    cust.join(perCust, col("c_custkey") === col("o_custkey"))
+      .withColumn("__rq", q(col("__r")))
+      .withColumn("__fq", q(col("__f")))
+      .withColumn("__mq", q(col("__m")))
+      .groupBy(col("c_nationkey"),
+        (col("__rq") * 100 + col("__fq") * 10 + col("__mq"))
+          .as("segment"))
+      .agg(count(lit(1)).as("n_customers"),
+        expr("sum(__m) DIV count(1)").as("mean_cents"))
+      .orderBy(col("c_nationkey"), col("segment"))
+  }
+
+  val q182Sql: String =
+    """WITH perc AS (
+      |  SELECT o_custkey,
+      |    MAX(CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+      |      AS BIGINT)) AS r,
+      |    CAST(COUNT(*) AS BIGINT) AS f,
+      |    CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS m
+      |  FROM orders GROUP BY 1),
+      |seg AS (
+      |  SELECT c.c_nationkey,
+      |    NTILE(4) OVER (PARTITION BY c.c_nationkey
+      |      ORDER BY p.r, c.c_custkey) * 100
+      |    + NTILE(4) OVER (PARTITION BY c.c_nationkey
+      |      ORDER BY p.f, c.c_custkey) * 10
+      |    + NTILE(4) OVER (PARTITION BY c.c_nationkey
+      |      ORDER BY p.m, c.c_custkey) AS segment,
+      |    p.m
+      |  FROM customer c JOIN perc p ON p.o_custkey = c.c_custkey)
+      |SELECT c_nationkey, CAST(segment AS BIGINT) AS segment,
+      |  CAST(COUNT(*) AS BIGINT) AS n_customers,
+      |  CAST(SUM(m) // COUNT(*) AS BIGINT) AS mean_cents
+      |FROM seg GROUP BY 1, 2 ORDER BY c_nationkey, segment""".stripMargin
+
+  /** Duplication-vs-length calibration: does document length predict
+    * exact-duplication? Docs decile-bucketed by length WITHIN source
+    * (partitioned by design — and the right scope: sources have
+    * different length regimes), dup flag from the engine's standard
+    * content fingerprint (q25's normalization), report = exact dup ppm
+    * per (source, decile) — the calibration table a curation team
+    * reads before using length as a cheap dup prior. Fingerprint
+    * window partitions on the fingerprint; decile window on the
+    * source; both scale.
+    */
+  def q183DupCalibration(s: SparkSession, dir: String): DataFrame = {
+    val flagged = t(s, dir, "documents")
+      .withColumn("__dup",
+        (count(lit(1)).over(Window.partitionBy(
+          graft.functions.TextFunctions.fingerprint(col("text")))) > 1)
+          .cast("long"))
+    flagged
+      .withColumn("__dec", ntile(10).over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("n_chars"), col("doc_id"))).cast("long"))
+      .groupBy(col("source"), col("__dec").as("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__dup")).as("dups"))
+      .select(col("source"), col("decile"), col("n_docs"), col("dups"),
+        expr("dups * 1000000 DIV n_docs").as("dup_ppm"))
+      .orderBy(col("source"), col("decile"))
+  }
+
+  val q183Sql: String =
+    """WITH flagged AS (
+      |  SELECT source, doc_id, n_chars,
+      |    CASE WHEN COUNT(*) OVER (PARTITION BY
+      |        md5(regexp_replace(lower(text), '\s+', ' ', 'g'))) > 1
+      |      THEN 1 ELSE 0 END AS dup
+      |  FROM documents),
+      |dec AS (
+      |  SELECT source,
+      |    CAST(NTILE(10) OVER (PARTITION BY source
+      |      ORDER BY n_chars, doc_id) AS BIGINT) AS decile,
+      |    dup
+      |  FROM flagged)
+      |SELECT source, decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(dup) AS BIGINT) AS dups,
+      |  CAST(SUM(dup) * 1000000 // COUNT(*) AS BIGINT) AS dup_ppm
+      |FROM dec GROUP BY 1, 2 ORDER BY source, decile""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -8611,5 +8827,9 @@ object Queries {
     "q176_haar_bursts" -> ((q176HaarBursts _, Some(q176Sql))),
     "q177_transition_matrix" -> ((q177TransitionMatrix _, Some(q177Sql))),
     "q178_join_cardinality" -> ((q178JoinCardinality _, Some(q178Sql))),
-    "q179_zipf_slope" -> ((q179ZipfSlope _, Some(q179Sql))))
+    "q179_zipf_slope" -> ((q179ZipfSlope _, Some(q179Sql))),
+    "q180_time_weighted_avg" -> ((q180TimeWeightedAvg _, Some(q180Sql))),
+    "q181_cusum_changepoint" -> ((q181CusumChangepoint _, Some(q181Sql))),
+    "q182_rfm_segments" -> ((q182RfmSegments _, Some(q182Sql))),
+    "q183_dup_calibration" -> ((q183DupCalibration _, Some(q183Sql))))
 }

@@ -254,6 +254,85 @@ class AuditQueriesSpec extends SparkSpec {
       === (("s1", 3L, -1500000L)), out(0).toString)
   }
 
+  test("q180 TWAP: values weighted by exact hold durations") {
+    val dir = fixtureDir()
+    val sec = 1000000000L
+    // user 0: v=1.00 held 2 s, v=3.00 held 3 s, v=0.50 open-ended
+    // -> twa = (100*2000 + 300*3000) / 5000 = 220 cents.
+    // user 1: single event -> no interval, drops out.
+    Seq((0L, t0, 0L, 1.00), (1L, t0 + 2 * sec, 0L, 3.00),
+      (2L, t0 + 5 * sec, 0L, 0.50), (3L, t0, 1L, 9.99))
+      .map { case (id, ns, u, v) =>
+        (id, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+          ns / 1000000000L, ns % 1000000000L)), u, v)
+      }.toDF("event_id", "ts", "user_id", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val out = Queries.registry.toMap.apply("q180_time_weighted_avg")
+      ._1(spark, dir).collect()
+    assert(out.length === 1)
+    assert((out(0).getLong(0), out(0).getLong(1), out(0).getLong(2),
+      out(0).getLong(3)) === ((0L, 2L, 5000L, 220L)), out(0).toString)
+  }
+
+  test("q181 cusum: deviation peaks at the pre-jump day, exact ppm") {
+    val dir = fixtureDir()
+    val dayNs = 86400L * 1000000000L
+    // type A over days 0,1,2 with counts 1,1,4 (jump on day 2):
+    // cum*D - i*N = 3-6=-3, 6-12=-6, 18-18=0 -> max |dev| 6 at day 1
+    // (the level shift is AFTER day 1); ppm = 6e6 / (3*6) = 333333.
+    val rows = Seq((0L, 0L), (1L, dayNs), (2L, 2 * dayNs),
+      (3L, 2 * dayNs + 1000L), (4L, 2 * dayNs + 2000L),
+      (5L, 2 * dayNs + 3000L))
+    writeTypedEvents(dir, rows.map { case (id, ns) => (id, ns, 0L, "A") })
+    val out = Queries.registry.toMap.apply("q181_cusum_changepoint")
+      ._1(spark, dir).collect()
+    assert(out.length === 1)
+    assert((out(0).getString(0), out(0).getLong(1), out(0).getLong(2),
+      out(0).getLong(3), out(0).getLong(4))
+      === (("A", 3L, 6L, 1L, 333333L)), out(0).toString)
+  }
+
+  test("q182 rfm: quartiles within nation, segment code composition") {
+    val dir = fixtureDir()
+    // one nation, 4 customers, 1 order each; r/f/m all order by
+    // custkey (f ties broken by custkey) -> segments 111/222/333/444
+    Seq((1L, 5L), (2L, 5L), (3L, 5L), (4L, 5L))
+      .toDF("c_custkey", "c_nationkey")
+      .write.parquet(s"$dir/customer.parquet")
+    (1L to 4L).map { k =>
+      (k * 10, k, java.sql.Timestamp.valueOf(s"2024-01-0$k 00:00:00"),
+        k * 10.00)
+    }.toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    val out = Queries.registry.toMap.apply("q182_rfm_segments")
+      ._1(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out === Map(
+      (5L, 111L) -> ((1L, 1000L)), (5L, 222L) -> ((1L, 2000L)),
+      (5L, 333L) -> ((1L, 3000L)), (5L, 444L) -> ((1L, 4000L))),
+      out.toString)
+  }
+
+  test("q183 dup calibration: fingerprint dups land in their deciles") {
+    val dir = fixtureDir()
+    // 4 docs in one source -> NTILE(10) gives tiles 1..4, one doc
+    // each (order by n_chars, doc_id). docs 0,1 share a fingerprint.
+    Seq((0L, "same text", "s1", 4L), (1L, "same  text", "s1", 4L),
+      (2L, "uniq a", "s1", 6L), (3L, "uniq b", "s1", 7L))
+      .toDF("doc_id", "text", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = Queries.registry.toMap.apply("q183_dup_calibration")
+      ._1(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out === Map(
+      ("s1", 1L) -> ((1L, 1L, 1000000L)),
+      ("s1", 2L) -> ((1L, 1L, 1000000L)),
+      ("s1", 3L) -> ((1L, 0L, 0L)),
+      ("s1", 4L) -> ((1L, 0L, 0L))), out.toString)
+  }
+
   test("q175 ri audit: planted orphans are counted per edge") {
     val dir = fixtureDir()
     Seq(Tuple1(1L)).toDF("r_regionkey")
