@@ -7924,21 +7924,18 @@ object Queries {
     * so the windows shuffle-scale instead of collapsing to one global
     * sort partition; that is also the real serving shape (requests are
     * sharded by prefix). LCP is exact positional algebra — max i with
-    * equal i-prefixes, the 64 positions statically unrolled into one
-    * n-ary `greatest` (flat codegen, no HOF lambda) — identical on
-    * both engines.
+    * equal i-prefixes — via the native byte-walk kernel
+    * ([[graft.expressions.CommonPrefixChars]], spec-asserted equal to
+    * the 64-term substring tower it replaced; one allocation-free walk
+    * per pair vs 64 substring materializations) — identical on both
+    * engines.
     */
   def q172PrefixOrder(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
       .where(col("text").isNotNull)
       .select(col("doc_id"), substring(col("text"), 1, 64).as("__p64"))
-    def lcp(a: Column, b: Column): Column = {
-      val cap = least(length(a), length(b))
-      greatest((1 to 64).map { i =>
-        when(lit(i) <= cap && substring(a, 1, i) === substring(b, 1, i),
-          lit(i.toLong)).otherwise(lit(0L))
-      }: _*)
-    }
+    def lcp(a: Column, b: Column): Column =
+      TextFunctions.commonPrefixChars(a, b, 64)
     def report(strategy: String, paired: DataFrame): DataFrame =
       paired.where(col("__prev").isNotNull)
         .select(lcp(col("__prev"), col("__p64")).as("__lcp"))

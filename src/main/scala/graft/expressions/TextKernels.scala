@@ -31,6 +31,31 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextKernels {
 
+  /** UTF-8 leading byte -> char byte length (continuation/malformed
+    * bytes cannot start a char in Spark-produced UTF8Strings; the
+    * fallthrough keeps the walk terminating on any input).
+    */
+  private def utf8CharLen(b: Byte): Int = {
+    val u = b & 0xFF
+    if (u < 0x80) 1 else if (u < 0xE0) 2 else if (u < 0xF0) 3 else 4
+  }
+
+  /** Character-count common prefix, capped; see [[CommonPrefixChars]]. */
+  def commonPrefixChars(a: UTF8String, b: UTF8String, cap: Int): Long = {
+    val n = Math.min(a.numBytes, b.numBytes)
+    var i = 0
+    while (i < n && a.getByte(i) == b.getByte(i)) i += 1
+    var p = 0
+    var c = 0L
+    while (p < i && c < cap) {
+      val l = utf8CharLen(a.getByte(p))
+      if (p + l > i) return c
+      p += l
+      c += 1
+    }
+    c
+  }
+
   /** Shared byte-scan tokenizer: maximal runs of non-space bytes
     * (UTF-8 multibyte sequences never contain 0x20, so the byte scan is
     * exact). Returns (starts, ends, count) into `bytes` — equivalent to
@@ -224,4 +249,45 @@ case class TokenProfile(child: Expression, wordLists: Seq[Seq[String]])
 
   override protected def withNewChildInternal(newChild: Expression): TokenProfile =
     copy(child = newChild)
+}
+
+/** Common prefix length in CHARACTERS of two strings, capped at `cap`
+  * — the prefix-cache locality kernel (q172). Byte-identical to the
+  * statically-unrolled tower
+  * `GREATEST(CASE WHEN i <= least(len(a),len(b)) AND
+  * substring(a,1,i) = substring(b,1,i) THEN i ELSE 0 END for i in
+  * 1..cap)` on NON-NULL inputs (the tower's CASE turns null inputs
+  * into 0; this kernel is null-intolerant like the engine's other
+  * kernels — q172 filters nulls before the pairing, and the fuzz spec
+  * compares on non-null corpora): a shared byte prefix that splits a
+  * multibyte character contributes only its complete characters,
+  * which is exactly what character-substring equality sees. One byte
+  * walk, zero allocation, vs `cap` substring materializations per
+  * pair in the tower.
+  */
+case class CommonPrefixChars(left: Expression, right: Expression, cap: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two string arguments, got ($l, $r)")
+    }
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "common_prefix_chars"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.commonPrefixChars(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], cap)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expressions.TextKernels.commonPrefixChars($a, $b, $cap)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CommonPrefixChars =
+    copy(left = newLeft, right = newRight)
 }

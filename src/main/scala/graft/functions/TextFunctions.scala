@@ -144,6 +144,13 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "\\s+", " "))
 
+  /** Character-count common prefix of two strings, capped — the
+    * prefix-cache locality kernel ([[graft.expressions.CommonPrefixChars]];
+    * one byte walk replacing a cap-term substring tower).
+    */
+  def commonPrefixChars(a: Column, b: Column, cap: Int): Column =
+    toCol(graft.expressions.CommonPrefixChars(toExpr(a), toExpr(b), cap))
+
   /** PII/noise scrubbing for corpus cleaning: mask emails, URLs, and long
     * digit runs with stable placeholder tokens. Patterns stay in the
     * RE2-compatible subset (no backreferences/lookaround) so the same

@@ -172,4 +172,37 @@ class KernelFuzzSpec extends SparkSpec {
       assert(r.getLong(0) === r.getLong(1), s"row $i: $r")
     }
   }
+
+  test("common_prefix_chars == the 64-term substring tower (incl. multibyte)") {
+    val rnd = new scala.util.Random(404)
+    // alphabet mixes 1- and 3-byte chars so shared byte prefixes can
+    // split a multibyte char; near-identical pairs dominate so long
+    // prefixes are actually exercised
+    val chars = "ab✓é∑ "
+    def str(n: Int): String =
+      (0 until n).map(_ => chars(rnd.nextInt(chars.length))).mkString
+    val pairs = (0 until 800).map { i =>
+      val a = str(rnd.nextInt(80))
+      val b =
+        if (i % 3 == 0) a // identical
+        else if (i % 3 == 1) a.take(rnd.nextInt(a.length + 1)) + str(rnd.nextInt(10))
+        else str(rnd.nextInt(80))
+      (a, b)
+    }.toDF("a", "b")
+    def tower(a: org.apache.spark.sql.Column,
+        b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val cap = least(length(a), length(b))
+      greatest((1 to 64).map { i =>
+        when(lit(i) <= cap && substring(a, 1, i) === substring(b, 1, i),
+          lit(i.toLong)).otherwise(lit(0L))
+      }: _*)
+    }
+    val rows = pairs.select(
+      graft.functions.TextFunctions.commonPrefixChars(col("a"), col("b"), 64)
+        .as("k"),
+      tower(col("a"), col("b")).as("t")).collect()
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) === r.getLong(1), s"row $i: $r")
+    }
+  }
 }
