@@ -188,7 +188,36 @@ object DumpPlans {
         + "counts partial-aggregate, both marginals and the total are "
         + "vocabulary-sized broadcasts, and the top-k is "
         + "TakeOrderedAndProject — the corpus never crosses the "
-        + "network after the first aggregate."))
+        + "network after the first aggregate."),
+    "q169_geo_nearest" ->
+      ("Nearest-site geo assignment is MAP-ONLY: the 15-site argmin "
+        + "unrolls into one flat codegen'd projection (least + a "
+        + "name-ordered CASE chain) — no dim join, no per-point "
+        + "shuffle; the only exchange is the 15-group partial-agg "
+        + "rollup."),
+    "q171_weighted_sample" ->
+      ("Weighted sampling: the ≤8 md5 ticket draws unroll statically "
+        + "(masked to MaxValue past the weight, n-ary least) — no "
+        + "explode, no lambda — and the global top-k is "
+        + "TakeOrderedAndProject (per-partition heaps, driver merge of "
+        + "k)."),
+    "q172_prefix_order" ->
+      ("Prefix-cache locality: adjacent-pair LCP via the native "
+        + "byte-walk kernel (common_prefix_chars, zero allocation); "
+        + "BOTH pairings window inside hash-partitioned block/bucket "
+        + "keys — the only SinglePartition exchanges are the two 2-row "
+        + "scalar rollups."),
+    "q176_haar_bursts" ->
+      ("Haar burst profile: one partial-aggregated pass builds 32 "
+        + "conditional day-count columns (|types| rows out); the "
+        + "31-coefficient transform, argmax chain and energy unroll "
+        + "statically into flat ±1 integer algebra — no recursion, no "
+        + "second pass over events."),
+    "q178_join_cardinality" ->
+      ("Cardinality audit: the EXACT join size is Σ c_A(k)·c_B(k) "
+        + "over the two key histograms — the fact tables aggregate "
+        + "FIRST and only histogram rows cross the network; the join "
+        + "itself is never materialized."))
 
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
