@@ -8640,6 +8640,183 @@ object Queries {
       |  CAST(SUM(dup) * 1000000 // COUNT(*) AS BIGINT) AS dup_ppm
       |FROM dec GROUP BY 1, 2 ORDER BY source, decile""".stripMargin
 
+  /** Conversion-lag distribution: per user, the exact nanosecond lag
+    * from first 'view' to first 'purchase' (strictly after), reported
+    * as integer seconds through the engine's exact interpolated
+    * percentiles — the product-analytics number behind "how long does
+    * conversion take". One conditional-min aggregate per user (events
+    * reduce to |users| rows before anything else), then p50/p95 via
+    * [[Percentiles.exact]] (sort-based, verified bit-identical to
+    * DuckDB's quantile_cont).
+    */
+  def q184ConversionLag(s: SparkSession, dir: String): DataFrame = {
+    val perUser = events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("ts_ns")))
+          .as("__tv"),
+        min(when(col("event_type") === "purchase", col("ts_ns")))
+          .as("__tp"))
+    val lags = perUser
+      .select(col("user_id"),
+        when(col("__tp") > col("__tv"),
+          expr("(__tp - __tv) DIV 1000000000")).as("__lag"))
+    val counts = lags.agg(count(lit(1)).as("n_users"),
+      count(col("__lag")).as("n_converted")).withColumn("__j", lit(1))
+    val pcts = Percentiles.exact(
+      lags.where(col("__lag").isNotNull).withColumn("__g", lit(1L)),
+      Seq("__g"), "__lag", Seq(0.5 -> "50_lag_s", 0.95 -> "95_lag_s"))
+      .withColumn("__j", lit(1))
+    counts.join(broadcast(pcts), Seq("__j"))
+      .select(col("n_users"), col("n_converted"), col("p50_lag_s"),
+        col("p95_lag_s"))
+  }
+
+  val q184Sql: String =
+    """WITH per AS (
+      |  SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'view' THEN epoch_ns(ts) END) AS tv,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END)
+      |      AS tp
+      |  FROM events GROUP BY user_id),
+      |lags AS (
+      |  SELECT user_id,
+      |    CASE WHEN tp > tv THEN (tp - tv) // 1000000000 END AS lag
+      |  FROM per)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  CAST(COUNT(lag) AS BIGINT) AS n_converted,
+      |  quantile_cont(lag, 0.5) AS p50_lag_s,
+      |  quantile_cont(lag, 0.95) AS p95_lag_s
+      |FROM lags""".stripMargin
+
+  /** Simpson diversity (repeat probability) per source: the chance two
+    * tokens drawn without replacement are the SAME type —
+    * Σc(c−1) / (N(N−1)) — the concentration dual of entropy, and the
+    * diversity number that needs no logarithm: everything stays in
+    * exact integers. Overflow-safe by dividing FIRST
+    * (`Σc(c−1) DIV (N(N−1) DIV 1e6)` — Σc(c−1)·1e6 would overflow
+    * BIGINT at ~3e6 tokens/source; the divide-first form is the
+    * DEFINITION, expressed identically on both engines; sources under
+    * 1001 tokens report NULL). Histogram partial-aggregates first; the
+    * final algebra is |sources|-sized.
+    */
+  def q185SimpsonDiversity(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("source"),
+        explode_outer(TextFunctions.tokens(col("text"))).as("tok"))
+      .where(col("tok").isNotNull)
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("source"))
+      .agg(sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("vocab_size"),
+        sum(col("__c") * (col("__c") - 1)).as("__rep"))
+      .select(col("source"), col("n_tokens"), col("vocab_size"),
+        when(col("n_tokens") * (col("n_tokens") - 1) >= 1000000L,
+          expr("__rep DIV (n_tokens * (n_tokens - 1) DIV 1000000)"))
+          .as("simpson_ppm"))
+      .orderBy(col("source"))
+
+  val q185Sql: String =
+    """WITH hist AS (
+      |  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
+      |    SELECT source,
+      |      unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+      |        AS tok
+      |    FROM documents) u
+      |  GROUP BY source, tok)
+      |SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(*) AS BIGINT) AS vocab_size,
+      |  CAST(CASE WHEN SUM(c) * (SUM(c) - 1) >= 1000000
+      |    THEN CAST(SUM(c * (c - 1)) AS BIGINT)
+      |      // (CAST(SUM(c) * (SUM(c) - 1) AS BIGINT) // 1000000)
+      |  END AS BIGINT) AS simpson_ppm
+      |FROM hist GROUP BY source ORDER BY source""".stripMargin
+
+  /** Bloom false-positive-rate self-audit: build the engine's own
+    * relational Bloom filter ([[Bloom.build]], m=16384 bits, k=4,
+    * portable md5-60 positions) from a deterministic 1000-key sample
+    * of EVEN orderkeys, probe it with a disjoint 2000-key sample of
+    * ODD orderkeys (guaranteed non-members), and report the measured
+    * false-positive count — the empirical check of the primitive every
+    * 100 TB semi-join in the engine leans on (q67/q83). The samples
+    * are fixed-size md5-ranked top-k (TakeOrdered — the FPR regime is
+    * SF-INVARIANT by construction, no data-dependent knob), and the
+    * oracle reproduces the EXACT bit array, so the false-positive SET
+    * — not just the rate — must match across engines.
+    */
+  def q186BloomFprAudit(s: SparkSession, dir: String): DataFrame = {
+    val mBits = 16384
+    val kHash = 4
+    val keys = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("key")).where(pmod(col("key"), lit(2L)) === 0L)
+      .distinct()
+      .withColumn("__h", TextDedup.md5Hash60(
+        concat(lit("bf-v1:"), col("key").cast("string"))))
+      .orderBy(col("__h"), col("key")).limit(1000)
+      .select(col("key"))
+    val probes = t(s, dir, "orders")
+      .select(col("o_orderkey").as("key")).where(pmod(col("key"), lit(2L)) === 1L)
+      .distinct()
+      .withColumn("__h", TextDedup.md5Hash60(
+        concat(lit("bp-v1:"), col("key").cast("string"))))
+      .orderBy(col("__h"), col("key")).limit(2000)
+      .select(col("key"))
+    val words = Bloom.build(keys, "key", mBits, kHash)
+    val nKeys = keys.agg(count(lit(1)).as("n_keys"))
+      .withColumn("__j", lit(1))
+    val fp = Bloom.probe(probes, "key", words, mBits, kHash)
+      .agg(count(lit(1)).as("n_probes"),
+        sum(when(col("maybe_member"), 1L).otherwise(0L))
+          .as("false_positives")).withColumn("__j", lit(1))
+    nKeys.join(broadcast(fp), Seq("__j"))
+      .select(col("n_keys"), lit(mBits.toLong).as("m_bits"),
+        col("n_probes"), col("false_positives"),
+        expr("false_positives * 1000000 DIV n_probes").as("fpr_ppm"))
+  }
+
+  val q186Sql: String =
+    """WITH keys AS (
+      |  SELECT key FROM (
+      |    SELECT DISTINCT l_orderkey AS key FROM lineitem
+      |    WHERE l_orderkey % 2 = 0) k
+      |  ORDER BY CAST('0x' || substr(md5('bf-v1:' ||
+      |    CAST(key AS VARCHAR)), 1, 15) AS BIGINT), key
+      |  LIMIT 1000),
+      |probes AS (
+      |  SELECT key FROM (
+      |    SELECT DISTINCT o_orderkey AS key FROM orders
+      |    WHERE o_orderkey % 2 = 1) p
+      |  ORDER BY CAST('0x' || substr(md5('bp-v1:' ||
+      |    CAST(key AS VARCHAR)), 1, 15) AS BIGINT), key
+      |  LIMIT 2000),
+      |kpos AS (
+      |  SELECT CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' ||
+      |    CAST(key AS VARCHAR)), 1, 15) AS BIGINT) % 16384 AS pos
+      |  FROM keys CROSS JOIN (VALUES (0), (1), (2), (3)) t(i)),
+      |words AS (
+      |  SELECT pos // 32 AS word_idx,
+      |    bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS word
+      |  FROM kpos GROUP BY 1),
+      |ppos AS (
+      |  SELECT key, CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' ||
+      |    CAST(key AS VARCHAR)), 1, 15) AS BIGINT) % 16384 AS pos
+      |  FROM probes CROSS JOIN (VALUES (0), (1), (2), (3)) t(i)),
+      |hits AS (
+      |  SELECT p.key,
+      |    COUNT(*) FILTER (WHERE
+      |      (w.word & (CAST(1 AS BIGINT) << CAST(p.pos % 32 AS INT)))
+      |        <> 0) AS nhit
+      |  FROM ppos p LEFT JOIN words w ON w.word_idx = p.pos // 32
+      |  GROUP BY p.key)
+      |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM keys) AS n_keys,
+      |  CAST(16384 AS BIGINT) AS m_bits,
+      |  CAST(COUNT(*) AS BIGINT) AS n_probes,
+      |  CAST(COUNT(*) FILTER (WHERE nhit = 4) AS BIGINT)
+      |    AS false_positives,
+      |  CAST(COUNT(*) FILTER (WHERE nhit = 4) * 1000000 // COUNT(*)
+      |    AS BIGINT) AS fpr_ppm
+      |FROM hits""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -8828,5 +9005,8 @@ object Queries {
     "q180_time_weighted_avg" -> ((q180TimeWeightedAvg _, Some(q180Sql))),
     "q181_cusum_changepoint" -> ((q181CusumChangepoint _, Some(q181Sql))),
     "q182_rfm_segments" -> ((q182RfmSegments _, Some(q182Sql))),
-    "q183_dup_calibration" -> ((q183DupCalibration _, Some(q183Sql))))
+    "q183_dup_calibration" -> ((q183DupCalibration _, Some(q183Sql))),
+    "q184_conversion_lag" -> ((q184ConversionLag _, Some(q184Sql))),
+    "q185_simpson_diversity" -> ((q185SimpsonDiversity _, Some(q185Sql))),
+    "q186_bloom_fpr_audit" -> ((q186BloomFprAudit _, Some(q186Sql))))
 }

@@ -333,6 +333,65 @@ class AuditQueriesSpec extends SparkSpec {
       ("s1", 4L) -> ((1L, 0L, 0L))), out.toString)
   }
 
+  test("q184 conversion lag: strictly-after pairing, interpolated pcts") {
+    val dir = fixtureDir()
+    val sec = 1000000000L
+    // user 0 converts in 90 s, user 1 in 10 s; user 2 purchased BEFORE
+    // viewing (not a conversion); user 3 never purchases.
+    // p50 = 10 + 0.5*80 = 50.0; p95 = 10 + 0.95*80 = 86.0.
+    writeTypedEvents(dir, Seq(
+      (0L, t0, 0L, "view"), (1L, t0 + 90 * sec, 0L, "purchase"),
+      (2L, t0, 1L, "view"), (3L, t0 + 10 * sec, 1L, "purchase"),
+      (4L, t0, 2L, "purchase"), (5L, t0 + sec, 2L, "view"),
+      (6L, t0, 3L, "view")))
+    val out = Queries.registry.toMap.apply("q184_conversion_lag")
+      ._1(spark, dir).collect()
+    assert(out.length === 1)
+    assert((out(0).getLong(0), out(0).getLong(1), out(0).getDouble(2),
+      out(0).getDouble(3)) === ((4L, 2L, 50.0, 86.0)), out(0).toString)
+  }
+
+  test("q185 simpson: divide-first ppm, small sources report NULL") {
+    val dir = fixtureDir()
+    // s1: 'a' x1000 + 'b' x1 -> N=1001, rep=999000, N(N-1)=1001000
+    //   -> 999000 DIV (1001000 DIV 1e6 = 1) = 999000 ppm
+    // s2: N=2 -> below the 1e6 envelope -> NULL
+    val big = ("a " * 1000).trim + " b"
+    Seq((0L, big, "s1"), (1L, "x y", "s2"))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = Queries.registry.toMap.apply("q185_simpson_diversity")
+      ._1(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(out("s1") === ((1001L, 2L, 999000L)), out.toString)
+    assert(out("s2") === ((2L, 2L, -1L)), out.toString)
+  }
+
+  test("q186 bloom FPR: matches an independent JVM bit-array replay") {
+    val dir = fixtureDir()
+    (0L until 200L).map(k => (k, 1L)).toDF("l_orderkey", "l_linenumber")
+      .write.parquet(s"$dir/lineitem.parquet")
+    (0L until 200L).map(k => (k, 1L)).toDF("o_orderkey", "o_custkey")
+      .write.parquet(s"$dir/orders.parquet")
+    // independent replay with java.security md5
+    val evens = (0L until 200L by 2)
+      .sortBy(k => (md5_60(s"bf-v1:$k"), k)).take(1000)
+    val odds = (1L until 200L by 2)
+      .sortBy(k => (md5_60(s"bp-v1:$k"), k)).take(2000)
+    val bits = scala.collection.mutable.Set[Long]()
+    for (k <- evens; i <- 0 until 4) bits += md5_60(s"$i:$k") % 16384
+    val fp = odds.count(k =>
+      (0 until 4).forall(i => bits(md5_60(s"$i:$k") % 16384)))
+    val out = Queries.registry.toMap.apply("q186_bloom_fpr_audit")
+      ._1(spark, dir).collect()
+    assert(out.length === 1)
+    assert((out(0).getLong(0), out(0).getLong(2), out(0).getLong(3),
+      out(0).getLong(4)) ===
+      ((100L, 100L, fp.toLong, fp.toLong * 1000000L / 100L)),
+      s"${out(0)} vs independent fp=$fp")
+  }
+
   test("q175 ri audit: planted orphans are counted per edge") {
     val dir = fixtureDir()
     Seq(Tuple1(1L)).toDF("r_regionkey")
