@@ -8817,6 +8817,306 @@ object Queries {
       |    AS BIGINT) AS fpr_ppm
       |FROM hits""".stripMargin
 
+  /** Streaming heavy hitters: 3-micro-batch AvailableNow replay of the
+    * event feed through a complete-mode (event_type, user) count
+    * aggregation — the streaming state IS the count table — then the
+    * top-3 users per type from the written snapshot (rank ≤ 3, ties to
+    * the lower user id). The oracle is the plain batch query: replay
+    * must be invisible (counts are order-independent), same contract
+    * as q132/q150/q164. The post-stream ranking runs over the
+    * snapshot (|types|·|users-per-type| rows), never the feed.
+    */
+  def q187StreamTopk(s: SparkSession, dir: String): DataFrame = {
+    val src = events(s, dir).select(col("event_id"), col("event_type"),
+      col("user_id"))
+    val base = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_q187_${java.util.UUID.randomUUID().toString.take(8)}")
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(base)) fs.delete(base, true)
+    fs.deleteOnExit(base)
+    val stage = s"$base/stage"
+    val outP = s"$base/out"
+    (0 until 3).foreach { i =>
+      src.filter(col("event_id") % 3 === i)
+        .coalesce(1).write.mode("append").parquet(stage)
+    }
+    var batches = 0
+    val q = s.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete")
+      .option("checkpointLocation", s"$base/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("overwrite").parquet(outP)
+        batches += 1
+      }
+      .start()
+    try q.awaitTermination() finally q.stop()
+    require(batches == 3,
+      s"q187 replay expected 3 micro-batches, saw $batches")
+    s.read.parquet(outP)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("n").desc, col("user_id"))).cast("long"))
+      .where(col("rank") <= 3)
+      .select(col("event_type"), col("rank"), col("user_id"), col("n"))
+      .orderBy(col("event_type"), col("rank"))
+  }
+
+  val q187Sql: String =
+    """SELECT event_type, rank, user_id, n FROM (
+      |  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY COUNT(*) DESC, user_id) AS BIGINT) AS rank
+      |  FROM events GROUP BY event_type, user_id) x
+      |WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin
+
+  /** Near-dup detector evaluation (precision/recall curve): on the
+    * planted-pair corpus (each doc vs its last-2-tokens-dropped copy,
+    * q26/q31's construction), sweep the SimHash Hamming threshold
+    * h ∈ 0..3 against exact token-set Jaccard ≥ 0.7 ground truth —
+    * the measured PR table a curation team reads before picking the
+    * knob, instead of trusting the S-curve. Fingerprints are the
+    * relational ±1-vote simhash on portable md5-60 token hashes
+    * (q31's, DuckDB-reproducible bit for bit); ground truth is the
+    * merge-walk intersect kernel over sorted distinct tokens; the
+    * pair table is an equi-join on the planted id offset (the eval
+    * needs no LSH), and the 4-threshold sweep is a 4-row literal
+    * cross of the |docs|-sized pair table.
+    */
+  def q188NeardupPr(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val corpus = docs.unionByName(mutatedCopy(docs))
+    // token sets carried OUTSIDE the vote aggregate (an array-typed
+    // aggregate buffer would fall off HashAggregate onto the banned
+    // object/sort path) — sigs re-join the set table on the id
+    // sort_array, not array_sort: the one-arg array_sort desugars to a
+    // comparator LAMBDA (engine-wide interpreted-eval ban); sort_array
+    // is the same ascending UTF8String-binary ordering, lambda-free
+    val toksDf = corpus.select(col("doc_id").as("__id"),
+      sort_array(array_distinct(TextFunctions.tokens(col("text"))))
+        .as("__toks"))
+    val tokenHashes = toksDf
+      .select(col("__id"), explode_outer(col("__toks")).as("__t"))
+      .where(col("__t").isNotNull)
+      .select(col("__id"), TextDedup.md5Hash60(col("__t")).as("__h"))
+    val voteAggs = (0 until 60).map(b =>
+      sum(when(shiftright(col("__h"), b).bitwiseAND(1) === 1, 1L)
+        .otherwise(-1L)).as(s"__v$b"))
+    val sigs = tokenHashes
+      .groupBy(col("__id"))
+      .agg(voteAggs.head, voteAggs.tail: _*)
+      .select(col("__id"),
+        (0 until 60).map(b =>
+          when(col(s"__v$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ + _).as("__sim"))
+      .join(toksDf, "__id")
+    val a = sigs.select(col("__id").as("__ida"), col("__toks").as("__ta"),
+      col("__sim").as("__sa"))
+    val b = sigs.select(col("__id").as("__idb"), col("__toks").as("__tb"),
+      col("__sim").as("__sb"))
+    val inter = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.SortedIntersectCount(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("__ta")),
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("__tb"))))
+    val pairs = a.join(b, col("__idb") === col("__ida") + 1000000L)
+      .select(
+        bit_count(col("__sa").bitwiseXOR(col("__sb"))).cast("long")
+          .as("__ham"),
+        inter.as("__i"),
+        (size(col("__ta")) + size(col("__tb"))).cast("long").as("__ab"))
+      .select(col("__ham"),
+        (col("__i") * 10 >= (col("__ab") - col("__i")) * 7).as("__pos"))
+    pairs
+      .select(col("__ham"), col("__pos"),
+        explode(array(lit(0L), lit(1L), lit(2L), lit(3L))).as("h"))
+      .groupBy(col("h"))
+      .agg(sum(when(col("__ham") <= col("h"), 1L).otherwise(0L))
+          .as("predicted"),
+        sum(when(col("__pos"), 1L).otherwise(0L)).as("actual_pos"),
+        sum(when(col("__ham") <= col("h") && col("__pos"), 1L)
+          .otherwise(0L)).as("true_pos"))
+      .select(col("h"), col("predicted"), col("actual_pos"),
+        col("true_pos"),
+        when(col("predicted") > 0,
+          expr("true_pos * 1000000 DIV predicted")).as("precision_ppm"),
+        when(col("actual_pos") > 0,
+          expr("true_pos * 1000000 DIV actual_pos")).as("recall_ppm"))
+      .orderBy(col("h"))
+  }
+
+  val q188Sql: String = {
+    val votes = (0 until 60).map(b =>
+      s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
+      .mkString(",\n      |      ")
+    val fold = (0 until 60).map(b =>
+      s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH corpus AS (
+      |  SELECT doc_id,
+      |    list_sort(list_distinct(
+      |      list_filter(string_split(text, ' '), x -> x <> ''))) AS toks
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id,
+      |    list_sort(list_distinct(ta[1:GREATEST(len(ta) - 2, 1)])) AS toks
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split(text, ' '), x -> x <> '') AS ta
+      |        FROM documents) m),
+      |fp AS (
+      |  SELECT doc_id, $fold AS sim FROM (
+      |    SELECT doc_id,
+      |      $votes
+      |    FROM (
+      |      SELECT doc_id,
+      |        CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+      |      FROM (SELECT doc_id, unnest(toks) AS tok FROM corpus) e) hh
+      |    GROUP BY doc_id) v),
+      |pairs AS (
+      |  SELECT bit_count(xor(fa.sim, fb.sim)) AS ham,
+      |    CAST(len(list_intersect(ca.toks, cb.toks)) AS BIGINT) * 10
+      |      >= (CAST(len(ca.toks) + len(cb.toks) AS BIGINT)
+      |        - CAST(len(list_intersect(ca.toks, cb.toks)) AS BIGINT))
+      |        * 7 AS pos
+      |  FROM corpus ca
+      |  JOIN corpus cb ON cb.doc_id = ca.doc_id + 1000000
+      |  JOIN fp fa ON fa.doc_id = ca.doc_id
+      |  JOIN fp fb ON fb.doc_id = cb.doc_id),
+      |sweep AS (
+      |  SELECT CAST(t.h AS BIGINT) AS h, ham, pos
+      |  FROM pairs CROSS JOIN (VALUES (0), (1), (2), (3)) t(h))
+      |SELECT h,
+      |  CAST(SUM(CASE WHEN ham <= h THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS predicted,
+      |  CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS actual_pos,
+      |  CAST(SUM(CASE WHEN ham <= h AND pos THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS true_pos,
+      |  CAST(CASE WHEN SUM(CASE WHEN ham <= h THEN 1 ELSE 0 END) > 0
+      |    THEN SUM(CASE WHEN ham <= h AND pos THEN 1 ELSE 0 END) * 1000000
+      |      // SUM(CASE WHEN ham <= h THEN 1 ELSE 0 END)
+      |  END AS BIGINT) AS precision_ppm,
+      |  CAST(CASE WHEN SUM(CASE WHEN pos THEN 1 ELSE 0 END) > 0
+      |    THEN SUM(CASE WHEN ham <= h AND pos THEN 1 ELSE 0 END) * 1000000
+      |      // SUM(CASE WHEN pos THEN 1 ELSE 0 END)
+      |  END AS BIGINT) AS recall_ppm
+      |FROM sweep GROUP BY h ORDER BY h""".stripMargin
+  }
+
+  /** The key distributions the Gini audit covers. */
+  private val giniDims: Seq[(String, String)] = Seq(
+    ("items_per_order", "l_orderkey"),
+    ("items_per_part", "l_partkey"),
+    ("items_per_supplier", "l_suppkey"))
+
+  /** Gini concentration of key distributions (how unequal is the
+    * items-per-key histogram — the scalar skew number next to q80's
+    * top-k heavy hitters). Computed EXACTLY from the count-of-counts
+    * histogram: equal group sizes are swap-invariant in the rank
+    * formula, so each distinct size c with multiplicity m contributes
+    * c·(m·start + m(m+1)/2) to Σ i·xᵢ from its contiguous rank block
+    * — the windows run over the tiny distinct-size grid, never the
+    * keys. Divide-first ppm (`(2S − (n+1)N) DIV (nN DIV 1e6)`) keeps
+    * the algebra in BIGINT at any scale; sub-envelope inputs NULL.
+    */
+  def q189GiniConcentration(s: SparkSession, dir: String): DataFrame =
+    giniDims.map { case (dim, key) =>
+      val hist = t(s, dir, "lineitem")
+        .groupBy(col(key)).agg(count(lit(1)).as("__c"))
+        .groupBy(col("__c")).agg(count(lit(1)).as("__m"))
+      val w = Window.orderBy(col("__c"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      hist
+        .withColumn("__start", coalesce(sum(col("__m")).over(w), lit(0L)))
+        .select(
+          (col("__c") * (col("__m") * col("__start")
+            + expr("__m * (__m + 1) DIV 2"))).as("__s"),
+          (col("__c") * col("__m")).as("__items"), col("__m"))
+        .agg(sum(col("__s")).as("__S"), sum(col("__items")).as("total_items"),
+          sum(col("__m")).as("n_groups"))
+        .select(lit(dim).as("dimension"), col("n_groups"),
+          col("total_items"),
+          when(col("n_groups") * col("total_items") >= 1000000L,
+            expr("""(2 * __S - (n_groups + 1) * total_items)
+                   |DIV (n_groups * total_items DIV 1000000)""".stripMargin
+              .replace("\n", " "))).as("gini_ppm"))
+    }.reduce(_ unionAll _).orderBy(col("dimension"))
+
+  val q189Sql: String = giniDims.map { case (dim, key) =>
+    s"""SELECT '$dim' AS dimension, n_groups, total_items,
+      |  CAST(CASE WHEN n_groups * total_items >= 1000000
+      |    THEN (2 * S - (n_groups + 1) * total_items)
+      |      // (n_groups * total_items // 1000000)
+      |  END AS BIGINT) AS gini_ppm
+      |FROM (
+      |  SELECT CAST(SUM(c * (m * start + m * (m + 1) // 2)) AS BIGINT)
+      |      AS S,
+      |    CAST(SUM(c * m) AS BIGINT) AS total_items,
+      |    CAST(SUM(m) AS BIGINT) AS n_groups
+      |  FROM (
+      |    SELECT c, m,
+      |      COALESCE(SUM(m) OVER (ORDER BY c
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |        AS start
+      |    FROM (
+      |      SELECT c, CAST(COUNT(*) AS BIGINT) AS m FROM (
+      |        SELECT $key, CAST(COUNT(*) AS BIGINT) AS c
+      |        FROM lineitem GROUP BY $key) g
+      |      GROUP BY c) h) x) y""".stripMargin
+  }.mkString("", "\nUNION ALL\n", "\nORDER BY dimension")
+
+  /** Calendar-spine gap audit per event type: which days inside each
+    * type's [min, max] activity span saw ZERO events — the
+    * completeness check run on ingest feeds (a silent day-long outage
+    * shows up here and nowhere else). Spine = explode(sequence) over
+    * per-type day bounds (span-sized, not data-sized), one left join
+    * back to the distinct-day set.
+    */
+  def q190DateGaps(s: SparkSession, dir: String): DataFrame = {
+    val days = events(s, dir)
+      .select(col("event_type"),
+        datediff(to_date(col("ts")),
+          lit(java.sql.Date.valueOf("1970-01-01"))).cast("long")
+          .as("__day"))
+      .groupBy(col("event_type"), col("__day"))
+      .agg(count(lit(1)).as("__c"))
+    val spine = days
+      .groupBy(col("event_type"))
+      .agg(min(col("__day")).as("__mn"), max(col("__day")).as("__mx"))
+      .select(col("event_type").as("__et"),
+        explode(sequence(col("__mn"), col("__mx"))).as("__d"))
+    spine
+      .join(days, col("__et") === col("event_type")
+        && col("__d") === col("__day"), "left")
+      .groupBy(col("__et").as("event_type"))
+      .agg(count(lit(1)).as("span_days"),
+        sum(when(col("__day").isNull, 1L).otherwise(0L))
+          .as("missing_days"),
+        min(when(col("__day").isNull, col("__d"))).as("first_gap_day"))
+      .orderBy(col("event_type"))
+  }
+
+  val q190Sql: String =
+    """WITH days AS (
+      |  SELECT event_type,
+      |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
+      |  FROM events GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT event_type, unnest(range(mn, mx + 1)) AS d FROM (
+      |    SELECT event_type, MIN(day) AS mn, MAX(day) AS mx
+      |    FROM days GROUP BY event_type) b)
+      |SELECT s.event_type, CAST(COUNT(*) AS BIGINT) AS span_days,
+      |  CAST(SUM(CASE WHEN dd.day IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS missing_days,
+      |  CAST(MIN(CASE WHEN dd.day IS NULL THEN s.d END) AS BIGINT)
+      |    AS first_gap_day
+      |FROM spine s LEFT JOIN days dd
+      |  ON dd.event_type = s.event_type AND dd.day = s.d
+      |GROUP BY s.event_type ORDER BY s.event_type""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -9008,5 +9308,9 @@ object Queries {
     "q183_dup_calibration" -> ((q183DupCalibration _, Some(q183Sql))),
     "q184_conversion_lag" -> ((q184ConversionLag _, Some(q184Sql))),
     "q185_simpson_diversity" -> ((q185SimpsonDiversity _, Some(q185Sql))),
-    "q186_bloom_fpr_audit" -> ((q186BloomFprAudit _, Some(q186Sql))))
+    "q186_bloom_fpr_audit" -> ((q186BloomFprAudit _, Some(q186Sql))),
+    "q187_stream_topk" -> ((q187StreamTopk _, Some(q187Sql))),
+    "q188_neardup_pr" -> ((q188NeardupPr _, Some(q188Sql))),
+    "q189_gini_concentration" -> ((q189GiniConcentration _, Some(q189Sql))),
+    "q190_date_gaps" -> ((q190DateGaps _, Some(q190Sql))))
 }

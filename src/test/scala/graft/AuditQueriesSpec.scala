@@ -392,6 +392,104 @@ class AuditQueriesSpec extends SparkSpec {
       s"${out(0)} vs independent fp=$fp")
   }
 
+  test("q187 stream topk: replayed counts rank with user-id tie-break") {
+    val dir = fixtureDir()
+    // type A: user 1 x3, user 2 x2, users 3/4 x1 each -> top3 ends at
+    // user 3 (tie with 4 broken by id)
+    writeTypedEvents(dir, Seq(
+      (0L, t0, 1L, "A"), (1L, t0 + 1, 1L, "A"), (2L, t0 + 2, 1L, "A"),
+      (3L, t0, 2L, "A"), (4L, t0 + 1, 2L, "A"),
+      (5L, t0, 3L, "A"), (6L, t0, 4L, "A")))
+    val out = Queries.registry.toMap.apply("q187_stream_topk")
+      ._1(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3))))
+    assert(out.toSeq === Seq(
+      ("A", 1L) -> ((1L, 3L)), ("A", 2L) -> ((2L, 2L)),
+      ("A", 3L) -> ((3L, 1L))), out.toSeq.toString)
+  }
+
+  test("q188 neardup PR: matches an independent simhash/jaccard replay") {
+    val dir = fixtureDir()
+    // doc 0's token SET survives the drop (trailing repeats) -> ham 0,
+    // jaccard 1; the rest have mixed overlap - the expected PR table
+    // is fully recomputed here with java.security md5.
+    val texts = Seq(
+      (0L, "alpha beta alpha alpha"),
+      (1L, "one two three four five six seven eight nine ten"),
+      (2L, "x y z"),
+      (3L, (1 to 40).map(i => s"tok$i").mkString(" ")))
+    texts.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    def toks(s: String): Seq[String] =
+      s.split(" ").filter(_.nonEmpty).toSeq
+    def simhash(ts: Seq[String]): Long = (0 until 60).map { b =>
+      val votes = ts.distinct
+        .map(t => if (((md5_60(t) >> b) & 1) == 1) 1 else -1).sum
+      if (votes > 0) 1L << b else 0L
+    }.sum
+    val pairs = texts.map { case (_, txt) =>
+      val ta = toks(txt)
+      val tb = ta.take(math.max(ta.length - 2, 1))
+      val (sa, sb) = (ta.distinct.toSet, tb.distinct.toSet)
+      val i = (sa intersect sb).size
+      val pos = i * 10 >= (sa.size + sb.size - i) * 7
+      val ham = java.lang.Long.bitCount(simhash(ta) ^ simhash(tb))
+      (ham, pos)
+    }
+    val expected = (0L to 3L).map { h =>
+      val pred = pairs.count(_._1 <= h).toLong
+      val ap = pairs.count(_._2).toLong
+      val tp = pairs.count(p => p._1 <= h && p._2).toLong
+      h -> ((pred, ap, tp,
+        if (pred > 0) tp * 1000000L / pred else -1L,
+        if (ap > 0) tp * 1000000L / ap else -1L))
+    }.toMap
+    val out = Queries.registry.toMap.apply("q188_neardup_pr")
+      ._1(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5)))).toMap
+    assert(out === expected, s"got $out\nwant $expected")
+  }
+
+  test("q189 gini: closed-form concentrated histogram + NULL envelope") {
+    val dir = fixtureDir()
+    // 999 single-item orders + one 1001-item order: n=1000, N=2000,
+    // S = 499500 + 1000*1001 = 1500500 -> gini = 999000 / 2 = 499500.
+    // one supplier -> n*N = 2000 under the 1e6 envelope -> NULL.
+    val rows = (1L to 999L).map(k => (k, k, 1L)) ++
+      (0L until 1001L).map(i => (1000L, 1000L, 1L))
+    rows.toDF("l_orderkey", "l_partkey", "l_suppkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val out = Queries.registry.toMap.apply("q189_gini_concentration")
+      ._1(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(out("items_per_order") === ((1000L, 2000L, 499500L)),
+      out.toString)
+    assert(out("items_per_part") === ((1000L, 2000L, 499500L)),
+      out.toString)
+    assert(out("items_per_supplier") === ((1L, 2000L, -1L)), out.toString)
+  }
+
+  test("q190 date gaps: missing spine days per type, first gap reported") {
+    val dir = fixtureDir()
+    val dayNs = 86400L * 1000000000L
+    // type A active days 0,1,3,4 -> span 5, 1 missing (day 2);
+    // type B days 10,11 -> no gaps, first_gap NULL
+    writeTypedEvents(dir, Seq(
+      (0L, 0L, 0L, "A"), (1L, dayNs, 0L, "A"), (2L, 3 * dayNs, 0L, "A"),
+      (3L, 4 * dayNs, 0L, "A"),
+      (4L, 10 * dayNs, 0L, "B"), (5L, 11 * dayNs, 0L, "B")))
+    val out = Queries.registry.toMap.apply("q190_date_gaps")
+      ._1(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(out("A") === ((5L, 1L, 2L)), out.toString)
+    assert(out("B") === ((2L, 0L, -1L)), out.toString)
+  }
+
   test("q175 ri audit: planted orphans are counted per edge") {
     val dir = fixtureDir()
     Seq(Tuple1(1L)).toDF("r_regionkey")
