@@ -31,6 +31,36 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextKernels {
 
+  /** Thread-local MD5 digest — one instance per executor thread, reset
+    * per call (MessageDigest.getInstance per row is the allocation the
+    * kernel exists to avoid).
+    */
+  private val md5Tl: ThreadLocal[java.security.MessageDigest] =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  /** Top 60 bits of md5(s) as a non-negative long — BIT-IDENTICAL to
+    * the engine's portable-hash contract `conv(substr(md5(s),1,15),16,10)`
+    * (the first 15 hex chars are the first 7.5 digest bytes = the
+    * big-endian first-8-bytes word shifted right 4), computed straight
+    * from the digest bytes: no hex-string materialization, no substring,
+    * no NumberConverter parse (the three frames that dominated q130's
+    * stall profile). See [[Md5Hash60]].
+    */
+  def md5Hash60(s: UTF8String): Long = {
+    val md = md5Tl.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    val hi =
+      ((d(0) & 0xFFL) << 56) | ((d(1) & 0xFFL) << 48) |
+        ((d(2) & 0xFFL) << 40) | ((d(3) & 0xFFL) << 32) |
+        ((d(4) & 0xFFL) << 24) | ((d(5) & 0xFFL) << 16) |
+        ((d(6) & 0xFFL) << 8) | (d(7) & 0xFFL)
+    hi >>> 4
+  }
+
   /** UTF-8 leading byte -> char byte length (continuation/malformed
     * bytes cannot start a char in Spark-produced UTF8Strings; the
     * fallthrough keeps the walk terminating on any input).
@@ -290,4 +320,27 @@ case class CommonPrefixChars(left: Expression, right: Expression, cap: Int)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CommonPrefixChars =
     copy(left = newLeft, right = newRight)
+}
+
+/** Native portable md5-60 hash ([[TextKernels.md5Hash60]]): the
+  * engine-wide cross-engine hash contract, minus the interpreted
+  * hex/conv tower. Null-intolerant like every kernel.
+  */
+case class Md5Hash60(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument, got $t")
+    }
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "md5_hash60"
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.md5Hash60(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.TextKernels.md5Hash60($c)")
+  override protected def withNewChildInternal(newChild: Expression): Md5Hash60 =
+    copy(child = newChild)
 }

@@ -722,7 +722,13 @@ object TextDedup {
     * externally checkable; xxhash64 remains the fast default.
     */
   def md5Hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    // native kernel ([[graft.expressions.Md5Hash60]]): same 60 bits as
+    // `conv(substring(md5(c),1,15),16,10)` (fuzz-asserted) without the
+    // hex-string/substring/NumberConverter tower that dominated q130's
+    // stall profile
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.Md5Hash60(
+        org.apache.spark.sql.graft.ColumnBridge.expression(c)))
 
   /** SimHash of the token set: per bit, sum +1/-1 votes over tokens by
     * that bit of the token hash; bit set iff the vote is positive. The

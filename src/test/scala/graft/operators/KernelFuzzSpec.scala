@@ -173,6 +173,22 @@ class KernelFuzzSpec extends SparkSpec {
     }
   }
 
+  test("md5_hash60 == the conv(substr(md5)) tower on arbitrary strings") {
+    val rnd = new scala.util.Random(505)
+    val chars = "abc01:✓é ∑-_"
+    val rows = (0 until 1000).map { _ =>
+      Tuple1((0 until rnd.nextInt(40))
+        .map(_ => chars(rnd.nextInt(chars.length))).mkString)
+    }.toDF("s")
+    val out = rows.select(
+      TextDedup.md5Hash60(col("s")).as("k"),
+      conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("t"))
+      .collect()
+    out.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) === r.getLong(1), s"row $i: $r")
+    }
+  }
+
   test("common_prefix_chars == the 64-term substring tower (incl. multibyte)") {
     val rnd = new scala.util.Random(404)
     // alphabet mixes 1- and 3-byte chars so shared byte prefixes can
