@@ -132,7 +132,8 @@ object JdbcUpsert {
       // the job. Memory note: one partition's rows are held at once;
       // size partitions for the sink accordingly.
       val buffered = rows.toArray
-      if (buffered.nonEmpty) {
+      val gate = writeGate(url, table)
+      if (buffered.nonEmpty) gate.synchronized {
         var attempt = 0
         var done = false
         while (!done) {
@@ -170,6 +171,27 @@ object JdbcUpsert {
       }
     }
   }
+
+  /** Same-JVM write serialization for EMBEDDED databases only.
+    * Embedded Derby can latch-deadlock UNDETECTABLY when one writer's
+    * rollback-undo needs a page another same-JVM writer latched
+    * (observed once under `sbt test`: two executor threads parked
+    * forever in `BasePage.setExclusive` / `generateUndo`). Lock-manager
+    * deadlocks throw 40001 and hit the retry loop below; page-LATCH
+    * waits are invisible to deadlock detection, so the only safe
+    * concurrency for a same-JVM embedded store is none. Client/server
+    * URLs (`jdbc:derby://…`, postgres, …) share one JVM-wide gate map
+    * but each gets a PER-TABLE gate only when embedded — remote
+    * databases keep full cross-connection concurrency, and cross-JVM
+    * executors are unaffected either way (the real cluster case is
+    * governed by the server's lock manager + the 40001 retry).
+    */
+  private val writeGates =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def writeGate(url: String, table: String): AnyRef =
+    if (url.startsWith("jdbc:derby:") && !url.startsWith("jdbc:derby://"))
+      writeGates.computeIfAbsent(s"$url#$table", _ => new Object)
+    else new Object // fresh monitor: synchronized is a no-op, no contention
 
   /** Deadlock-victim / serialization-failure detection: SQLSTATE 40001
     * (and Derby's 40XL1 lock timeout) anywhere in the chain — a
