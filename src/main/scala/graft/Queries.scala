@@ -9117,6 +9117,85 @@ object Queries {
       |  ON dd.event_type = s.event_type AND dd.day = s.d
       |GROUP BY s.event_type ORDER BY s.event_type""".stripMargin
 
+  /** Growing-degree-days per region-month — the agronomic accumulation
+    * the reference's 15-region weather pipeline exists to feed
+    * (crop-development heat units: Σ over days of
+    * max(0, (Tmax+Tmin)/2 − 10 °C)), plus heat-stress days
+    * (Tmax ≥ 30 °C). Rides q20's exact derivation (same dedup +
+    * validity gates), then EXACT cents fixed-point: daily max/min in
+    * temperature cents, per-day 2×-cents contribution
+    * `greatest(0, tmax_c + tmin_c − 2000)`, summed per month and
+    * halved ONCE at the end (sum-then-DIV is the cross-engine
+    * definition). Daily extremes partial-aggregate to (region, date)
+    * rows before the month rollup — two tiny hash aggs after the scan.
+    */
+  def q191GrowingDegreeDays(s: SparkSession, dir: String): DataFrame = {
+    val raw = events(s, dir).select(
+      col("event_id").as("record_id"),
+      concat(lit("r"), (col("user_id") % 15).cast("string")).as("region"),
+      col("ts").as("data_timestamp"),
+      col("ts_ns").as("data_ts_ns"),
+      (col("value") % 55.0 - 5.0).as("temperature"),
+      (floor(col("value")).cast("long") % 101).cast("long").as("humidity"))
+    val deduped = Dedup.keepFirst(raw, Seq("region", "data_ts_ns"),
+      Seq(col("record_id").asc))
+    val daily = deduped
+      .filter(col("temperature").between(-5, 50))
+      .filter(col("humidity").between(0, 100))
+      .select(col("region"),
+        to_date(col("data_timestamp")).as("__date"),
+        floor(col("temperature") * 100 + 0.5).cast("long").as("__tc"))
+      .groupBy(col("region"), col("__date"))
+      .agg(max(col("__tc")).as("__tmax"), min(col("__tc")).as("__tmin"))
+    daily
+      .select(col("region"),
+        (year(col("__date")) * 100 + month(col("__date"))).cast("long")
+          .as("month"),
+        greatest(lit(0L), col("__tmax") + col("__tmin") - 2000L)
+          .as("__g2"),
+        when(col("__tmax") >= 3000L, 1L).otherwise(0L).as("__hs"))
+      .groupBy(col("region"), col("month"))
+      .agg(count(lit(1)).as("n_days"), sum(col("__g2")).as("__gs"),
+        sum(col("__hs")).as("heat_stress_days"))
+      .select(col("region"), col("month"), col("n_days"),
+        expr("__gs DIV 2").as("gdd_cents"), col("heat_stress_days"))
+      .orderBy(col("region"), col("month"))
+  }
+
+  val q191Sql: String =
+    """WITH valid AS (
+      |  SELECT region, data_timestamp,
+      |    CAST(FLOOR(temperature * 100 + 0.5) AS BIGINT) AS tc
+      |  FROM (
+      |    SELECT region, data_timestamp, temperature, humidity,
+      |      ROW_NUMBER() OVER (PARTITION BY region, data_timestamp
+      |        ORDER BY record_id) AS rn
+      |    FROM (
+      |      SELECT event_id AS record_id,
+      |        'r' || CAST(user_id % 15 AS VARCHAR) AS region,
+      |        ts AS data_timestamp,
+      |        value % 55.0 - 5.0 AS temperature,
+      |        CAST(FLOOR(value) AS BIGINT) % 101 AS humidity
+      |      FROM events) r) d
+      |  WHERE rn = 1
+      |    AND temperature BETWEEN -5 AND 50
+      |    AND humidity BETWEEN 0 AND 100),
+      |daily AS (
+      |  SELECT region, CAST(data_timestamp AS DATE) AS dt,
+      |    MAX(tc) AS tmax, MIN(tc) AS tmin
+      |  FROM valid GROUP BY 1, 2),
+      |md AS (
+      |  SELECT region,
+      |    EXTRACT(YEAR FROM dt) * 100 + EXTRACT(MONTH FROM dt) AS month,
+      |    GREATEST(0, tmax + tmin - 2000) AS g2,
+      |    CASE WHEN tmax >= 3000 THEN 1 ELSE 0 END AS hs
+      |  FROM daily)
+      |SELECT region, CAST(month AS BIGINT) AS month,
+      |  CAST(COUNT(*) AS BIGINT) AS n_days,
+      |  CAST(SUM(g2) // 2 AS BIGINT) AS gdd_cents,
+      |  CAST(SUM(hs) AS BIGINT) AS heat_stress_days
+      |FROM md GROUP BY 1, 2 ORDER BY region, month""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -9312,5 +9391,7 @@ object Queries {
     "q187_stream_topk" -> ((q187StreamTopk _, Some(q187Sql))),
     "q188_neardup_pr" -> ((q188NeardupPr _, Some(q188Sql))),
     "q189_gini_concentration" -> ((q189GiniConcentration _, Some(q189Sql))),
-    "q190_date_gaps" -> ((q190DateGaps _, Some(q190Sql))))
+    "q190_date_gaps" -> ((q190DateGaps _, Some(q190Sql))),
+    "q191_growing_degree_days" ->
+      ((q191GrowingDegreeDays _, Some(q191Sql))))
 }

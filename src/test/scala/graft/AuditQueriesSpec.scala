@@ -490,6 +490,28 @@ class AuditQueriesSpec extends SparkSpec {
     assert(out("B") === ((2L, 0L, -1L)), out.toString)
   }
 
+  test("q191 GDD: exact cents accumulation, base-10C clamp, stress days") {
+    val dir = fixtureDir()
+    val dayNs = 86400L * 1000000000L
+    // region r0 (user 0). day 0: temps 15.0 / 35.0 (values 20, 40) ->
+    // mean 25C, GDD +15.00, tmax >= 30C stress day. day 1: temp 2.0
+    // (value 7) -> mean below base, clamped to 0, no stress.
+    // month 197001: n_days 2, gdd_cents 1500, heat_stress_days 1.
+    Seq((0L, 0L, 0L, 20.0), (1L, 1000L, 0L, 40.0),
+      (2L, dayNs, 0L, 7.0))
+      .map { case (id, ns, u, v) =>
+        (id, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+          ns / 1000000000L, ns % 1000000000L)), u, v)
+      }.toDF("event_id", "ts", "user_id", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val out = Queries.registry.toMap.apply("q191_growing_degree_days")
+      ._1(spark, dir).collect()
+    assert(out.length === 1)
+    assert((out(0).getString(0), out(0).getLong(1), out(0).getLong(2),
+      out(0).getLong(3), out(0).getLong(4))
+      === (("r0", 197001L, 2L, 1500L, 1L)), out(0).toString)
+  }
+
   test("q175 ri audit: planted orphans are counted per edge") {
     val dir = fixtureDir()
     Seq(Tuple1(1L)).toDF("r_regionkey")
