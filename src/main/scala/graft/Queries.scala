@@ -8302,10 +8302,14 @@ object Queries {
     */
   def q178JoinCardinality(s: SparkSession, dir: String): DataFrame =
     cardJoins.map { case (jn, lt, lk, rt, rk) =>
-      val ca = t(s, dir, lt).groupBy(col(lk).as("__k"))
-        .agg(count(lit(1)).as("__ca"))
-      val cb = t(s, dir, rt).groupBy(col(rk).as("__k"))
-        .agg(count(lit(1)).as("__cb"))
+      // null keys excluded on BOTH sides up front: DuckDB's
+      // COUNT(DISTINCT) skips nulls while a groupBy histogram keeps a
+      // null group, and null keys never match a join anyway — the
+      // audit's domain is non-null keys by definition
+      val ca = t(s, dir, lt).where(col(lk).isNotNull)
+        .groupBy(col(lk).as("__k")).agg(count(lit(1)).as("__ca"))
+      val cb = t(s, dir, rt).where(col(rk).isNotNull)
+        .groupBy(col(rk).as("__k")).agg(count(lit(1)).as("__cb"))
       val statsA = ca.agg(sum(col("__ca")).as("__ra"),
         count(lit(1)).as("__na")).withColumn("__j", lit(1))
       val statsB = cb.agg(sum(col("__cb")).as("__rb"),
@@ -8335,16 +8339,19 @@ object Queries {
       |  END AS BIGINT) AS est_ppm_of_actual
       |FROM (
       |  SELECT
-      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM $lt) AS ra,
-      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM $rt) AS rb,
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM $lt
+      |     WHERE $lk IS NOT NULL) AS ra,
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM $rt
+      |     WHERE $rk IS NOT NULL) AS rb,
       |    (SELECT CAST(COUNT(DISTINCT $lk) AS BIGINT) FROM $lt) AS na,
       |    (SELECT CAST(COUNT(DISTINCT $rk) AS BIGINT) FROM $rt) AS nb,
       |    (SELECT CAST(COALESCE(SUM(ca * cb), 0) AS BIGINT) FROM
       |      (SELECT $lk AS k, CAST(COUNT(*) AS BIGINT) AS ca
-      |       FROM $lt GROUP BY 1) a
+      |       FROM $lt WHERE $lk IS NOT NULL GROUP BY 1) a
       |      JOIN
       |      (SELECT $rk AS k, CAST(COUNT(*) AS BIGINT) AS cb
-      |       FROM $rt GROUP BY 1) b ON b.k = a.k) AS act) x""".stripMargin
+      |       FROM $rt WHERE $rk IS NOT NULL GROUP BY 1) b
+      |      ON b.k = a.k) AS act) x""".stripMargin
   }.mkString("", "\nUNION ALL\n", "\nORDER BY join_name")
 
   /** Zipf slope per source: fit log₂-rank vs log₂-count (integer bit

@@ -16,6 +16,8 @@ class AuditQueriesSpec extends SparkSpec {
   private def fixtureDir(): String =
     Files.createTempDirectory("graft_auditfix").toString
 
+  private def jl(v: Long): java.lang.Long = java.lang.Long.valueOf(v)
+
   /** Independent md5-60 (java.security, not Spark) for cross-checks. */
   private def md5_60(s: String): Long = {
     val d = java.security.MessageDigest.getInstance("MD5")
@@ -213,7 +215,10 @@ class AuditQueriesSpec extends SparkSpec {
 
   test("q178 join cardinality: exact actual vs uniform estimate") {
     val dir = fixtureDir()
-    Seq((1L, 1L), (1L, 1L), (2L, 5L))
+    // the null-key row is excluded from rows/ndv/actual on BOTH
+    // engines (COUNT(DISTINCT) skips nulls; null keys never join)
+    Seq((jl(1L), jl(1L)), (jl(1L), jl(1L)), (jl(2L), jl(5L)),
+      (null: java.lang.Long, null: java.lang.Long))
       .toDF("l_orderkey", "l_partkey")
       .write.parquet(s"$dir/lineitem.parquet")
     Seq((1L, 7L), (2L, 7L), (3L, 8L))
