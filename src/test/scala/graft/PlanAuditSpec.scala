@@ -570,6 +570,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(400))
   }
 
+  test("q176 haar builds the 32 day columns in ONE partial-agg pass") {
+    val p = plan("q176_haar_bursts")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expected partial + final HashAggregate for the day columns")
+    assert(!p.contains("lambdafunction("),
+      "the 31-coefficient tower must unroll statically: " + p.take(600))
+    assert("FileScan".r.findAllIn(p).size <= 1,
+      "the transform must not re-scan events: " + p.take(600))
+  }
+
+  test("q191 GDD is two hash aggregates after the dedup window") {
+    val p = plan("q191_growing_degree_days")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "expected partial+final pairs for daily extremes and month rollup")
+    assert(!p.toLowerCase.contains("sortaggregate"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(400))
+  }
+
   test("q169 geo nearest is MAP-ONLY up to the 15-group rollup: no join") {
     val p = plan("q169_geo_nearest")
     assert(!p.contains("Join"), "the 15-site argmin must unroll into a " +
