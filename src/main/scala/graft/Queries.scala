@@ -1020,6 +1020,12 @@ object Queries {
     // ANY centroids, and scores exactly 1.0 there.
     val idsDf = t(s, dir, "customer")
       .select(col("c_custkey").cast("long").as("media_id"))
+    // id-ONLY fingerprint, deliberately: every embedding here is a pure
+    // function of its media_id (synthesized pixels → deterministic
+    // codec → deterministic features), so id-identity IS
+    // payload-identity and the keying scan stays a pruned id read.
+    // Real embedding tables fold the vector payload instead (r10
+    // ADVICE; see corpusFingerprint's vecCol).
     val fp = Similarity.corpusFingerprint(idsDf, "media_id")
     val nlist = Similarity.autoNlist(fp._1)
     val centroids = Similarity.trainOrLoadIvfCentroids(corpus,
@@ -5598,20 +5604,25 @@ object Queries {
   /** kNN majority-vote labeling over embeddings — the semi-supervised
     * labeling step of a curation pipeline: every 20th vector is the
     * "unlabeled" query set, classified by its 5 nearest labeled
-    * neighbors (fixed-point dot scores, [[Similarity.bruteForceTopK]]),
-    * majority vote with (votes DESC, best rank, label) tie-break so the
-    * prediction is total-order deterministic. Brute force is the
-    * oracle-checkable core; the 100 TB path swaps the scorer for
-    * [[Similarity.lshTopK]]/IVF (q53/q110) and keeps the vote stage
-    * verbatim — scores feed the SAME window + count, so the vote logic
-    * is validated here independent of the candidate generator.
+    * neighbors (fixed-point dot scores), majority vote with (votes
+    * DESC, best rank, label) tie-break so the prediction is total-order
+    * deterministic.
+    *
+    * r10: candidate generation is [[Similarity.adaptiveTopK]] — exact
+    * brute force at/below 4096 corpus rows (every oracle SF: sf0.001/
+    * 0.01/0.1 have ≤ 2k embeddings, so CORRECTNESS rows stay
+    * hash-identical to the exact-kNN DuckDB oracle), the data-adaptive
+    * IVF generator above it (the r9 sf1 sweep measured this query's
+    * brute |Q|·|C| join at 101× for 10× data — the suite's last
+    * quadratic). The vote stage is generator-agnostic and runs
+    * VERBATIM on either arm's (query_id, neighbor_id, rank) output.
     */
   def q133KnnLabel(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val queries = emb.filter(col("vec_id") % 20 === 0)
     val corpus = emb.filter(col("vec_id") % 20 =!= 0)
-    val top = Similarity.bruteForceTopK(corpus, queries, "vec_id",
-      "embedding", k = 5)
+    val top = Similarity.adaptiveTopK(corpus, queries, "vec_id",
+      "embedding", k = 5, dim = 64, storeDir = quantizerStoreDir)
     val lab = corpus.select(col("vec_id").as("neighbor_id"), col("label"))
     val votes = top.join(lab, Seq("neighbor_id"))
       .groupBy(col("query_id"), col("label"))
@@ -5705,8 +5716,7 @@ object Queries {
       |      AS en_cnt
       |  FROM f GROUP BY b)
       |SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_features,
-      |  CAST(SUM(CAST(FLOOR(st.en_cnt * 1000000.0 / st.all_cnt) AS BIGINT))
-      |    AS BIGINT) AS odds_score
+      |  CAST(SUM(st.en_cnt * 1000000 // st.all_cnt) AS BIGINT) AS odds_score
       |FROM f JOIN st USING (b) WHERE f.doc_id < 1000
       |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin
 
@@ -6018,12 +6028,19 @@ object Queries {
     * retrieval/embedding fine-tune wants as negatives. Scores are the
     * engine's portable fixed-point dot ([[Similarity.dotFixed]], 1e-9
     * units, BIGINT) so ordering is bit-identical across engines; ties
-    * break on neighbor id. Brute force is the oracle-checkable core;
-    * at 100 TB the candidate generator swaps to lshTopK/IVF (q53/q110)
-    * with a wider k and the label-mismatch filter + re-rank stays
-    * verbatim. The query side broadcasts (it is the small side by
-    * construction); the corpus streams map-side, and the only shuffle
-    * is the per-query top-k window.
+    * break on neighbor id.
+    *
+    * r10 scale-adaptive generation (the q133 pattern): at/below 4096
+    * corpus rows — every oracle SF — the exact all-different-label-pairs
+    * plan runs (query side broadcasts, corpus streams map-side, the
+    * only shuffle is the top-k window) and CORRECTNESS rows stay
+    * hash-identical. Above it, [[Similarity.ivfTopK]] generates a WIDE
+    * label-blind candidate set (64 per query — labels are not an IVF
+    * key, so the mismatch filter needs headroom under it), then the
+    * label-mismatch filter + fixed-point re-rank runs VERBATIM on the
+    * candidates. The r9 sf1 sweep measured the brute plan at 108× for
+    * 10× data — with the IVF arm, candidate volume per query is
+    * nprobe·N/√N = O(√N).
     */
   def q139HardNegatives(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
@@ -6035,8 +6052,31 @@ object Queries {
         col("embedding").as("__cv"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score_fp").desc, col("neighbor_id").asc)
-    c.join(broadcast(q), col("__nlab") =!= col("__qlab"))
-      .withColumn("score_fp", Similarity.dotFixed(col("__qv"), col("__cv")))
+    val fp = Similarity.corpusFingerprint(
+      emb.filter(col("vec_id") % 20 =!= 0), "vec_id",
+      vecCol = Some("embedding"))
+    val scored =
+      if (fp._1 <= 4096L)
+        c.join(broadcast(q), col("__nlab") =!= col("__qlab"))
+          .withColumn("score_fp",
+            Similarity.dotFixed(col("__qv"), col("__cv")))
+      else {
+        val corpus = emb.filter(col("vec_id") % 20 =!= 0)
+        val nlist = Similarity.autoNlist(fp._1)
+        val centroids = Similarity.trainOrLoadIvfCentroids(corpus,
+          "vec_id", "embedding", dim = 64, nlist, quantizerStoreDir,
+          fingerprint = Some(fp))
+        Similarity.ivfTopK(corpus, emb.filter(col("vec_id") % 20 === 0),
+            "vec_id", "embedding", k = 64, centroids,
+            nprobe = math.min(4, nlist))
+          .select(col("query_id"), col("neighbor_id"), col("score_fp"))
+          .join(c.select(col("neighbor_id"), col("__nlab")),
+            Seq("neighbor_id"))
+          .join(broadcast(q.select(col("query_id"), col("__qlab"))),
+            Seq("query_id"))
+          .where(col("__nlab") =!= col("__qlab"))
+      }
+    scored
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)
       .select(col("query_id"), col("neighbor_id"), col("rank"),

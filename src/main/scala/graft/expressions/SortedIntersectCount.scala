@@ -26,7 +26,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   *
   * Null semantics: null array or null element → null (mirrors the
   * engine's other kernels; array_distinct/array_sort feeds never
-  * produce element nulls here).
+  * produce element nulls here). Element nulls are detected EVERYWHERE,
+  * including tail positions the merge walk never reaches — `array_sort`
+  * places nulls LAST, so without the tail sweep the typical null-bearing
+  * input would return a count instead of NULL (r10 ADVICE fix; the
+  * sweep is a bitmask read per remaining element, paid only on the
+  * shorter-array-exhausted suffix).
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -87,6 +92,10 @@ object SortedIntersectCountImpl {
       else if (cmp < 0) i += 1
       else j += 1
     }
+    // null-sweep the unvisited tails: array_sort puts nulls LAST, so a
+    // null element usually sits exactly where the walk stopped looking
+    while (i < na) { if (a.isNullAt(i)) return -1L; i += 1 }
+    while (j < nb) { if (b.isNullAt(j)) return -1L; j += 1 }
     c
   }
 }

@@ -375,14 +375,12 @@ object Graph {
     // half-rewritten input anyway
     val mat = rows.select(col("node"), col("component"), col("__pb"))
       .localCheckpoint()
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try mat.write.mode("overwrite").partitionBy("__pb").parquet(storeDir)
-    finally prev match {
-      case Some(v) => spark.conf.set(
-        "spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    // per-WRITE dynamic mode (writer option, not a session-conf
+    // set/restore — concurrent writers can interleave a global toggle;
+    // r10 ADVICE)
+    mat.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__pb").parquet(storeDir)
     // a merge can VACATE a partition (all its components relabeled into
     // another partition's range): dynamic overwrite only replaces
     // partitions that receive rows, so an empty affected partition must

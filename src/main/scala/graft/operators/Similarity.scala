@@ -658,16 +658,29 @@ object Similarity {
   }
 
   /** Order-independent corpus identity for quantizer-store keying:
-    * (row count, XOR of per-row xxhash64(seed, id)). One column-pruned
-    * scan of the id column; any insert/delete/re-key flips the
-    * fingerprint and forces a retrain, while re-ordering or
-    * re-partitioning the same rows does not.
+    * (row count, XOR of per-row xxhash64(seed, id [, vec])). One
+    * column-pruned scan; any insert/delete/re-key flips the fingerprint
+    * and forces a retrain, while re-ordering or re-partitioning the
+    * same rows does not.
+    *
+    * Pass `vecCol` to fold the VECTOR PAYLOAD into the hash — required
+    * whenever embedding values can change while ids and count stay
+    * fixed (a regenerated or re-normalized corpus), or the store would
+    * silently serve centroids trained on the old vectors (r10 ADVICE).
+    * xxhash64 hashes the array elementwise, so any single-component
+    * change flips the row hash. Omit it ONLY when the vectors are a
+    * pure function of the ids (e.g. q102's synthesized images), where
+    * id-identity IS payload-identity and the scan stays id-only.
     */
   def corpusFingerprint(df: DataFrame, idCol: String,
-      seed: Int = 42): (Long, Long) = {
+      seed: Int = 42, vecCol: Option[String] = None): (Long, Long) = {
+    val hashed = vecCol match {
+      case Some(v) => xxhash64(lit(seed), col(idCol), col(v))
+      case None => xxhash64(lit(seed), col(idCol))
+    }
     val r = df.agg(
       count(lit(1)).as("n"),
-      coalesce(bit_xor(xxhash64(lit(seed), col(idCol))), lit(0L)).as("fp"))
+      coalesce(bit_xor(hashed), lit(0L)).as("fp"))
       .head()
     (r.getLong(0), r.getLong(1))
   }
@@ -680,10 +693,19 @@ object Similarity {
     * amortized across the daily queries, not a per-run cost. A corpus
     * change flips the fingerprint, misses the store, and retrains; the
     * payload is the tiny nlist×dim driver model (one bounded collect to
-    * load). Writes go through a parquet commit (temp + rename by the
-    * committer), and a concurrent double-train is benign: both runs
-    * produce byte-identical centroids (training is deterministic in
-    * (seed, corpus)).
+    * load).
+    *
+    * Durability (r10 ADVICE): the store is written to a temp sibling
+    * and ATOMICALLY renamed into place — a reader can never observe a
+    * half-written key (`mode("overwrite")` on the final path would be
+    * delete-then-commit, a visible hole). Loads are VALIDATED — exactly
+    * `nlist` rows, cell ids a permutation of 0..nlist-1, every centroid
+    * non-null with `dim` components — and any mismatch (a torn store
+    * from a kill -9 mid-rename era, manual tampering) falls back to
+    * retrain-and-rewrite instead of poisoning every later run with null
+    * slots. A concurrent double-train stays benign: both runs produce
+    * byte-identical centroids (training is deterministic in (seed,
+    * corpus)), and the loser of the rename race simply deletes its temp.
     */
   def trainOrLoadIvfCentroids(
       df: DataFrame, idCol: String, vecCol: String, dim: Int,
@@ -696,24 +718,88 @@ object Similarity {
     val path = s"$storeDir/$key"
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(hPath)) {
-      val rows = spark.read.parquet(path).collect() // nlist rows, tiny
-      val out = Array.ofDim[Array[Double]](rows.length)
-      rows.foreach { r =>
-        out(r.getInt(0)) = r.getSeq[Double](1).toArray
+
+    def loadValidated(): Option[Array[Array[Double]]] =
+      try {
+        val rows = spark.read.parquet(path).collect() // nlist rows, tiny
+        if (rows.length != nlist) return None
+        val out = Array.ofDim[Array[Double]](nlist)
+        rows.foreach { r =>
+          val c = r.getInt(0)
+          if (c < 0 || c >= nlist || out(c) != null || r.isNullAt(1))
+            return None
+          val v = r.getSeq[Double](1).toArray
+          if (v.length != dim) return None
+          out(c) = v
+        }
+        Some(out)
+      } catch {
+        // unreadable / wrong-schema store (torn write, tampering):
+        // retrain rather than poison every later run
+        case scala.util.control.NonFatal(_) => None
       }
-      out
-    } else {
+
+    def trainAndWrite(): Array[Array[Double]] = {
       val centroids =
         trainIvfCentroids(df, idCol, vecCol, dim, nlist, iters, seed,
           maxTrainVectors)
       import spark.implicits._
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"$storeDir/.tmp_${key}_${java.util.UUID.randomUUID().toString.take(8)}")
       centroids.zipWithIndex
         .map { case (v, c) => (c, v.toSeq) }.toSeq
         .toDF("cell", "centroid")
         .repartition(1)
-        .write.mode("overwrite").parquet(path)
+        .write.mode("overwrite").parquet(tmp.toString)
+      // stale/torn final dir (validation already failed it) goes first;
+      // then one rename publishes the whole key. Rename-loser (a
+      // concurrent identical train won) just discards its temp.
+      fs.delete(hPath, true)
+      if (!fs.rename(tmp, hPath)) fs.delete(tmp, true)
       centroids
+    }
+
+    if (fs.exists(hPath)) loadValidated().getOrElse(trainAndWrite())
+    else trainAndWrite()
+  }
+
+  /** Scale-ADAPTIVE top-k candidate generation: exact brute force below
+    * `exactThreshold` corpus rows, IVF above it — the generator behind
+    * the kNN-labeling / hard-negative-mining queries (q133/q139), whose
+    * downstream re-rank/vote stages are generator-agnostic by design.
+    *
+    * Why a threshold and not always-IVF: below ~a few thousand corpus
+    * rows one broadcast pass IS the optimal plan (training a quantizer
+    * costs more than it saves) and the exact scores are what the DuckDB
+    * oracles check — so the small-N regime stays bit-exact. Above the
+    * threshold the |Q|·|C| pair volume is the suite's measured
+    * quadratic scale-killer (r9 sf1: q133 101×, q139 108× for 10×
+    * data); the IVF path scores only `nprobe` cells' inverted lists per
+    * query — candidate volume ≈ nprobe·N/nlist = O(√N) per query at
+    * the derived nlist ≈ √N, turning N^2 into N^1.5.
+    *
+    * Recall above the threshold is the standard IVF trade (nprobe of
+    * autoNlist cells, tunable); ties and ranks within the returned
+    * candidates use the SAME fixed-point scores and (score desc, id
+    * asc) order as the exact path, so downstream logic never branches.
+    * The quantizer amortizes through `storeDir` keyed by the
+    * payload-folded corpus fingerprint ([[corpusFingerprint]] with
+    * vecCol — these are real embedding tables, not id-derived media).
+    */
+  def adaptiveTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, dim: Int,
+      storeDir: String, exactThreshold: Long = 4096L,
+      nprobe: Int = 4, seed: Int = 42): DataFrame = {
+    val fp = corpusFingerprint(corpus, idCol, seed, Some(vecCol))
+    if (fp._1 <= exactThreshold)
+      bruteForceTopK(corpus, queries, idCol, vecCol, k)
+    else {
+      val nlist = autoNlist(fp._1)
+      val centroids = trainOrLoadIvfCentroids(corpus, idCol, vecCol, dim,
+        nlist, storeDir, seed = seed, fingerprint = Some(fp))
+      ivfTopK(corpus, queries, idCol, vecCol, k, centroids,
+        nprobe = math.min(nprobe, nlist))
     }
   }
 
@@ -730,7 +816,9 @@ object Similarity {
       tau: Double, storeDir: String, iters: Int = 2, seed: Int = 42,
       maxCellRows: Long = 1000000L, saltCellRows: Long = 65536L,
       salt: Int = 8): DataFrame = {
-    val fp = corpusFingerprint(emb, idCol, seed)
+    // payload-folded fingerprint: semDedup corpora are real embedding
+    // tables whose vectors can be regenerated in place (r10 ADVICE)
+    val fp = corpusFingerprint(emb, idCol, seed, Some(vecCol))
     val nlist = autoNlist(fp._1)
     val centroids = trainOrLoadIvfCentroids(emb, idCol, vecCol, dim,
       nlist, storeDir, iters, seed, fingerprint = Some(fp))

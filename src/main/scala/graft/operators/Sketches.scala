@@ -132,17 +132,16 @@ object Sketches {
     */
   def writeDaySketches(df: DataFrame, dayCol: String, valueCol: String,
       store: String, k: Int = 800): Unit = {
-    val spark = df.sparkSession
     val sk = df.groupBy(col(dayCol))
       .agg(kllSketch(col(valueCol), k).as("sk"))
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try sk.write.mode("overwrite").partitionBy(dayCol).parquet(store)
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
+    // per-WRITE dynamic mode, not a session-conf set/restore: two
+    // concurrent writers interleaving a global toggle can strand the
+    // session in 'dynamic' or run the other job's overwrite in the
+    // wrong mode (r10 ADVICE) — the writer option scopes the mode to
+    // exactly this write
+    sk.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(dayCol).parquet(store)
   }
 
   def heavyHittersChecked(df: DataFrame, itemCol: String,

@@ -80,14 +80,12 @@ object WeatherSink {
       .filter(col("date").isin(touched: _*))
     val merged = Dedup.upsert(existingTouched, incoming, naturalKey,
       versionCol = "extraction_timestamp")
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic") // overwrite ONLY partitions we write
-    try merged.write.mode("overwrite").partitionBy("date").parquet(path)
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
+    // overwrite ONLY partitions we write — per-WRITE dynamic mode via
+    // the writer option, not a session-conf set/restore (concurrent
+    // writers can interleave a global toggle; r10 ADVICE)
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("date").parquet(path)
   }
 
   /** Compact the table's small files: every incremental upsert rewrites

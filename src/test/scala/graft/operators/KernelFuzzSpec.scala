@@ -173,6 +173,35 @@ class KernelFuzzSpec extends SparkSpec {
     }
   }
 
+  test("sorted_intersect_count: null element → null even in unvisited tails") {
+    import spark.implicits._
+    // array_sort puts nulls LAST — the r10 ADVICE case is a null sitting
+    // after the other array is exhausted, where the merge walk never
+    // looks. Cover all placements: walked, tail-after-exhaustion (both
+    // sides), null in empty-other, and both codegen + eval parity via
+    // repartition.
+    val cases: Seq[(Seq[String], Seq[String])] = Seq(
+      (Seq("a", null), Seq("a")),            // null reached by the walk? b exhausts at "a" — tail
+      (Seq("a"), Seq("a", null)),            // symmetric tail
+      (Seq("a", "b", "c", null), Seq("a")),  // deep tail
+      (Seq(null), Seq()),                    // null vs empty
+      (Seq(), Seq(null)),
+      (Seq(null), Seq(null)),                // null met by the walk
+      (Seq("a", null), Seq("b"))             // walk passes "a", hits null on left
+    )
+    val df = cases.toDF("sa", "sb").repartition(2)
+    val got = df.select(
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.expressions.SortedIntersectCount(
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("sa")),
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("sb"))))
+          .as("c"))
+      .collect()
+    got.zipWithIndex.foreach { case (r, i) =>
+      assert(r.isNullAt(0), s"case $i must be NULL (null element present)")
+    }
+  }
+
   test("md5_hash60 == the conv(substr(md5)) tower on arbitrary strings") {
     val rnd = new scala.util.Random(505)
     val chars = "abc01:✓é ∑-_"

@@ -531,4 +531,119 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(again === auto)
   }
+
+  test("corpusFingerprint with vecCol flips on in-place vector change") {
+    val a = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    // same ids, same count, one VALUE changed — the r10 ADVICE case
+    val b = Seq((1L, Array(1.0f, 0.5f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val idOnlyA = Similarity.corpusFingerprint(a, "vec_id")
+    val idOnlyB = Similarity.corpusFingerprint(b, "vec_id")
+    assert(idOnlyA === idOnlyB, "id-only keying is blind to payload (by design)")
+    val fullA = Similarity.corpusFingerprint(a, "vec_id",
+      vecCol = Some("embedding"))
+    val fullB = Similarity.corpusFingerprint(b, "vec_id",
+      vecCol = Some("embedding"))
+    assert(fullA !== fullB, "payload-folded fingerprint must flip")
+    // order independence still holds with the payload folded in
+    val fullShuffled = Similarity.corpusFingerprint(a.orderBy(rand(5)),
+      "vec_id", vecCol = Some("embedding"))
+    assert(fullShuffled === fullA)
+  }
+
+  test("quantizer store: torn/invalid entries fall back to retrain") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_qstore_val")
+      .toString
+    val rnd = new scala.util.Random(47)
+    def unit(): Array[Float] = {
+      val v = Array.fill(8)(rnd.nextFloat() * 2 - 1)
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / n)
+    }
+    val df = (0L until 60L).map(i => (i, unit())).toDF("vec_id", "embedding")
+    val first = Similarity.trainOrLoadIvfCentroids(df, "vec_id", "embedding",
+      dim = 8, nlist = 4, storeDir = dir, iters = 1)
+    val key = new java.io.File(dir).list().head
+    val path = s"$dir/$key"
+    // corruption 1: truncated store (fewer rows than nlist)
+    spark.read.parquet(path).limit(2).write.mode("overwrite")
+      .parquet(s"$path.__replace")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$path.__replace"),
+      new org.apache.hadoop.fs.Path(path))
+    spark.catalog.refreshByPath(path)
+    val afterTrunc = Similarity.trainOrLoadIvfCentroids(df, "vec_id",
+      "embedding", dim = 8, nlist = 4, storeDir = dir, iters = 1)
+    first.zip(afterTrunc).foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
+    // ... and the retrain REPAIRED the store: next load is valid again
+    val reloaded = Similarity.trainOrLoadIvfCentroids(df, "vec_id",
+      "embedding", dim = 8, nlist = 4, storeDir = dir, iters = 1)
+    first.zip(reloaded).foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
+    // corruption 2: wrong schema entirely
+    Seq(("junk", 1)).toDF("a", "b").write.mode("overwrite").parquet(path)
+    spark.catalog.refreshByPath(path)
+    val afterJunk = Similarity.trainOrLoadIvfCentroids(df, "vec_id",
+      "embedding", dim = 8, nlist = 4, storeDir = dir, iters = 1)
+    first.zip(afterJunk).foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
+    // no temp dirs left behind by the atomic-rename writes
+    assert(new java.io.File(dir).list().forall(!_.startsWith(".tmp_")))
+  }
+
+  test("adaptiveTopK: exact arm below threshold is bruteForceTopK bit-for-bit") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_qstore_ad1")
+      .toString
+    val rnd = new scala.util.Random(53)
+    val corpus = (0L until 50L)
+      .map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") % 10 === 0)
+    val exact = Similarity.bruteForceTopK(corpus, queries, "vec_id",
+        "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(3))).toSet
+    val adaptive = Similarity.adaptiveTopK(corpus, queries, "vec_id",
+        "embedding", k = 3, dim = 8, storeDir = dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(3))).toSet
+    assert(adaptive === exact)
+    assert(new java.io.File(dir).list() === null
+      || new java.io.File(dir).list().isEmpty,
+      "exact arm must not touch the quantizer store")
+  }
+
+  test("adaptiveTopK: IVF arm above threshold finds the planted twin") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_qstore_ad2")
+      .toString
+    val rnd = new scala.util.Random(59)
+    def unit(): Array[Float] = {
+      val v = Array.fill(8)(rnd.nextFloat() * 2 - 1)
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / n)
+    }
+    val base = (0L until 300L).map(i => (i, unit()))
+    val corpus = base.toDF("vec_id", "embedding")
+    // queries are bit-identical twins of every 30th corpus vector: they
+    // land in their source's argmax cell under ANY centroids, so the
+    // IVF arm must rank the source first — generator-robust, like q102
+    val queries = base.filter(_._1 % 30 == 0)
+      .map { case (i, v) => (i + 10000L, v.clone()) }
+      .toDF("vec_id", "embedding")
+    val got = Similarity.adaptiveTopK(corpus, queries, "vec_id",
+        "embedding", k = 1, dim = 8, storeDir = dir,
+        exactThreshold = 100L) // force the IVF arm at 300 rows
+    val top1 = got.filter(col("rank") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    base.filter(_._1 % 30 == 0).foreach { case (i, _) =>
+      assert(top1.get(i + 10000L) === Some(i),
+        s"twin of $i must be its own rank-1 neighbor")
+    }
+    assert(new java.io.File(dir).list().exists(_.startsWith("ivf_nlist=")),
+      "IVF arm must persist its quantizer")
+    // output schema matches the exact arm (generator-agnostic contract)
+    assert(got.columns.toSeq ===
+      Seq("query_id", "neighbor_id", "rank", "score_fp"))
+  }
 }
