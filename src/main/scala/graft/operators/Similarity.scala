@@ -719,14 +719,19 @@ object Similarity {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+    // a corpus SMALLER than nlist trains corpus-many centroids (the
+    // deterministic hash-sample init can't seed more) — the key's own
+    // row count n bounds what a valid store must hold
+    val expectCells = math.min(nlist.toLong, math.max(1L, n)).toInt
+
     def loadValidated(): Option[Array[Array[Double]]] =
       try {
         val rows = spark.read.parquet(path).collect() // nlist rows, tiny
-        if (rows.length != nlist) return None
-        val out = Array.ofDim[Array[Double]](nlist)
+        if (rows.length != expectCells) return None
+        val out = Array.ofDim[Array[Double]](expectCells)
         rows.foreach { r =>
           val c = r.getInt(0)
-          if (c < 0 || c >= nlist || out(c) != null || r.isNullAt(1))
+          if (c < 0 || c >= expectCells || out(c) != null || r.isNullAt(1))
             return None
           val v = r.getSeq[Double](1).toArray
           if (v.length != dim) return None

@@ -364,6 +364,41 @@ class PlanAuditSpec extends SparkSpec {
       s"interpreted-eval constructs crept into plans:\n${offenders.mkString("\n")}")
   }
 
+  test("ENGINE-WIDE: unpartitioned windows run over aggregated (grid-sized) input") {
+    // A Window with no PARTITION BY funnels every input row through ONE
+    // task — the classic scale cliff. The engine's 7 unpartitioned
+    // window call sites are each benign BY CONSTRUCTION (they window
+    // over post-aggregate grids: sources, length buckets, Benford
+    // digits, nChunks-row boundary merges) — this sweep makes the
+    // invariant impossible to regress (VERDICT r9 item 6): every
+    // unpartitioned WindowExec in every registered query must have an
+    // aggregate somewhere below it in the same subtree, so its input
+    // cardinality is group-count-sized, never raw-row-sized. A global
+    // top-k wants TakeOrderedAndProject / WindowGroupLimit instead and
+    // never trips this.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    def hasAggBelow(p: SparkPlan): Boolean =
+      p.collectFirst { case _: BaseAggregateExec => () }.nonEmpty
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      val plan = unwrap(fn(spark, dir).queryExecution.executedPlan)
+      plan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty
+            && !hasAggBelow(w.child) =>
+          s"$name: global window over non-aggregated input " +
+            s"(${w.windowExpression.map(_.sql).mkString(", ").take(120)})"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"raw-row global windows crept into plans:\n${offenders.mkString("\n")}")
+  }
+
   test("ENGINE-WIDE: no text/vector kernel ever re-runs inside a scan filter") {
     // InferFiltersFromGenerate turns a non-outer explode over a
     // kernel-computed array into a size(kernel(...)) > 0 predicate that

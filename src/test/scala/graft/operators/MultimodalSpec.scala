@@ -480,10 +480,87 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("features keeps the deterministic fallback for non-pixel payloads") {
-    val f1 = Multimodal.MediaCodec.features("not an image".getBytes, 8)
-    val f2 = Multimodal.MediaCodec.features("not an image".getBytes, 8)
-    assert(f1.toSeq === f2.toSeq)
+  test("features: opaque payloads get the byte-profile content signature") {
+    val mc = Multimodal.MediaCodec
+    val f1 = mc.features("not an image".getBytes, 8)
+    val f2 = mc.features("not an image".getBytes, 8)
+    assert(f1.toSeq === f2.toSeq, "deterministic")
     assert(f1.length === 8)
+    // a real content function: same length + a byte-DISTRIBUTION change
+    // moves it (the profile is a 16-bin nibble histogram — a swap
+    // within one bin is invisible by design, a cross-bin one is not)
+    val f3 = mc.features("not an imagZ".getBytes, 8)
+    assert(f1.toSeq !== f3.toSeq)
+    // and it matches the byte-profile arm directly (no hidden fake)
+    assert(f1.toSeq === mc.byteProfileEmbedding("not an image".getBytes, 8).toSeq)
+  }
+
+  test("audioEmbedding: container metadata edit is bit-identical; content is not") {
+    val mc = Multimodal.MediaCodec
+    def tone(freqBin: Int, n: Int): Array[Short] =
+      Array.tabulate(n)(i => (8000 * math.sin(
+        2 * math.Pi * freqBin * i / 256.0)).toShort)
+    val wav = mc.wavEncode(16000, tone(12, 2048))
+    val commented = mc.wavWithComment(wav, "round-10 metadata edit")
+    // the re-encode is a genuinely different payload...
+    assert(!java.util.Arrays.equals(wav, commented))
+    // ...that still parses and decodes to the SAME samples
+    assert(mc.pcmSamples(commented).get.toSeq ===
+      mc.pcmSamples(wav).get.toSeq)
+    val e1 = mc.audioEmbedding(wav).get
+    val e2 = mc.audioEmbedding(commented).get
+    assert(e1.toSeq === e2.toSeq, "sample-identical => embedding-identical")
+    assert(e1.length === mc.audioEmbeddingDim)
+    // unit norm
+    val n2 = e1.map(x => x.toDouble * x).sum
+    assert(math.abs(n2 - 1.0) < 1e-6)
+    // a different tone moves the SPECTRAL half of the embedding, and
+    // the two tones' embeddings are far apart in cosine
+    val e3 = mc.audioEmbedding(mc.wavEncode(16000, tone(40, 2048))).get
+    val cos = e1.zip(e3).map { case (a, b) => a.toDouble * b }.sum
+    assert(cos < 0.99, s"distinct tones too close: $cos")
+    // non-WAV payloads are None (the arm never fabricates)
+    assert(mc.audioEmbedding("junk".getBytes).isEmpty)
+  }
+
+  test("videoEmbedding: fps metadata edit is bit-identical; a frame edit is not") {
+    val mc = Multimodal.MediaCodec
+    def pix(f: Int, x: Int, y: Int): Int =
+      (((x * 7 + y * 11 + f * 29) % 256) << 16) |
+        (((y * 5 + f * 3) % 256) << 8) | ((x + y + f) % 256)
+    val v1 = AviCodec.aviEncode(24, 16, 40000, 6, pix)
+    val v2 = AviCodec.aviEncode(24, 16, 20000, 6, pix) // fps-only change
+    assert(!java.util.Arrays.equals(v1, v2))
+    val e1 = mc.videoEmbedding(v1).get
+    val e2 = mc.videoEmbedding(v2).get
+    assert(e1.toSeq === e2.toSeq, "frame-identical => embedding-identical")
+    assert(e1.length === mc.imageEmbeddingDim)
+    val vDiff = AviCodec.aviEncode(24, 16, 40000, 6,
+      (f, x, y) => if (f == 2) 0xFFFFFF else pix(f, x, y))
+    val e3 = mc.videoEmbedding(vDiff).get
+    assert(e1.toSeq !== e3.toSeq, "an edited sampled frame must move it")
+    // single-frame GIF pools to exactly the still embedding
+    val pal = Array.tabulate(64)(i => (i << 16) | (i << 8) | i)
+    val gif = GifCodec.gifEncode(10, 8, pal, 1,
+      (_, x, y) => (x * 3 + y) % 64)
+    val still = mc.imageEmbedding(gif).get
+    val pooled = mc.videoEmbedding(gif).get
+    assert(still.toSeq === pooled.toSeq)
+    assert(mc.videoEmbedding("junk".getBytes).isEmpty)
+  }
+
+  test("features routes each container kind to its real arm") {
+    val mc = Multimodal.MediaCodec
+    val wav = mc.wavEncode(16000,
+      Array.tabulate(1024)(i => (1000 * math.sin(i / 5.0)).toShort))
+    assert(mc.features(wav, mc.audioEmbeddingDim).toSeq ===
+      mc.audioEmbedding(wav).get.toSeq)
+    val avi = AviCodec.aviEncode(16, 12, 40000, 3,
+      (f, x, y) => ((x + y * 7 + f * 13) % 256) * 0x010101)
+    assert(mc.features(avi, mc.imageEmbeddingDim).toSeq ===
+      mc.videoEmbedding(avi).get.toSeq)
+    val bmp = mc.bmpEncode(16, 12, (x, y) => ((x * 5 + y) % 256) * 0x010101)
+    assert(mc.features(bmp, mc.imageEmbeddingDim).toSeq ===
+      mc.imageEmbedding(bmp).get.toSeq)
   }
 }
