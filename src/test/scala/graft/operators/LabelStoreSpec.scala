@@ -89,4 +89,52 @@ class LabelStoreSpec extends SparkSpec {
       assert(got(node) === comp, s"node $node")
     }
   }
+
+  test("parts is a stored property: manifest-driven updates at parts=64") {
+    val store = tmpDir() + "/labels"
+    // components 1, 130 (pb=2 at parts=64), 40: three partitions at 64
+    val snapshot = Seq((1L, 1L), (5L, 1L), (130L, 130L), (131L, 130L),
+      (40L, 40L), (41L, 40L)).toDF("node", "component")
+    Graph.writeLabelStore(snapshot, "node", "component", store, parts = 64)
+    assert(Files.exists(Paths.get(store, "_graft_labelstore.json")))
+    val before = listing(store)
+    assert(before.keySet === Set("__pb=1", "__pb=2", "__pb=40"))
+    // NO parts argument: the updater reads 64 from the manifest
+    Graph.updateLabelStore(store, Seq((41L, 99L)).toDF("src", "dst"),
+      "src", "dst")
+    val after = listing(store)
+    assert(after("__pb=1") === before("__pb=1"))
+    assert(after("__pb=2") === before("__pb=2"))
+    assert(after("__pb=40") !== before("__pb=40"))
+    assert(readLabels(store) === Map(1L -> 1L, 5L -> 1L, 130L -> 130L,
+      131L -> 130L, 40L -> 40L, 41L -> 40L, 99L -> 40L))
+    // a contradicting explicit parts is refused, not silently scattered
+    val e = intercept[IllegalArgumentException] {
+      Graph.updateLabelStore(store, Seq((99L, 100L)).toDF("src", "dst"),
+        "src", "dst", parts = 16)
+    }
+    assert(e.getMessage.contains("parts=64"))
+    // matching explicit parts still works (back-compat call shape)
+    Graph.updateLabelStore(store, Seq((99L, 100L)).toDF("src", "dst"),
+      "src", "dst", parts = 64)
+    assert(readLabels(store)(100L) === 40L)
+  }
+
+  test("pre-manifest store: bare update errors, explicit parts heals it") {
+    val store = tmpDir() + "/labels"
+    Graph.writeLabelStore(Seq((1L, 1L)).toDF("node", "component"),
+      "node", "component", store, parts = 16)
+    Files.delete(Paths.get(store, "_graft_labelstore.json")) // r9-era store
+    val e = intercept[RuntimeException] {
+      Graph.updateLabelStore(store, Seq((1L, 2L)).toDF("src", "dst"),
+        "src", "dst")
+    }
+    assert(e.getMessage.contains("manifest"))
+    Graph.updateLabelStore(store, Seq((1L, 2L)).toDF("src", "dst"),
+      "src", "dst", parts = 16) // heals: writes the manifest
+    assert(Files.exists(Paths.get(store, "_graft_labelstore.json")))
+    Graph.updateLabelStore(store, Seq((2L, 3L)).toDF("src", "dst"),
+      "src", "dst") // manifest-driven from now on
+    assert(readLabels(store) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
 }
