@@ -111,4 +111,39 @@ class BpeTrainerSpec extends SparkSpec {
     val docs = Seq((1L, "")).toDF("doc_id", "text")
     assert(BpeTrainer.trainMerges(docs, "text", merges = 3).count() === 0L)
   }
+
+  test("trainMergesBatched == trainMerges bit-for-bit (incl. tight batchLimit)") {
+    for (seed <- Seq(5, 6, 7)) {
+      val df = corpus(seed, 150).toDF("doc_id", "text")
+      val seq = BpeTrainer.trainMerges(df, "text", merges = 12)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      // generous page AND a 3-candidate horizon (forces the
+      // conservative truncation path every round)
+      for (lim <- Seq(256, 3)) {
+        val bat = BpeTrainer
+          .trainMergesBatched(df, "text", merges = 12, batchLimit = lim)
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+          .sortBy(_._1).toSeq
+        assert(bat === seq, s"seed=$seed batchLimit=$lim")
+      }
+    }
+  }
+
+  test("trainMergesBatched matches the exact greedy reference directly") {
+    // the repeating-unit stressor plus random corpus, checked against
+    // the independent driver reference (not just the sequential engine)
+    val rows = corpus(9, 100) :+ (999L -> "ananana anananab banana")
+    val got = BpeTrainer
+      .trainMergesBatched(rows.toDF("doc_id", "text"), "text", merges = 10)
+      .collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val hist = rows
+      .flatMap(_._2.split(" ").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }.toSeq
+    val want = refTrain(hist, 10).map { case (p, m, c) => (p, m, c) }
+    assert(got === want)
+  }
 }
