@@ -4152,10 +4152,16 @@ object Queries {
     * table. ntile's row-split semantics only need each row's exact RANK
     * within its priority, and global rank distributes (the TeraSort
     * shape):
-    *  1. `repartitionByRange` on the full sort key spreads the table
-    *     over ALL shuffle partitions while making partition ids
-    *     order-aligned (every row in chunk p sorts before every row in
-    *     chunk p+1);
+    *  1. rows bucket into ORDER-ALIGNED chunks by a min/max-scaled
+    *     VALUE bucket of the leading sort key (every row in chunk c
+    *     sorts before every row in chunk c+1; ties share a chunk) —
+    *     a pure row function, so every consumer computes the same
+    *     chunk id by construction (r10: the previous
+    *     `spark_partition_id()` over a sampled `repartitionByRange`
+    *     could disagree between the two consumers whenever AQE planned
+    *     them as separate exchanges — exchange reuse is an
+    *     optimization, not a guarantee — and the (pid, key) join then
+    *     silently dropped rows; q106 surfaced the class at sf0.1);
     *  2. a window per (chunk, priority) computes LOCAL row numbers —
     *     ≈ n/P rows per sort task, never n/5;
     *  3. per-(chunk, priority) row counts (= max local rank, reusing
@@ -4167,34 +4173,52 @@ object Queries {
     *     the rest ⌊n/10⌋, assigned in rank order — becomes integer
     *     arithmetic on (rank, n). Bit-parity with DuckDB's ntile
     *     (oracle-checked), including the tie-break by o_orderkey which
-    *     rides the range key.
-    * Both consumers of the range exchange (the ranked rows and the
-    * count aggregate) are canonically identical, so the shuffle is
-    * computed once (ReuseExchange). The o_orderpriority-only windows
-    * that remain run over the P×5 chunk-count table, not the corpus —
-    * PlanAuditSpec pins corpus-side windows to the (chunk, priority)
-    * partitioning.
+    *     rides the chunk bucket.
+    * The o_orderpriority-only windows that remain run over the P×5
+    * chunk-count table, not the corpus — PlanAuditSpec pins
+    * corpus-side windows to the (chunk, priority) partitioning.
     */
   def q70Ntile(s: SparkSession, dir: String): DataFrame = {
     val nChunks = s.conf.get("spark.sql.shuffle.partitions").toInt
-    val chunked = t(s, dir, "orders")
+    // VALUE-DERIVED chunk id (r10; the q106 fix class): the ranked rows
+    // and the offset table are two consumers of the chunked frame, and
+    // a spark_partition_id() over a sampled repartitionByRange can
+    // disagree between them whenever AQE plans the consumers as
+    // separate exchanges (reuse is an optimization, not a guarantee) —
+    // the (pid, key) join then silently drops rows. A min/max-scaled
+    // bucket of the leading sort key is a pure row function (identical
+    // on every consumer by construction), monotone in the sort order
+    // (chunks stay contiguous, ties share a bucket), and costs one
+    // bounded 1-row aggregate for the bounds.
+    val base = t(s, dir, "orders")
       .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
-      .repartitionByRange(nChunks, col("o_orderpriority"),
-        col("o_totalprice"), col("o_orderkey"))
-      .withColumn("__pid", spark_partition_id())
-    val wLocal = Window.partitionBy(col("__pid"), col("o_orderpriority"))
+    val cents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
+    val b = base.agg(
+      min(cents).as("mn"), max(cents).as("mx")).head()
+    val (mn, mx) = (b.getLong(0), b.getLong(1))
+    val span = math.max(1L, mx - mn + 1L)
+    // IEEE double floor is deterministic, monotone in cents, and ANY
+    // chunking yields the identical final ranks — only determinism and
+    // monotonicity matter here
+    val chunked = base.withColumn("__chunk",
+      least(lit(nChunks - 1L),
+        floor((cents - lit(mn)) * lit(nChunks.toLong) / lit(span))
+          .cast("long")))
+    val wLocal = Window.partitionBy(col("__chunk"), col("o_orderpriority"))
       .orderBy(col("o_totalprice"), col("o_orderkey"))
     val ranked = chunked
       .withColumn("__lr", row_number().over(wLocal).cast("long"))
     val chunkCounts = ranked
-      .groupBy(col("__pid"), col("o_orderpriority"))
+      .groupBy(col("__chunk"), col("o_orderpriority"))
       .agg(max(col("__lr")).as("__c"))
-    val wOff = Window.partitionBy(col("o_orderpriority")).orderBy(col("__pid"))
+    val wOff = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("__chunk"))
     val offs = chunkCounts
       .withColumn("__off", sum(col("__c")).over(wOff) - col("__c"))
       .withColumn("__n", sum(col("__c"))
         .over(Window.partitionBy(col("o_orderpriority"))))
-      .select(col("__pid"), col("o_orderpriority"), col("__off"), col("__n"))
+      .select(col("__chunk"), col("o_orderpriority"), col("__off"),
+        col("__n"))
     // ntile(10) from (rank, n): tile size b = n DIV 10, the first
     // rem = n % 10 tiles take one extra row. All-long integer DIV —
     // exact at any scale.
@@ -4204,7 +4228,7 @@ object Queries {
         |  ELSE (__n % 10)
         |    + (__r - (__n % 10) * ((__n DIV 10) + 1) - 1) DIV (__n DIV 10)
         |    + 1 END""".stripMargin)
-    ranked.join(broadcast(offs), Seq("__pid", "o_orderpriority"))
+    ranked.join(broadcast(offs), Seq("__chunk", "o_orderpriority"))
       .withColumn("__r", col("__off") + col("__lr"))
       // LONG to match DuckDB's BIGINT ntile (file-header determinism rule)
       .withColumn("decile", decile.cast("long"))

@@ -110,6 +110,14 @@ object Layout {
     val nChunks = df.sparkSession.conf
       .get("spark.sql.shuffle.partitions").toInt
     val ord = orderCols.map(col)
+    // spark_partition_id over a sampled range exchange is safe HERE and
+    // only here: the chunked frame has exactly ONE consumer chain
+    // (local → perChunk → bounded → totals), so a single evaluation
+    // produces every derived row and no join can see a second,
+    // differently-sampled set of pids. Operators whose chunked frame
+    // feeds TWO consumers (q70, q106's shuffleShard, frontier2D) must
+    // use value-derived chunk ids instead — exchange reuse is an
+    // optimization, not a guarantee (r10; q106 dropped rows at sf0.1).
     val chunked = df.select((orderCols :+ valueCol).distinct.map(col): _*)
       .repartitionByRange(nChunks, ord: _*)
       .withColumn("__pid", spark_partition_id())
@@ -170,10 +178,24 @@ object Layout {
     * The within-shard sequence number deliberately avoids
     * `row_number() OVER (PARTITION BY shard)` — nShards partitions each
     * funnel 1/nShards of the corpus through a single-task sort (the q70
-    * scale trap). Instead the q70 chunked-rank shape: range-partition
-    * on (shard, ord), local row_number per chunk, then add broadcast
-    * per-chunk offsets — every task sorts only its chunk, and the
-    * result is provably identical for ANY chunk boundaries.
+    * scale trap). Instead the chunked-rank shape: chunk, local
+    * row_number per chunk, then add broadcast per-chunk offsets —
+    * every task sorts only its chunk, and the result is provably
+    * identical for ANY chunk boundaries.
+    *
+    * The chunk id is VALUE-DERIVED — the top bits of the uniform
+    * 60-bit ordering hash — never `spark_partition_id()` over a
+    * sampled `repartitionByRange` (r10 fix: the ranked rows and the
+    * offset table are two consumers of that exchange, and when AQE
+    * plans them as separate exchanges — reuse is an optimization, not
+    * a guarantee — each side samples its own range boundaries and
+    * coalesces independently, so the (pid, shard) join keys disagree
+    * and the inner join silently DROPS rows; q106 lost 28 of 5000 rows
+    * at sf0.1 exactly this way). A pure row function cannot disagree
+    * with itself: both consumers compute identical chunk ids from the
+    * hash alone, chunks are contiguous in (ord, id) order because the
+    * bucket is a monotone prefix of ord, and the md5-60 uniformity
+    * keeps them balanced at any scale with no sampling pass.
     *
     * Returns the input plus `__shard` (0..nShards-1) and `__seq`
     * (1-based position within the shard's shuffled order).
@@ -182,31 +204,35 @@ object Layout {
       salt: String = "v1"): DataFrame = {
     require(nShards >= 1, s"need at least one shard, got $nShards")
     val id = col(idCol)
+    val nChunks = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    // smallest k with 2^k >= nChunks; __ord < 2^60 so the top-k-bit
+    // bucket is ord >> (60 - k)
+    val chunkBits =
+      if (nChunks <= 1) 0
+      else 32 - java.lang.Integer.numberOfLeadingZeros(nChunks - 1)
+    val shiftBits = 60 - chunkBits
     val hashed = df
       .withColumn("__shard",
         pmod(TextDedup.md5Hash60(
           concat(lit(s"shard-$salt:"), id.cast("string"))), lit(nShards)))
       .withColumn("__ord",
         TextDedup.md5Hash60(concat(lit(s"ord-$salt:"), id.cast("string"))))
-    val nChunks = df.sparkSession.conf
-      .get("spark.sql.shuffle.partitions").toInt
-    val chunked = hashed
-      .repartitionByRange(nChunks, col("__shard"), col("__ord"), id)
-      .withColumn("__pid", spark_partition_id())
+      .withColumn("__chunk", shiftright(col("__ord"), shiftBits))
     val wLocal = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__pid"), col("__shard"))
+      .partitionBy(col("__chunk"), col("__shard"))
       .orderBy(col("__ord"), id)
-    val ranked = chunked
+    val ranked = hashed
       .withColumn("__lr", row_number().over(wLocal).cast("long"))
-    val counts = ranked.groupBy(col("__pid"), col("__shard"))
+    val counts = ranked.groupBy(col("__chunk"), col("__shard"))
       .agg(max(col("__lr")).as("__c"))
     val wOff = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__shard")).orderBy(col("__pid"))
+      .partitionBy(col("__shard")).orderBy(col("__chunk"))
     val offs = counts
       .withColumn("__off", sum(col("__c")).over(wOff) - col("__c"))
-      .select(col("__pid"), col("__shard"), col("__off"))
-    ranked.join(broadcast(offs), Seq("__pid", "__shard"))
+      .select(col("__chunk"), col("__shard"), col("__off"))
+    ranked.join(broadcast(offs), Seq("__chunk", "__shard"))
       .withColumn("__seq", col("__off") + col("__lr"))
-      .drop("__pid", "__lr", "__ord", "__off")
+      .drop("__chunk", "__lr", "__ord", "__off")
   }
 }

@@ -37,23 +37,41 @@ object Skyline {
     val clean = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
     val g = clean.groupBy(col(xCol).as("__x"))
       .agg(min(col(yCol)).as("__y"))
-    val chunked = g.repartitionByRange(nChunks, col("__x"))
-      .withColumn("__pid", spark_partition_id())
-    val wLocal = Window.partitionBy(col("__pid")).orderBy(col("__x"))
+    // VALUE-DERIVED chunk id (r10; the q106 fix class): `local` and
+    // `chunkMins` are two consumers of the chunked frame — a
+    // spark_partition_id() over a sampled repartitionByRange can
+    // disagree between them when AQE plans separate exchanges, and the
+    // (pid)-keyed join below then mixes prefix minima across wrong
+    // chunks. A min/max-scaled bucket of __x is a pure row function:
+    // monotone in the x order (chunks stay order-aligned, equal x
+    // shares a chunk), identical on every consumer, one bounded 1-row
+    // aggregate for the bounds. The frontier test is chunking-invariant
+    // by construction, so the double-arithmetic bucket boundaries only
+    // need determinism, which IEEE floor provides.
+    val b = g.agg(min(col("__x").cast("double")),
+      max(col("__x").cast("double"))).head()
+    val (mn, mx) =
+      if (b.isNullAt(0)) (0.0, 0.0) else (b.getDouble(0), b.getDouble(1))
+    val span = math.max(mx - mn, java.lang.Double.MIN_NORMAL)
+    val chunked = g.withColumn("__chunk",
+      least(lit(nChunks - 1L),
+        floor((col("__x").cast("double") - lit(mn))
+          / lit(span) * lit(nChunks.toDouble)).cast("long")))
+    val wLocal = Window.partitionBy(col("__chunk")).orderBy(col("__x"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = chunked.withColumn("__lm", min(col("__y")).over(wLocal))
     // one row per chunk; the prefix window runs over nChunks rows only
-    val chunkMins = chunked.groupBy(col("__pid"))
+    val chunkMins = chunked.groupBy(col("__chunk"))
       .agg(min(col("__y")).as("__cm"))
-    val wPrefix = Window.orderBy(col("__pid"))
+    val wPrefix = Window.orderBy(col("__chunk"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val prefix = chunkMins
       .withColumn("__pm", min(col("__cm")).over(wPrefix))
-      .select(col("__pid"), col("__pm"))
+      .select(col("__chunk"), col("__pm"))
     // least() skips nulls; null prev-min (first chunk, first row) means
     // nothing precedes -> survive
     val prevMin = least(col("__lm"), col("__pm"))
-    val surviving = local.join(broadcast(prefix), Seq("__pid"))
+    val surviving = local.join(broadcast(prefix), Seq("__chunk"))
       .where(prevMin.isNull || col("__y") < prevMin)
       .select(col("__x"), col("__y"))
     clean.join(surviving,

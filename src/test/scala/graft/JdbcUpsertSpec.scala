@@ -143,6 +143,50 @@ class JdbcUpsertSpec extends SparkSpec
       s"generated statement drifted from py:426-452:\n$sql\nvs\n$expected")
   }
 
+  test("dialect parity: Derby MERGE and PG ON CONFLICT describe the same upsert") {
+    // The PG arm cannot EXECUTE here (no Postgres jar in the offline
+    // cache, zero egress — r10; the executed arm is Derby). What is
+    // verifiable offline is that both dialects DESCRIBE the identical
+    // operation, so the Derby execution results transfer: parse each
+    // generated statement back into (insert columns, key set,
+    // update-set columns, parameter order semantics) and assert they
+    // agree. Catches the drift class where one dialect's SET list or
+    // parameter layout is edited without the other.
+    val fields = weatherSchema.fields.toSeq
+    val derby = JdbcUpsert.DerbyMerge.mergeSql("t1", fields, keys)
+    val pg = JdbcUpsert.PostgresOnConflict().mergeSql("t1", fields, keys)
+    def listOf(s: String): Seq[String] =
+      s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    // insert column lists
+    val derbyIns = listOf(
+      """INSERT \(([^)]*)\)""".r.findFirstMatchIn(derby).get.group(1))
+    val pgIns = listOf(
+      """INSERT INTO t1 \(([^)]*)\)""".r.findFirstMatchIn(pg).get.group(1))
+    assert(derbyIns === pgIns, "insert column order must match")
+    // conflict keys
+    val derbyKeys = """t\.(\w+) = CAST""".r.findAllMatchIn(derby)
+      .map(_.group(1)).toSeq
+    val pgKeys = listOf(
+      """ON CONFLICT \(([^)]*)\)""".r.findFirstMatchIn(pg).get.group(1))
+    assert(derbyKeys === pgKeys, "conflict key sets must match")
+    // update-set columns (Derby: `x = ?` inside UPDATE SET; PG: EXCLUDED)
+    val derbySet = """UPDATE SET (.*?) WHEN NOT MATCHED""".r
+      .findFirstMatchIn(derby).get.group(1)
+      .split(", ").map(_.takeWhile(_ != ' ')).toSeq
+    val pgSet = """DO UPDATE SET (.*)$""".r.findFirstMatchIn(pg).get
+      .group(1).split(", ").map(_.takeWhile(_ != ' ')).toSeq
+    assert(derbySet === pgSet, "update SET lists must match")
+    // parameter layouts are dialect-specific by design, but both must
+    // cover every inserted column through parameterColumns
+    val derbyParams = JdbcUpsert.DerbyMerge.parameterColumns(fields, keys)
+    val pgParams = JdbcUpsert.PostgresOnConflict()
+      .parameterColumns(fields, keys)
+    assert(derby.count(_ == '?') === derbyParams.length)
+    assert(pg.count(_ == '?') === pgParams.length)
+    assert(pgParams === fields.map(_.name),
+      "PG binds every column exactly once, in insert order")
+  }
+
   test("ensureTable probes all identifier case foldings before CREATE") {
     val url = freshDb("merge5")
     // plant the table under a QUOTED lowercase identifier — the name a

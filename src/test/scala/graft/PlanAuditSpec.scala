@@ -85,23 +85,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Window"), "bucket-size guard window missing")
   }
 
-  test("q70 ranks via range chunks — no per-priority corpus sort") {
+  test("q70 ranks via value chunks — no per-priority corpus sort") {
     // the scale defect this pins: ntile over partition by
     // o_orderpriority funnels the table through 5 single-task sorts.
-    // The r8 plan range-partitions on the full sort key and windows per
+    // The r10 plan buckets rows by a min/max-scaled VALUE chunk of the
+    // leading sort key (pure row function — the q106 fix class; the
+    // former spark_partition_id over a sampled range exchange could
+    // disagree between the plan's two consumers) and windows per
     // (chunk, priority); only the P×5-row offset table may window on
     // the bare priority.
     val p = plan("q70_ntile_deciles")
-    assert(p.toLowerCase.contains("rangepartitioning"),
-      "expected a repartitionByRange exchange spreading the sort:\n" +
-        p.take(1500))
     // every corpus-side window (the row_number computing the local rank)
     // must include the chunk id in its partition spec
     val rankWindows = p.linesIterator
       .filter(l => l.contains("row_number() windowspecdefinition")).toSeq
     assert(rankWindows.nonEmpty, "local-rank window missing")
-    assert(rankWindows.forall(_.contains("__pid")),
+    assert(rankWindows.forall(_.contains("__chunk")),
       s"corpus rank window not chunk-partitioned:\n${rankWindows.mkString("\n")}")
+    // and the chunk id must come from the data, never the exchange
+    assert(!p.contains("spark_partition_id"),
+      "q70 must not derive chunks from runtime partition ids")
   }
 
   test("q26 reuses the shingle exchange and carries no object aggregates") {
