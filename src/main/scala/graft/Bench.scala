@@ -132,7 +132,30 @@ object Bench {
           only.forall(_.exists(p => name == p || name.startsWith(p + "_")))
         }
         .map { case (name, fn) =>
-          name -> (0 until nRuns).map(i => once(name, i, fn))
+          val runs = (0 until nRuns).map(i => once(name, i, fn))
+          // r10: run-scoped staging dirs (graft_qNN_<8hex> under
+          // java.io.tmpdir — streaming stages, format-roundtrip files)
+          // are cleaned via deleteOnExit, which never fires in this
+          // long-lived JVM; at sf10 q121 alone leaves 12 GB per run and
+          // a full sweep filled the disk mid-suite (4 queries died on
+          // ENOSPC). The query is finished — its DataFrames are fully
+          // materialized through the noop write — so its staging is
+          // garbage NOW. Keyed cross-run stores (graft_qstore,
+          // graft_q*_store) deliberately survive: they are the
+          // train-once-reuse surfaces, and their names carry no run
+          // uuid.
+          val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+          val runScoped = "graft_q\\w*_[0-9a-f]{8}".r
+          Option(tmp.listFiles()).getOrElse(Array.empty).foreach { d =>
+            if (runScoped.pattern.matcher(d.getName).matches()) {
+              def rm(f: java.io.File): Unit = {
+                Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+                f.delete(); ()
+              }
+              rm(d)
+            }
+          }
+          name -> runs
         }
     val mins = results.map { case (name, runs) =>
       name -> (if (runs.forall(_._2)) runs.map(_._1).min else -1.0)
