@@ -155,6 +155,15 @@ object Bench {
               rm(d)
             }
           }
+          // Nudge the ContextCleaner: shuffle files and localCheckpoint
+          // blocks are deleted only when their RDD references are
+          // GC-collected, and a generously-sized heap can run an entire
+          // sf10 sweep without a single full GC — the r10 sweep filled
+          // 90 GB of /tmp blockmgr with blocks belonging to long-dead
+          // queries and died on ENOSPC. One System.gc() per query is
+          // invisible in the timings (it runs OUTSIDE the timed window)
+          // and keeps on-disk state bounded by the CURRENT query.
+          System.gc()
           name -> runs
         }
     val mins = results.map { case (name, runs) =>
