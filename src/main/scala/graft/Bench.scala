@@ -43,6 +43,15 @@ object Bench {
       // bytes, not compute, dominate.
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The engine's unpartitioned-window call sites are all grid-sized
+    // by construction (enforced by PlanAuditSpec, not by reading logs),
+    // but WindowExec WARNs "No Partition Defined" on every execution —
+    // hundreds of lines per suite that drowned the ONE diagnostic line
+    // that mattered in r10 (the failed query's error). The spec is the
+    // invariant's guardian; the logger is noise here.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     // Warm the JVM/codegen/parquet-footer paths AND the noop datasource
     // (its first use pays DataSourceV2 lookup/init) so the first timed
     // query is not charged for session startup.
@@ -99,25 +108,35 @@ object Bench {
     // query-name#runIndex -> (seconds, dominant frames with sample counts)
     val stallProfiles = scala.collection.mutable.LinkedHashMap
       .empty[String, (Double, Seq[(String, Int)])]
-    // (time, succeeded) — a failed query must NOT report its fail-fast
-    // elapsed time as a benchmark result (a broken build would look
-    // faster); it reports -1 and is counted in "failed" instead.
+    // (time, succeeded, error) — a failed query must NOT report its
+    // fail-fast elapsed time as a benchmark result (a broken build
+    // would look faster); it reports -1 and is counted in "failed".
+    // The error (class + message + first graft/spark frame) goes into
+    // bench.json's "errors" map: r10's single bench failure was
+    // undiagnosable post-hoc because the message went only to stderr,
+    // whose harness-kept tail was warning spam.
     def once(name: String, runIdx: Int,
         fn: (org.apache.spark.sql.SparkSession, String)
-        => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
+        => org.apache.spark.sql.DataFrame): (Double, Boolean, Option[String]) = {
       val sampler = new StallSampler
       sampler.start()
       val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+      val err: Option[String] =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] query failed: ${e.getMessage}"); false
+          val frame = e.getStackTrace.find { f =>
+            f.getClassName.startsWith("graft.") ||
+              f.getClassName.startsWith("org.apache.spark")
+          }.map(f => s" at $f").getOrElse("")
+          val msg = s"${e.getClass.getName}: ${e.getMessage}$frame"
+          System.err.println(s"[bench] $name#$runIdx failed: $msg")
+          Some(msg)
         }
       val sec = (System.nanoTime() - t0) / 1e9
       val profile = sampler.finish()
       if (sec >= 5.0 && stallProfiles.size < 15)
         stallProfiles(s"$name#$runIdx") = (sec, profile)
-      (sec, ok)
+      (sec, err.isEmpty, err)
     }
     def f(d: Double): String = BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     // Per-query we keep ALL run times, not just the min: the round-4
@@ -126,44 +145,46 @@ object Bench {
     // whose runs read [0.4, 3.1, 12.7] is a JVM-state pathology; one
     // that reads [3.3, 3.2, 3.1] is intrinsic cost. min stays the
     // headline estimator (first run pays one-off codegen/listing).
-    val results: Seq[(String, Seq[(Double, Boolean)])] =
+    var sinceGc = 0
+    val results: Seq[(String, Seq[(Double, Boolean, Option[String])])] =
       SparkEntry.queries.toSeq
         .filter { case (name, _) =>
           only.forall(_.exists(p => name == p || name.startsWith(p + "_")))
         }
         .map { case (name, fn) =>
           val runs = (0 until nRuns).map(i => once(name, i, fn))
-          // r10: run-scoped staging dirs (graft_qNN_<8hex> under
-          // java.io.tmpdir — streaming stages, format-roundtrip files)
-          // are cleaned via deleteOnExit, which never fires in this
-          // long-lived JVM; at sf10 q121 alone leaves 12 GB per run and
-          // a full sweep filled the disk mid-suite (4 queries died on
-          // ENOSPC). The query is finished — its DataFrames are fully
-          // materialized through the noop write — so its staging is
-          // garbage NOW. Keyed cross-run stores (graft_qstore,
-          // graft_q*_store) deliberately survive: they are the
-          // train-once-reuse surfaces, and their names carry no run
-          // uuid.
-          val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
-          val runScoped = "graft_q\\w*_[0-9a-f]{8}".r
-          Option(tmp.listFiles()).getOrElse(Array.empty).foreach { d =>
-            if (runScoped.pattern.matcher(d.getName).matches()) {
-              def rm(f: java.io.File): Unit = {
-                Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-                f.delete(); ()
-              }
-              rm(d)
-            }
+          // r10: run-scoped staging dirs (streaming stages, format-
+          // roundtrip files) are cleaned via deleteOnExit, which never
+          // fires in this long-lived JVM; at sf10 q121 alone leaves
+          // 12 GB per run and a full sweep filled the disk mid-suite
+          // (4 queries died on ENOSPC). The query is finished — its
+          // DataFrames are fully materialized through the noop write —
+          // so its staging is garbage NOW. Reaping goes through the
+          // Scratch registry (exactly the dirs THIS JVM allocated):
+          // the r10 name-pattern reaper matched keyed cross-run stores
+          // whose hash suffix rendered as 8 hex (q160's at sf0.1) and
+          // could delete a concurrent graft JVM's staging mid-query.
+          Scratch.reap()
+          // Nudge the ContextCleaner only when disk pressure warrants
+          // it: shuffle files and localCheckpoint blocks are deleted
+          // when their RDD references are GC-collected, and a
+          // generously-sized heap can run an entire sf10 sweep without
+          // a full GC — the r10 sweep filled 90 GB of /tmp blockmgr
+          // with blocks of long-dead queries and died on ENOSPC. But
+          // the r10 fix (System.gc() after EVERY query, 3e4170f)
+          // unloaded generated-class loaders 193 times and doubled JIT
+          // recompilation — the driver's r10 suite regressed 1.7×
+          // (compile_ms 443 s → 804 s, code-cache peak DROPPED). So:
+          // GC every 25 queries (bounds dead-block accumulation at
+          // ~1/8th of a sweep) or immediately when tmpdir usable space
+          // falls under 32 GiB (the ENOSPC guard proper).
+          sinceGc += 1
+          val tmpFree = new java.io.File(
+            System.getProperty("java.io.tmpdir")).getUsableSpace
+          if (sinceGc >= 25 || tmpFree < (32L << 30)) {
+            System.gc()
+            sinceGc = 0
           }
-          // Nudge the ContextCleaner: shuffle files and localCheckpoint
-          // blocks are deleted only when their RDD references are
-          // GC-collected, and a generously-sized heap can run an entire
-          // sf10 sweep without a single full GC — the r10 sweep filled
-          // 90 GB of /tmp blockmgr with blocks belonging to long-dead
-          // queries and died on ENOSPC. One System.gc() per query is
-          // invisible in the timings (it runs OUTSIDE the timed window)
-          // and keeps on-disk state bounded by the CURRENT query.
-          System.gc()
           name -> runs
         }
     val mins = results.map { case (name, runs) =>
@@ -202,13 +223,21 @@ object Bench {
       if (comp != null && comp.isCompilationTimeMonitoringSupported) comp.getTotalCompilationTime
       else -1L
     def jstr(s: String): String =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t") + "\""
+    // Per-run failure messages — the r10 gap: a failed bench row was
+    // undiagnosable from the artifact alone.
+    val errsJson = results.flatMap { case (k, runs) =>
+      runs.zipWithIndex.collect { case ((_, false, Some(msg)), i) =>
+        "\"" + k + "#" + i + "\":" + jstr(msg.take(500))
+      }
+    }.mkString("{", ",", "}")
     val stallsJson = stallProfiles.map { case (key, (sec, frames)) =>
       jstr(key) + ":{\"sec\":" + f(sec) + ",\"frames\":{" +
         frames.map { case (fr, n) => jstr(fr) + ":" + n }.mkString(",") + "}}"
     }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"runs":$runsJson,"stalls":$stallsJson,"jit":{"compile_ms":$compileMs,"code_cache_full":$codeCacheFull,"pools":$poolsJson},"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"runs":$runsJson,"errors":$errsJson,"stalls":$stallsJson,"jit":{"compile_ms":$compileMs,"code_cache_full":$codeCacheFull,"pools":$poolsJson},"failed":$failed,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench.json"), line + "\n")
     // The harness keeps only the last ~2000 chars of stdout, and the
     // full line above (97-query map + runs + stalls + JIT canary) is
@@ -222,8 +251,16 @@ object Bench {
     val slowest = mins.filter(_._2 >= 0).sortBy(-_._2).take(12)
       .map { case (k, v) => "\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
+    // Failures are rare and load-bearing: put them on stdout too (the
+    // 2000-char tail can afford one short message when failed > 0).
+    val errBit = if (failed > 0) {
+      val first = results.flatMap { case (k, runs) =>
+        runs.collectFirst { case (_, false, Some(m)) => jstr(s"$k: ${m.take(160)}") }
+      }.take(2).mkString("[", ",", "]")
+      s""","errors_sample":$first"""
+    } else ""
     val summary =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","failed":$failed,"n_queries":${mins.size},"sf":"$sfDir","queries":$slowest,"queries_truncated":true,"queries_full":"bench.json"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","failed":$failed$errBit,"n_queries":${mins.size},"sf":"$sfDir","queries":$slowest,"queries_truncated":true,"queries_full":"bench.json"}"""
     println(summary)
     spark.stop()
   }

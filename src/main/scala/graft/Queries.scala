@@ -800,8 +800,7 @@ object Queries {
     val snap = t(s, dir, "documents").select(col("doc_id"), col("text"))
     val batchSrc = mutatedCopy(snap)
     val base = new org.apache.hadoop.fs.Path(
-      System.getProperty("java.io.tmpdir"),
-      s"graft_q100_state_${java.util.UUID.randomUUID().toString.take(8)}")
+      Scratch.dir("graft_q100_state").getPath)
     val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(base)) fs.delete(base, true)
     fs.deleteOnExit(base)
@@ -949,8 +948,10 @@ object Queries {
 
   /** Perceptual image near-dup retrieval — the query that retires the
     * multimodal feature stub: one distinct synthetic 24×16 image per
-    * customer (pixels are closed forms of (id mod 251, id mod 241) —
-    * CRT-distinct below 60491, far above any SF's key range), the
+    * customer ([[graft.operators.SynthMedia.imagePixel]] — pixels are
+    * closed forms of id's residues mod the pairwise-coprime
+    * 251·241·239·233, CRT-injective below 3.37e9; the r10 two-residue
+    * form repeated at period 60491, below sf10's 1.5M customers), the
     * corpus encoded as BMP and every 10th image RE-ENCODED as PNG
     * (lossless, different container + entropy coder) with ids offset by
     * 1e6. Both sides run the REAL pipeline: pixel decode →
@@ -974,14 +975,8 @@ object Queries {
     import graft.operators.{Multimodal, Similarity}
     // lambda, not a local def: a def would lift onto this (non-serializable)
     // enclosing object and poison the task closure
-    val pix: (Long, Int, Int) => Int = (id, x, y) => {
-      val p = (id % 251).toInt
-      val q = (id % 241).toInt
-      val r = (x * 3 + y * 2 + p) % 256
-      val g = (y * 5 + x + q) % 256
-      val b = (x + y + p + q) % 256
-      (r << 16) | (g << 8) | b
-    }
+    val pix: (Long, Int, Int) => Int =
+      (id, x, y) => graft.operators.SynthMedia.imagePixel(id, x, y)
     // repartition BEFORE the per-row synthesis+DCT: the id scan is a
     // single ~40 MB parquet split even at sf10 (1.5M rows), and without
     // the exchange the whole image pipeline — encode, decode, DCT,
@@ -1831,8 +1826,7 @@ object Queries {
     val old = edges.where(col("src") < 1000000L)
     val batchSrc = edges.where(col("src") >= 1000000L)
     val base = new org.apache.hadoop.fs.Path(
-      System.getProperty("java.io.tmpdir"),
-      s"graft_q119_${java.util.UUID.randomUUID().toString.take(8)}")
+      Scratch.dir("graft_q119").getPath)
     val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(base)) fs.delete(base, true)
     fs.deleteOnExit(base)
@@ -2010,8 +2004,7 @@ object Queries {
     val li = t(s, dir, "lineitem").select(col("l_orderkey"),
       col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
       col("l_returnflag"), col("l_shipdate"))
-    val base = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_q121_${java.util.UUID.randomUUID().toString.take(8)}").getPath
+    val base = Scratch.dir("graft_q121").getPath
     val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
     li.write.mode("overwrite").orc(s"$base/orc")
     li.write.mode("overwrite").option("header", "true")
@@ -4195,7 +4188,10 @@ object Queries {
     val cents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
     val b = base.agg(
       min(cents).as("mn"), max(cents).as("mx")).head()
-    val (mn, mx) = (b.getLong(0), b.getLong(1))
+    // empty / all-null input: degrade to a single chunk rather than NPE
+    // at plan-build time (the Skyline.scala guard pattern)
+    val (mn, mx) =
+      if (b.isNullAt(0)) (0L, 0L) else (b.getLong(0), b.getLong(1))
     val span = math.max(1L, mx - mn + 1L)
     // IEEE double floor is deterministic, monotone in cents, and ANY
     // chunking yields the identical final ranks — only determinism and
@@ -5050,8 +5046,7 @@ object Queries {
     // still reads the files lazily, so deleting eagerly here would
     // break the caller's subsequent action).
     val base = new org.apache.hadoop.fs.Path(
-      System.getProperty("java.io.tmpdir"),
-      s"graft_q90_state_${java.util.UUID.randomUUID().toString.take(8)}")
+      Scratch.dir("graft_q90_state").getPath)
     val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(base)) fs.delete(base, true)
     fs.deleteOnExit(base)
@@ -5605,8 +5600,7 @@ object Queries {
     val src = events(s, dir).filter(col("user_id") < 200)
       .select(col("event_id"), col("user_id"), col("event_type"))
     val base = new org.apache.hadoop.fs.Path(
-      System.getProperty("java.io.tmpdir"),
-      s"graft_q132_${java.util.UUID.randomUUID().toString.take(8)}")
+      Scratch.dir("graft_q132").getPath)
     val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(base)) fs.delete(base, true)
     fs.deleteOnExit(base)
@@ -6633,8 +6627,7 @@ object Queries {
     val src = t(s, dir, "documents")
       .select(col("doc_id"), col("source"), col("text"))
     val base = new org.apache.hadoop.fs.Path(
-      System.getProperty("java.io.tmpdir"),
-      s"graft_q150_${java.util.UUID.randomUUID().toString.take(8)}")
+      Scratch.dir("graft_q150").getPath)
     val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(base)) fs.delete(base, true)
     fs.deleteOnExit(base)
@@ -7526,8 +7519,7 @@ object Queries {
         col("event_id"))
       .where(col("value").isNotNull)
     val base = new org.apache.hadoop.fs.Path(
-      System.getProperty("java.io.tmpdir"),
-      s"graft_q164_${java.util.UUID.randomUUID().toString.take(8)}")
+      Scratch.dir("graft_q164").getPath)
     val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(base)) fs.delete(base, true)
     fs.deleteOnExit(base)
@@ -8917,8 +8909,7 @@ object Queries {
     val src = events(s, dir).select(col("event_id"), col("event_type"),
       col("user_id"))
     val base = new org.apache.hadoop.fs.Path(
-      System.getProperty("java.io.tmpdir"),
-      s"graft_q187_${java.util.UUID.randomUUID().toString.take(8)}")
+      Scratch.dir("graft_q187").getPath)
     val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(base)) fs.delete(base, true)
     fs.deleteOnExit(base)
@@ -9285,8 +9276,12 @@ object Queries {
 
   /** Audio near-duplicate detection through the REAL embedding stack
     * (VERDICT r9 item 3 close-out; the audio analog of q102): per
-    * supplier id a genuine 16-bit PCM WAV is synthesized (a
-    * two-tone mixture parameterized by the id), decoded and embedded
+    * supplier id a genuine 16-bit PCM WAV is synthesized
+    * ([[graft.operators.SynthMedia.audioSamples]] — a three-tone
+    * mixture whose bins/amplitudes are residues of the id mod
+    * pairwise-coprime 29·61·89·67·64, CRT-injective below 6.75e8; the
+    * r10 two-residue form repeated at period 5963, below sf1's 10k
+    * suppliers, r10 ADVICE), decoded and embedded
     * by [[graft.operators.Multimodal.MediaCodec.audioEmbedding]] —
     * DFT band energies + RMS profile over the decoded samples, real
     * DSP end to end. The query set is every 10th clip RE-ENCODED with
@@ -9307,14 +9302,9 @@ object Queries {
     import graft.operators.{Multimodal, Similarity}
     // lambda, not a local def: a def would lift onto this
     // (non-serializable) enclosing object and poison the task closure
-    val synth: Long => Array[Byte] = id => {
-      val b1 = (5 + id % 89).toInt
-      val b2 = (17 + id % 67).toInt
-      val samples = Array.tabulate(1024)(i =>
-        (6000 * math.sin(2 * math.Pi * b1 * i / 256.0) +
-          5000 * math.sin(2 * math.Pi * b2 * i / 256.0)).toShort)
-      Multimodal.MediaCodec.wavEncode(16000, samples)
-    }
+    val synth: Long => Array[Byte] = id =>
+      Multimodal.MediaCodec.wavEncode(16000,
+        graft.operators.SynthMedia.audioSamples(id))
     val ids = t(s, dir, "supplier")
       .select(col("s_suppkey").cast("long")).as[Long]
       .repartition(s.sessionState.conf.numShufflePartitions)
@@ -9348,7 +9338,10 @@ object Queries {
 
   /** Video near-duplicate detection through the REAL embedding stack
     * (the video leg of VERDICT r9 item 3): per supplier id a genuine
-    * uncompressed-DIB AVI (6 frames, 24×16) is synthesized, decoded
+    * uncompressed-DIB AVI (6 frames, 24×16) is synthesized
+    * ([[graft.operators.SynthMedia.videoPixel]] — CRT-injective below
+    * 3.37e9; the r10 two-residue form repeated at period 60491, below
+    * sf10's 100k suppliers, r10 ADVICE), decoded
     * zero-copy by [[graft.operators.AviCodec.frameReaders]] and
     * embedded by per-frame pHash POOLING
     * ([[graft.operators.Multimodal.MediaCodec.videoEmbedding]] — the
@@ -9364,13 +9357,8 @@ object Queries {
     import s.implicits._
     import graft.operators.{AviCodec, Multimodal, Similarity}
     val synth: (Long, Int) => Array[Byte] = (id, usPerFrame) =>
-      AviCodec.aviEncode(24, 16, usPerFrame, 6, (f, x, y) => {
-        val p = (id % 251).toInt
-        val r = (x * 3 + y * 2 + f * 19 + p) % 256
-        val g = (y * 5 + x + f * 7 + (id % 241).toInt) % 256
-        val b = (x + y + f + p) % 256
-        (r << 16) | (g << 8) | b
-      })
+      AviCodec.aviEncode(24, 16, usPerFrame, 6,
+        (f, x, y) => graft.operators.SynthMedia.videoPixel(id, f, x, y))
     val ids = t(s, dir, "supplier")
       .select(col("s_suppkey").cast("long")).as[Long]
       .repartition(s.sessionState.conf.numShufflePartitions)

@@ -1,0 +1,57 @@
+package graft
+
+/** Run-scoped scratch allocation under `java.io.tmpdir` with a per-JVM
+  * registry, so cleanup deletes EXACTLY the directories this process
+  * allocated — never another process's.
+  *
+  * Why a registry instead of a name pattern: the r10 Bench reaper
+  * pattern-matched `graft_q\w*_<8hex>` against the SHARED tmpdir, which
+  * (a) would delete a concurrently running graft JVM's staging
+  * mid-query (`sbt test` next to a sweep on the same box), and (b) ate
+  * keyed cross-run stores whose hash suffix happened to render as
+  * exactly 8 hex chars — q160's `graft_q160_store_7418e66b` at sf0.1
+  * ("/root/testdata/sf0.1".hashCode in hex) matched the pattern and was
+  * wiped after every query, silently discarding the store it exists to
+  * reuse. Registered paths have neither failure mode.
+  *
+  * Allocation only RESERVES the name (the caller creates the files);
+  * [[reap]] drains the registry and recursively deletes whatever exists
+  * at each registered path. Keyed cross-run stores (quantizers, sketch
+  * stores, LSH catalogs) must NOT be allocated here — they are meant to
+  * survive reaps.
+  */
+object Scratch {
+  private val created =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
+
+  /** Allocate (but do not create) a fresh scratch path
+    * `<prefix>_<8 hex>` under `java.io.tmpdir` and register it for
+    * [[reap]].
+    */
+  def dir(prefix: String): java.io.File = {
+    val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"${prefix}_${java.util.UUID.randomUUID().toString.take(8)}")
+    created.add(f)
+    f
+  }
+
+  /** Delete every scratch path THIS JVM allocated since the last reap.
+    * Callers invoke it between fully-materialized units of work (Bench
+    * reaps after each query's runs complete), never while an allocated
+    * path may still be read.
+    */
+  def reap(): Unit = {
+    var f = created.poll()
+    while (f != null) {
+      rm(f)
+      f = created.poll()
+    }
+  }
+
+  private def rm(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(rm)
+    f.delete()
+    ()
+  }
+}

@@ -444,16 +444,9 @@ object Graph {
     val touched = lab.join(endpoints, Seq("node"), "left_semi")
       .select(col("component"), col("__pb")).distinct()
       .localCheckpoint(eager = false)
-    val __t0 = System.nanoTime()
-    def dbg[T](l: String)(f: => T): T = {
-      val t0 = System.nanoTime(); val r = f
-      if (sys.env.contains("GRAFT_DEBUG_LABELSTORE"))
-        println(f"[ulsdbg] $l%-20s ${(System.nanoTime()-t0)/1e9}%.3f s")
-      r
-    }
-    val touchedPb: Set[Long] = dbg("touchedPb") {
+    val touchedPb: Set[Long] =
       touched.select(col("__pb")).distinct().collect()
-        .map(_.getLong(0)).toSet }
+        .map(_.getLong(0)).toSet
     // scan 2 (PRUNED to the touched components' home partitions):
     // pull every member of a touched component. Neighborhood-sized.
     val affectedMembers = lab
@@ -481,8 +474,8 @@ object Graph {
         col("component").as("__lv")), Seq("v"), "left")
       .select(coalesce(col("__lu"), col("u")).as("u"),
         coalesce(col("__lv"), col("v")).as("v"))
-    val rootMap = dbg("cc") {
-      connectedComponents(contractedEdges, "u", "v") } // (old id → new root)
+    val rootMap = // (old id → new root)
+      connectedComponents(contractedEdges, "u", "v")
     // members re-attach through their old component id; components with
     // no surviving batch edge drop out of the inner join and ride along
     // as untouched rows below
@@ -510,8 +503,8 @@ object Graph {
     // the affected-partition list is bounded by `parts` — a bounded
     // driver scalar, not a data collect — and must be materialized
     // BEFORE the rewrite (its lazy plan reads the store's current files)
-    val affected: Set[Long] = dbg("deltaPb") { touchedPb ++
-      delta.select(col("__pb")).distinct().collect().map(_.getLong(0)) }
+    val affected: Set[Long] = touchedPb ++
+      delta.select(col("__pb")).distinct().collect().map(_.getLong(0))
     // scan 3 (PRUNED to the affected partitions): co-resident rows of
     // partitions being rewritten whose components the batch did NOT
     // touch — they must ride along unchanged. This is the rewrite's
@@ -539,14 +532,14 @@ object Graph {
     // partition's range): dynamic overwrite only replaces partitions
     // that receive rows, so an empty affected partition must be
     // dropped explicitly below or its stale labels survive.
-    val present = dbg("present(mat)") { mat.select(col("__pb")).distinct()
-      .collect().map(_.getLong(0)).toSet }
+    val present = mat.select(col("__pb")).distinct()
+      .collect().map(_.getLong(0)).toSet
     // per-WRITE dynamic mode (writer option, not a session-conf
     // set/restore — concurrent writers can interleave a global toggle;
     // r10 ADVICE)
-    dbg("write") { mat.write.mode("overwrite")
+    mat.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("__pb").parquet(storeDir) }
+      .partitionBy("__pb").parquet(storeDir)
     val fs = new org.apache.hadoop.fs.Path(storeDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     (affected -- present).foreach { p =>
@@ -554,9 +547,7 @@ object Graph {
     }
     // the session caches file listings per path: readers planned after
     // this update must not resolve against pre-rewrite file names
-    dbg("refresh") { spark.catalog.refreshByPath(storeDir) }
-    if (sys.env.contains("GRAFT_DEBUG_LABELSTORE"))
-      println(f"[ulsdbg] TOTAL ${(System.nanoTime()-__t0)/1e9}%.3f s")
+    spark.catalog.refreshByPath(storeDir)
   }
 
   /** Seed a [[updateLabelStore]] store from an initial labeling; the

@@ -140,7 +140,9 @@ object Layout {
       max(when(col("__rk") === 1, v)).as("__first"),
       max(when(col("__lead").isNull, v)).as("__last"))
     // nChunks rows: merge runs and deltas across chunk boundaries
-    val wb = Window.orderBy(col("__pid"))
+    // constant partition key: same one-task execution over the
+    // nChunks-row grid, minus the per-execution WindowExec warning
+    val wb = Window.partitionBy(lit(0)).orderBy(col("__pid"))
     val bounded = perChunk
       .withColumn("__prevLast", lag(col("__last"), 1).over(wb))
       .select(col("__n"), col("__breaks"), col("__small"),

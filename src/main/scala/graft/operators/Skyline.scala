@@ -63,7 +63,11 @@ object Skyline {
     // one row per chunk; the prefix window runs over nChunks rows only
     val chunkMins = chunked.groupBy(col("__chunk"))
       .agg(min(col("__y")).as("__cm"))
-    val wPrefix = Window.orderBy(col("__chunk"))
+    // constant partition key: semantically identical to a global window
+    // over this nChunks-row grid, but keeps WindowExec from WARNing
+    // "No Partition Defined" on every execution (the grid-size
+    // invariant lives in PlanAuditSpec, not in executor logs)
+    val wPrefix = Window.partitionBy(lit(0)).orderBy(col("__chunk"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val prefix = chunkMins
       .withColumn("__pm", min(col("__cm")).over(wPrefix))

@@ -43,8 +43,7 @@ object Q119Probe {
     val old = edges.where(col("src") < 1000000L)
     val batchSrc = edges.where(col("src") >= 1000000L)
     val base = new org.apache.hadoop.fs.Path(
-      System.getProperty("java.io.tmpdir"),
-      s"graft_q119probe_${java.util.UUID.randomUUID().toString.take(8)}")
+      graft.Scratch.dir("graft_q119probe").getPath)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.deleteOnExit(base)
     val storeDir = s"$base/labels"
