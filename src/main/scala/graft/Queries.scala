@@ -1020,8 +1020,13 @@ object Queries {
     // codec → deterministic features), so id-identity IS
     // payload-identity and the keying scan stays a pruned id read.
     // Real embedding tables fold the vector payload instead (r10
-    // ADVICE; see corpusFingerprint's vecCol).
-    val fp = Similarity.corpusFingerprint(idsDf, "media_id")
+    // ADVICE; see corpusFingerprint's vecCol). The generator VERSION
+    // is folded in because id-identity == payload-identity only holds
+    // within one generation of SynthMedia (r11 changed payloads under
+    // unchanged ids).
+    val fp0 = Similarity.corpusFingerprint(idsDf, "media_id")
+    val fp = (fp0._1, fp0._2 ^
+      graft.operators.SynthMedia.generatorVersion * 0x9E3779B97F4A7C15L)
     val nlist = Similarity.autoNlist(fp._1)
     val centroids = Similarity.trainOrLoadIvfCentroids(corpus,
       "media_id", "embedding", dim, nlist, quantizerStoreDir,
@@ -9319,7 +9324,10 @@ object Queries {
           "audio/wav", "synth")), dim)
     val idsDf = t(s, dir, "supplier")
       .select(col("s_suppkey").cast("long").as("media_id"))
-    val fp = Similarity.corpusFingerprint(idsDf, "media_id")
+    // generator-versioned store key — see q102's fingerprint comment
+    val fp0 = Similarity.corpusFingerprint(idsDf, "media_id")
+    val fp = (fp0._1, fp0._2 ^
+      graft.operators.SynthMedia.generatorVersion * 0x9E3779B97F4A7C15L)
     val nlist = Similarity.autoNlist(fp._1)
     val centroids = Similarity.trainOrLoadIvfCentroids(corpus,
       "media_id", "embedding", dim, nlist, quantizerStoreDir,
@@ -9372,7 +9380,10 @@ object Queries {
           synth(id, 20000), "video/avi", "synth")), dim)
     val idsDf = t(s, dir, "supplier")
       .select(col("s_suppkey").cast("long").as("media_id"))
-    val fp = Similarity.corpusFingerprint(idsDf, "media_id")
+    // generator-versioned store key — see q102's fingerprint comment
+    val fp0 = Similarity.corpusFingerprint(idsDf, "media_id")
+    val fp = (fp0._1, fp0._2 ^
+      graft.operators.SynthMedia.generatorVersion * 0x9E3779B97F4A7C15L)
     val nlist = Similarity.autoNlist(fp._1)
     val centroids = Similarity.trainOrLoadIvfCentroids(corpus,
       "media_id", "embedding", dim, nlist, quantizerStoreDir,

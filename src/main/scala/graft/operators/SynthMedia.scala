@@ -19,6 +19,18 @@ package graft.operators
   */
 object SynthMedia {
 
+  /** Generator version, folded into the synth queries' quantizer-store
+    * fingerprints (q102/q192/q193): their ids-only fingerprint treats
+    * id-identity as payload-identity, which holds within one generator
+    * version but NOT across versions — r11 changed payloads under
+    * unchanged ids, and an ids-only key would silently serve centroids
+    * trained on the previous generation's embeddings (harmless for
+    * correctness — the argmax-cell argument is centroid-independent —
+    * but a stale build artifact all the same). Bump on any generator
+    * change.
+    */
+  val generatorVersion: Long = 2L
+
   /** Injectivity bound of [[imagePixel]]/[[videoPixel]]:
     * 251·241·239·233 = 3,368,562,317 (pairwise-coprime primes).
     */
