@@ -165,6 +165,20 @@ object Bench {
           // whose hash suffix rendered as 8 hex (q160's at sf0.1) and
           // could delete a concurrent graft JVM's staging mid-query.
           Scratch.reap()
+          // Drop every lingering persisted RDD (localCheckpoint blocks
+          // of the query that just finished — and of any before it).
+          // Dead storage blocks otherwise pin unified memory until a
+          // full GC collects their RDD references; with the GC nudge
+          // gated (below), at sf10 enough pinned storage accumulated
+          // that later hash aggregates could not acquire execution
+          // pages and fell back to sort-based spilling — q130 ran 29 s
+          // standalone at sf10r but >30 min mid-suite with 64 GB of
+          // TimSort spill. Explicit unpersist is exactly scoped (each
+          // query's checkpoints are dead once its noop write returns;
+          // cross-run stores are parquet tables, never persisted RDDs),
+          // costs no JIT churn, and needs no GC at all.
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
           // Nudge the ContextCleaner only when disk pressure warrants
           // it: shuffle files and localCheckpoint blocks are deleted
           // when their RDD references are GC-collected, and a
