@@ -5230,9 +5230,13 @@ object Queries {
         queries, "qid", "qtext", k = 10, rationalIdf = true)
       .select(col("query_id"), col("doc_id"), col("rank").cast("long")
         .as("rank"))
-    val vec = Similarity.bruteForceTopK(emb,
+    // r11: adaptiveTopK, not unconditional brute force — every oracle
+    // SF (≤ 4096 embeddings) stays bit-identical exact; above, the
+    // |corpus|·|queries| pair stream goes IVF (the q133/q139 close-out
+    // pattern: sf10r has 200k embeddings × 2k queries = 4e8 pairs)
+    val vec = Similarity.adaptiveTopK(emb,
         emb.where(col("vec_id") % 100 === 0), "vec_id", "embedding",
-        k = 10)
+        k = 10, dim = 64, quantizerStoreDir)
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rank").cast("long").as("rank"))
     Retrieval.rrfFuse(Seq(lex, vec), k = 5)

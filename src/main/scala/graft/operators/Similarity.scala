@@ -73,9 +73,47 @@ object Similarity {
     when(d > 0, dot(a, b) / d).otherwise(lit(0.0))
   }
 
+  /** Exact per-group top-k reduction via the native bounded-heap
+    * aggregate ([[graft.expressions.TopKAgg]]): bit-identical to
+    * `row_number() OVER (PARTITION BY key ORDER BY score DESC, id
+    * ASC) <= k` (TopKAggSpec pins it), but the pair stream collapses
+    * MAP-SIDE to k pairs per group — a rank window over an N·|Q|
+    * scored stream sorts (and at billions of pairs, disk-spills) every
+    * row per partition before discarding all but k, which is what made
+    * brute-force scoring the r11 sf10r cliff. `score` and `id` must be
+    * bigint.
+    */
+  def topKReduce(scored: DataFrame, keyCol: String, idCol: String,
+      scoreCol: String, k: Int): DataFrame = {
+    // ObjectHashAggregate silently degrades to SORT-based aggregation
+    // once a task sees more distinct keys than
+    // objectHashAggregate.sortBased.fallbackThreshold (default 128) —
+    // built for sketch-sized buffers, but it re-introduces exactly the
+    // full-stream sort this reduction exists to avoid (measured: q56's
+    // 2.5e9-row dense stream over 5k query groups fell back and
+    // spilled). A TopKState is ≤ 16·k bytes, so even a million groups
+    // is ~16k·k MB of state — raise the session threshold to keep the
+    // hash path. Raise-only: never lowers a user's explicit setting.
+    val spark = scored.sparkSession
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val cur = scala.util.Try(spark.conf.get(key).toLong).getOrElse(128L)
+    if (cur < (1L << 20)) spark.conf.set(key, (1L << 20).toString)
+    val bridge = org.apache.spark.sql.graft.ColumnBridge
+    val agg = bridge.column(graft.expressions.TopKAgg(
+      bridge.expression(col(scoreCol)), bridge.expression(col(idCol)), k)
+      .toAggregateExpression())
+    scored.groupBy(col(keyCol)).agg(agg.as("__top"))
+      .select(col(keyCol), posexplode(col("__top")).as(Seq("__p", "__e")))
+      .select(col(keyCol), col("__e.id").as(idCol),
+        (col("__p") + 1).cast("int").as("rank"),
+        col("__e.score_fp").as(scoreCol))
+  }
+
   /** Exact top-k by fixed-point dot score. `queries` must be small enough
     * to broadcast (it is hinted); output is (query_id, neighbor_id, rank,
-    * score_fp) with a deterministic (score desc, id asc) rank.
+    * score_fp) with a deterministic (score desc, id asc) rank — reduced
+    * by [[topKReduce]] (heap aggregate), not a rank window, so the
+    * |corpus|·|queries| scored stream never sorts or spills.
     */
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame,
@@ -83,11 +121,9 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
     val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
-      .withColumn("score_fp", dotFixed(col("__qv"), col("__cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score_fp").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        dotFixed(col("__qv"), col("__cv")).as("score_fp"))
+    topKReduce(scored, "query_id", "neighbor_id", "score_fp", k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         col("score_fp"))
   }

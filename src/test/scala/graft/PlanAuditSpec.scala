@@ -181,8 +181,9 @@ class PlanAuditSpec extends SparkSpec {
       "BM25 must stay equi-joins on term/doc keys")
     assert(p.contains("BroadcastHashJoin"),
       "query-term side should broadcast against the postings")
-    // top-k per query must use the rank-filter pushdown
-    assert(p.contains("WindowGroupLimit"))
+    // top-k per query rides the native heap aggregate (r11) — the rank
+    // window it replaced sorted the full scored stream per partition
+    assert(p.contains("topk_agg"))
   }
 
   test("q57 decontamination joins on the fixed-width hash, eval broadcast") {
@@ -349,10 +350,20 @@ class PlanAuditSpec extends SparkSpec {
     // the same sketch family).
     // q160/q164 (round 9): the same KLL store built incrementally /
     // by a stream — identical aggregate, identical rationale.
+    // r11 additions: topk_agg (graft.expressions.TopKAgg) is the native
+    // bounded-heap top-k reduction behind Similarity.topKReduce — the
+    // aggregate IS the operator under test (exact order statistics, the
+    // same TypedImperativeAggregate shape as the sketches), replacing
+    // rank windows that sorted/spilled the full scored pair stream at
+    // sf10r pair volumes. q28/q50 (brute-force ANN baselines), q56/q95
+    // (BM25 top-k; q95 also fuses the ANN leg), q133/q139 (adaptiveTopK
+    // exact arm at oracle SFs).
     val objAggWhitelist = Set("q44_collect_sorted", "q64_approx_quantiles",
       "q111_sketch_store", "q116_theta_overlap", "q122_freq_store",
       "q158_quantile_store", "q160_quantile_store_inc",
-      "q164_stream_quantiles")
+      "q164_stream_quantiles",
+      "q28_ann_topk", "q50_text_ann", "q56_bm25_topk", "q95_hybrid_rrf",
+      "q133_knn_label", "q139_hard_negatives")
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val p = fn(spark, dir).queryExecution.executedPlan.toString
       Seq(
@@ -454,8 +465,11 @@ class PlanAuditSpec extends SparkSpec {
     assert(aggLines.nonEmpty, s"unrolled embed aggregate missing:\n${p.take(1200)}")
     assert(aggLines.forall(_.contains("*(")),
       s"embed aggregate fell out of whole-stage codegen:\n${aggLines.mkString("\n")}")
-    assert(!p.contains("ObjectHashAggregate"),
-      "hashEmbed path must carry no object aggregates")
+    // the only object aggregate allowed is the r11 top-k heap reduction
+    // downstream of the embed; the embed itself must stay codegen'd
+    assert(p.linesIterator.filter(_.contains("ObjectHashAggregate"))
+        .forall(_.contains("topk_agg")),
+      "hashEmbed path must carry no object aggregates besides topk_agg")
   }
 
   test("q88 salted join runs as a shuffled join on (key, salt), no broadcast") {

@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins the r11 claim that [[Retrieval.bm25TopK]]'s two physical
+  * strategies are output-IDENTICAL: the sparse inverted-index path and
+  * the dense pivot+[[graft.expressions.SlotSum]]+heap path share the
+  * score algebra verbatim, so forcing either side on the same corpus
+  * must produce the same rows bit for bit (scores included). The dense
+  * path exists for candidate-degenerate corpora — r11's sf10r sweep
+  * measured Σ df(query terms) = 5.69e9 on 500k docs (3.3k-word
+  * vocabulary: every prefix token is a stopword), where the sparse
+  * join's pair stream dwarfs |docs|·|queries|.
+  */
+class Bm25DenseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus() = {
+    // small vocabulary => overlapping postings, dense ties, repeated
+    // terms inside one doc (tf > 1), docs with NO query-term overlap
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val docs = (1L to 200L).map { id =>
+      val n = 3 + (id % 7).toInt
+      val text = (0 until n)
+        .map(j => words(((id * 31 + j * 17) % words.size).toInt))
+        .mkString(" ")
+      (id, if (id % 19 == 0) "quux only" else text) // 0-overlap docs
+    }
+    docs.toDF("doc_id", "text")
+  }
+
+  test("dense path output equals sparse path output, scores included") {
+    val docs = corpus()
+    val queries = docs.where(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("qid"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 3)).as("qtext"))
+    for (rational <- Seq(true, false)) {
+      val sparse = Retrieval.bm25TopK(docs, "doc_id", "text",
+        queries, "qid", "qtext", k = 5, rationalIdf = rational,
+        denseAboveDocs = Long.MaxValue) // force sparse
+      val dense = Retrieval.bm25TopK(docs, "doc_id", "text",
+        queries, "qid", "qtext", k = 5, rationalIdf = rational,
+        denseAboveDocs = 0L) // force dense
+      assert(sparse.exceptAll(dense).isEmpty &&
+        dense.exceptAll(sparse).isEmpty,
+        s"dense/sparse BM25 diverged (rationalIdf=$rational)")
+      assert(dense.count() > 0)
+    }
+  }
+
+  test("dense switch falls back to sparse when the term dict is too wide") {
+    val docs = corpus()
+    val queries = docs.limit(3)
+      .select(col("doc_id").as("qid"), col("text").as("qtext"))
+    // maxDenseTerms = 1 cannot hold the dict -> sparse runs even above
+    // the doc threshold; result must still be the sparse result
+    val forced = Retrieval.bm25TopK(docs, "doc_id", "text",
+      queries, "qid", "qtext", k = 3, rationalIdf = true,
+      denseAboveDocs = 0L, maxDenseTerms = 1)
+    val sparse = Retrieval.bm25TopK(docs, "doc_id", "text",
+      queries, "qid", "qtext", k = 3, rationalIdf = true,
+      denseAboveDocs = Long.MaxValue)
+    assert(forced.exceptAll(sparse).isEmpty &&
+      sparse.exceptAll(forced).isEmpty)
+  }
+}
