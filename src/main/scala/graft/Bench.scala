@@ -146,6 +146,14 @@ object Bench {
     // that reads [3.3, 3.2, 3.1] is intrinsic cost. min stays the
     // headline estimator (first run pays one-off codegen/listing).
     var sinceGc = 0
+    // Physical-strategy decisions (r12): operators with runtime plan
+    // switches (bm25TopK sparse/dense) record every decision; draining
+    // per query attributes them, and the artifact carries them so a
+    // mis-cutover at a new scale is visible post-hoc. The warm-up
+    // entry() run above may have recorded — clear before attributing.
+    graft.StrategyLog.drain()
+    val strategies = scala.collection.mutable.LinkedHashMap
+      .empty[String, Seq[String]]
     val results: Seq[(String, Seq[(Double, Boolean, Option[String])])] =
       SparkEntry.queries.toSeq
         .filter { case (name, _) =>
@@ -153,6 +161,9 @@ object Bench {
         }
         .map { case (name, fn) =>
           val runs = (0 until nRuns).map(i => once(name, i, fn))
+          val decs = graft.StrategyLog.drain()
+            .map(d => s"${d.op}=${d.strategy} [${d.detail}]").distinct
+          if (decs.nonEmpty) strategies(name) = decs
           // r10: run-scoped staging dirs (streaming stages, format-
           // roundtrip files) are cleaned via deleteOnExit, which never
           // fires in this long-lived JVM; at sf10 q121 alone leaves
@@ -236,9 +247,24 @@ object Bench {
     val compileMs =
       if (comp != null && comp.isCompilationTimeMonitoringSupported) comp.getTotalCompilationTime
       else -1L
-    def jstr(s: String): String =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t") + "\""
+    // r12 (ADVICE): escape EVERY control char, not just \n\r\t — an
+    // exception message carrying \f or a raw ANSI escape byte would
+    // otherwise land unescaped in bench.json's errors map and make the
+    // whole artifact unparseable, defeating the post-hoc diagnosability
+    // the errors map exists to provide.
+    def jstr(s: String): String = {
+      val sb = new StringBuilder("\"")
+      s.foreach {
+        case '\\' => sb.append("\\\\")
+        case '"'  => sb.append("\\\"")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      sb.append("\"").toString
+    }
     // Per-run failure messages — the r10 gap: a failed bench row was
     // undiagnosable from the artifact alone.
     val errsJson = results.flatMap { case (k, runs) =>
@@ -250,8 +276,11 @@ object Bench {
       jstr(key) + ":{\"sec\":" + f(sec) + ",\"frames\":{" +
         frames.map { case (fr, n) => jstr(fr) + ":" + n }.mkString(",") + "}}"
     }.mkString("{", ",", "}")
+    val strategiesJson = strategies.map { case (q, ds) =>
+      jstr(q) + ":[" + ds.map(jstr).mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"runs":$runsJson,"errors":$errsJson,"stalls":$stallsJson,"jit":{"compile_ms":$compileMs,"code_cache_full":$codeCacheFull,"pools":$poolsJson},"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"runs":$runsJson,"errors":$errsJson,"stalls":$stallsJson,"strategies":$strategiesJson,"jit":{"compile_ms":$compileMs,"code_cache_full":$codeCacheFull,"pools":$poolsJson},"failed":$failed,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench.json"), line + "\n")
     // The harness keeps only the last ~2000 chars of stdout, and the
     // full line above (97-query map + runs + stalls + JIT canary) is

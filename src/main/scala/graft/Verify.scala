@@ -19,6 +19,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Physical-strategy decisions per query (r12) — see StrategyLog;
+    // dumped as strategies.json so a sparse/dense mis-cutover is
+    // visible next to the correctness artifacts.
+    StrategyLog.drain()
+    val strategies = scala.collection.mutable.LinkedHashMap
+      .empty[String, Seq[String]]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -27,6 +33,9 @@ object Verify {
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+        val decs = StrategyLog.drain()
+          .map(d => s"${d.op}=${d.strategy} [${d.detail}]").distinct
+        if (decs.nonEmpty) strategies(name) = decs
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -44,6 +53,10 @@ object Verify {
       .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val stratJson = strategies.map { case (k, ds) =>
+      s"${q(k)}: [${ds.map(q).mkString(",")}]"
+    }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/strategies.json"), stratJson)
     spark.stop()
   }
 }

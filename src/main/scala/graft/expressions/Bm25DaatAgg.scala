@@ -40,8 +40,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructField, S
 case class Bm25DaatAgg(
     contribVec: Expression,
     docId: Expression,
-    queryIds: Array[Long],
-    querySlots: Array[Array[Int]],
+    // Seq-typed, NOT Array (r12, ADVICE): case-class equals/hashCode on
+    // Array fields use reference identity, so two semantically identical
+    // instances would never compare equal and Catalyst canonicalization
+    // could not dedup identical aggregates. Seq (ArraySeq) compares
+    // structurally; the hot loop reads the primitive mirrors below.
+    queryIds: Seq[Long],
+    querySlots: Seq[Seq[Int]],
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
@@ -51,6 +56,12 @@ case class Bm25DaatAgg(
   require(k >= 1, s"bm25_daat_agg needs k >= 1, got $k")
   require(queryIds.length == querySlots.length,
     "queryIds and querySlots must align")
+
+  // primitive mirrors for update()/eval() — built once per instance,
+  // excluded from equality (derived state)
+  @transient private lazy val qIdArr: Array[Long] = queryIds.toArray
+  @transient private lazy val qSlotArr: Array[Array[Int]] =
+    querySlots.map(_.toArray).toArray
 
   override def left: Expression = contribVec
   override def right: Expression = docId
@@ -84,9 +95,9 @@ case class Bm25DaatAgg(
         i += 1
       }
       var q = 0
-      val nq = querySlots.length
+      val nq = qSlotArr.length
       while (q < nq) {
-        val slots = querySlots(q)
+        val slots = qSlotArr(q)
         var acc = 0L
         var any = false
         var j = 0
@@ -117,7 +128,7 @@ case class Bm25DaatAgg(
       var r = 0
       while (r < es.length) {
         rows += new GenericInternalRow(
-          Array[Any](queryIds(q), es(r)(1), (r + 1).toLong, es(r)(0)))
+          Array[Any](qIdArr(q), es(r)(1), (r + 1).toLong, es(r)(0)))
         r += 1
       }
       q += 1

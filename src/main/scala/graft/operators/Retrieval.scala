@@ -141,79 +141,144 @@ object Retrieval {
           lit(b) * (greatest(col("__dl"), col("__dlpin")).cast("double")
             / col("__avgdl"))))
     val cExpr = floor(idf * tfNorm * lit(1000000) + lit(0.5)).cast("long")
+    // Id-type contract (r12, ADVICE): the heap reductions (topk_agg,
+    // bm25_daat_agg) key by LONG. INTEGRAL doc ids ride a lossless
+    // widening cast through the heap and cast back at the output;
+    // non-integral (string/decimal) doc ids keep the rank-window top-k
+    // formulation, which supports any ordered type — the heap is a
+    // physical optimization, never a type restriction on the operator.
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.ByteType,
+      org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.LongType)
+    val dIdType = docs.schema(idCol).dataType
+    val qIdType = queries.schema(qidCol).dataType
+    // SPARSE inverted-index path — the default, and the fallback for
+    // every dense-precondition failure below.
+    def sparsePath(): DataFrame = {
+      val joined = postings
+        .join(broadcast(qterms), col("__term") === col("__qterm"))
+        .join(df_, col("__term") === col("__dfterm"))
+        .crossJoin(broadcast(stats))
+      val scores = joined.select(col("query_id"), col("__did"),
+          cExpr.as("__c"))
+        .groupBy(col("query_id"), col("__did"))
+        .agg(sum(col("__c")).as("score_micro"))
+      if (integral(dIdType)) {
+        val longIds = scores.select(col("query_id"),
+          col("__did").cast("long").as("__did"), col("score_micro"))
+        Similarity.topKReduce(longIds, "query_id", "__did",
+            "score_micro", k)
+          .select(col("query_id"), col("__did").cast(dIdType).as("__did"),
+            col("rank"), col("score_micro"))
+      } else {
+        // rank-window top-k: sorts each query's full candidate list —
+        // acceptable for the rare non-integral-id corpus (candidates
+        // per query are Σ df, the sparse regime's contract); ties break
+        // on the id column's own ordering, matching the heap's long
+        // ordering on integral ids
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("score_micro").desc, col("__did").asc)
+        scores.withColumn("rank", row_number().over(w))
+          .where(col("rank") <= k)
+          .select(col("query_id"), col("__did"), col("rank"),
+            col("score_micro"))
+      }
+    }
+    def sparse(reason: String): DataFrame = {
+      graft.StrategyLog.record("bm25TopK",
+        if (integral(dIdType)) "sparse" else "sparse-window", reason)
+      sparsePath()
+    }
     // Physical strategy switch: docs count is the cheap conservative
     // proxy for the true decider (Σ df over query terms — measuring it
     // exactly would cost a postings pass of its own). The dict collect
     // is bounded by 4·|queries| ∩ vocabulary; queries are broadcast-
-    // small by this operator's contract.
+    // small by this operator's contract. Every decision (and the proxy
+    // values that drove it) is recorded in [[graft.StrategyLog]] —
+    // Bench/Verify surface it in their artifacts so a future corpus
+    // landing on the wrong side of the boundary is visible post-hoc
+    // (r12, VERDICT r11 item 5).
+    //
+    // Dense preconditions beyond size (r12, ADVICE): Bm25DaatAgg keys
+    // its heaps by LONG ids, so the dense path needs INTEGRAL (long-
+    // castable without loss) doc AND query id columns, and non-null
+    // query ids — a string/decimal id corpus above the threshold, or a
+    // null query id, falls back to sparse (which supports any id type)
+    // instead of failing analysis or silently dropping rows.
     val nDocs = docs.count()
-    val denseDict: Option[Array[String]] =
-      if (nDocs <= denseAboveDocs) None
+    val ranked =
+      if (nDocs <= denseAboveDocs)
+        sparse(s"nDocs=$nDocs <= denseAboveDocs=$denseAboveDocs")
+      else if (!integral(dIdType) || !integral(qIdType))
+        sparse(s"non-integral ids (doc=$dIdType, query=$qIdType), " +
+          s"nDocs=$nDocs")
       else {
-        val ts = qterms.select(col("__qterm")).distinct()
+        val terms = qterms.select(col("__qterm")).distinct()
           .collect().map(_.getString(0)).sorted
-        if (ts.nonEmpty && ts.length <= maxDenseTerms) Some(ts) else None
+        if (terms.isEmpty || terms.length > maxDenseTerms)
+          sparse(s"dict=${terms.length} outside (0, $maxDenseTerms], " +
+            s"nDocs=$nDocs")
+        else {
+          import spark.implicits._
+          val dict = terms.toSeq.zipWithIndex.toDF("__qterm", "__idx")
+          // per-(doc, query-term) contribution — same algebra, same df_
+          // pins; T-row broadcast side
+          val dictDf = broadcast(
+            df_.join(broadcast(dict), col("__dfterm") === col("__qterm")))
+          val cByDoc = postings
+            .join(dictDf, col("__term") === col("__qterm"))
+            .crossJoin(broadcast(stats))
+            .select(col("__did"), col("__idx"), cExpr.as("__c"))
+          // dense per-doc contribution vector: pivot on the slot index —
+          // a plain HashAggregate with T sum buffers; NULL = term absent
+          val pivoted = cByDoc.groupBy(col("__did"))
+            .pivot("__idx", terms.indices.map(i => i: Integer))
+            .agg(sum(col("__c")))
+          val docVec = pivoted.select(
+            col("__did").cast("long").as("__did"),
+            array(terms.indices.map(i => col(s"`$i`")): _*).as("__cv"))
+          // query slot lists, driver-collected under the broadcast-small
+          // contract (bounded by |queries| rows of ≤ a few ints each)
+          val qslotRows = qterms
+            .join(broadcast(dict), Seq("__qterm"))
+            .groupBy(col("query_id").cast("long").as("__qid"))
+            .agg(sort_array(collect_list(col("__idx"))).as("__slots"))
+            .collect()
+          if (qslotRows.exists(_.isNullAt(0)))
+            sparse(s"null query ids present, nDocs=$nDocs")
+          else {
+            graft.StrategyLog.record("bm25TopK", "dense",
+              s"nDocs=$nDocs > $denseAboveDocs, dict=${terms.length}, " +
+                s"queries=${qslotRows.length}")
+            val queryIds = qslotRows.map(_.getLong(0)).toSeq
+            val querySlots = qslotRows.map(
+              _.getSeq[Int](1)).toSeq
+            // document-at-a-time evaluation: ONE aggregate pass over the
+            // 500k-ish doc vectors scores all queries in a primitive
+            // loop with a bounded heap per query — no |docs|·|queries|
+            // rows ever materialize (the per-pair BNLJ+SlotSum+topk_agg
+            // formulation measured 538 s at sf10r; this is the same
+            // arithmetic minus the row machinery). SlotSum remains the
+            // per-pair kernel for callers that need pair-level scores.
+            val bridge = org.apache.spark.sql.graft.ColumnBridge
+            val daat = bridge.column(graft.expressions.Bm25DaatAgg(
+              bridge.expression(col("__cv")),
+              bridge.expression(col("__did")),
+              queryIds, querySlots, k).toAggregateExpression())
+            docVec.agg(daat.as("__t"))
+              .select(explode(col("__t")).as("__e"))
+              // ids went through a widening long cast on the way in
+              // (integral-only, so lossless and injective); cast back to
+              // the caller's schema on the way out
+              .select(col("__e.query_id").cast(qIdType).as("query_id"),
+                col("__e.id").cast(dIdType).as("__did"),
+                col("__e.rank").cast("int").as("rank"),
+                col("__e.score_fp").as("score_micro"))
+          }
+        }
       }
-    val ranked = denseDict match {
-      case None =>
-        val joined = postings
-          .join(broadcast(qterms), col("__term") === col("__qterm"))
-          .join(df_, col("__term") === col("__dfterm"))
-          .crossJoin(broadcast(stats))
-        val scores = joined.select(col("query_id"), col("__did"),
-            cExpr.as("__c"))
-          .groupBy(col("query_id"), col("__did"))
-          .agg(sum(col("__c")).as("score_micro"))
-        Similarity.topKReduce(scores, "query_id", "__did",
-          "score_micro", k)
-      case Some(terms) =>
-        import spark.implicits._
-        val dict = terms.toSeq.zipWithIndex.toDF("__qterm", "__idx")
-        // per-(doc, query-term) contribution — same algebra, same df_
-        // pins; T-row broadcast side
-        val dictDf = broadcast(
-          df_.join(broadcast(dict), col("__dfterm") === col("__qterm")))
-        val cByDoc = postings
-          .join(dictDf, col("__term") === col("__qterm"))
-          .crossJoin(broadcast(stats))
-          .select(col("__did"), col("__idx"), cExpr.as("__c"))
-        // dense per-doc contribution vector: pivot on the slot index —
-        // a plain HashAggregate with T sum buffers; NULL = term absent
-        val pivoted = cByDoc.groupBy(col("__did"))
-          .pivot("__idx", terms.indices.map(i => i: Integer))
-          .agg(sum(col("__c")))
-        val docVec = pivoted.select(col("__did"),
-          array(terms.indices.map(i => col(s"`$i`")): _*).as("__cv"))
-        // query slot lists, driver-collected under the broadcast-small
-        // contract (bounded by |queries| rows of ≤ a few ints each)
-        val qslotRows = qterms
-          .join(broadcast(dict), Seq("__qterm"))
-          .groupBy(col("query_id").cast("long").as("__qid"))
-          .agg(sort_array(collect_list(col("__idx"))).as("__slots"))
-          .collect()
-        val queryIds = qslotRows.map(_.getLong(0))
-        val querySlots = qslotRows.map(
-          _.getSeq[Int](1).toArray)
-        // document-at-a-time evaluation: ONE aggregate pass over the
-        // 500k-ish doc vectors scores all queries in a primitive loop
-        // with a bounded heap per query — no |docs|·|queries| rows ever
-        // materialize (the per-pair BNLJ+SlotSum+topk_agg formulation
-        // measured 538 s at sf10r; this is the same arithmetic minus
-        // the row machinery). SlotSum remains the per-pair kernel for
-        // callers that need pair-level scores.
-        val bridge = org.apache.spark.sql.graft.ColumnBridge
-        val daat = bridge.column(graft.expressions.Bm25DaatAgg(
-          bridge.expression(col("__cv")),
-          bridge.expression(col("__did")),
-          queryIds, querySlots, k).toAggregateExpression())
-        val qIdType = qterms.schema("query_id").dataType
-        docVec.agg(daat.as("__t"))
-          .select(explode(col("__t")).as("__e"))
-          .select(col("__e.query_id").cast(qIdType).as("query_id"),
-            col("__e.id").as("__did"),
-            col("__e.rank").cast("int").as("rank"),
-            col("__e.score_fp").as("score_micro"))
-    }
     ranked.select(col("query_id"), col("__did").as("doc_id"),
       col("rank").cast("long").as("rank"), col("score_micro"))
   }

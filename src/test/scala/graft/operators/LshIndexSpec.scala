@@ -44,6 +44,63 @@ class LshIndexSpec extends SparkSpec {
     }
   }
 
+  test("adoption: a store surviving only as warehouse directories is reusable; torn stores are refused") {
+    // r12 (VERDICT r11 item 2): with the in-memory catalog a previous
+    // JVM's store survives only on disk. Simulate the fresh-JVM case by
+    // filesystem-copying the managed directories to names this session
+    // has never cataloged, then adopting.
+    val idx = TextDedup.buildLshIndex(snapshot, "doc_id", "text",
+      numHashes = 32, bands = 16, shingleSize = 2)
+    TextDedup.storeLshIndex(idx, "lshspec_c", buckets = 4)
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def cp(from: String, to: String): Unit =
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(wh, from), fs,
+        new org.apache.hadoop.fs.Path(wh, to), false, true,
+        spark.sparkContext.hadoopConfiguration)
+    try {
+      cp("lshspec_c_shingles", "lshspec_d_shingles")
+      cp("lshspec_c_bands", "lshspec_d_bands")
+      assert(!spark.catalog.tableExists("lshspec_d_shingles"))
+      assert(TextDedup.adoptLshIndex(spark, "lshspec_d", buckets = 4),
+        "committed on-disk store must adopt")
+      // adopted store: same rows, bucket spec restored (zero-exchange
+      // layout contract), and the incremental join result is identical
+      val a = TextDedup.readLshIndex(spark, "lshspec_c")
+      val d = TextDedup.readLshIndex(spark, "lshspec_d")
+      assert(d.shingles.exceptAll(a.shingles).isEmpty &&
+        a.shingles.exceptAll(d.shingles).isEmpty)
+      assert(d.bands.exceptAll(a.bands).isEmpty &&
+        a.bands.exceptAll(d.bands).isEmpty)
+      assert(graft.sources.Bucketing.bucketSpec(spark, "lshspec_d_shingles")
+        === Some((4, Seq("__id"))))
+      assert(graft.sources.Bucketing.bucketSpec(spark, "lshspec_d_bands")
+        === Some((4, Seq("__band", "__bandsig"))))
+      // torn store #1: one table's directory missing entirely
+      cp("lshspec_c_shingles", "lshspec_e_shingles")
+      assert(!TextDedup.adoptLshIndex(spark, "lshspec_e", buckets = 4),
+        "store with a missing table must be rebuilt, not adopted")
+      // torn store #2: directory present but uncommitted (no _SUCCESS)
+      cp("lshspec_c_shingles", "lshspec_f_shingles")
+      cp("lshspec_c_bands", "lshspec_f_bands")
+      fs.delete(new org.apache.hadoop.fs.Path(wh,
+        "lshspec_f_bands/_SUCCESS"), false)
+      assert(!TextDedup.adoptLshIndex(spark, "lshspec_f", buckets = 4),
+        "uncommitted directory must be refused")
+    } finally {
+      Seq("c", "d", "e", "f").foreach { s =>
+        spark.sql(s"DROP TABLE IF EXISTS lshspec_${s}_shingles")
+        spark.sql(s"DROP TABLE IF EXISTS lshspec_${s}_bands")
+        Seq("shingles", "bands").foreach { t =>
+          fs.delete(new org.apache.hadoop.fs.Path(wh,
+            s"lshspec_${s}_$t"), true)
+        }
+      }
+    }
+  }
+
   test("stored bands side of the candidate join is exchange-free") {
     val idx = TextDedup.buildLshIndex(snapshot, "doc_id", "text",
       numHashes = 32, bands = 16, shingleSize = 2)

@@ -32,6 +32,64 @@ class PercentilesSpec extends SparkSpec {
     }
   }
 
+  test("chunked ranking: ties straddling chunk boundaries and skew match the aggregate") {
+    // r12: ranking is chunk-decomposed (q70 shape). Adversarial input
+    // for the decomposition: heavy ties (few distinct values, so tie
+    // runs cross min/max-scaled chunk boundaries), skew (99% of rows in
+    // one value region), and a constant-valued group (span contributes
+    // nothing — all rows land in chunk 0 for that group's values).
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 5000).map { i =>
+      val g = s"g${i % 3}"
+      val v = if (i % 3 == 2) 42.0 // constant group
+        else if (rnd.nextDouble() < 0.99) (rnd.nextInt(5) + 1).toDouble
+        else 1000.0 + rnd.nextInt(3)
+      (g, v)
+    }
+    val df = rows.toDF("g", "v").repartition(8)
+    val probes = Seq(0.0 -> "0", 0.1 -> "10", 0.5 -> "50",
+      0.9 -> "90", 1.0 -> "100")
+    val got = Percentiles.exact(df, Seq("g"), "v", probes)
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), probes.indices.map(i => r.getDouble(i + 1))))
+    val want = df.groupBy(col("g"))
+      .agg(percentile(col("v"), array(probes.map(p => lit(p._1)): _*)).as("p"))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getSeq[Double](1).toIndexedSeq))
+    assert(got.length === want.length)
+    got.zip(want).foreach { case ((g1, v1), (g2, v2)) =>
+      assert(g1 === g2)
+      v1.zip(v2).foreach { case (a, b) =>
+        assert(java.lang.Double.doubleToRawLongBits(a)
+          === java.lang.Double.doubleToRawLongBits(b),
+          s"group $g1: $a vs $b differ at bit level")
+      }
+    }
+  }
+
+  test("chunked ranking distributes the sort: no single per-group window over the data") {
+    // The data-side window must partition by (__chunk, group) — the
+    // whole point of the r12 decomposition; a group-only partitioning
+    // over the value stream would put each group on ONE sort task at
+    // any scale. The group-only windows that remain ride the bounded
+    // chunk-count side table (counts, not data rows).
+    val df = lineitem.select(col("l_returnflag"), col("l_extendedprice"))
+    val plan = Percentiles.exact(df, Seq("l_returnflag"),
+        "l_extendedprice", Seq(0.5 -> "50"))
+      .queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    val dataWindows = windows.filter(
+      _.windowExpressions.exists(_.sql.contains("row_number")))
+    assert(dataWindows.nonEmpty, "local-rank window missing")
+    dataWindows.foreach { w =>
+      assert(w.partitionSpec.exists(_.sql.contains("__chunk")),
+        s"data-side window not chunk-partitioned: ${w.partitionSpec}")
+    }
+  }
+
   test("nulls in the value column are skipped like the aggregate does") {
     val df = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0)),
       ("a", Some(2.0))).toDF("g", "v")

@@ -199,6 +199,34 @@ class SimilaritySpec extends SparkSpec {
     assert(a === b, "cell assignment must be scale-invariant (argmax dot)")
   }
 
+  test("IVF training gather: collect and treeAggregate paths are bit-identical") {
+    // r12 (VERDICT r11 item 6): beyond ~10k cells the per-(cell, dim)
+    // Lloyd sums go through an executor-side treeAggregate partial
+    // merge instead of a driver collect. Long element adds are order-
+    // independent, so the two gathers must agree exactly — and hence
+    // produce bit-identical centroids downstream.
+    val rnd = new scala.util.Random(17)
+    val nlist = 5
+    val dim = 3
+    val rows = (0 until 200).map { _ =>
+      (rnd.nextInt(nlist), rnd.nextInt(dim),
+        rnd.nextLong() % 1000000L, 1L + rnd.nextInt(9))
+    }
+    // duplicate (cell, dim) keys pre-aggregated like trainIvfCentroids'
+    // sumsDf (grouped) — aggregate here to mirror the real input shape
+    val sumsDf = rows.toDF("__cell", "__d", "__s", "__n")
+      .groupBy(col("__cell"), col("__d"))
+      .agg(sum(col("__s")).as("__s"), sum(col("__n")).as("__n"))
+      .repartition(7) // force multi-partition merge in the tree path
+    val (s1, n1) = Similarity.gatherCellSums(sumsDf, nlist, dim,
+      viaTree = false)
+    val (s2, n2) = Similarity.gatherCellSums(sumsDf, nlist, dim,
+      viaTree = true)
+    assert(s1.toSeq === s2.toSeq)
+    assert(n1.toSeq === n2.toSeq)
+    assert(s1.exists(_ != 0L), "degenerate test data")
+  }
+
   test("IVF topK with all cells probed matches brute force; nprobe=1 finds copies") {
     val rnd = new scala.util.Random(13)
     // L2-normalized, like the harness embeddings: dot = cosine, so an
