@@ -823,10 +823,14 @@ object Queries {
     // delta results union exactly (disjoint id spaces). The oracle is
     // untouched: a batch×batch pair can never satisfy the planted
     // snap_id = batch_id − 1e6 filter (both ids ≥ 1e6).
-    val (snapN, snapFp) = graft.operators.Similarity
-      .corpusFingerprint(snap, "doc_id")
-    val store = f"graft_q100_store_n${snapN}%d_fp${snapFp}%016x"
-    // r12: the store survives the WRITER's JVM as warehouse directories
+    // r12: CONTENT-keyed store name — the fingerprint folds the text
+    // payload and the LSH parameters ride the name (TextDedup
+    // .lshStoreKey scaladoc has the failure this prevents: an ids-only
+    // key adopted an orphaned store built from different text under
+    // the same doc ids and the replay returned zero pairs).
+    val store = TextDedup.lshStoreKey("graft_q100_store", snap,
+      "doc_id", "text", numHashes = 128, bands = 32, shingleSize = 3)
+    // The store survives the WRITER's JVM as warehouse directories
     // (in-memory catalog); adopt them when present — the tools/
     // PrebuildStores build step then amortizes across bench/sweep JVMs
     // exactly like the persisted IVF quantizers, and the benched number

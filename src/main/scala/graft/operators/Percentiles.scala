@@ -86,11 +86,16 @@ object Percentiles {
       .orderBy(col(valueCol))
     val ranked = chunked
       .withColumn("__lr", row_number().over(wLocal).cast("long"))
-    // counts reuse the window's (chunk, group) partitioning — no
-    // exchange; the offset/total windows below run on the P×|groups|
-    // side table, not the data
-    val counts = ranked.groupBy(col("__chunk") +: g: _*)
-      .agg(max(col("__lr")).as("__c"))
+    // counts come from the PRE-window frame, not max(local rank) over
+    // the window output: the window subtree feeding two consumers would
+    // duplicate the sort (branch duplication; only the exchange is
+    // runtime-reused), so q70's max(__lr) shape pays a second full sort
+    // here. A plain count aggregate is one columnar re-scan + map-side
+    // partials into a (chunks×|groups|)-row shuffle — sort-free. The
+    // chunk id is a pure row function, so both consumers compute
+    // identical chunks by construction (the q106 safety argument).
+    val counts = chunked.groupBy(col("__chunk") +: g: _*)
+      .agg(count(lit(1)).as("__c"))
     val wOff = Window.partitionBy(g: _*).orderBy(col("__chunk"))
     val offs = counts
       .withColumn("__off", sum(col("__c")).over(wOff) - col("__c"))

@@ -558,12 +558,35 @@ object TextDedup {
       index.bands, s"${name}_bands", Seq("__band", "__bandsig"), buckets)
   }
 
+  /** Content-derived store key for a persisted LSH index (r12): the
+    * corpus fingerprint folds the TEXT payload, not just the ids — an
+    * ids-only key let a store built from different text under the same
+    * doc ids be silently reused, and the candidate join then returned
+    * ZERO pairs (measured: an orphaned warehouse store adopted by name
+    * produced an empty q100 at sf0.001 — signatures from mismatched
+    * text never collide). The LSH parameters ride the name too, so a
+    * parameter or scheme change can never read an incompatible store.
+    * Cost: the keying pass reads the text column once (1-row narrow
+    * aggregate) — the price of making staleness impossible, same
+    * regime as the embedding stores' vecCol folding.
+    */
+  def lshStoreKey(prefix: String, corpus: DataFrame, idCol: String,
+      textCol: String, numHashes: Int, bands: Int,
+      shingleSize: Int): String = {
+    val (n, fp) = Similarity.corpusFingerprint(corpus, idCol,
+      vecCol = Some(textCol))
+    f"${prefix}_h${numHashes}%db${bands}%ds${shingleSize}%d" +
+      f"_n${n}%d_fp${fp}%016x"
+  }
+
   /** True iff a stored [[storeLshIndex]] under `name` is usable in this
     * session — already cataloged, or ADOPTED from a previous JVM's
     * committed warehouse directories ([[graft.sources.Bucketing
     * .adoptBucketed]]; r12). Both tables must adopt with the store's
     * write-time bucket spec; a torn build (one table missing or
-    * uncommitted) returns false so the caller rebuilds.
+    * uncommitted) returns false so the caller rebuilds. Callers MUST
+    * key `name` by corpus CONTENT ([[lshStoreKey]]) — adoption makes
+    * stores outlive the JVM that understood their provenance.
     */
   def adoptLshIndex(spark: org.apache.spark.sql.SparkSession,
       name: String, buckets: Int = 8): Boolean =

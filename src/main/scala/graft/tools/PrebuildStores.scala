@@ -34,8 +34,10 @@ object PrebuildStores {
     spark.sparkContext.setLogLevel("WARN")
     val snap = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
-    val (n, fp) = graft.operators.Similarity.corpusFingerprint(snap, "doc_id")
-    val store = f"graft_q100_store_n${n}%d_fp${fp}%016x"
+    // identical derivation to q100's — content-keyed (text folded) with
+    // the LSH parameters in the name
+    val store = graft.operators.TextDedup.lshStoreKey("graft_q100_store",
+      snap, "doc_id", "text", numHashes = 128, bands = 32, shingleSize = 3)
     val t0 = System.nanoTime()
     if (graft.operators.TextDedup.adoptLshIndex(spark, store, buckets = 8))
       println(f"$store present ${(System.nanoTime() - t0) / 1e9}%.1f")

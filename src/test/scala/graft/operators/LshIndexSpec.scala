@@ -44,6 +44,26 @@ class LshIndexSpec extends SparkSpec {
     }
   }
 
+  test("store key folds text content and parameters, not just ids") {
+    // r12: an ids-only key adopted an orphaned store built from
+    // DIFFERENT text under the same doc ids → zero candidate pairs.
+    // The key must flip on any text change, any id change, and any
+    // LSH-parameter change.
+    val k1 = TextDedup.lshStoreKey("p", snapshot, "doc_id", "text",
+      128, 32, 3)
+    val mutated = snapshot.withColumn("text",
+      concat(col("text"), lit(" extra")))
+    assert(TextDedup.lshStoreKey("p", mutated, "doc_id", "text",
+      128, 32, 3) !== k1, "text change must flip the key")
+    val reId = snapshot.withColumn("doc_id", col("doc_id") + 10L)
+    assert(TextDedup.lshStoreKey("p", reId, "doc_id", "text",
+      128, 32, 3) !== k1, "id change must flip the key")
+    assert(TextDedup.lshStoreKey("p", snapshot, "doc_id", "text",
+      64, 32, 3) !== k1, "parameter change must flip the key")
+    assert(TextDedup.lshStoreKey("p", snapshot, "doc_id", "text",
+      128, 32, 3) === k1, "key must be deterministic")
+  }
+
   test("adoption: a store surviving only as warehouse directories is reusable; torn stores are refused") {
     // r12 (VERDICT r11 item 2): with the in-memory catalog a previous
     // JVM's store survives only on disk. Simulate the fresh-JVM case by
