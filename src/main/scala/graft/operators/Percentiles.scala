@@ -35,9 +35,20 @@ import org.apache.spark.sql.functions._
   * interchangeable within a rank range, and the probe selection below
   * reads only rank→value), so results are bit-identical to the
   * single-window form — PercentilesSpec pins both the equivalence and
-  * Percentile-aggregate parity. Cost vs pre-r12: one extra bounded
-  * 1-row min/max aggregate over the value column (narrow scan) to place
-  * the chunk boundaries.
+  * Percentile-aggregate parity.
+  *
+  * The decomposition pays fixed costs a small input never earns back
+  * (the bounds aggregate is an extra job; the counts aggregate and the
+  * offsets broadcast are extra exchanges — callers like q81's MAD run
+  * the operator twice over a joined subtree, multiplying them). So the
+  * strategy is ADAPTIVE, the adaptiveTopK pattern: the bounds aggregate
+  * also counts rows (free — same 1-row shuffle), and inputs at or under
+  * [[smallInputRows]] take the single-window plan, whose one sort task
+  * per group is exactly right at that size. Both paths share the probe
+  * selection/interpolation tail verbatim and are bit-identical
+  * (PercentilesSpec pins it); every decision is recorded in
+  * [[graft.StrategyLog]] so a mis-cutover at a new scale is visible
+  * from bench/verify artifacts alone.
   *
   * Interpolation replicates `Percentile.getPercentile` EXACTLY —
   * `position = p·(n−1)`, and the weighted form
@@ -47,29 +58,92 @@ import org.apache.spark.sql.functions._
   */
 object Percentiles {
 
+  /** Inputs at or under this row count take the single-window path: a
+    * 4M-double group sorts in well under a second on one task, and the
+    * chunked form's extra job + exchanges cost more than that. Above
+    * it, per-group single tasks stop scaling and chunking wins.
+    */
+  val smallInputRows: Long = 1L << 22
+
   /** One row per group: `p<label>` exact interpolated percentile for
     * each probe. Labels default to the probability's digits. The value
     * column must be numeric (interpolation is arithmetic); NaN values,
     * if present, rank last (Spark's ordering) in the top chunk.
     */
   def exact(df: DataFrame, groupCols: Seq[String], valueCol: String,
-      probes: Seq[(Double, String)]): DataFrame = {
+      probes: Seq[(Double, String)]): DataFrame =
+    exact(df, groupCols, valueCol, probes, smallInputRows)
+
+  /** As [[exact]], with an explicit window/chunked cutover (tests force
+    * one path by passing 0 / Long.MaxValue).
+    */
+  def exact(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      probes: Seq[(Double, String)], windowBelowRows: Long): DataFrame = {
     require(probes.nonEmpty, "need at least one probe")
     probes.foreach { case (p, _) =>
       require(p >= 0 && p <= 1, s"probability $p outside [0, 1]") }
     val g = groupCols.map(col)
-    val nChunks = df.sparkSession.conf
-      .get("spark.sql.shuffle.partitions", "32").toInt.max(1)
     val base = df.where(col(valueCol).isNotNull) // Percentile skips nulls
     val vd = col(valueCol).cast("double")
-    // chunk bounds: ONE bounded 1-row aggregate (global, not per-group —
-    // monotonicity in the value is all the decomposition needs, and a
-    // global scaling is monotone within every group)
-    val b = base.agg(min(vd).as("mn"), max(vd).as("mx")).head()
-    // empty / all-null input: degrade to a single chunk rather than NPE
-    // at plan-build time (the Skyline.scala guard pattern)
-    val (mn, mx) =
-      if (b.isNullAt(0)) (0.0, 0.0) else (b.getDouble(0), b.getDouble(1))
+    // chunk bounds + input size: ONE bounded 1-row aggregate (global,
+    // not per-group — monotonicity in the value is all the
+    // decomposition needs, and a global scaling is monotone within
+    // every group; the count rides the same shuffle for free)
+    val b = base.agg(min(vd).as("mn"), max(vd).as("mx"),
+      count(lit(1)).as("n")).head()
+    val total = b.getLong(2)
+    val ranked =
+      if (total <= windowBelowRows) {
+        graft.StrategyLog.record("percentiles.exact", "window",
+          s"n=$total <= windowBelowRows=$windowBelowRows")
+        rankByWindow(base, g, valueCol)
+      } else {
+        graft.StrategyLog.record("percentiles.exact", "chunked",
+          s"n=$total > windowBelowRows=$windowBelowRows")
+        rankByChunks(base, groupCols, valueCol, vd,
+          if (b.isNullAt(0)) (0.0, 0.0) else (b.getDouble(0), b.getDouble(1)))
+      }
+    // a row survives iff it is the floor or ceil rank of some probe
+    def pos(p: Double): Column = lit(p) * (col("__n") - 1).cast("double")
+    val needed = probes.map { case (p, _) =>
+      col("__rk") === floor(pos(p)) || col("__rk") === ceil(pos(p))
+    }.reduce(_ || _)
+    val aggs = probes.map { case (p, label) =>
+      val lo = min(when(col("__rk") === floor(pos(p)), col(valueCol)))
+      val hi = min(when(col("__rk") === ceil(pos(p)), col(valueCol)))
+      val position = first(pos(p))
+      // exact ranks: interpolation degenerates to the value itself
+      when(first(floor(pos(p))) === first(ceil(pos(p))), lo)
+        .otherwise((first(ceil(pos(p))) - position) * lo
+          + (position - first(floor(pos(p)))) * hi)
+        .as(s"p$label")
+    }
+    ranked.where(needed)
+      .groupBy(g: _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Small-input ranking: one window partition per group. `__rk` is the
+    * 0-based global rank, `__n` the group size.
+    */
+  private def rankByWindow(base: DataFrame, g: Seq[Column],
+      valueCol: String): DataFrame = {
+    val w = Window.partitionBy(g: _*).orderBy(col(valueCol))
+    val wAll = Window.partitionBy(g: _*)
+    base.select(g :+ col(valueCol) :+
+      (row_number().over(w) - 1).cast("double").as("__rk") :+
+      count(lit(1)).over(wAll).as("__n"): _*)
+  }
+
+  /** Scale ranking: order-aligned value chunks, local ranks + broadcast
+    * offsets (steps 1-4 of the scaladoc). Same `__rk`/`__n` contract.
+    */
+  private def rankByChunks(base: DataFrame, groupCols: Seq[String],
+      valueCol: String, vd: Column, bounds: (Double, Double)): DataFrame = {
+    val g = groupCols.map(col)
+    val nChunks = base.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt.max(1)
+    val (mn, mx) = bounds
     val span = mx - mn
     // (vd−mn)/span ∈ [0,1] then ×C: no overflow at extreme doubles, and
     // IEEE divide/multiply by positive constants are monotone in vd.
@@ -101,26 +175,8 @@ object Percentiles {
       .withColumn("__off", sum(col("__c")).over(wOff) - col("__c"))
       .withColumn("__n", sum(col("__c")).over(Window.partitionBy(g: _*)))
       .select(col("__chunk") +: g :+ col("__off") :+ col("__n"): _*)
-    val rk = ranked
+    ranked
       .join(broadcast(offs), "__chunk" +: groupCols.toSeq)
       .withColumn("__rk", (col("__off") + col("__lr") - 1).cast("double"))
-    // a row survives iff it is the floor or ceil rank of some probe
-    def pos(p: Double): Column = lit(p) * (col("__n") - 1).cast("double")
-    val needed = probes.map { case (p, _) =>
-      col("__rk") === floor(pos(p)) || col("__rk") === ceil(pos(p))
-    }.reduce(_ || _)
-    val aggs = probes.map { case (p, label) =>
-      val lo = min(when(col("__rk") === floor(pos(p)), col(valueCol)))
-      val hi = min(when(col("__rk") === ceil(pos(p)), col(valueCol)))
-      val position = first(pos(p))
-      // exact ranks: interpolation degenerates to the value itself
-      when(first(floor(pos(p))) === first(ceil(pos(p))), lo)
-        .otherwise((first(ceil(pos(p))) - position) * lo
-          + (position - first(floor(pos(p)))) * hi)
-        .as(s"p$label")
-    }
-    rk.where(needed)
-      .groupBy(g: _*)
-      .agg(aggs.head, aggs.tail: _*)
   }
 }

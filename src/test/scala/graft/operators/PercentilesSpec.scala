@@ -9,25 +9,31 @@ class PercentilesSpec extends SparkSpec {
   private lazy val lineitem =
     spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
 
-  test("sort-based exact percentiles are BIT-identical to the Percentile aggregate") {
+  test("BOTH strategies are BIT-identical to the Percentile aggregate") {
+    // r12: the strategy is adaptive (window below smallInputRows,
+    // chunked above). Force each path explicitly and pin both against
+    // the in-memory aggregate — the cutover must be invisible in
+    // results at ANY threshold.
     val probes = Seq(0.0 -> "0", 0.25 -> "25", 0.5 -> "50",
       0.95 -> "95", 1.0 -> "100")
-    val sortBased = Percentiles.exact(lineitem, Seq("l_returnflag"),
-        "l_extendedprice", probes)
-      .orderBy("l_returnflag").collect()
-      .map(r => (r.getString(0), probes.indices.map(i => r.getDouble(i + 1))))
     val buffer = lineitem.groupBy(col("l_returnflag"))
       .agg(percentile(col("l_extendedprice"),
         array(probes.map(p => lit(p._1)): _*)).as("p"))
       .orderBy("l_returnflag").collect()
       .map(r => (r.getString(0), r.getSeq[Double](1).toIndexedSeq))
-    assert(sortBased.length === buffer.length)
-    sortBased.zip(buffer).foreach { case ((g1, v1), (g2, v2)) =>
-      assert(g1 === g2)
-      v1.zip(v2).foreach { case (a, b) =>
-        assert(java.lang.Double.doubleToRawLongBits(a)
-          === java.lang.Double.doubleToRawLongBits(b),
-          s"group $g1: $a vs $b differ at bit level")
+    for (threshold <- Seq(0L, Long.MaxValue)) {
+      val sortBased = Percentiles.exact(lineitem, Seq("l_returnflag"),
+          "l_extendedprice", probes, threshold)
+        .orderBy("l_returnflag").collect()
+        .map(r => (r.getString(0), probes.indices.map(i => r.getDouble(i + 1))))
+      assert(sortBased.length === buffer.length)
+      sortBased.zip(buffer).foreach { case ((g1, v1), (g2, v2)) =>
+        assert(g1 === g2)
+        v1.zip(v2).foreach { case (a, b) =>
+          assert(java.lang.Double.doubleToRawLongBits(a)
+            === java.lang.Double.doubleToRawLongBits(b),
+            s"threshold $threshold group $g1: $a vs $b differ at bit level")
+        }
       }
     }
   }
@@ -49,7 +55,7 @@ class PercentilesSpec extends SparkSpec {
     val df = rows.toDF("g", "v").repartition(8)
     val probes = Seq(0.0 -> "0", 0.1 -> "10", 0.5 -> "50",
       0.9 -> "90", 1.0 -> "100")
-    val got = Percentiles.exact(df, Seq("g"), "v", probes)
+    val got = Percentiles.exact(df, Seq("g"), "v", probes, 0L)
       .orderBy("g").collect()
       .map(r => (r.getString(0), probes.indices.map(i => r.getDouble(i + 1))))
     val want = df.groupBy(col("g"))
@@ -75,7 +81,7 @@ class PercentilesSpec extends SparkSpec {
     // chunk-count side table (counts, not data rows).
     val df = lineitem.select(col("l_returnflag"), col("l_extendedprice"))
     val plan = Percentiles.exact(df, Seq("l_returnflag"),
-        "l_extendedprice", Seq(0.5 -> "50"))
+        "l_extendedprice", Seq(0.5 -> "50"), 0L)
       .queryExecution.optimizedPlan
     val windows = plan.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
@@ -88,6 +94,20 @@ class PercentilesSpec extends SparkSpec {
       assert(w.partitionSpec.exists(_.sql.contains("__chunk")),
         s"data-side window not chunk-partitioned: ${w.partitionSpec}")
     }
+  }
+
+  test("adaptive cutover picks window below the threshold, chunked above, and logs it") {
+    graft.StrategyLog.drain()
+    Percentiles.exact(lineitem, Seq("l_returnflag"), "l_extendedprice",
+      Seq(0.5 -> "50")).collect() // sf0.001: far below smallInputRows
+    val small = graft.StrategyLog.drain()
+      .filter(_.op == "percentiles.exact")
+    assert(small.map(_.strategy) === Seq("window"))
+    Percentiles.exact(lineitem, Seq("l_returnflag"), "l_extendedprice",
+      Seq(0.5 -> "50"), 100L).collect() // force the scale side
+    val big = graft.StrategyLog.drain()
+      .filter(_.op == "percentiles.exact")
+    assert(big.map(_.strategy) === Seq("chunked"))
   }
 
   test("nulls in the value column are skipped like the aggregate does") {
