@@ -161,8 +161,7 @@ object Bench {
         }
         .map { case (name, fn) =>
           val runs = (0 until nRuns).map(i => once(name, i, fn))
-          val decs = graft.StrategyLog.drain()
-            .map(d => s"${d.op}=${d.strategy} [${d.detail}]").distinct
+          val decs = graft.StrategyLog.render(graft.StrategyLog.drain())
           if (decs.nonEmpty) strategies(name) = decs
           // r10: run-scoped staging dirs (streaming stages, format-
           // roundtrip files) are cleaned via deleteOnExit, which never

@@ -33,8 +33,7 @@ object Verify {
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
-        val decs = StrategyLog.drain()
-          .map(d => s"${d.op}=${d.strategy} [${d.detail}]").distinct
+        val decs = StrategyLog.render(StrategyLog.drain())
         if (decs.nonEmpty) strategies(name) = decs
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -88,8 +88,12 @@ object Percentiles {
     // chunk bounds + input size: ONE bounded 1-row aggregate (global,
     // not per-group — monotonicity in the value is all the
     // decomposition needs, and a global scaling is monotone within
-    // every group; the count rides the same shuffle for free)
-    val b = base.agg(min(vd).as("mn"), max(vd).as("mx"),
+    // every group; the count rides the same shuffle for free). Bounds
+    // are NaN-FREE: `max` propagates NaN, which would poison the span
+    // and collapse every row into one chunk — NaN rows instead get the
+    // top chunk explicitly in rankByChunks (they order last in Spark).
+    val b = base.agg(min(when(!isnan(vd), vd)).as("mn"),
+      max(when(!isnan(vd), vd)).as("mx"),
       count(lit(1)).as("n")).head()
     val total = b.getLong(2)
     val ranked =
@@ -147,13 +151,17 @@ object Percentiles {
     val span = mx - mn
     // (vd−mn)/span ∈ [0,1] then ×C: no overflow at extreme doubles, and
     // IEEE divide/multiply by positive constants are monotone in vd.
-    // NaN → null after the long cast → coalesce to the TOP chunk
-    // (Spark orders NaN greater than any double — consistent).
+    // NaN rows go to the TOP chunk explicitly (Spark orders NaN greater
+    // than any double; the bounds above exclude NaN, so the scaled form
+    // never sees one).
     val chunk =
       if (span > 0)
-        coalesce(least(lit(nChunks - 1L),
-          floor((vd - lit(mn)) / lit(span) * lit(nChunks.toDouble))
-            .cast("long")), lit(nChunks - 1L))
+        when(isnan(vd), lit(nChunks - 1L))
+          .otherwise(least(lit(nChunks - 1L),
+            floor((vd - lit(mn)) / lit(span) * lit(nChunks.toDouble))
+              .cast("long")))
+      else if (nChunks > 1)
+        when(isnan(vd), lit(nChunks - 1L)).otherwise(lit(0L))
       else lit(0L)
     val chunked = base.select(g :+ col(valueCol) :+ chunk.as("__chunk"): _*)
     val wLocal = Window.partitionBy(col("__chunk") +: g: _*)
@@ -171,12 +179,26 @@ object Percentiles {
     val counts = chunked.groupBy(col("__chunk") +: g: _*)
       .agg(count(lit(1)).as("__c"))
     val wOff = Window.partitionBy(g: _*).orderBy(col("__chunk"))
+    // NULL group keys must survive the offsets join exactly as the
+    // window path and the Percentile aggregate keep them (Profile
+    // relies on it), so the join condition is NULL-SAFE (`<=>`) on the
+    // group columns. No join hint: offs is chunks×|groups| rows — in
+    // the few-big-groups regime this decomposition targets, AQE
+    // broadcasts it; at high group cardinality a shuffle join on
+    // (__chunk, groups) reuses the window's own exchange and sort
+    // prefix, where a forced broadcast would hit the size limit.
     val offs = counts
       .withColumn("__off", sum(col("__c")).over(wOff) - col("__c"))
       .withColumn("__n", sum(col("__c")).over(Window.partitionBy(g: _*)))
-      .select(col("__chunk") +: g :+ col("__off") :+ col("__n"): _*)
+      .select(col("__chunk").as("__ochunk") +:
+        groupCols.map(c => col(c).as(s"__og_$c")) :+
+        col("__off") :+ col("__n"): _*)
+    val joinCond = (col("__chunk") === col("__ochunk")) +:
+      groupCols.map(c => col(c) <=> col(s"__og_$c"))
     ranked
-      .join(broadcast(offs), "__chunk" +: groupCols.toSeq)
+      .join(offs, joinCond.reduce(_ && _))
       .withColumn("__rk", (col("__off") + col("__lr") - 1).cast("double"))
+      .drop("__ochunk")
+      .drop(groupCols.map(c => s"__og_$c"): _*)
   }
 }

@@ -96,18 +96,30 @@ object Similarity {
     * lazily-composed DataFrame offers no per-plan scope). The raise is
     * bounded by k-derived state size — `min(2^20, 4Mi/k)` distinct
     * groups per task, i.e. at most ~64 MiB of TopKState per task
-    * (16·k bytes each) — instead of an unconditional 2^20, so the
-    * memory the fallback exists to protect stays bounded for THIS
-    * aggregate at any k. Blast radius: the raise persists for later
-    * queries in the session, including TypedImperativeAggregates with
-    * KB-sized buffers (KLL/theta/freq sketch stores); those ship
-    * per-day/per-source groupings (≤ thousands of groups, ≪ any raised
+    * (16·k bytes each). The bound holds across MIXED k in one session:
+    * the target derives from the LARGEST k any topKReduce call in the
+    * session has used (tracked per session), so an early small-k raise
+    * can never leave a later large-k aggregate running with an
+    * unbounded state budget — the threshold is re-tightened downward
+    * when a bigger k arrives (safe: tightening only re-enables the
+    * sort fallback earlier). Never set below the value the session had
+    * before the first raise (a user's explicit setting survives).
+    * Blast radius: the raise persists for later queries in the
+    * session, including TypedImperativeAggregates with KB-sized
+    * buffers (KLL/theta/freq sketch stores); those ship per-day/
+    * per-source groupings (≤ thousands of groups, ≪ any raised
     * threshold's memory at KB buffers), and a hypothetical
     * million-distinct-key sketch aggregate in the same session would
-    * lose its sort-fallback protection — callers owning such a workload
-    * should scope this operator to its own session. Raise-only: never
-    * lowers a user's explicit setting or an earlier raise.
+    * lose its sort-fallback protection — callers owning such a
+    * workload should scope this operator to its own session.
     */
+  // per-session (original threshold before any raise, max k seen):
+  // weak keys so dropped sessions don't pin memory
+  private val fallbackState =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+        (Long, Int)]())
+
   def topKReduce(scored: DataFrame, keyCol: String, idCol: String,
       scoreCol: String, k: Int): DataFrame = {
     // ObjectHashAggregate silently degrades to SORT-based aggregation
@@ -118,9 +130,15 @@ object Similarity {
     // groups fell back and spilled).
     val spark = scored.sparkSession
     val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
-    val cur = scala.util.Try(spark.conf.get(key).toLong).getOrElse(128L)
-    val target = math.min(1L << 20, (4L << 20) / math.max(1, k))
-    if (cur < target) spark.conf.set(key, target.toString)
+    fallbackState.synchronized {
+      val cur = scala.util.Try(spark.conf.get(key).toLong).getOrElse(128L)
+      val (orig, prevMaxK) = Option(fallbackState.get(spark))
+        .getOrElse((cur, 0))
+      val maxK = math.max(prevMaxK, math.max(1, k))
+      fallbackState.put(spark, (orig, maxK))
+      val target = math.max(orig, math.min(1L << 20, (4L << 20) / maxK))
+      if (cur != target) spark.conf.set(key, target.toString)
+    }
     val bridge = org.apache.spark.sql.graft.ColumnBridge
     val agg = bridge.column(graft.expressions.TopKAgg(
       bridge.expression(col(scoreCol)), bridge.expression(col(idCol)), k)
@@ -393,19 +411,31 @@ object Similarity {
       }
       (s, n)
     } else {
-      sumsDf.select(col("__cell"), col("__d"), col("__s"), col("__n"))
-        .rdd.treeAggregate((new Array[Long](grid), new Array[Long](grid)))(
-          seqOp = { case ((s, n), r) =>
+      // the zero value is EMPTY (allocated lazily on first touch): a
+      // dense 16·grid-byte zero would serialize into every task at
+      // exactly the >10k-cell scale this path exists for (nlist=√10⁹,
+      // dim=1024 → ~512 MB of zeros per task)
+      val (s, n) = sumsDf
+        .select(col("__cell"), col("__d"), col("__s"), col("__n"))
+        .rdd.treeAggregate((Array.emptyLongArray, Array.emptyLongArray))(
+          seqOp = { case ((s0, n0), r) =>
+            val s = if (s0.isEmpty) new Array[Long](grid) else s0
+            val n = if (n0.isEmpty) new Array[Long](grid) else n0
             val i = r.getInt(0) * dim + r.getInt(1)
             s(i) += r.getLong(2)
             n(i) += r.getLong(3)
             (s, n)
           },
-          combOp = { case ((s1, n1), (s2, n2)) =>
-            var i = 0
-            while (i < grid) { s1(i) += s2(i); n1(i) += n2(i); i += 1 }
-            (s1, n1)
+          combOp = {
+            case ((s1, n1), (s2, _)) if s2.isEmpty => (s1, n1)
+            case ((s1, _), (s2, n2)) if s1.isEmpty => (s2, n2)
+            case ((s1, n1), (s2, n2)) =>
+              var i = 0
+              while (i < grid) { s1(i) += s2(i); n1(i) += n2(i); i += 1 }
+              (s1, n1)
           })
+      if (s.isEmpty) (new Array[Long](grid), new Array[Long](grid))
+      else (s, n)
     }
   }
 

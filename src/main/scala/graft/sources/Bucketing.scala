@@ -46,7 +46,24 @@ object Bucketing {
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+    // Bucket-spec marker for cross-JVM adoption (r12): the in-memory
+    // catalog entry (the only thing that knows the bucket count) dies
+    // with this session, so persist the spec next to the data —
+    // [[adoptBucketed]] validates against it instead of trusting the
+    // caller's declared count (a mismatched declaration makes Spark
+    // silently DROP files with bucket id ≥ the declared count, or
+    // assume a hash distribution the files don't have). Underscore
+    // prefix: data readers ignore it.
+    val writtenFs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = writtenFs.create(
+      new org.apache.hadoop.fs.Path(loc, markerName), true)
+    try out.write(s"$buckets\n${bucketCols.mkString(",")}\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
+
+  /** Name of the persisted bucket-spec marker file. */
+  private[sources] val markerName = "_graft_buckets"
 
   def read(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
@@ -174,9 +191,15 @@ object Bucketing {
     * adopted only when it looks fully committed (`_SUCCESS` present, no
     * `_temporary` remnant, at least one data file) — a torn build from
     * a killed writer is refused so callers rebuild instead of joining
-    * against half a store. The bucket layout itself is trusted from the
-    * writer ([[writeBucketed]]/[[appendBucketed]] enforce it at write
-    * time; file names carry the bucket ids Spark validates at read).
+    * against half a store. The bucket layout is NOT trusted from the
+    * caller (r12 review): the directory's persisted spec marker
+    * (written by [[writeBucketed]]) must match the declared columns and
+    * count — a mismatched declaration would make Spark silently DROP
+    * files with bucket id ≥ the declared count, or assume a hash
+    * distribution the files don't have, both of which corrupt join
+    * results with no error. A mismatch THROWS (a silently rebuilt
+    * 200-second store is a perf cliff someone should see); a directory
+    * without a marker (pre-marker writer) is refused → rebuilt.
     */
   def adoptBucketed(spark: SparkSession, table: String,
       bucketCols: Seq[String], buckets: Int): Boolean = {
@@ -190,6 +213,22 @@ object Bucketing {
       !entries.exists(_.getPath.getName == "_temporary") &&
       entries.exists(e => e.isFile && e.getPath.getName.startsWith("part-"))
     if (!committed) return false
+    val markerPath = new org.apache.hadoop.fs.Path(loc, markerName)
+    if (!fs.exists(markerPath)) return false
+    val marker = {
+      val in = fs.open(markerPath)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    val expected = s"$buckets\n${bucketCols.mkString(",")}\n"
+    if (marker != expected)
+      throw new IllegalStateException(
+        s"bucket-spec mismatch adopting `$table`: directory has " +
+          s"${marker.trim.replace("\n", " buckets on ")}, caller " +
+          s"declared $buckets buckets on ${bucketCols.mkString(",")} — " +
+          "adopting with the wrong spec silently corrupts every " +
+          "bucketed join against this store")
     val schema = spark.read.parquet(loc.toString).schema
     val sortCols = bucketCols.map(c => s"`$c`").mkString(", ")
     spark.sql(

@@ -69,4 +69,26 @@ class TopKAggSpec extends SparkSpec {
       .orderBy("key").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.toSeq == Seq((1L, 2L), (2L, 7L)))
   }
+
+  test("fallback threshold derives from the LARGEST k the session has seen") {
+    // r12 review: an early small-k raise must not leave a later
+    // large-k aggregate with an unbounded state budget — the bound is
+    // 4Mi/maxK, re-tightened downward when a bigger k arrives (and
+    // never below the session's pre-raise value).
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val df = Seq((1L, 1L, 1L)).toDF("key", "id", "score")
+    Similarity.topKReduce(df, "key", "id", "score", 4) // small k
+    val afterSmall = spark.conf.get(key).toLong
+    // session max k so far is small (suite ks ≤ 9), so a real raise is
+    // in effect; exact value depends on suite-order history
+    assert(afterSmall > 128L, s"small k must raise, got $afterSmall")
+    Similarity.topKReduce(df, "key", "id", "score", 1 << 16) // huge k
+    val afterBig = spark.conf.get(key).toLong
+    // 4Mi / 65536 = 64, floored at the session's pre-raise value (128)
+    assert(afterBig === 128L,
+      s"big k must re-tighten the threshold, got $afterBig")
+    // a later small-k call must NOT loosen it again (maxK is sticky)
+    Similarity.topKReduce(df, "key", "id", "score", 4)
+    assert(spark.conf.get(key).toLong === 128L)
+  }
 }

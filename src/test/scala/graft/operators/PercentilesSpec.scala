@@ -110,6 +110,43 @@ class PercentilesSpec extends SparkSpec {
     assert(big.map(_.strategy) === Seq("chunked"))
   }
 
+  test("NULL group keys survive BOTH strategies (Profile relies on it)") {
+    // r12 review: the chunked path's offsets join must be null-safe on
+    // the group columns — a null-unsafe equi-join silently drops every
+    // NULL-group row, diverging from the window path and the aggregate.
+    val df = Seq((Some("a"), 1.0), (Some("a"), 3.0), (None, 10.0),
+      (None, 20.0), (None, 30.0)).toDF("g", "v")
+    val want = df.groupBy(col("g"))
+      .agg(percentile(col("v"), lit(0.5)).as("p50"))
+      .orderBy(col("g").asc_nulls_first).collect()
+      .map(r => (Option(r.getString(0)), r.getDouble(1))).toSeq
+    for (threshold <- Seq(0L, Long.MaxValue)) {
+      val got = Percentiles.exact(df, Seq("g"), "v",
+          Seq(0.5 -> "50"), threshold)
+        .orderBy(col("g").asc_nulls_first).collect()
+        .map(r => (Option(r.getString(0)), r.getDouble(1))).toSeq
+      assert(got === want, s"threshold $threshold")
+    }
+  }
+
+  test("NaN values rank last in both strategies and do not poison the chunk span") {
+    // r12 review: max(v) propagates NaN; unguarded, span=NaN collapses
+    // every row into one chunk (silent de-parallelization). Bounds now
+    // exclude NaN and NaN rows go to the top chunk explicitly.
+    val df = ((1 to 100).map(i => ("a", i.toDouble)) ++
+      Seq(("a", Double.NaN), ("a", Double.NaN))).toDF("g", "v")
+    val results = Seq(0L, Long.MaxValue).map { threshold =>
+      Percentiles.exact(df, Seq("g"), "v",
+          Seq(0.5 -> "50", 1.0 -> "100"), threshold)
+        .select("p50", "p100").as[(Double, Double)].head()
+    }
+    assert(results.head._1 === results.last._1,
+      "p50 must agree across strategies")
+    // 102 rows, NaN last: p50 = interpolated between ranks 50 and 51
+    assert(results.forall(_._1 === (0.5 * 51 + 0.5 * 52)))
+    assert(results.forall(r => r._2.isNaN), "p100 is the NaN maximum")
+  }
+
   test("nulls in the value column are skipped like the aggregate does") {
     val df = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0)),
       ("a", Some(2.0))).toDF("g", "v")
