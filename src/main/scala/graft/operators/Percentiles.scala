@@ -78,7 +78,31 @@ object Percentiles {
     * one path by passing 0 / Long.MaxValue).
     */
   def exact(df: DataFrame, groupCols: Seq[String], valueCol: String,
-      probes: Seq[(Double, String)], windowBelowRows: Long): DataFrame = {
+      probes: Seq[(Double, String)], windowBelowRows: Long): DataFrame =
+    exact(df, groupCols, valueCol, probes, windowBelowRows, None)
+
+  /** As [[exact]], with CALLER-SUPPLIED `(min, max, nonNullCount)` of
+    * the NaN-free value stream — callers running the operator over many
+    * columns of one table (Profile) compute every column's bounds in a
+    * single shared scan and skip the per-call eager bounds job. The
+    * count drives the window/chunked cutover; the bounds drive chunk
+    * ALIGNMENT only — a stale-but-finite pair skews chunk balance,
+    * never results (out-of-range values land in the end chunks, which
+    * stay order-aligned), and an all-NaN/empty stream passes (None,
+    * 0). Pass what `df.where(valueCol IS NOT NULL)` measures or the
+    * cutover decision degrades to the wrong (still bit-identical)
+    * strategy.
+    */
+  def exactWithStats(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, probes: Seq[(Double, String)],
+      bounds: Option[(Double, Double)], nonNullCount: Long): DataFrame =
+    exact(df, groupCols, valueCol, probes, smallInputRows,
+      Some((bounds, nonNullCount)))
+
+  private def exact(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, probes: Seq[(Double, String)],
+      windowBelowRows: Long,
+      stats: Option[(Option[(Double, Double)], Long)]): DataFrame = {
     require(probes.nonEmpty, "need at least one probe")
     probes.foreach { case (p, _) =>
       require(p >= 0 && p <= 1, s"probability $p outside [0, 1]") }
@@ -92,10 +116,14 @@ object Percentiles {
     // are NaN-FREE: `max` propagates NaN, which would poison the span
     // and collapse every row into one chunk — NaN rows instead get the
     // top chunk explicitly in rankByChunks (they order last in Spark).
-    val b = base.agg(min(when(!isnan(vd), vd)).as("mn"),
-      max(when(!isnan(vd), vd)).as("mx"),
-      count(lit(1)).as("n")).head()
-    val total = b.getLong(2)
+    // Skipped entirely when the caller supplied the stats.
+    val (boundsOpt, total) = stats.getOrElse {
+      val b = base.agg(min(when(!isnan(vd), vd)).as("mn"),
+        max(when(!isnan(vd), vd)).as("mx"),
+        count(lit(1)).as("n")).head()
+      (if (b.isNullAt(0)) None else Some((b.getDouble(0), b.getDouble(1))),
+        b.getLong(2))
+    }
     val ranked =
       if (total <= windowBelowRows) {
         graft.StrategyLog.record("percentiles.exact", "window",
@@ -105,7 +133,7 @@ object Percentiles {
         graft.StrategyLog.record("percentiles.exact", "chunked",
           s"n=$total > windowBelowRows=$windowBelowRows")
         rankByChunks(base, groupCols, valueCol, vd,
-          if (b.isNullAt(0)) (0.0, 0.0) else (b.getDouble(0), b.getDouble(1)))
+          boundsOpt.getOrElse((0.0, 0.0)))
       }
     // a row survives iff it is the floor or ceil rank of some probe
     def pos(p: Double): Column = lit(p) * (col("__n") - 1).cast("double")

@@ -31,7 +31,19 @@ object Profile {
   def columnStats(df: DataFrame, groupCol: String,
       columns: Seq[String]): DataFrame = {
     require(columns.nonEmpty, "need at least one column")
-    val perColumn = columns.map { c =>
+    // ONE shared scan computes every column's NaN-free bounds and
+    // non-null count, then feeds them to [[Percentiles.exactWithStats]]
+    // — the adaptive percentile's per-call eager bounds job would
+    // otherwise re-scan the table once per profiled column (C extra
+    // full passes at plan-build time for a C-column profile).
+    val statAggs = columns.flatMap { c =>
+      val vd = col(c).cast("double")
+      Seq(min(when(!isnan(vd), vd)).as(s"__mn_$c"),
+        max(when(!isnan(vd), vd)).as(s"__mx_$c"),
+        count(col(c)).as(s"__n_$c"))
+    }
+    val statRow = df.agg(statAggs.head, statAggs.tail: _*).head()
+    val perColumn = columns.zipWithIndex.map { case (c, i) =>
       val base = df.groupBy(col(groupCol))
         .agg(
           count(lit(1)).as("n"),
@@ -42,8 +54,11 @@ object Profile {
           approx_count_distinct(col(c), 0.02).as("ndv_approx"),
           min(col(c)).cast("double").as("min"),
           max(col(c)).cast("double").as("max"))
-      val quartiles = Percentiles.exact(df, Seq(groupCol), c,
-          Seq(0.25 -> "25", 0.5 -> "50", 0.75 -> "75"))
+      val bounds = if (statRow.isNullAt(3 * i)) None
+        else Some((statRow.getDouble(3 * i), statRow.getDouble(3 * i + 1)))
+      val quartiles = Percentiles.exactWithStats(df, Seq(groupCol), c,
+          Seq(0.25 -> "25", 0.5 -> "50", 0.75 -> "75"),
+          bounds, statRow.getLong(3 * i + 2))
         .withColumnRenamed(groupCol, "__qg")
       // LEFT + null-safe: a (group, column) pair whose column is entirely
       // NULL produces no quartile row (Percentiles.exact filters NULLs) —

@@ -30,10 +30,19 @@ object Robust {
   def madSummary(df: DataFrame, groupCol: String, valueCol: String,
       k: Double): DataFrame = {
     require(k > 0, s"fence multiplier $k must be positive")
+    // The median table is broadcast-sized by contract (one row per
+    // group), and it sits INSIDE the second Percentiles.exact call's
+    // input — whose adaptive strategy runs an eager bounds/count job
+    // (r12) that would otherwise re-execute the full median ranking
+    // once per downstream job. localCheckpoint materializes those
+    // |groups| rows exactly once; every later job (the MAD bounds job,
+    // the MAD ranking, the final fence aggregate) reads the cached
+    // blocks instead of re-sorting the value stream.
     val med = Percentiles.exact(df, Seq(groupCol), valueCol,
         Seq(0.5 -> "50"))
       .withColumnRenamed("p50", "__med")
       .withColumnRenamed(groupCol, "__mg")
+      .localCheckpoint()
     val withDev = df
       .where(col(valueCol).isNotNull)
       .join(broadcast(med), col(groupCol) === col("__mg"))

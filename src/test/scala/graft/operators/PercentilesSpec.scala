@@ -163,6 +163,39 @@ class PercentilesSpec extends SparkSpec {
     assert(got === ((7.5, 7.5, 7.5)))
   }
 
+  test("exactWithStats: caller stats skip the bounds job; stale bounds never change results") {
+    // r12: Profile supplies (bounds, count) from one shared scan. The
+    // bounds drive chunk ALIGNMENT only — a wrong-but-finite pair must
+    // skew chunk balance, never values (out-of-range rows clamp into
+    // the end chunks, which stay order-aligned). Feed bounds that are
+    // wrong in both directions and a count that forces the chunked
+    // path, and require bit-parity with the aggregate.
+    val probes = Seq(0.25 -> "25", 0.5 -> "50", 0.75 -> "75")
+    val expected = lineitem.groupBy(col("l_returnflag"))
+      .agg(percentile(col("l_extendedprice"),
+        array(probes.map(p => lit(p._1)): _*)).as("p"))
+      .orderBy("l_returnflag").collect()
+      .map(r => (r.getString(0), r.getSeq[Double](1).toIndexedSeq))
+    for (bounds <- Seq(Some((-1e9, 1e9)), // too wide: all rows in mid chunk
+        Some((30000.0, 31000.0)), // too narrow: most rows clamp to ends
+        None)) { // all-NaN degenerate: single chunk
+      val got = Percentiles.exactWithStats(lineitem, Seq("l_returnflag"),
+          "l_extendedprice", probes, bounds,
+          nonNullCount = Long.MaxValue - 1) // force chunked
+        .orderBy("l_returnflag").collect()
+        .map(r => (r.getString(0), probes.indices.map(i => r.getDouble(i + 1))))
+      assert(got.length === expected.length)
+      got.zip(expected).foreach { case ((g1, v1), (g2, v2)) =>
+        assert(g1 === g2)
+        v1.zip(v2).foreach { case (a, b) =>
+          assert(java.lang.Double.doubleToRawLongBits(a)
+            === java.lang.Double.doubleToRawLongBits(b),
+            s"bounds $bounds group $g1: $a vs $b differ at bit level")
+        }
+      }
+    }
+  }
+
   test("interpolation between two values uses Spark's weighted form") {
     val df = Seq(("a", 10.0), ("a", 20.0)).toDF("g", "v")
     val got = Percentiles.exact(df, Seq("g"), "v", Seq(0.25 -> "25"))
