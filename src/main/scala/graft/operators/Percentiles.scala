@@ -109,32 +109,99 @@ object Percentiles {
     val g = groupCols.map(col)
     val base = df.where(col(valueCol).isNotNull) // Percentile skips nulls
     val vd = col(valueCol).cast("double")
-    // chunk bounds + input size: ONE bounded 1-row aggregate (global,
-    // not per-group — monotonicity in the value is all the
-    // decomposition needs, and a global scaling is monotone within
-    // every group; the count rides the same shuffle for free). Bounds
-    // are NaN-FREE: `max` propagates NaN, which would poison the span
-    // and collapse every row into one chunk — NaN rows instead get the
-    // top chunk explicitly in rankByChunks (they order last in Spark).
-    // Skipped entirely when the caller supplied the stats.
-    val (boundsOpt, total) = stats.getOrElse {
-      val b = base.agg(min(when(!isnan(vd), vd)).as("mn"),
-        max(when(!isnan(vd), vd)).as("mx"),
-        count(lit(1)).as("n")).head()
-      (if (b.isNullAt(0)) None else Some((b.getDouble(0), b.getDouble(1))),
-        b.getLong(2))
+    // chunk bounds + input size: ONE bounded aggregate pass over the
+    // input. r12.2: the pass is PER-GROUP (`groupBy(g).agg(min, max,
+    // count)`, checkpointed at |groups| rows, rolled up for the
+    // totals) instead of one global row — global scaling is monotone
+    // within every group, but a large group confined to a NARROW slice
+    // of the global range lands entirely in one chunk and is back on a
+    // single sort task; per-group bounds spread every group across all
+    // chunks regardless of range mismatch. Bounds are NaN-FREE: `max`
+    // propagates NaN, which would poison the span and collapse every
+    // row into one chunk — NaN rows instead get the top chunk
+    // explicitly in rankByChunks (they order last in Spark). Skipped
+    // entirely when the caller supplied the stats (global scaling,
+    // [[exactWithStats]]).
+    stats match {
+      case Some((boundsOpt, total)) =>
+        if (total <= windowBelowRows) {
+          graft.StrategyLog.record("percentiles.exact", "window",
+            s"n=$total <= windowBelowRows=$windowBelowRows (supplied)")
+          rankProbe(rankByWindow(base, g, valueCol), g, valueCol, probes)
+        } else {
+          graft.StrategyLog.record("percentiles.exact", "chunked",
+            s"n=$total > windowBelowRows=$windowBelowRows, " +
+              "bounds=supplied-global")
+          rankProbe(rankByChunks(base, groupCols, valueCol, vd,
+            SuppliedBounds(boundsOpt.getOrElse((0.0, 0.0)))),
+            g, valueCol, probes)
+        }
+      case None =>
+        val gb = base.groupBy(g: _*)
+          .agg(min(when(!isnan(vd), vd)).as("__bmn"),
+            max(when(!isnan(vd), vd)).as("__bmx"),
+            count(lit(1)).as("__bc"))
+          .localCheckpoint() // ONE pass over the input, |groups| rows
+        val roll = gb.agg(sum(col("__bc")), count(lit(1)),
+          min(col("__bmn")), max(col("__bmx"))).head()
+        val total = if (roll.isNullAt(0)) 0L else roll.getLong(0)
+        val nGroups = roll.getLong(1)
+        if (total <= windowBelowRows) {
+          gb.unpersist()
+          graft.StrategyLog.record("percentiles.exact", "window",
+            s"n=$total <= windowBelowRows=$windowBelowRows")
+          rankProbe(rankByWindow(base, g, valueCol), g, valueCol, probes)
+        } else if (nGroups <= maxBroadcastGroups) {
+          graft.StrategyLog.record("percentiles.exact", "chunked",
+            s"n=$total > windowBelowRows=$windowBelowRows, " +
+              s"bounds=per-group (groups=$nGroups)")
+          rankProbe(rankByChunks(base, groupCols, valueCol, vd,
+            PerGroupBounds(gb)), g, valueCol, probes)
+        } else {
+          gb.unpersist()
+          graft.StrategyLog.record("percentiles.exact", "chunked",
+            s"n=$total > windowBelowRows=$windowBelowRows, " +
+              s"bounds=measured-global (groups=$nGroups past broadcast)")
+          val bounds = if (roll.isNullAt(2)) (0.0, 0.0)
+            else (roll.getDouble(2), roll.getDouble(3))
+          rankProbe(rankByChunks(base, groupCols, valueCol, vd,
+            MeasuredGlobal(bounds)), g, valueCol, probes)
+        }
     }
-    val ranked =
-      if (total <= windowBelowRows) {
-        graft.StrategyLog.record("percentiles.exact", "window",
-          s"n=$total <= windowBelowRows=$windowBelowRows")
-        rankByWindow(base, g, valueCol)
-      } else {
-        graft.StrategyLog.record("percentiles.exact", "chunked",
-          s"n=$total > windowBelowRows=$windowBelowRows")
-        rankByChunks(base, groupCols, valueCol, vd,
-          boundsOpt.getOrElse((0.0, 0.0)))
-      }
+  }
+
+  /** How the chunk scaling learns its bounds — the salting rules differ.
+    * Measured bounds (per-group or global) PROVE that `span == 0` means
+    * every non-NaN value is equal, so those rows are mutually
+    * interchangeable under ranking and may be salted across chunks by a
+    * full-row hash (a constant-valued group otherwise collapses onto
+    * one sort task). Caller-SUPPLIED bounds prove nothing — a stale
+    * span of 0 over genuinely spread values salted across chunks would
+    * break chunk monotonicity and corrupt ranks — so that path keeps
+    * the single-chunk fallback.
+    */
+  private sealed trait ChunkBounds
+  private final case class SuppliedBounds(mnMx: (Double, Double))
+    extends ChunkBounds
+  private final case class MeasuredGlobal(mnMx: (Double, Double))
+    extends ChunkBounds
+  private final case class PerGroupBounds(
+      gb: org.apache.spark.sql.DataFrame) extends ChunkBounds
+
+  /** Per-group bounds tables above this group count fall back to
+    * measured-global scaling: the bounds join must broadcast (a
+    * shuffle join there would shuffle the DATA to fix chunk balance —
+    * the cure outweighing the disease), and 1M rows of (group, mn, mx)
+    * is a comfortably small broadcast at any executor size.
+    */
+  val maxBroadcastGroups: Long = 1L << 20
+
+  /** Shared probe/interpolation tail over a ranked frame (`__rk`,
+    * `__n` contract) — both strategies end here, which is what makes
+    * them bit-identical.
+    */
+  private def rankProbe(ranked: DataFrame, g: Seq[Column],
+      valueCol: String, probes: Seq[(Double, String)]): DataFrame = {
     // a row survives iff it is the floor or ceil rank of some probe
     def pos(p: Double): Column = lit(p) * (col("__n") - 1).cast("double")
     val needed = probes.map { case (p, _) =>
@@ -171,27 +238,53 @@ object Percentiles {
     * offsets (steps 1-4 of the scaladoc). Same `__rk`/`__n` contract.
     */
   private def rankByChunks(base: DataFrame, groupCols: Seq[String],
-      valueCol: String, vd: Column, bounds: (Double, Double)): DataFrame = {
+      valueCol: String, vd: Column, bounds: ChunkBounds): DataFrame = {
     val g = groupCols.map(col)
     val nChunks = base.sparkSession.conf
       .get("spark.sql.shuffle.partitions", "32").toInt.max(1)
-    val (mn, mx) = bounds
-    val span = mx - mn
+    // All-tied salt (measured bounds only — see [[ChunkBounds]]): rows
+    // whose group has span 0 are mutually interchangeable under
+    // ranking, so a full-row hash may spread them across chunks; fully
+    // IDENTICAL rows still co-locate (no distinguishing content to
+    // hash), which is the entropy floor of any deterministic pure row
+    // function. Map-typed columns are unhashable and excluded.
+    val saltCols = base.schema.fields.filterNot(_.dataType
+        .isInstanceOf[org.apache.spark.sql.types.MapType])
+      .map(f => col(f.name)).toSeq
+    val salted = pmod(xxhash64(saltCols: _*), lit(nChunks.toLong))
     // (vd−mn)/span ∈ [0,1] then ×C: no overflow at extreme doubles, and
     // IEEE divide/multiply by positive constants are monotone in vd.
     // NaN rows go to the TOP chunk explicitly (Spark orders NaN greater
-    // than any double; the bounds above exclude NaN, so the scaled form
-    // never sees one).
-    val chunk =
-      if (span > 0)
-        when(isnan(vd), lit(nChunks - 1L))
-          .otherwise(least(lit(nChunks - 1L),
-            floor((vd - lit(mn)) / lit(span) * lit(nChunks.toDouble))
-              .cast("long")))
-      else if (nChunks > 1)
-        when(isnan(vd), lit(nChunks - 1L)).otherwise(lit(0L))
-      else lit(0L)
-    val chunked = base.select(g :+ col(valueCol) :+ chunk.as("__chunk"): _*)
+    // than any double; the bounds exclude NaN, so the scaled form never
+    // sees one). Out-of-range values (stale supplied bounds) clamp into
+    // the end chunks, which stay order-aligned.
+    def scaledChunk(mnC: Column, spanC: Column, onFlat: Column): Column =
+      when(isnan(vd), lit(nChunks - 1L))
+        .when(mnC.isNull || spanC <= 0, onFlat)
+        .otherwise(least(lit(nChunks - 1L),
+          greatest(lit(0L),
+            floor((vd - mnC) / spanC * lit(nChunks.toDouble))
+              .cast("long"))))
+    val chunked = bounds match {
+      case SuppliedBounds((mn, mx)) =>
+        val chunk = scaledChunk(lit(mn), lit(mx - mn), lit(0L))
+        base.select(g :+ col(valueCol) :+ chunk.as("__chunk"): _*)
+      case MeasuredGlobal((mn, mx)) =>
+        val chunk = scaledChunk(lit(mn), lit(mx - mn), salted)
+        base.select(g :+ col(valueCol) :+ chunk.as("__chunk"): _*)
+      case PerGroupBounds(gb) =>
+        // broadcast the checkpointed |groups|-row bounds table back
+        // onto the rows (null-safe on the group key, like the offsets
+        // join) and scale each row within ITS group's range.
+        val gbR = gb.select(groupCols.map(c => col(c).as(s"__bg_$c")) :+
+          col("__bmn") :+ col("__bmx"): _*)
+        val cond = groupCols.map(c => col(c) <=> col(s"__bg_$c"))
+          .reduceOption(_ && _).getOrElse(lit(true))
+        val chunk = scaledChunk(col("__bmn"),
+          col("__bmx") - col("__bmn"), salted)
+        base.join(broadcast(gbR), cond)
+          .select(g :+ col(valueCol) :+ chunk.as("__chunk"): _*)
+    }
     val wLocal = Window.partitionBy(col("__chunk") +: g: _*)
       .orderBy(col(valueCol))
     val ranked = chunked

@@ -42,8 +42,8 @@ class PercentilesSpec extends SparkSpec {
     // r12: ranking is chunk-decomposed (q70 shape). Adversarial input
     // for the decomposition: heavy ties (few distinct values, so tie
     // runs cross min/max-scaled chunk boundaries), skew (99% of rows in
-    // one value region), and a constant-valued group (span contributes
-    // nothing — all rows land in chunk 0 for that group's values).
+    // one value region), and a constant-valued group (span 0 — its
+    // mutually-tied rows salt across chunks by full-row hash, r12.2).
     val rnd = new scala.util.Random(7)
     val rows = (0 until 5000).map { i =>
       val g = s"g${i % 3}"
@@ -161,6 +161,72 @@ class PercentilesSpec extends SparkSpec {
         Seq(0.0 -> "0", 0.5 -> "50", 1.0 -> "100"))
       .select("p0", "p50", "p100").as[(Double, Double, Double)].head()
     assert(got === ((7.5, 7.5, 7.5)))
+  }
+
+  test("per-group bounds: a group confined to a narrow slice of the global range still matches") {
+    // r12.2: chunk scaling is PER-GROUP. Under global bounds a large
+    // group whose values occupy a sliver of the global range ([0, 1e-3]
+    // next to a [0, 1e9] group) collapses into chunk 0 — one sort task
+    // at any scale. Per-group scaling spreads it; results must stay
+    // bit-identical to the aggregate either way.
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 4000).map { i =>
+      if (i % 2 == 0) ("narrow", rnd.nextDouble() * 1e-3)
+      else ("wide", rnd.nextDouble() * 1e9)
+    } :+ (("narrow", Double.NaN))
+    val df = rows.toDF("g", "v").repartition(8)
+    val probes = Seq(0.1 -> "10", 0.5 -> "50", 0.9 -> "90")
+    val want = df.groupBy(col("g"))
+      .agg(percentile(col("v"), array(probes.map(p => lit(p._1)): _*))
+        .as("p"))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getSeq[Double](1).toIndexedSeq))
+    graft.StrategyLog.drain()
+    val got = Percentiles.exact(df, Seq("g"), "v", probes, 0L)
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), probes.indices.map(i => r.getDouble(i + 1))))
+    val decisions = graft.StrategyLog.drain()
+      .filter(_.op == "percentiles.exact")
+    assert(decisions.exists(_.detail.contains("bounds=per-group")),
+      s"expected per-group bounds, got: ${decisions.map(_.detail)}")
+    assert(got.length === want.length)
+    got.zip(want).foreach { case ((g1, v1), (g2, v2)) =>
+      assert(g1 === g2)
+      v1.zip(v2).foreach { case (a, b) =>
+        assert(java.lang.Double.doubleToRawLongBits(a)
+          === java.lang.Double.doubleToRawLongBits(b),
+          s"group $g1: $a vs $b differ at bit level")
+      }
+    }
+  }
+
+  test("constant-valued group salts its tied rows across chunks without corrupting ranks") {
+    // r12.2: measured span 0 proves every non-NaN value in the group is
+    // equal, so chunk assignment is a free choice — the full-row hash
+    // spreads the sort. A spread group shares the frame to prove the
+    // salting never leaks into scaled groups, and extra row content
+    // (the id column) gives the hash entropy.
+    val rows = (0 until 3000).map(i => ("flat", i.toLong, 42.0)) ++
+      (0 until 3000).map(i => ("spread", i.toLong, i.toDouble))
+    val df = rows.toDF("g", "id", "v").repartition(8)
+    val probes = Seq(0.0 -> "0", 0.5 -> "50", 1.0 -> "100")
+    val want = df.groupBy(col("g"))
+      .agg(percentile(col("v"), array(probes.map(p => lit(p._1)): _*))
+        .as("p"))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getSeq[Double](1).toIndexedSeq))
+    val got = Percentiles.exact(df, Seq("g"), "v", probes, 0L)
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), probes.indices.map(i => r.getDouble(i + 1))))
+    assert(got.length === want.length)
+    got.zip(want).foreach { case ((g1, v1), (g2, v2)) =>
+      assert(g1 === g2)
+      v1.zip(v2).foreach { case (a, b) =>
+        assert(java.lang.Double.doubleToRawLongBits(a)
+          === java.lang.Double.doubleToRawLongBits(b),
+          s"group $g1: $a vs $b differ at bit level")
+      }
+    }
   }
 
   test("exactWithStats: caller stats skip the bounds job; stale bounds never change results") {
