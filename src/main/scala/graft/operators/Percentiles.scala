@@ -29,7 +29,14 @@ import org.apache.spark.sql.functions._
   *     window's partitioning — no extra exchange) prefix-sum into chunk
   *     OFFSETS on a P×|groups|-row side table whose own windows are
   *     trivially small; group totals `n` ride the same table;
-  *  4. offsets broadcast back: global rank = offset + local rank.
+  *  4. offsets broadcast back: global rank = offset + local rank;
+  *  5. (r12.2, group count permitting) PROBE PRUNING: the offsets
+  *     table knows each chunk's global rank range, and only rows at a
+  *     probe's floor/ceil rank ever reach the output — so only the
+  *     chunks CONTAINING such a rank are semi-join-kept before the
+  *     local sort. With C chunks and k probes the sorted volume is
+  *     ≈ 2k·n/C of the input: the stream is scanned (bounds, counts,
+  *     prune filter) but never globally ordered.
   *
   * The global rank of a value is chunking-INVARIANT (equal values are
   * interchangeable within a rank range, and the probe selection below
@@ -96,13 +103,27 @@ object Percentiles {
   def exactWithStats(df: DataFrame, groupCols: Seq[String],
       valueCol: String, probes: Seq[(Double, String)],
       bounds: Option[(Double, Double)], nonNullCount: Long): DataFrame =
+    exactWithStats(df, groupCols, valueCol, probes, bounds, nonNullCount,
+      groupCountEstimate = None)
+
+  /** As [[exactWithStats]], plus an estimate of the group cardinality
+    * (an `approx_count_distinct` from the caller's shared scan is
+    * fine): at or under [[maxPruneGroups]] it enables probe pruning on
+    * the chunked path. The estimate gates a strategy only — an
+    * over/under-estimate changes which plan runs, never its output.
+    */
+  def exactWithStats(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, probes: Seq[(Double, String)],
+      bounds: Option[(Double, Double)], nonNullCount: Long,
+      groupCountEstimate: Option[Long]): DataFrame =
     exact(df, groupCols, valueCol, probes, smallInputRows,
-      Some((bounds, nonNullCount)))
+      Some((bounds, nonNullCount, groupCountEstimate)))
 
   private def exact(df: DataFrame, groupCols: Seq[String],
       valueCol: String, probes: Seq[(Double, String)],
       windowBelowRows: Long,
-      stats: Option[(Option[(Double, Double)], Long)]): DataFrame = {
+      stats: Option[(Option[(Double, Double)], Long, Option[Long])])
+      : DataFrame = {
     require(probes.nonEmpty, "need at least one probe")
     probes.foreach { case (p, _) =>
       require(p >= 0 && p <= 1, s"probability $p outside [0, 1]") }
@@ -123,7 +144,7 @@ object Percentiles {
     // entirely when the caller supplied the stats (global scaling,
     // [[exactWithStats]]).
     stats match {
-      case Some((boundsOpt, total)) =>
+      case Some((boundsOpt, total, groupsEst)) =>
         if (total <= windowBelowRows) {
           graft.StrategyLog.record("percentiles.exact", "window",
             s"n=$total <= windowBelowRows=$windowBelowRows (supplied)")
@@ -133,8 +154,8 @@ object Percentiles {
             s"n=$total > windowBelowRows=$windowBelowRows, " +
               "bounds=supplied-global")
           rankProbe(rankByChunks(base, groupCols, valueCol, vd,
-            SuppliedBounds(boundsOpt.getOrElse((0.0, 0.0)))),
-            g, valueCol, probes)
+            SuppliedBounds(boundsOpt.getOrElse((0.0, 0.0))),
+            probes, groupsEst), g, valueCol, probes)
         }
       case None =>
         val gb = base.groupBy(g: _*)
@@ -156,7 +177,7 @@ object Percentiles {
             s"n=$total > windowBelowRows=$windowBelowRows, " +
               s"bounds=per-group (groups=$nGroups)")
           rankProbe(rankByChunks(base, groupCols, valueCol, vd,
-            PerGroupBounds(gb)), g, valueCol, probes)
+            PerGroupBounds(gb), probes, Some(nGroups)), g, valueCol, probes)
         } else {
           gb.unpersist()
           graft.StrategyLog.record("percentiles.exact", "chunked",
@@ -165,7 +186,8 @@ object Percentiles {
           val bounds = if (roll.isNullAt(2)) (0.0, 0.0)
             else (roll.getDouble(2), roll.getDouble(3))
           rankProbe(rankByChunks(base, groupCols, valueCol, vd,
-            MeasuredGlobal(bounds)), g, valueCol, probes)
+            MeasuredGlobal(bounds), probes, Some(nGroups)), g, valueCol,
+            probes)
         }
     }
   }
@@ -234,14 +256,42 @@ object Percentiles {
       count(lit(1)).over(wAll).as("__n"): _*)
   }
 
+  /** Chunk-count side tables stay bounded (≤ ~4M rows) only while the
+    * group count is known and modest; past this, probe pruning is off
+    * and the ranking runs the full-sort shape (whose offsets join then
+    * rides the window's own shuffle, no broadcast anywhere).
+    */
+  val maxPruneGroups: Long = 1L << 16
+
   /** Scale ranking: order-aligned value chunks, local ranks + broadcast
-    * offsets (steps 1-4 of the scaladoc). Same `__rk`/`__n` contract.
+    * offsets (steps 1-4 of the scaladoc), PROBE-PRUNED when the group
+    * count allows (step 5): only the chunks that contain some probe's
+    * floor/ceil rank are ever sorted. The counts pass (sort-free hash
+    * aggregate) locates those chunks exactly, so with C chunks and k
+    * probes the sort volume drops from n rows to ≈ 2k·n/C — the full
+    * value stream is scanned but never ordered. Same `__rk`/`__n`
+    * contract: pruning removes WHOLE chunks, so surviving local ranks
+    * and offsets are untouched.
     */
   private def rankByChunks(base: DataFrame, groupCols: Seq[String],
-      valueCol: String, vd: Column, bounds: ChunkBounds): DataFrame = {
+      valueCol: String, vd: Column, bounds: ChunkBounds,
+      probes: Seq[(Double, String)], nGroupsEst: Option[Long]): DataFrame = {
     val g = groupCols.map(col)
-    val nChunks = base.sparkSession.conf
+    val shufP = base.sparkSession.conf
       .get("spark.sql.shuffle.partitions", "32").toInt.max(1)
+    val pruneGroups = nGroupsEst.filter(_ <= maxPruneGroups)
+    // With pruning, more chunks = finer targeting (sorted volume is
+    // ≈ 2·probes·n/chunks), bounded so the counts table stays ≤ ~4M
+    // rows; without it, chunks beyond the shuffle width buy nothing.
+    val nChunks = pruneGroups match {
+      case Some(ng) =>
+        math.max(shufP.toLong, math.min(4096L, (1L << 22) / ng.max(1L)))
+          .toInt
+      case None => shufP
+    }
+    graft.StrategyLog.record("percentiles.chunks",
+      if (pruneGroups.isDefined) "probe-pruned" else "full-sort",
+      s"chunks=$nChunks" + pruneGroups.fold("")(ng => s", groups=$ng"))
     // All-tied salt (measured bounds only — see [[ChunkBounds]]): rows
     // whose group has span 0 are mutually interchangeable under
     // ranking, so a full-row hash may spread them across chunks; fully
@@ -285,10 +335,6 @@ object Percentiles {
         base.join(broadcast(gbR), cond)
           .select(g :+ col(valueCol) :+ chunk.as("__chunk"): _*)
     }
-    val wLocal = Window.partitionBy(col("__chunk") +: g: _*)
-      .orderBy(col(valueCol))
-    val ranked = chunked
-      .withColumn("__lr", row_number().over(wLocal).cast("long"))
     // counts come from the PRE-window frame, not max(local rank) over
     // the window output: the window subtree feeding two consumers would
     // duplicate the sort (branch duplication; only the exchange is
@@ -297,9 +343,46 @@ object Percentiles {
     // partials into a (chunks×|groups|)-row shuffle — sort-free. The
     // chunk id is a pure row function, so both consumers compute
     // identical chunks by construction (the q106 safety argument).
-    val counts = chunked.groupBy(col("__chunk") +: g: _*)
+    // When pruning, the table feeds BOTH the offsets and the target
+    // list, so it is checkpointed (bounded ≤ ~4M rows by the nChunks
+    // formula) rather than re-aggregated per consumer.
+    val countsRaw = chunked.groupBy(col("__chunk") +: g: _*)
       .agg(count(lit(1)).as("__c"))
+    val counts =
+      if (pruneGroups.isDefined) countsRaw.localCheckpoint()
+      else countsRaw
     val wOff = Window.partitionBy(g: _*).orderBy(col("__chunk"))
+    val offsBase = counts
+      .withColumn("__off", sum(col("__c")).over(wOff) - col("__c"))
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy(g: _*)))
+    // Step 5 — probe pruning: a chunk is needed iff some probe's floor
+    // or ceil rank `r = f(p·(n−1))` lands inside its [off, off+c) rank
+    // range. Empty chunks ([off, off)) match nothing; probe 0/1 hit
+    // the first/last non-empty chunk. The surviving-chunk list is
+    // group-count-bounded (≤ 2·probes·|groups| rows) and broadcast as
+    // a LEFT SEMI filter on the pre-sort stream — whole chunks drop,
+    // so every kept row's local rank and offset are exactly what the
+    // unpruned form computes (PercentilesSpec pins parity).
+    val toSort = pruneGroups match {
+      case Some(_) =>
+        val targetCond = probes.flatMap { case (p, _) =>
+          val pos = lit(p) * (col("__n") - 1).cast("double")
+          Seq(floor(pos), ceil(pos))
+        }.map(rk => rk >= col("__off") && rk < col("__off") + col("__c"))
+          .reduce(_ || _)
+        val targets = offsBase.where(targetCond)
+          .select(col("__chunk").as("__tchunk") +:
+            groupCols.map(c => col(c).as(s"__tg_$c")): _*)
+        val semiCond = (col("__chunk") === col("__tchunk")) +:
+          groupCols.map(c => col(c) <=> col(s"__tg_$c"))
+        chunked.join(broadcast(targets), semiCond.reduce(_ && _),
+          "left_semi")
+      case None => chunked
+    }
+    val wLocal = Window.partitionBy(col("__chunk") +: g: _*)
+      .orderBy(col(valueCol))
+    val ranked = toSort
+      .withColumn("__lr", row_number().over(wLocal).cast("long"))
     // NULL group keys must survive the offsets join exactly as the
     // window path and the Percentile aggregate keep them (Profile
     // relies on it), so the join condition is NULL-SAFE (`<=>`) on the
@@ -308,9 +391,7 @@ object Percentiles {
     // broadcasts it; at high group cardinality a shuffle join on
     // (__chunk, groups) reuses the window's own exchange and sort
     // prefix, where a forced broadcast would hit the size limit.
-    val offs = counts
-      .withColumn("__off", sum(col("__c")).over(wOff) - col("__c"))
-      .withColumn("__n", sum(col("__c")).over(Window.partitionBy(g: _*)))
+    val offs = offsBase
       .select(col("__chunk").as("__ochunk") +:
         groupCols.map(c => col(c).as(s"__og_$c")) :+
         col("__off") :+ col("__n"): _*)

@@ -41,8 +41,11 @@ object Profile {
       Seq(min(when(!isnan(vd), vd)).as(s"__mn_$c"),
         max(when(!isnan(vd), vd)).as(s"__mx_$c"),
         count(col(c)).as(s"__n_$c"))
-    }
+    } :+ approx_count_distinct(col(groupCol), 0.05).as("__ng")
     val statRow = df.agg(statAggs.head, statAggs.tail: _*).head()
+    // group-cardinality estimate for the percentile probe-pruning gate
+    // (strategy choice only — never results)
+    val nGroupsEst = Some(statRow.getLong(3 * columns.length))
     val perColumn = columns.zipWithIndex.map { case (c, i) =>
       val base = df.groupBy(col(groupCol))
         .agg(
@@ -58,7 +61,7 @@ object Profile {
         else Some((statRow.getDouble(3 * i), statRow.getDouble(3 * i + 1)))
       val quartiles = Percentiles.exactWithStats(df, Seq(groupCol), c,
           Seq(0.25 -> "25", 0.5 -> "50", 0.75 -> "75"),
-          bounds, statRow.getLong(3 * i + 2))
+          bounds, statRow.getLong(3 * i + 2), nGroupsEst)
         .withColumnRenamed(groupCol, "__qg")
       // LEFT + null-safe: a (group, column) pair whose column is entirely
       // NULL produces no quartile row (Percentiles.exact filters NULLs) —

@@ -229,6 +229,45 @@ class PercentilesSpec extends SparkSpec {
     }
   }
 
+  test("probe pruning engages under the group cap, full-sort past it; both match the aggregate") {
+    // r12.2 step 5: with few groups only probe-rank chunks are sorted
+    // (log says probe-pruned); past maxPruneGroups the side tables
+    // would stop being broadcast-bounded, so the full-sort shape runs.
+    // Both must be bit-identical to the aggregate.
+    val rnd = new scala.util.Random(13)
+    val few = (0 until 6000).map(i => (s"g${i % 4}", rnd.nextDouble()))
+      .toDF("g", "v").repartition(8)
+    val many = (0 until 70000).map(i => (s"g$i", rnd.nextDouble()))
+      .toDF("g", "v").repartition(8) // 70000 > maxPruneGroups = 65536
+    assert(70000L > Percentiles.maxPruneGroups)
+    val probes = Seq(0.25 -> "25", 0.75 -> "75")
+    for ((df, expectMode) <- Seq((few, "probe-pruned"),
+        (many, "full-sort"))) {
+      val want = df.groupBy(col("g"))
+        .agg(percentile(col("v"), array(probes.map(p => lit(p._1)): _*))
+          .as("p"))
+        .orderBy("g").collect()
+        .map(r => (r.getString(0), r.getSeq[Double](1).toIndexedSeq))
+      graft.StrategyLog.drain()
+      val got = Percentiles.exact(df, Seq("g"), "v", probes, 0L)
+        .orderBy("g").collect()
+        .map(r => (r.getString(0),
+          probes.indices.map(i => r.getDouble(i + 1))))
+      val modes = graft.StrategyLog.drain()
+        .filter(_.op == "percentiles.chunks").map(_.strategy)
+      assert(modes === Seq(expectMode), s"modes=$modes")
+      assert(got.length === want.length)
+      got.zip(want).foreach { case ((g1, v1), (g2, v2)) =>
+        assert(g1 === g2)
+        v1.zip(v2).foreach { case (a, b) =>
+          assert(java.lang.Double.doubleToRawLongBits(a)
+            === java.lang.Double.doubleToRawLongBits(b),
+            s"$expectMode group $g1: $a vs $b differ at bit level")
+        }
+      }
+    }
+  }
+
   test("exactWithStats: caller stats skip the bounds job; stale bounds never change results") {
     // r12: Profile supplies (bounds, count) from one shared scan. The
     // bounds drive chunk ALIGNMENT only — a wrong-but-finite pair must
