@@ -34,6 +34,17 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // r13 (CheckpointProbe adjudication of the r12 q132/q187 bench
+      // regression): Spark 4.1 defaults the checksum checkpoint file
+      // manager ON, which doubles every streaming-metadata
+      // create/hsync/rename; on this host's disk-backed tmpdir that
+      // cycle measures 3.0 ms mean / 15.9 ms p99 under load and q132
+      // ran [23.0, 9.0, 7.7] s with checksums vs [4.7, 4.2, 4.0] s
+      // without. Replay-harness checkpoints live for one AvailableNow
+      // run and are reaped — corruption detection on them buys
+      // nothing. Production deployments with durable checkpoints
+      // should keep the Spark default.
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       // NOTE (measured, do not "optimize"): AQE's
       // coalescePartitions.parallelismFirst default (true) is correct
       // here — size-based coalescing (false) packed the CPU-heavy

@@ -801,6 +801,7 @@ object Queries {
     val batchSrc = mutatedCopy(snap)
     val base = new org.apache.hadoop.fs.Path(
       Scratch.dir("graft_q100_state").getPath)
+    val cp = Scratch.cpDir("graft_q100").getPath
     val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(base)) fs.delete(base, true)
     fs.deleteOnExit(base)
@@ -860,7 +861,7 @@ object Queries {
         val q = s.readStream.schema(batchSrc.schema)
           .option("maxFilesPerTrigger", 1).parquet(stage)
           .writeStream.outputMode("append")
-          .option("checkpointLocation", s"$base/cp")
+          .option("checkpointLocation", cp)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .foreachBatch { (b: DataFrame, _: Long) =>
             val stored = TextDedup.readLshIndex(s, store)
@@ -1843,6 +1844,7 @@ object Queries {
     val batchSrc = edges.where(col("src") >= 1000000L)
     val base = new org.apache.hadoop.fs.Path(
       Scratch.dir("graft_q119").getPath)
+    val cp = Scratch.cpDir("graft_q119").getPath
     val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(base)) fs.delete(base, true)
     fs.deleteOnExit(base)
@@ -1870,7 +1872,7 @@ object Queries {
     val q = s.readStream.schema(batchSrc.schema)
       .option("maxFilesPerTrigger", 1).parquet(stage)
       .writeStream.outputMode("append")
-      .option("checkpointLocation", s"$base/cp")
+      .option("checkpointLocation", cp)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (b: DataFrame, _: Long) =>
         // parts comes from the store's own manifest (r10) — the
@@ -5063,6 +5065,7 @@ object Queries {
     // break the caller's subsequent action).
     val base = new org.apache.hadoop.fs.Path(
       Scratch.dir("graft_q90_state").getPath)
+    val cp = Scratch.cpDir("graft_q90").getPath
     val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(base)) fs.delete(base, true)
     fs.deleteOnExit(base)
@@ -5074,7 +5077,7 @@ object Queries {
         .write.mode("append").parquet(stage)
       val q = s.readStream.schema(src.schema).parquet(stage)
         .writeStream.outputMode("append")
-        .option("checkpointLocation", s"$base/cp")
+        .option("checkpointLocation", cp)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch { (b: DataFrame, _: Long) =>
           // ping-pong state paths: parquet can't be overwritten while
@@ -5621,6 +5624,7 @@ object Queries {
       .select(col("event_id"), col("user_id"), col("event_type"))
     val base = new org.apache.hadoop.fs.Path(
       Scratch.dir("graft_q132").getPath)
+    val cp = Scratch.cpDir("graft_q132").getPath
     val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(base)) fs.delete(base, true)
     fs.deleteOnExit(base)
@@ -5636,7 +5640,7 @@ object Queries {
       .select(col("user_id"), col("event_type"))
       .dropDuplicates("user_id", "event_type")
       .writeStream.outputMode("append")
-      .option("checkpointLocation", s"$base/cp")
+      .option("checkpointLocation", cp)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (b: DataFrame, _: Long) =>
         b.write.mode("append").parquet(outP)
@@ -6648,6 +6652,7 @@ object Queries {
       .select(col("doc_id"), col("source"), col("text"))
     val base = new org.apache.hadoop.fs.Path(
       Scratch.dir("graft_q150").getPath)
+    val cp = Scratch.cpDir("graft_q150").getPath
     val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(base)) fs.delete(base, true)
     fs.deleteOnExit(base)
@@ -6668,7 +6673,7 @@ object Queries {
       .agg(count(lit(1)).as("docs"), sum(col("__keep")).as("kept"),
         sum(col("__n")).as("tokens"))
       .writeStream.outputMode("complete")
-      .option("checkpointLocation", s"$base/cp")
+      .option("checkpointLocation", cp)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (b: DataFrame, _: Long) =>
         b.write.mode("overwrite").parquet(outP)
@@ -7540,6 +7545,7 @@ object Queries {
       .where(col("value").isNotNull)
     val base = new org.apache.hadoop.fs.Path(
       Scratch.dir("graft_q164").getPath)
+    val cp = Scratch.cpDir("graft_q164").getPath
     val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(base)) fs.delete(base, true)
     fs.deleteOnExit(base)
@@ -7555,7 +7561,7 @@ object Queries {
       .groupBy(col("day"))
       .agg(Sketches.kllSketch(col("value"), 800).as("sk"))
       .writeStream.outputMode("complete")
-      .option("checkpointLocation", s"$base/cp")
+      .option("checkpointLocation", cp)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (b: DataFrame, _: Long) =>
         b.write.mode("overwrite").parquet(store)
@@ -8930,6 +8936,7 @@ object Queries {
       col("user_id"))
     val base = new org.apache.hadoop.fs.Path(
       Scratch.dir("graft_q187").getPath)
+    val cp = Scratch.cpDir("graft_q187").getPath
     val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(base)) fs.delete(base, true)
     fs.deleteOnExit(base)
@@ -8945,7 +8952,7 @@ object Queries {
       .groupBy(col("event_type"), col("user_id"))
       .agg(count(lit(1)).as("n"))
       .writeStream.outputMode("complete")
-      .option("checkpointLocation", s"$base/cp")
+      .option("checkpointLocation", cp)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (b: DataFrame, _: Long) =>
         b.write.mode("overwrite").parquet(outP)

@@ -23,6 +23,9 @@ object TimeQuery {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled",
         sys.env.getOrElse("SPARK_GRAFT_UI", "false"))
+      // match Bench's replay-checkpoint config (see its r13 note) so
+      // micro-bench numbers are comparable to suite numbers
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try graft.SparkEntry.entry(spark).write.format("noop")
