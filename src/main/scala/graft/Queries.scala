@@ -7162,8 +7162,11 @@ object Queries {
     val ev = events(s, dir)
       .select(col("ts").cast("date").as("day"), col("value"))
       .where(col("value").isNotNull)
+    // KB-scale sketch store on the fast (tmpfs-preferred) root: the
+    // r12 bench host's disk ran small-parquet create/rename at 3-16 ms
+    // per op (CheckpointProbe), and this store is 31 tiny files
     val store = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_q158_store").getPath
+      Scratch.fastRoot, "graft_q158_store").getPath
     ev.groupBy(col("day"))
       .agg(Sketches.kllSketch(col("value"), 800).as("sk"))
       .write.mode("overwrite").parquet(store)
@@ -7235,7 +7238,10 @@ object Queries {
     val ev = events(s, dir)
       .select(col("ts").cast("date").as("day"), col("value"))
       .where(col("value").isNotNull)
-    val store = new java.io.File(sys.props("java.io.tmpdir"),
+    // fast root for the same reason as q158's store (r12: run-1 stalls
+    // were ParquetOutputWriter init + rename on the slow disk — the
+    // incremental write path is 31 day-partition files of ~KB each)
+    val store = new java.io.File(Scratch.fastRoot,
       s"graft_q160_store_${Integer.toHexString(dir.hashCode)}").getPath
     val fs = new org.apache.hadoop.fs.Path(store)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -7550,7 +7556,9 @@ object Queries {
     if (fs.exists(base)) fs.delete(base, true)
     fs.deleteOnExit(base)
     val stage = s"$base/stage"
-    val store = s"$base/store"
+    // KB-scale sketch store, rewritten once per micro-batch: fast
+    // (tmpfs-preferred) root like q158/q160's stores
+    val store = Scratch.cpDir("graft_q164_store").getPath
     (0 until 3).foreach { i =>
       ev.filter(col("event_id") % 3 === i)
         .coalesce(1).write.mode("append").parquet(stage)

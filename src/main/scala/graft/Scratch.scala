@@ -45,6 +45,13 @@ object Scratch {
     else None
   }
 
+  /** Root for SMALL latency-sensitive scratch (streaming checkpoints,
+    * KB-scale sketch stores): tmpfs when available, else tmpdir. Bulk
+    * data must keep using [[dir]] — tmpfs capacity is RAM.
+    */
+  def fastRoot: String = shmRoot.map(_.getPath)
+    .getOrElse(System.getProperty("java.io.tmpdir"))
+
   /** Allocate a fresh STREAMING-CHECKPOINT scratch path, registered for
     * [[reap]] like [[dir]], but placed on tmpfs (/dev/shm) when one is
     * available.
@@ -64,9 +71,7 @@ object Scratch {
     * capacity lives.
     */
   def cpDir(prefix: String): java.io.File = {
-    val root = shmRoot.map(_.getPath)
-      .getOrElse(System.getProperty("java.io.tmpdir"))
-    val f = new java.io.File(root,
+    val f = new java.io.File(fastRoot,
       s"${prefix}_cp_${java.util.UUID.randomUUID().toString.take(8)}")
     created.add(f)
     f
