@@ -9430,6 +9430,36 @@ object Queries {
       |FROM supplier WHERE s_suppkey % 10 = 0
       |ORDER BY query_id""".stripMargin
 
+  /** q38's exact percentiles with the chunk decomposition FORCED
+    * (`windowBelowRows = 0`): every oracle SF is under the 4M-row
+    * adaptive cutover, so q38/q64/q81/q85 all take the window path
+    * there and the chunked+probe-pruned machinery — per-group bounds
+    * broadcast, span-0 salting, NULL-safe offsets join, rank-bearing
+    * chunk pruning — had spec parity but no DuckDB hash row (r12
+    * VERDICT item 3). The group key runs `NULLIF` over l_returnflag so
+    * a NULL group exercises the `<=>` joins end-to-end, and a third
+    * probe (p25) widens the prune-target set. Values are bit-identical
+    * to the window path by construction (chunking-invariant global
+    * ranks — see [[graft.operators.Percentiles]]), which this row now
+    * proves against an independent engine, not just against our own
+    * window form.
+    */
+  def q194PercentileChunked(s: SparkSession, dir: String): DataFrame =
+    Percentiles.exact(
+      t(s, dir, "lineitem")
+        .withColumn("rf_nullable", nullif(col("l_returnflag"), lit("N"))),
+      Seq("rf_nullable"), "l_extendedprice",
+      Seq(0.25 -> "25", 0.5 -> "50", 0.95 -> "95"), 0L)
+      .orderBy(asc_nulls_first("rf_nullable"))
+
+  val q194Sql: String =
+    """SELECT NULLIF(l_returnflag, 'N') AS rf_nullable,
+      |  quantile_cont(l_extendedprice, 0.25) AS p25,
+      |  quantile_cont(l_extendedprice, 0.5) AS p50,
+      |  quantile_cont(l_extendedprice, 0.95) AS p95
+      |FROM lineitem GROUP BY 1
+      |ORDER BY rf_nullable NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -9629,5 +9659,6 @@ object Queries {
     "q191_growing_degree_days" ->
       ((q191GrowingDegreeDays _, Some(q191Sql))),
     "q192_audio_neardup" -> ((q192AudioNearDup _, Some(q192Sql))),
-    "q193_video_neardup" -> ((q193VideoNearDup _, Some(q193Sql))))
+    "q193_video_neardup" -> ((q193VideoNearDup _, Some(q193Sql))),
+    "q194_percentile_chunked" -> ((q194PercentileChunked _, Some(q194Sql))))
 }

@@ -158,6 +158,15 @@ object Percentiles {
             probes, groupsEst), g, valueCol, probes)
         }
       case None =>
+        // Checkpoint lifetime (r13, ADVICE): the PerGroupBounds branch
+        // hands `gb` to a lazy result plan, so it cannot be unpersisted
+        // here — its storage blocks are reclaimed by the ContextCleaner
+        // when the plan's RDD references are GC-collected (Bench
+        // additionally unpersists every persistent RDD after each
+        // query's runs). A long-lived session hammering this operator
+        // between GCs accumulates |groups|-row blocks, bounded by
+        // maxBroadcastGroups each; the non-chunked branches unpersist
+        // eagerly below.
         val gb = base.groupBy(g: _*)
           .agg(min(when(!isnan(vd), vd)).as("__bmn"),
             max(when(!isnan(vd), vd)).as("__bmx"),
@@ -173,6 +182,10 @@ object Percentiles {
             s"n=$total <= windowBelowRows=$windowBelowRows")
           rankProbe(rankByWindow(base, g, valueCol), g, valueCol, probes)
         } else if (nGroups <= maxBroadcastGroups) {
+          if (!roll.isNullAt(2) &&
+              (roll.getDouble(2).isInfinite || roll.getDouble(3).isInfinite))
+            graft.StrategyLog.record("percentiles.bounds", "nonfinite",
+              "±Inf endpoints present; affected groups single-chunk")
           graft.StrategyLog.record("percentiles.exact", "chunked",
             s"n=$total > windowBelowRows=$windowBelowRows, " +
               s"bounds=per-group (groups=$nGroups)")
@@ -185,10 +198,63 @@ object Percentiles {
               s"bounds=measured-global (groups=$nGroups past broadcast)")
           val bounds = if (roll.isNullAt(2)) (0.0, 0.0)
             else (roll.getDouble(2), roll.getDouble(3))
+          if (bounds._1.isInfinite || bounds._2.isInfinite)
+            graft.StrategyLog.record("percentiles.bounds", "nonfinite",
+              "±Inf endpoints present; stream single-chunks (order kept)")
           rankProbe(rankByChunks(base, groupCols, valueCol, vd,
             MeasuredGlobal(bounds), probes, Some(nGroups)), g, valueCol,
             probes)
         }
+    }
+  }
+
+  /** As [[exactWithStats]], but with PER-GROUP bounds from the caller's
+    * shared scan: `gb` must carry the group columns plus NaN-free
+    * `__bmn`/`__bmx` and a `__bc` row count per group (what one
+    * `groupBy(groupCols).agg(min, max, count)` over the non-null value
+    * stream measures). Multi-column profilers (q85) compute every
+    * column's per-group stats in ONE scan and call this per column —
+    * per-group scaling keeps a large group confined to a sliver of the
+    * global range spread across chunks (the r12.2 fix), which the
+    * global-bounds [[exactWithStats]] cannot. The caller owns `gb`'s
+    * lifetime (checkpoint it once, let it die with the plans).
+    *
+    * CONTRACT: `gb` must be GENUINELY MEASURED from `df`'s current
+    * non-null value stream, not cached from an earlier generation —
+    * per-group bounds engage the span-0 salt (see [[ChunkBounds]]),
+    * and a stale span of 0 over values that now spread would scatter
+    * non-interchangeable rows across chunks and corrupt ranks. (The
+    * scalar [[exactWithStats]] tolerates stale bounds precisely
+    * because its supplied-bounds path never salts.)
+    */
+  def exactWithGroupStats(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, probes: Seq[(Double, String)], gb: DataFrame,
+      total: Long, nGroups: Long): DataFrame = {
+    require(probes.nonEmpty, "need at least one probe")
+    probes.foreach { case (p, _) =>
+      require(p >= 0 && p <= 1, s"probability $p outside [0, 1]") }
+    val g = groupCols.map(col)
+    val base = df.where(col(valueCol).isNotNull)
+    val vd = col(valueCol).cast("double")
+    if (total <= smallInputRows) {
+      graft.StrategyLog.record("percentiles.exact", "window",
+        s"n=$total <= windowBelowRows=$smallInputRows (supplied per-group)")
+      rankProbe(rankByWindow(base, g, valueCol), g, valueCol, probes)
+    } else if (nGroups <= maxBroadcastGroups) {
+      graft.StrategyLog.record("percentiles.exact", "chunked",
+        s"n=$total > windowBelowRows=$smallInputRows, " +
+          s"bounds=supplied-per-group (groups=$nGroups)")
+      rankProbe(rankByChunks(base, groupCols, valueCol, vd,
+        PerGroupBounds(gb), probes, Some(nGroups)), g, valueCol, probes)
+    } else {
+      val roll = gb.agg(min(col("__bmn")), max(col("__bmx"))).head()
+      val bounds = if (roll.isNullAt(0)) (0.0, 0.0)
+        else (roll.getDouble(0), roll.getDouble(1))
+      graft.StrategyLog.record("percentiles.exact", "chunked",
+        s"n=$total > windowBelowRows=$smallInputRows, " +
+          s"bounds=rolled-global (groups=$nGroups past broadcast)")
+      rankProbe(rankByChunks(base, groupCols, valueCol, vd,
+        MeasuredGlobal(bounds), probes, Some(nGroups)), g, valueCol, probes)
     }
   }
 
@@ -297,30 +363,54 @@ object Percentiles {
     // ranking, so a full-row hash may spread them across chunks; fully
     // IDENTICAL rows still co-locate (no distinguishing content to
     // hash), which is the entropy floor of any deterministic pure row
-    // function. Map-typed columns are unhashable and excluded.
-    val saltCols = base.schema.fields.filterNot(_.dataType
-        .isInstanceOf[org.apache.spark.sql.types.MapType])
+    // function. Map-bearing columns are unhashable at ANY nesting depth
+    // (xxhash64 rejects array<map> and struct{map} too — r13 ADVICE)
+    // and are excluded recursively; a schema with no hashable column
+    // left keeps span-0 groups in one chunk instead of salting.
+    def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean =
+      dt match {
+        case _: org.apache.spark.sql.types.MapType => true
+        case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
+        case s: org.apache.spark.sql.types.StructType =>
+          s.fields.exists(f => hasMap(f.dataType))
+        case _ => false
+      }
+    val saltCols = base.schema.fields.filterNot(f => hasMap(f.dataType))
       .map(f => col(f.name)).toSeq
-    val salted = pmod(xxhash64(saltCols: _*), lit(nChunks.toLong))
-    // (vd−mn)/span ∈ [0,1] then ×C: no overflow at extreme doubles, and
-    // IEEE divide/multiply by positive constants are monotone in vd.
-    // NaN rows go to the TOP chunk explicitly (Spark orders NaN greater
-    // than any double; the bounds exclude NaN, so the scaled form never
-    // sees one). Out-of-range values (stale supplied bounds) clamp into
-    // the end chunks, which stay order-aligned.
-    def scaledChunk(mnC: Column, spanC: Column, onFlat: Column): Column =
+    val salted =
+      if (saltCols.isEmpty) lit(0L)
+      else pmod(xxhash64(saltCols: _*), lit(nChunks.toLong))
+    // Scaling is over HALVED endpoints — (vd/2 − mn/2)/(mx/2 − mn/2) ∈
+    // [0,1] then ×C — because mx−mn itself overflows to +Inf when the
+    // endpoints straddle ±~9e307 (r13 ADVICE: the overflow made every
+    // ratio 0 and silently collapsed the stream into chunk 0); halves
+    // differ by at most Double.MaxValue, so the half-span is finite
+    // whenever both endpoints are. IEEE divide/multiply by positive
+    // constants stay monotone in vd. A non-finite half-span can then
+    // only mean a ±Inf ENDPOINT (or NaN from (−Inf)−(−Inf)): those
+    // rows are genuinely unscalable and NOT interchangeable, so they
+    // may not salt — the affected group keeps order-alignment in one
+    // explicit chunk (plan-time StrategyLog notes it when the measured
+    // roll-up shows infinite endpoints). NaN VALUES go to the TOP
+    // chunk explicitly (Spark orders NaN greater than any double; the
+    // bounds exclude NaN, so the scaled form never sees one).
+    // Out-of-range values (stale supplied bounds) clamp into the end
+    // chunks, which stay order-aligned.
+    def scaledChunk(mnC: Column, spanHalfC: Column, onFlat: Column): Column =
       when(isnan(vd), lit(nChunks - 1L))
-        .when(mnC.isNull || spanC <= 0, onFlat)
+        .when(mnC.isNull || spanHalfC <= 0, onFlat)
+        .when(isnan(spanHalfC) ||
+          spanHalfC === lit(Double.PositiveInfinity), lit(0L))
         .otherwise(least(lit(nChunks - 1L),
           greatest(lit(0L),
-            floor((vd - mnC) / spanC * lit(nChunks.toDouble))
+            floor((vd / 2 - mnC / 2) / spanHalfC * lit(nChunks.toDouble))
               .cast("long"))))
     val chunked = bounds match {
       case SuppliedBounds((mn, mx)) =>
-        val chunk = scaledChunk(lit(mn), lit(mx - mn), lit(0L))
+        val chunk = scaledChunk(lit(mn), lit(mx / 2 - mn / 2), lit(0L))
         base.select(g :+ col(valueCol) :+ chunk.as("__chunk"): _*)
       case MeasuredGlobal((mn, mx)) =>
-        val chunk = scaledChunk(lit(mn), lit(mx - mn), salted)
+        val chunk = scaledChunk(lit(mn), lit(mx / 2 - mn / 2), salted)
         base.select(g :+ col(valueCol) :+ chunk.as("__chunk"): _*)
       case PerGroupBounds(gb) =>
         // broadcast the checkpointed |groups|-row bounds table back
@@ -331,7 +421,7 @@ object Percentiles {
         val cond = groupCols.map(c => col(c) <=> col(s"__bg_$c"))
           .reduceOption(_ && _).getOrElse(lit(true))
         val chunk = scaledChunk(col("__bmn"),
-          col("__bmx") - col("__bmn"), salted)
+          col("__bmx") / 2 - col("__bmn") / 2, salted)
         base.join(broadcast(gbR), cond)
           .select(g :+ col(valueCol) :+ chunk.as("__chunk"): _*)
     }
@@ -348,6 +438,9 @@ object Percentiles {
     // formula) rather than re-aggregated per consumer.
     val countsRaw = chunked.groupBy(col("__chunk") +: g: _*)
       .agg(count(lit(1)).as("__c"))
+    // (lifetime: like `gb` above, this checkpoint feeds the lazy result
+    // plan and is reclaimed by the ContextCleaner / Bench's per-query
+    // unpersist sweep, bounded ≤ ~4M rows by the nChunks formula)
     val counts =
       if (pruneGroups.isDefined) countsRaw.localCheckpoint()
       else countsRaw

@@ -31,21 +31,29 @@ object Profile {
   def columnStats(df: DataFrame, groupCol: String,
       columns: Seq[String]): DataFrame = {
     require(columns.nonEmpty, "need at least one column")
-    // ONE shared scan computes every column's NaN-free bounds and
-    // non-null count, then feeds them to [[Percentiles.exactWithStats]]
-    // — the adaptive percentile's per-call eager bounds job would
-    // otherwise re-scan the table once per profiled column (C extra
-    // full passes at plan-build time for a C-column profile).
+    // ONE shared PER-GROUP scan computes every column's NaN-free bounds
+    // and non-null count, then feeds them to
+    // [[Percentiles.exactWithGroupStats]] — the adaptive percentile's
+    // per-call eager bounds job would otherwise re-scan the table once
+    // per profiled column (C extra full passes at plan-build time for a
+    // C-column profile). Per-group (r13, ADVICE): with GLOBAL bounds a
+    // large group confined to a sliver of the column's global range
+    // landed in one chunk — the exact collapse the r12.2 per-group fix
+    // killed on the self-measuring path recurred through Profile.
     val statAggs = columns.flatMap { c =>
       val vd = col(c).cast("double")
       Seq(min(when(!isnan(vd), vd)).as(s"__mn_$c"),
         max(when(!isnan(vd), vd)).as(s"__mx_$c"),
         count(col(c)).as(s"__n_$c"))
-    } :+ approx_count_distinct(col(groupCol), 0.05).as("__ng")
-    val statRow = df.agg(statAggs.head, statAggs.tail: _*).head()
-    // group-cardinality estimate for the percentile probe-pruning gate
-    // (strategy choice only — never results)
-    val nGroupsEst = Some(statRow.getLong(3 * columns.length))
+    }
+    // |groups| rows, checkpointed ONCE and shared by every column's
+    // bounds-broadcast join (lifetime: dies with the plans, see the
+    // Percentiles checkpoint note)
+    val gstats = df.groupBy(col(groupCol))
+      .agg(statAggs.head, statAggs.tail: _*).localCheckpoint()
+    val rollRow = gstats.agg(count(lit(1)).as("__ng"),
+      columns.map(c => sum(col(s"__n_$c")).as(s"__t_$c")): _*).head()
+    val nGroups = rollRow.getLong(0)
     val perColumn = columns.zipWithIndex.map { case (c, i) =>
       val base = df.groupBy(col(groupCol))
         .agg(
@@ -57,11 +65,13 @@ object Profile {
           approx_count_distinct(col(c), 0.02).as("ndv_approx"),
           min(col(c)).cast("double").as("min"),
           max(col(c)).cast("double").as("max"))
-      val bounds = if (statRow.isNullAt(3 * i)) None
-        else Some((statRow.getDouble(3 * i), statRow.getDouble(3 * i + 1)))
-      val quartiles = Percentiles.exactWithStats(df, Seq(groupCol), c,
+      val gb = gstats.select(col(groupCol),
+        col(s"__mn_$c").as("__bmn"), col(s"__mx_$c").as("__bmx"),
+        col(s"__n_$c").as("__bc"))
+      val total = if (rollRow.isNullAt(1 + i)) 0L else rollRow.getLong(1 + i)
+      val quartiles = Percentiles.exactWithGroupStats(df, Seq(groupCol), c,
           Seq(0.25 -> "25", 0.5 -> "50", 0.75 -> "75"),
-          bounds, statRow.getLong(3 * i + 2), nGroupsEst)
+          gb, total, nGroups)
         .withColumnRenamed(groupCol, "__qg")
       // LEFT + null-safe: a (group, column) pair whose column is entirely
       // NULL produces no quartile row (Percentiles.exact filters NULLs) —

@@ -301,6 +301,132 @@ class PercentilesSpec extends SparkSpec {
     }
   }
 
+  test("nested map columns don't break the salt; mapless-schema salting still impossible to corrupt") {
+    // r13 ADVICE: xxhash64 rejects maps at ANY nesting depth — a
+    // column of array<map> or struct{map} reaching the salt threw an
+    // AnalysisException whenever a measured-bounds chunked path
+    // engaged. The salt now excludes map-bearing columns recursively;
+    // a constant-valued group alongside such columns must still run
+    // and match the aggregate.
+    val rows = (0 until 2000).map { i =>
+      ("flat", i.toLong, Seq(Map("k" -> i)), 42.0)
+    } ++ (0 until 2000).map { i =>
+      ("spread", i.toLong, Seq(Map("k" -> i)), i.toDouble)
+    }
+    val df = rows.toDF("g", "id", "m", "v").repartition(8)
+    val probes = Seq(0.0 -> "0", 0.5 -> "50", 1.0 -> "100")
+    val want = df.groupBy(col("g"))
+      .agg(percentile(col("v"), array(probes.map(p => lit(p._1)): _*))
+        .as("p"))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getSeq[Double](1).toIndexedSeq))
+    val got = Percentiles.exact(df, Seq("g"), "v", probes, 0L)
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), probes.indices.map(i => r.getDouble(i + 1))))
+    assert(got.length === want.length)
+    got.zip(want).foreach { case ((g1, v1), (g2, v2)) =>
+      assert(g1 === g2)
+      v1.zip(v2).foreach { case (a, b) =>
+        assert(java.lang.Double.doubleToRawLongBits(a)
+          === java.lang.Double.doubleToRawLongBits(b),
+          s"group $g1: $a vs $b differ at bit level")
+      }
+    }
+    // degenerate schema: EVERY column map-bearing except group+value
+    // still can't salt (group and value are hashable but identical
+    // within a tied group — zero entropy is fine, zero columns is not)
+    val allMaps = (0 until 500).map(i => ("t", Map("k" -> i), 7.0))
+      .toDF("g", "m", "v")
+    val one = Percentiles.exact(allMaps, Seq("g"), "v",
+        Seq(0.5 -> "50"), 0L)
+      .select("p50").as[Double].head()
+    assert(one === 7.0)
+  }
+
+  test("extreme-double spans and ±Inf values don't silently collapse or corrupt") {
+    // r13 ADVICE: mx−mn overflowed to +Inf when endpoints straddle
+    // ±~9e307 (every ratio 0 → all rows chunk 0, silent
+    // de-parallelization); ±Inf VALUES made the span Inf/NaN. Scaling
+    // now uses halved endpoints (finite whenever both endpoints are)
+    // and explicitly single-chunks genuinely unscalable ±Inf-endpoint
+    // groups. All must stay bit-identical to the aggregate.
+    val rnd = new scala.util.Random(17)
+    val straddle = (0 until 2000).map { i =>
+      ("s", (rnd.nextDouble() * 2 - 1) * 1.5e308)
+    }
+    val withInf = (0 until 100).map(i => ("i", i.toDouble)) ++
+      Seq(("i", Double.PositiveInfinity), ("i", Double.NegativeInfinity))
+    val df = (straddle ++ withInf).toDF("g", "v").repartition(8)
+    val probes = Seq(0.0 -> "0", 0.5 -> "50", 1.0 -> "100")
+    val want = df.groupBy(col("g"))
+      .agg(percentile(col("v"), array(probes.map(p => lit(p._1)): _*))
+        .as("p"))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getSeq[Double](1).toIndexedSeq))
+    val got = Percentiles.exact(df, Seq("g"), "v", probes, 0L)
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), probes.indices.map(i => r.getDouble(i + 1))))
+    assert(got.length === want.length)
+    got.zip(want).foreach { case ((g1, v1), (g2, v2)) =>
+      assert(g1 === g2)
+      v1.zip(v2).foreach { case (a, b) =>
+        assert(java.lang.Double.doubleToRawLongBits(a)
+          === java.lang.Double.doubleToRawLongBits(b),
+          s"group $g1: $a vs $b differ at bit level")
+      }
+    }
+    // and the straddling-span group must actually SPREAD (the bug was
+    // silent: correct values, one chunk): re-run the chunk assignment
+    // shape via a forced-chunked plan and check >1 distinct chunk by
+    // probing the strategy log for the chunked path having engaged.
+    graft.StrategyLog.drain()
+    Percentiles.exact(straddle.toDF("g", "v"), Seq("g"), "v",
+      Seq(0.5 -> "50"), 0L).collect()
+    val decs = graft.StrategyLog.drain().filter(_.op == "percentiles.exact")
+    assert(decs.map(_.strategy) === Seq("chunked"))
+  }
+
+  test("exactWithGroupStats: per-group supplied bounds match the aggregate and skip the bounds job") {
+    // r13 (Profile path): the caller's ONE per-group scan feeds every
+    // column's bounds. Narrow/wide groups (the r12.2 collapse shape)
+    // through the supplied-per-group path must stay bit-identical.
+    val rnd = new scala.util.Random(19)
+    val rows = (0 until 4000).map { i =>
+      if (i % 2 == 0) ("narrow", rnd.nextDouble() * 1e-3)
+      else ("wide", rnd.nextDouble() * 1e9)
+    }
+    val df = rows.toDF("g", "v").repartition(8)
+    val vd = col("v").cast("double")
+    val gb = df.where(col("v").isNotNull).groupBy(col("g"))
+      .agg(min(when(!isnan(vd), vd)).as("__bmn"),
+        max(when(!isnan(vd), vd)).as("__bmx"),
+        count(lit(1)).as("__bc"))
+    val probes = Seq(0.1 -> "10", 0.5 -> "50", 0.9 -> "90")
+    val want = df.groupBy(col("g"))
+      .agg(percentile(col("v"), array(probes.map(p => lit(p._1)): _*))
+        .as("p"))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getSeq[Double](1).toIndexedSeq))
+    graft.StrategyLog.drain()
+    val got = Percentiles.exactWithGroupStats(df, Seq("g"), "v", probes,
+        gb, total = Long.MaxValue - 1, nGroups = 2) // force chunked
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), probes.indices.map(i => r.getDouble(i + 1))))
+    val decs = graft.StrategyLog.drain()
+      .filter(_.op == "percentiles.exact")
+    assert(decs.exists(_.detail.contains("supplied-per-group")),
+      s"got: ${decs.map(_.detail)}")
+    assert(got.length === want.length)
+    got.zip(want).foreach { case ((g1, v1), (g2, v2)) =>
+      assert(g1 === g2)
+      v1.zip(v2).foreach { case (a, b) =>
+        assert(java.lang.Double.doubleToRawLongBits(a)
+          === java.lang.Double.doubleToRawLongBits(b),
+          s"group $g1: $a vs $b differ at bit level")
+      }
+    }
+  }
+
   test("interpolation between two values uses Spark's weighted form") {
     val df = Seq(("a", 10.0), ("a", 20.0)).toDF("g", "v")
     val got = Percentiles.exact(df, Seq("g"), "v", Seq(0.25 -> "25"))
