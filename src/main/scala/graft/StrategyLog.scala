@@ -5,7 +5,7 @@ package graft
   * Retrieval.bm25TopK]]'s sparse-inverted-index vs dense-DAAT switch).
   *
   * Why this exists (r12, VERDICT r11 item 5): a strategy cutover chosen
-  * from a measured proxy (doc count vs `denseAboveDocs`) is invisible in
+  * from a measured proxy (the sampled BM25 candidate ratio) is invisible in
   * artifacts — a future corpus that lands on the WRONG side of the
   * boundary would silently run the degenerate plan and the only symptom
   * would be a slow bench row with no explanation. Operators therefore

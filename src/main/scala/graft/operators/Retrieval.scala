@@ -46,19 +46,19 @@ object Retrieval {
     * score algebra below is shared verbatim, Bm25DenseSpec pins
     * equality):
     *
-    *  - SPARSE (docs ≤ `denseAboveDocs`): one explode+groupBy over the
+    *  - SPARSE (the default): one explode+groupBy over the
     *    corpus builds the (doc, term, tf) postings; `df` is a second
     *    narrow aggregate of the postings; the query side is exploded,
     *    DISTINCT-ed and broadcast, so the only wide state is postings
     *    keyed by term — an inverted index, shuffled once. Candidate
     *    volume is Σ over (query, term) of df(term): the right shape
     *    for Zipfian corpora where query terms are discriminative.
-    *  - DENSE (above the threshold, and ≤ `maxDenseTerms` distinct
-    *    query terms): query-by-example corpora can be candidate-
-    *    DEGENERATE — the r11 sf10r sweep measured Σ df = 5.69e9 for
-    *    500k docs × 5k queries (a 3.3k-word vocabulary makes every
-    *    prefix token a stopword; classic df-cutoff pruning would have
-    *    emptied every query). The dense path pivots each document's
+    *  - DENSE (candidate-DEGENERATE corpora, ≤ `maxDenseTerms`
+    *    distinct query terms): the r11 sf10r sweep measured
+    *    Σ df = 5.69e9 for 500k docs × 5k queries (a 3.3k-word
+    *    vocabulary makes every prefix token a stopword; classic
+    *    df-cutoff pruning would have emptied every query). The dense
+    *    path pivots each document's
     *    per-query-term contributions into a T-slot array (T = distinct
     *    query terms, a plain HashAggregate with T sum buffers), scores
     *    each (doc, query) pair with [[graft.expressions.SlotSum]]
@@ -74,13 +74,53 @@ object Retrieval {
     *
     * Both paths are EXACT — the strategy switch is physical, so the
     * DuckDB oracle stays hash-green regardless of which side runs.
+    *
+    * The cutover is MEASURED, not a size constant (r13, VERDICT r12
+    * item 6 — the old `denseAboveDocs = 100000` was one corpus's
+    * number, wrong in both directions: a 10M-doc corpus with
+    * discriminative query terms wants the inverted index, a 50k-doc
+    * degenerate-vocabulary corpus wants dense). Above the
+    * `denseMinDocs` triviality floor, a bounded sample of
+    * `sampleDocs` documents estimates each query term's df; the
+    * decision statistic is the CANDIDATE RATIO
+    * `r = Σ_(query,term) df̂(term) / (nDocs · nQueries)` — the
+    * estimated sparse candidate-pair stream as a fraction of the full
+    * cross product. Small r means query terms are discriminative and
+    * the inverted index touches a sliver of the corpus; r near 1
+    * means candidate generation degenerates to query-by-scan and the
+    * sparse (query, doc) hash-aggregate state approaches
+    * |docs|·|queries| — exactly what the dense bounded-heap pass
+    * avoids. Dense engages when BOTH hold:
+    *
+    *  - `r ≥ denseAboveCandidateRatio` (default 0.25: the r11/r13
+    *    measured corpora sit far on each side — the sf10r degenerate
+    *    corpus at r ≈ 2.3, the sf0.1 documents corpus at r ≈ 2.9,
+    *    per-doc-unique-term corpora at r ≈ 0; the constant picks the
+    *    middle of a wide gap), AND
+    *  - the estimated candidate VOLUME `Σ df̂ = r · nDocs · nQueries`
+    *    is at least `denseMinCandidatePairs` (default 2²⁴ ≈ 16.7M).
+    *    The ratio is scale-free, and degeneracy alone does not make
+    *    dense faster: at sf0.1 the documents corpus measures r = 2.9
+    *    but only ~714k candidate pairs — one small shuffle, where
+    *    sparse ran 1.4 s vs dense 3.0 s (the pivot/dict fixed costs
+    *    dominate). The sparse stream's cost grows with Σ df̂ while
+    *    dense stays |docs| + bounded heaps, so an absolute volume
+    *    floor is the correct second axis; below it the whole candidate
+    *    stream is a seconds-scale job on any cluster.
+    *
+    * A mis-estimate flips only the physical plan, never output. The
+    * sample, both statistics and the verdict are logged via
+    * [[graft.StrategyLog]].
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qidCol: String, qtextCol: String,
       k: Int, k1: Double = 1.2, b: Double = 0.75,
       rationalIdf: Boolean = false,
-      denseAboveDocs: Long = 100000L,
-      maxDenseTerms: Int = 4096): DataFrame = {
+      denseMinDocs: Long = 4096L,
+      maxDenseTerms: Int = 4096,
+      sampleDocs: Int = 2048,
+      denseAboveCandidateRatio: Double = 0.25,
+      denseMinCandidatePairs: Long = 1L << 24): DataFrame = {
     val spark = docs.sparkSession
     val dtoks = docs.select(col(idCol).as("__did"),
       TextFunctions.tokens(col(textCol)).as("__dt"))
@@ -191,35 +231,57 @@ object Retrieval {
         if (integral(dIdType)) "sparse" else "sparse-window", reason)
       sparsePath()
     }
-    // Physical strategy switch: docs count is the cheap conservative
-    // proxy for the true decider (Σ df over query terms — measuring it
-    // exactly would cost a postings pass of its own). The dict collect
-    // is bounded by 4·|queries| ∩ vocabulary; queries are broadcast-
-    // small by this operator's contract. Every decision (and the proxy
+    // Physical strategy switch (r13, VERDICT r12 item 6): the decider
+    // is the MEASURED candidate ratio (scaladoc above), estimated from
+    // a bounded document sample — the exact Σ df would cost the
+    // postings pass the decision exists to avoid. The dict collect is
+    // bounded by 4·|queries| ∩ vocabulary; queries are broadcast-small
+    // by this operator's contract. Every decision (and the measured
     // values that drove it) is recorded in [[graft.StrategyLog]] —
     // Bench/Verify surface it in their artifacts so a future corpus
-    // landing on the wrong side of the boundary is visible post-hoc
-    // (r12, VERDICT r11 item 5).
+    // landing on the wrong side of the boundary is visible post-hoc.
     //
-    // Dense preconditions beyond size (r12, ADVICE): Bm25DaatAgg keys
-    // its heaps by LONG ids, so the dense path needs INTEGRAL (long-
-    // castable without loss) doc AND query id columns, and non-null
-    // query ids — a string/decimal id corpus above the threshold, or a
-    // null query id, falls back to sparse (which supports any id type)
-    // instead of failing analysis or silently dropping rows.
+    // Dense preconditions beyond the ratio (r12, ADVICE): Bm25DaatAgg
+    // keys its heaps by LONG ids, so the dense path needs INTEGRAL
+    // (long-castable without loss) doc AND query id columns, and
+    // non-null query ids — a string/decimal id corpus in the dense
+    // regime, or a null query id, falls back to sparse (which supports
+    // any id type) instead of failing analysis or silently dropping
+    // rows.
     val nDocs = docs.count()
     val ranked =
-      if (nDocs <= denseAboveDocs)
-        sparse(s"nDocs=$nDocs <= denseAboveDocs=$denseAboveDocs")
+      if (nDocs < denseMinDocs)
+        sparse(s"nDocs=$nDocs < denseMinDocs=$denseMinDocs " +
+          "(below the sample size the sample IS the corpus, and the " +
+          "worst-case sparse state is sampleDocs-bounded)")
       else if (!integral(dIdType) || !integral(qIdType))
         sparse(s"non-integral ids (doc=$dIdType, query=$qIdType), " +
           s"nDocs=$nDocs")
       else {
-        val terms = qterms.select(col("__qterm")).distinct()
-          .collect().map(_.getString(0)).sorted
+        // ONE driver collect of the (query, term) pairs — bounded by
+        // the broadcast-small query contract — feeds the dict, both
+        // ratio statistics AND the dense slot lists below; only the
+        // sampled-df estimate needs a (bounded) corpus-side job.
+        val qtRows = qterms.collect()
+        val terms = qtRows.map(_.getString(1)).distinct.sorted
+        lazy val qGroups = qtRows.groupBy(r => Option(r.get(0)))
+        lazy val nQueries = qGroups.size.toLong
+        lazy val ratio = candidateRatio(dtoks,
+          qtRows.map(_.getString(1)), terms, nDocs, sampleDocs, nQueries)
+        lazy val estPairs = (ratio * nDocs * nQueries).toLong
         if (terms.isEmpty || terms.length > maxDenseTerms)
           sparse(s"dict=${terms.length} outside (0, $maxDenseTerms], " +
             s"nDocs=$nDocs")
+        else if (ratio < denseAboveCandidateRatio)
+          sparse(f"candidateRatio=$ratio%.4f < " +
+            f"$denseAboveCandidateRatio%.2f (sampled df over " +
+            s"${math.min(sampleDocs.toLong, nDocs)} docs), nDocs=$nDocs")
+        else if (estPairs < denseMinCandidatePairs)
+          sparse(f"candidateRatio=$ratio%.4f but estPairs=$estPairs < " +
+            s"denseMinCandidatePairs=$denseMinCandidatePairs " +
+            s"(one small shuffle), nDocs=$nDocs")
+        else if (qGroups.contains(None))
+          sparse(s"null query ids present, nDocs=$nDocs")
         else {
           import spark.implicits._
           val dict = terms.toSeq.zipWithIndex.toDF("__qterm", "__idx")
@@ -239,48 +301,78 @@ object Retrieval {
           val docVec = pivoted.select(
             col("__did").cast("long").as("__did"),
             array(terms.indices.map(i => col(s"`$i`")): _*).as("__cv"))
-          // query slot lists, driver-collected under the broadcast-small
-          // contract (bounded by |queries| rows of ≤ a few ints each)
-          val qslotRows = qterms
-            .join(broadcast(dict), Seq("__qterm"))
-            .groupBy(col("query_id").cast("long").as("__qid"))
-            .agg(sort_array(collect_list(col("__idx"))).as("__slots"))
-            .collect()
-          if (qslotRows.exists(_.isNullAt(0)))
-            sparse(s"null query ids present, nDocs=$nDocs")
-          else {
-            graft.StrategyLog.record("bm25TopK", "dense",
-              s"nDocs=$nDocs > $denseAboveDocs, dict=${terms.length}, " +
-                s"queries=${qslotRows.length}")
-            val queryIds = qslotRows.map(_.getLong(0)).toSeq
-            val querySlots = qslotRows.map(
-              _.getSeq[Int](1)).toSeq
-            // document-at-a-time evaluation: ONE aggregate pass over the
-            // 500k-ish doc vectors scores all queries in a primitive
-            // loop with a bounded heap per query — no |docs|·|queries|
-            // rows ever materialize (the per-pair BNLJ+SlotSum+topk_agg
-            // formulation measured 538 s at sf10r; this is the same
-            // arithmetic minus the row machinery). SlotSum remains the
-            // per-pair kernel for callers that need pair-level scores.
-            val bridge = org.apache.spark.sql.graft.ColumnBridge
-            val daat = bridge.column(graft.expressions.Bm25DaatAgg(
-              bridge.expression(col("__cv")),
-              bridge.expression(col("__did")),
-              queryIds, querySlots, k).toAggregateExpression())
-            docVec.agg(daat.as("__t"))
-              .select(explode(col("__t")).as("__e"))
-              // ids went through a widening long cast on the way in
-              // (integral-only, so lossless and injective); cast back to
-              // the caller's schema on the way out
-              .select(col("__e.query_id").cast(qIdType).as("query_id"),
-                col("__e.id").cast(dIdType).as("__did"),
-                col("__e.rank").cast("int").as("rank"),
-                col("__e.score_fp").as("score_micro"))
-          }
+          graft.StrategyLog.record("bm25TopK", "dense",
+            f"candidateRatio=$ratio%.4f >= " +
+              f"$denseAboveCandidateRatio%.2f, estPairs=$estPairs, " +
+              s"nDocs=$nDocs, dict=${terms.length}, " +
+              s"queries=$nQueries")
+          // query slot lists from the same collected rows (ids are
+          // integral by the guard above — lossless long widening)
+          val termIdx = terms.zipWithIndex.toMap
+          val slotPairs = qGroups.toSeq
+            .map { case (qid, rows) =>
+              (qid.get.asInstanceOf[Number].longValue(),
+                rows.map(r => termIdx(r.getString(1))).sorted.toSeq)
+            }.sortBy(_._1)
+          val queryIds = slotPairs.map(_._1)
+          val querySlots = slotPairs.map(_._2)
+          // document-at-a-time evaluation: ONE aggregate pass over the
+          // 500k-ish doc vectors scores all queries in a primitive
+          // loop with a bounded heap per query — no |docs|·|queries|
+          // rows ever materialize (the per-pair BNLJ+SlotSum+topk_agg
+          // formulation measured 538 s at sf10r; this is the same
+          // arithmetic minus the row machinery). SlotSum remains the
+          // per-pair kernel for callers that need pair-level scores.
+          val bridge = org.apache.spark.sql.graft.ColumnBridge
+          val daat = bridge.column(graft.expressions.Bm25DaatAgg(
+            bridge.expression(col("__cv")),
+            bridge.expression(col("__did")),
+            queryIds, querySlots, k).toAggregateExpression())
+          docVec.agg(daat.as("__t"))
+            .select(explode(col("__t")).as("__e"))
+            // ids went through a widening long cast on the way in
+            // (integral-only, so lossless and injective); cast back to
+            // the caller's schema on the way out
+            .select(col("__e.query_id").cast(qIdType).as("query_id"),
+              col("__e.id").cast(dIdType).as("__did"),
+              col("__e.rank").cast("int").as("rank"),
+              col("__e.score_fp").as("score_micro"))
         }
       }
     ranked.select(col("query_id"), col("__did").as("doc_id"),
       col("rank").cast("long").as("rank"), col("score_micro"))
+  }
+
+  /** The estimated sparse candidate-pair stream as a fraction of
+    * |docs|·|queries| (see [[bm25TopK]]'s scaladoc): per-term df is
+    * measured over a bounded sample of `sampleDocs` documents and
+    * scaled to the corpus, weighted by each term's query multiplicity
+    * (`qtermOccurrences`, already driver-side from the caller's one
+    * query collect). ONE bounded plan-time job — the sampled-df
+    * aggregate over ≤ sampleDocs tokenized docs. A sample mis-estimate
+    * flips only the physical strategy, never output.
+    */
+  private def candidateRatio(dtoks: DataFrame,
+      qtermOccurrences: Array[String], terms: Array[String],
+      nDocs: Long, sampleDocs: Int, nQueries: Long): Double = {
+    val spark = dtoks.sparkSession
+    import spark.implicits._
+    val sampleN = math.min(sampleDocs.toLong, nDocs)
+    if (sampleN == 0 || nQueries == 0) return 0.0
+    val dict = broadcast(terms.toSeq.toDF("__st"))
+    val dfSample = dtoks.limit(sampleDocs)
+      .select(col("__did"), explode_outer(col("__dt")).as("__t"))
+      .where(col("__t").isNotNull)
+      .join(dict, col("__t") === col("__st"), "left_semi")
+      .distinct() // df counts DOCS containing the term, not occurrences
+      .groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val qCounts = qtermOccurrences.groupBy(identity)
+      .map { case (t, occ) => t -> occ.length.toLong }
+    terms.iterator.map { t =>
+      (dfSample.getOrElse(t, 0L).toDouble / sampleN) *
+        qCounts.getOrElse(t, 0L)
+    }.sum / nQueries
   }
 
   /** Reciprocal Rank Fusion: merge N ranked lists — lexical BM25,

@@ -53,12 +53,15 @@ object TimeQuery {
         println(s"=== $name (final adaptive plan) ===")
         println(df.queryExecution.executedPlan.toString)
       } else {
+        graft.StrategyLog.drain()
         val times = (1 to n).map { _ =>
           val t0 = System.nanoTime()
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         }
         println(f"[timequery] $name runs=${times.map(t => f"$t%.3f").mkString(",")} min=${times.min}%.3f")
+        graft.StrategyLog.render(graft.StrategyLog.drain())
+          .foreach(d => println(s"[timequery]   strategy: $d"))
       }
     }
     spark.stop()
