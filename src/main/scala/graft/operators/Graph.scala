@@ -415,7 +415,12 @@ object Graph {
           s"label store $storeDir was written with parts=$stored; " +
             s"updating with parts=$parts would scatter components into " +
             "wrong partitions")
-      case None => writeManifest(spark, storeDir, parts) // heal pre-r10 store
+        graft.StrategyLog.record("labelStore", "adopt",
+          s"parts=$parts (manifest match)")
+      case None =>
+        graft.StrategyLog.record("labelStore", "heal-manifest",
+          s"parts=$parts (pre-manifest store)")
+        writeManifest(spark, storeDir, parts) // heal pre-r10 store
     }
     // r10 restructure (VERDICT r9 items 7+9): the r9 shape ran FOUR
     // full store scans per batch (endpoint lookup, affected-member

@@ -904,8 +904,20 @@ object Similarity {
       centroids
     }
 
-    if (fs.exists(hPath)) loadValidated().getOrElse(trainAndWrite())
-    else trainAndWrite()
+    // every adopt/train resolution is a runtime strategy (r13, VERDICT
+    // r12 item 7): a store that silently fails validation and retrains
+    // per JVM is invisible without this line (the q160/q100 class)
+    if (fs.exists(hPath)) loadValidated() match {
+      case Some(c) =>
+        graft.StrategyLog.record("ivfQuantizer", "adopt", key)
+        c
+      case None =>
+        graft.StrategyLog.record("ivfQuantizer", "retrain-invalid", key)
+        trainAndWrite()
+    } else {
+      graft.StrategyLog.record("ivfQuantizer", "train", key)
+      trainAndWrite()
+    }
   }
 
   /** Scale-ADAPTIVE top-k candidate generation: exact brute force below
@@ -937,10 +949,15 @@ object Similarity {
       storeDir: String, exactThreshold: Long = 4096L,
       nprobe: Int = 4, seed: Int = 42): DataFrame = {
     val fp = corpusFingerprint(corpus, idCol, seed, Some(vecCol))
-    if (fp._1 <= exactThreshold)
+    if (fp._1 <= exactThreshold) {
+      graft.StrategyLog.record("adaptiveTopK", "exact",
+        s"n=${fp._1} <= exactThreshold=$exactThreshold")
       bruteForceTopK(corpus, queries, idCol, vecCol, k)
-    else {
+    } else {
       val nlist = autoNlist(fp._1)
+      graft.StrategyLog.record("adaptiveTopK", "ivf",
+        s"n=${fp._1} > exactThreshold=$exactThreshold, " +
+          s"autoNlist=$nlist, nprobe=${math.min(nprobe, nlist)}")
       val centroids = trainOrLoadIvfCentroids(corpus, idCol, vecCol, dim,
         nlist, storeDir, seed = seed, fingerprint = Some(fp))
       ivfTopK(corpus, queries, idCol, vecCol, k, centroids,

@@ -203,18 +203,28 @@ object Bucketing {
     */
   def adoptBucketed(spark: SparkSession, table: String,
       bucketCols: Seq[String], buckets: Int): Boolean = {
-    if (spark.catalog.tableExists(table)) return true
+    // adopt/rebuild resolutions are runtime strategies (r13, VERDICT
+    // r12 item 7): a store that silently fails adoption and rebuilds
+    // per JVM is a perf cliff invisible without the log line
+    def log(strategy: String, detail: String): Boolean = {
+      graft.StrategyLog.record("bucketedStore", strategy,
+        s"table=$table, $detail")
+      strategy == "adopt" || strategy == "already-registered"
+    }
+    if (spark.catalog.tableExists(table))
+      return log("already-registered", s"buckets=$buckets")
     val loc = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(loc)) return false
+    if (!fs.exists(loc)) return log("rebuild-missing", "no directory")
     val entries = fs.listStatus(loc)
     val committed = entries.exists(_.getPath.getName == "_SUCCESS") &&
       !entries.exists(_.getPath.getName == "_temporary") &&
       entries.exists(e => e.isFile && e.getPath.getName.startsWith("part-"))
-    if (!committed) return false
+    if (!committed) return log("rebuild-uncommitted", "no _SUCCESS/part-")
     val markerPath = new org.apache.hadoop.fs.Path(loc, markerName)
-    if (!fs.exists(markerPath)) return false
+    if (!fs.exists(markerPath))
+      return log("rebuild-markerless", "no bucket-spec marker")
     val marker = {
       val in = fs.open(markerPath)
       try new String(in.readAllBytes(),
@@ -237,7 +247,7 @@ object Bucketing {
          |CLUSTERED BY ($sortCols) SORTED BY ($sortCols)
          |INTO $buckets BUCKETS
          |LOCATION '${loc.toString}'""".stripMargin)
-    true
+    log("adopt", s"buckets=$buckets on ${bucketCols.mkString(",")}")
   }
 
   /** (numBuckets, bucketColumns) of a catalog table, if bucketed. */
