@@ -126,11 +126,16 @@ object Bench {
     // bench.json's "errors" map: r10's single bench failure was
     // undiagnosable post-hoc because the message went only to stderr,
     // whose harness-kept tail was warning spam.
+    // SPARK_GRAFT_NOSAMPLER=1 disables the stall sampler (driver never
+    // sets it): the r12→r13 drift adjudication needs one controlled run
+    // with the sampler out of the picture to bound its overhead from
+    // the artifact side (its design cost is ~1 ms per 500 ms).
+    val noSampler = sys.env.get("SPARK_GRAFT_NOSAMPLER").contains("1")
     def once(name: String, runIdx: Int,
         fn: (org.apache.spark.sql.SparkSession, String)
         => org.apache.spark.sql.DataFrame): (Double, Boolean, Option[String]) = {
-      val sampler = new StallSampler
-      sampler.start()
+      val sampler = if (noSampler) null else new StallSampler
+      if (sampler != null) sampler.start()
       val t0 = System.nanoTime()
       val err: Option[String] =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
@@ -144,9 +149,11 @@ object Bench {
           Some(msg)
         }
       val sec = (System.nanoTime() - t0) / 1e9
-      val profile = sampler.finish()
-      if (sec >= 5.0 && stallProfiles.size < 15)
-        stallProfiles(s"$name#$runIdx") = (sec, profile)
+      if (sampler != null) {
+        val profile = sampler.finish()
+        if (sec >= 5.0 && stallProfiles.size < 15)
+          stallProfiles(s"$name#$runIdx") = (sec, profile)
+      }
       (sec, err.isEmpty, err)
     }
     def f(d: Double): String = BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
