@@ -800,7 +800,7 @@ object Queries {
     val snap = t(s, dir, "documents").select(col("doc_id"), col("text"))
     val batchSrc = mutatedCopy(snap)
     val base = new org.apache.hadoop.fs.Path(
-      Scratch.dir("graft_q100_state").getPath)
+      Scratch.fastDir("graft_q100_state").getPath)
     val cp = Scratch.cpDir("graft_q100").getPath
     val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(base)) fs.delete(base, true)
@@ -1843,7 +1843,7 @@ object Queries {
     val old = edges.where(col("src") < 1000000L)
     val batchSrc = edges.where(col("src") >= 1000000L)
     val base = new org.apache.hadoop.fs.Path(
-      Scratch.dir("graft_q119").getPath)
+      Scratch.fastDir("graft_q119").getPath)
     val cp = Scratch.cpDir("graft_q119").getPath
     val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(base)) fs.delete(base, true)
@@ -5064,7 +5064,7 @@ object Queries {
     // still reads the files lazily, so deleting eagerly here would
     // break the caller's subsequent action).
     val base = new org.apache.hadoop.fs.Path(
-      Scratch.dir("graft_q90_state").getPath)
+      Scratch.fastDir("graft_q90_state").getPath)
     val cp = Scratch.cpDir("graft_q90").getPath
     val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(base)) fs.delete(base, true)
@@ -5623,7 +5623,7 @@ object Queries {
     val src = events(s, dir).filter(col("user_id") < 200)
       .select(col("event_id"), col("user_id"), col("event_type"))
     val base = new org.apache.hadoop.fs.Path(
-      Scratch.dir("graft_q132").getPath)
+      Scratch.fastDir("graft_q132").getPath)
     val cp = Scratch.cpDir("graft_q132").getPath
     val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(base)) fs.delete(base, true)
@@ -6651,7 +6651,7 @@ object Queries {
     val src = t(s, dir, "documents")
       .select(col("doc_id"), col("source"), col("text"))
     val base = new org.apache.hadoop.fs.Path(
-      Scratch.dir("graft_q150").getPath)
+      Scratch.fastDir("graft_q150").getPath)
     val cp = Scratch.cpDir("graft_q150").getPath
     val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(base)) fs.delete(base, true)
@@ -7550,7 +7550,7 @@ object Queries {
         col("event_id"))
       .where(col("value").isNotNull)
     val base = new org.apache.hadoop.fs.Path(
-      Scratch.dir("graft_q164").getPath)
+      Scratch.fastDir("graft_q164").getPath)
     val cp = Scratch.cpDir("graft_q164").getPath
     val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(base)) fs.delete(base, true)
@@ -8943,7 +8943,7 @@ object Queries {
     val src = events(s, dir).select(col("event_id"), col("event_type"),
       col("user_id"))
     val base = new org.apache.hadoop.fs.Path(
-      Scratch.dir("graft_q187").getPath)
+      Scratch.fastDir("graft_q187").getPath)
     val cp = Scratch.cpDir("graft_q187").getPath
     val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(base)) fs.delete(base, true)

@@ -52,6 +52,23 @@ object Scratch {
   def fastRoot: String = shmRoot.map(_.getPath)
     .getOrElse(System.getProperty("java.io.tmpdir"))
 
+  /** [[dir]] on the fast root: for scratch whose TOTAL size stays
+    * small at every benched scale (the streaming replay queries'
+    * stage/out dirs — bounded by one filtered table copy, ≤ a few
+    * hundred MB at sf10r). The r13 bench measured the replay queries
+    * 2-4× slower in-suite than standalone with every dominant stall
+    * frame in small-file create/rename on the disk tmpdir; their
+    * staging I/O is latency-bound, not capacity-bound, which is
+    * tmpfs's exact trade. Genuinely bulk scratch (q121's format
+    * round-trip leaves ~12 GB per run at sf10) must stay on [[dir]].
+    */
+  def fastDir(prefix: String): java.io.File = {
+    val f = new java.io.File(fastRoot,
+      s"${prefix}_${java.util.UUID.randomUUID().toString.take(8)}")
+    created.add(f)
+    f
+  }
+
   /** Allocate a fresh STREAMING-CHECKPOINT scratch path, registered for
     * [[reap]] like [[dir]], but placed on tmpfs (/dev/shm) when one is
     * available.
