@@ -151,8 +151,16 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       if (sampler != null) {
         val profile = sampler.finish()
-        if (sec >= 5.0 && stallProfiles.size < 15)
+        // keep the 15 SLOWEST profiled runs, not the first 15 (r13:
+        // the sf10r sweep's early 5-10 s runs filled the buffer before
+        // the 200-400 s rows it exists to explain arrived)
+        if (sec >= 5.0) {
           stallProfiles(s"$name#$runIdx") = (sec, profile)
+          if (stallProfiles.size > 15) {
+            val evict = stallProfiles.minBy(_._2._1)._1
+            stallProfiles.remove(evict)
+          }
+        }
       }
       (sec, err.isEmpty, err)
     }
