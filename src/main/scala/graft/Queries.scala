@@ -7558,7 +7558,7 @@ object Queries {
     val stage = s"$base/stage"
     // KB-scale sketch store, rewritten once per micro-batch: fast
     // (tmpfs-preferred) root like q158/q160's stores
-    val store = Scratch.cpDir("graft_q164_store").getPath
+    val store = Scratch.fastDir("graft_q164_store").getPath
     (0 until 3).foreach { i =>
       ev.filter(col("event_id") % 3 === i)
         .coalesce(1).write.mode("append").parquet(stage)

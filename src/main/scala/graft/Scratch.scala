@@ -35,21 +35,28 @@ object Scratch {
     f
   }
 
-  /** tmpfs root for streaming-checkpoint scratch, or None when /dev/shm
-    * is absent/unwritable/too small. Resolved once per JVM.
+  /** tmpfs candidate for latency-sensitive scratch, or None when
+    * /dev/shm is absent or unwritable. Capacity is re-checked at EVERY
+    * allocation (r13 review): tmpfs fills as the suite runs, and a
+    * one-shot class-load check would keep routing staging onto a
+    * nearly-full tmpfs mid-sweep — the ENOSPC failure class [[reap]]
+    * exists to prevent, made harder to see because Bench's low-space
+    * guard watches java.io.tmpdir, not /dev/shm.
     */
-  private val shmRoot: Option[java.io.File] = {
+  private val shmCandidate: Option[java.io.File] = {
     val shm = new java.io.File("/dev/shm")
-    if (shm.isDirectory && shm.canWrite && shm.getUsableSpace > (4L << 30))
-      Some(shm)
-    else None
+    if (shm.isDirectory && shm.canWrite) Some(shm) else None
   }
 
   /** Root for SMALL latency-sensitive scratch (streaming checkpoints,
-    * KB-scale sketch stores): tmpfs when available, else tmpdir. Bulk
-    * data must keep using [[dir]] — tmpfs capacity is RAM.
+    * KB-scale sketch stores, bounded replay staging): tmpfs when it
+    * currently has ≥ 16 GiB usable, else the disk tmpdir. Re-evaluated
+    * per call; a filling tmpfs degrades new allocations to the slow
+    * disk instead of failing writes hard. Genuinely bulk data must
+    * keep using [[dir]] — tmpfs capacity is RAM.
     */
-  def fastRoot: String = shmRoot.map(_.getPath)
+  def fastRoot: String = shmCandidate
+    .filter(_.getUsableSpace > (16L << 30)).map(_.getPath)
     .getOrElse(System.getProperty("java.io.tmpdir"))
 
   /** [[dir]] on the fast root: for scratch whose TOTAL size stays
@@ -69,12 +76,10 @@ object Scratch {
     f
   }
 
-  /** Allocate a fresh STREAMING-CHECKPOINT scratch path, registered for
-    * [[reap]] like [[dir]], but placed on tmpfs (/dev/shm) when one is
-    * available.
+  /** [[fastDir]] with a `_cp` name infix: STREAMING-CHECKPOINT scratch.
     *
-    * Why checkpoints specifically get tmpfs (r13, adjudicated by
-    * `tools.CheckpointProbe`): every streaming micro-batch commits
+    * Why checkpoints specifically need the fast root (r13, adjudicated
+    * by `tools.CheckpointProbe`): every streaming micro-batch commits
     * offset/commit metadata through create-temp → hsync → rename, and
     * Spark 4.1's ChecksumCheckpointFileManager (default ON) doubles
     * every one of those ops with a sibling .checksum file. On this
@@ -82,17 +87,10 @@ object Scratch {
     * 15.9 ms p99 under load vs 0.025 ms on tmpfs — the r12 bench ran
     * q132/q187 at 20-42 s/run with ~90% of stall samples inside the
     * checksum manager's renameTempFile. Replay-harness checkpoints are
-    * ephemeral (one AvailableNow run, then reaped) and tiny (KB-scale
-    * metadata + bounded dedup/agg state), so tmpfs residency is safe;
-    * bulk staging data stays on [[dir]]'s disk-backed tmpdir where
-    * capacity lives.
+    * ephemeral (one AvailableNow run, then reaped) and KB-scale
+    * metadata + bounded dedup/agg state.
     */
-  def cpDir(prefix: String): java.io.File = {
-    val f = new java.io.File(fastRoot,
-      s"${prefix}_cp_${java.util.UUID.randomUUID().toString.take(8)}")
-    created.add(f)
-    f
-  }
+  def cpDir(prefix: String): java.io.File = fastDir(s"${prefix}_cp")
 
   /** Delete every scratch path THIS JVM allocated since the last reap.
     * Callers invoke it between fully-materialized units of work (Bench

@@ -89,9 +89,12 @@ object Percentiles {
     exact(df, groupCols, valueCol, probes, windowBelowRows, None)
 
   /** As [[exact]], with CALLER-SUPPLIED `(min, max, nonNullCount)` of
-    * the NaN-free value stream — callers running the operator over many
-    * columns of one table (Profile) compute every column's bounds in a
-    * single shared scan and skip the per-call eager bounds job. The
+    * the NaN-free value stream — for callers that already hold GLOBAL
+    * column stats from their own shared scan and want to skip the
+    * per-call eager bounds job. (Profile used this shape through r12;
+    * it now supplies PER-GROUP bounds via [[exactWithGroupStats]],
+    * which keeps a narrow-range group spread across chunks — prefer
+    * that when a per-group scan is affordable.) The
     * count drives the window/chunked cutover; the bounds drive chunk
     * ALIGNMENT only — a stale-but-finite pair skews chunk balance,
     * never results (out-of-range values land in the end chunks, which
@@ -210,9 +213,10 @@ object Percentiles {
 
   /** As [[exactWithStats]], but with PER-GROUP bounds from the caller's
     * shared scan: `gb` must carry the group columns plus NaN-free
-    * `__bmn`/`__bmx` and a `__bc` row count per group (what one
-    * `groupBy(groupCols).agg(min, max, count)` over the non-null value
-    * stream measures). Multi-column profilers (q85) compute every
+    * `__bmn`/`__bmx` per group (what one
+    * `groupBy(groupCols).agg(min, max)` over the non-null value
+    * stream measures; `total` arrives as a parameter, so no count
+    * column is read from `gb`). Multi-column profilers (q85) compute every
     * column's per-group stats in ONE scan and call this per column —
     * per-group scaling keeps a large group confined to a sliver of the
     * global range spread across chunks (the r12.2 fix), which the
@@ -299,8 +303,15 @@ object Percentiles {
       val lo = min(when(col("__rk") === floor(pos(p)), col(valueCol)))
       val hi = min(when(col("__rk") === ceil(pos(p)), col(valueCol)))
       val position = first(pos(p))
-      // exact ranks: interpolation degenerates to the value itself
+      // exact ranks: interpolation degenerates to the value itself.
+      // EQUAL boundary values also short-circuit (r13): Spark's
+      // Percentile returns early when lowerKey == higherKey, and
+      // DuckDB's `lo + f·(hi−lo)` is exact there, but the weighted
+      // form is NOT — in the subnormal range 0.5·x + 0.5·x rounds each
+      // product down a ulp and returns 4/5 of x (PercentilesSpec pins
+      // the case). The short-circuit matches both engines bit-for-bit.
       when(first(floor(pos(p))) === first(ceil(pos(p))), lo)
+        .when(lo === hi, lo)
         .otherwise((first(ceil(pos(p))) - position) * lo
           + (position - first(floor(pos(p)))) * hi)
         .as(s"p$label")
@@ -396,21 +407,32 @@ object Percentiles {
     // bounds exclude NaN, so the scaled form never sees one).
     // Out-of-range values (stale supplied bounds) clamp into the end
     // chunks, which stay order-aligned.
-    def scaledChunk(mnC: Column, spanHalfC: Column, onFlat: Column): Column =
+    // The ALL-TIED test is the exact `mn === mx`, NEVER the halved
+    // span (r13 review): for subnormal-magnitude bounds the halves can
+    // round to EQUAL doubles while mn != mx (mx/2 − mn/2 == 0 for
+    // distinct values under ~4.5e-308), and salting genuinely distinct
+    // values would corrupt ranks. A zero-or-negative half-span whose
+    // endpoints are NOT equal is therefore "unscalable" (subnormal
+    // collapse), routed to the same explicit single chunk as the ±Inf
+    // endpoints — order-alignment holds trivially, parallelism is
+    // sacrificed only for that degenerate group.
+    def scaledChunk(mnC: Column, mxC: Column, onFlat: Column): Column = {
+      val spanHalf = mxC / 2 - mnC / 2
       when(isnan(vd), lit(nChunks - 1L))
-        .when(mnC.isNull || spanHalfC <= 0, onFlat)
-        .when(isnan(spanHalfC) ||
-          spanHalfC === lit(Double.PositiveInfinity), lit(0L))
+        .when(mnC.isNull || mnC === mxC, onFlat)
+        .when(isnan(spanHalf) || spanHalf <= 0 ||
+          spanHalf === lit(Double.PositiveInfinity), lit(0L))
         .otherwise(least(lit(nChunks - 1L),
           greatest(lit(0L),
-            floor((vd / 2 - mnC / 2) / spanHalfC * lit(nChunks.toDouble))
+            floor((vd / 2 - mnC / 2) / spanHalf * lit(nChunks.toDouble))
               .cast("long"))))
+    }
     val chunked = bounds match {
       case SuppliedBounds((mn, mx)) =>
-        val chunk = scaledChunk(lit(mn), lit(mx / 2 - mn / 2), lit(0L))
+        val chunk = scaledChunk(lit(mn), lit(mx), lit(0L))
         base.select(g :+ col(valueCol) :+ chunk.as("__chunk"): _*)
       case MeasuredGlobal((mn, mx)) =>
-        val chunk = scaledChunk(lit(mn), lit(mx / 2 - mn / 2), salted)
+        val chunk = scaledChunk(lit(mn), lit(mx), salted)
         base.select(g :+ col(valueCol) :+ chunk.as("__chunk"): _*)
       case PerGroupBounds(gb) =>
         // broadcast the checkpointed |groups|-row bounds table back
@@ -420,8 +442,7 @@ object Percentiles {
           col("__bmn") :+ col("__bmx"): _*)
         val cond = groupCols.map(c => col(c) <=> col(s"__bg_$c"))
           .reduceOption(_ && _).getOrElse(lit(true))
-        val chunk = scaledChunk(col("__bmn"),
-          col("__bmx") / 2 - col("__bmn") / 2, salted)
+        val chunk = scaledChunk(col("__bmn"), col("__bmx"), salted)
         base.join(broadcast(gbR), cond)
           .select(g :+ col(valueCol) :+ chunk.as("__chunk"): _*)
     }

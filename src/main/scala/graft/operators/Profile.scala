@@ -66,8 +66,7 @@ object Profile {
           min(col(c)).cast("double").as("min"),
           max(col(c)).cast("double").as("max"))
       val gb = gstats.select(col(groupCol),
-        col(s"__mn_$c").as("__bmn"), col(s"__mx_$c").as("__bmx"),
-        col(s"__n_$c").as("__bc"))
+        col(s"__mn_$c").as("__bmn"), col(s"__mx_$c").as("__bmx"))
       val total = if (rollRow.isNullAt(1 + i)) 0L else rollRow.getLong(1 + i)
       val quartiles = Percentiles.exactWithGroupStats(df, Seq(groupCol), c,
           Seq(0.25 -> "25", 0.5 -> "50", 0.75 -> "75"),

@@ -272,6 +272,13 @@ object Retrieval {
         if (terms.isEmpty || terms.length > maxDenseTerms)
           sparse(s"dict=${terms.length} outside (0, $maxDenseTerms], " +
             s"nDocs=$nDocs")
+        // the null-qid veto is a free driver-side lookup on the rows
+        // already collected — it must run BEFORE the lazy ratio forces
+        // the sampled-df Spark job (r13 review: the job's result would
+        // be discarded, and a null-qid + low-ratio corpus would log the
+        // ratio as the fallback reason instead of the real veto)
+        else if (qGroups.contains(None))
+          sparse(s"null query ids present, nDocs=$nDocs")
         else if (ratio < denseAboveCandidateRatio)
           sparse(f"candidateRatio=$ratio%.4f < " +
             f"$denseAboveCandidateRatio%.2f (sampled df over " +
@@ -280,8 +287,6 @@ object Retrieval {
           sparse(f"candidateRatio=$ratio%.4f but estPairs=$estPairs < " +
             s"denseMinCandidatePairs=$denseMinCandidatePairs " +
             s"(one small shuffle), nDocs=$nDocs")
-        else if (qGroups.contains(None))
-          sparse(s"null query ids present, nDocs=$nDocs")
         else {
           import spark.implicits._
           val dict = terms.toSeq.zipWithIndex.toDF("__qterm", "__idx")

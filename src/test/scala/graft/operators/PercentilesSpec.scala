@@ -427,6 +427,39 @@ class PercentilesSpec extends SparkSpec {
     }
   }
 
+  test("subnormal-magnitude spans never salt distinct values (all-tied test is exact mn===mx)") {
+    // r13 review: the halved endpoints (overflow fix) can round to
+    // EQUAL doubles for distinct subnormal-range bounds (mx/2 − mn/2
+    // == 0 with mn != mx below ~4.5e-308). Salting those
+    // non-interchangeable rows across chunks would corrupt ranks, so
+    // the all-tied decision compares the exact bounds and a collapsed
+    // half-span routes to one explicit chunk. Values must stay
+    // bit-identical to the aggregate.
+    val mp = java.lang.Double.MIN_VALUE // 4.9e-324
+    val rows = (0 until 600).map { i =>
+      ("sub", if (i % 3 == 0) 4 * mp else 5 * mp)
+    } ++ (0 until 600).map(i => ("wide", i.toDouble))
+    val df = rows.toDF("g", "v").repartition(8)
+    val probes = Seq(0.0 -> "0", 0.5 -> "50", 1.0 -> "100")
+    val want = df.groupBy(col("g"))
+      .agg(percentile(col("v"), array(probes.map(p => lit(p._1)): _*))
+        .as("p"))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getSeq[Double](1).toIndexedSeq))
+    val got = Percentiles.exact(df, Seq("g"), "v", probes, 0L)
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), probes.indices.map(i => r.getDouble(i + 1))))
+    assert(got.length === want.length)
+    got.zip(want).foreach { case ((g1, v1), (g2, v2)) =>
+      assert(g1 === g2)
+      v1.zip(v2).foreach { case (a, b) =>
+        assert(java.lang.Double.doubleToRawLongBits(a)
+          === java.lang.Double.doubleToRawLongBits(b),
+          s"group $g1: $a vs $b differ at bit level")
+      }
+    }
+  }
+
   test("interpolation between two values uses Spark's weighted form") {
     val df = Seq(("a", 10.0), ("a", 20.0)).toDF("g", "v")
     val got = Percentiles.exact(df, Seq("g"), "v", Seq(0.25 -> "25"))
