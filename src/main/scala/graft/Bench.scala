@@ -63,6 +63,22 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
+    // Pre-suite device probe (r14, VERDICT item 4): measure the
+    // create+hsync+rename cycle — the streaming-checkpoint metadata
+    // pattern — on both candidate scratch roots and embed the numbers
+    // in bench.json, so a cross-round perf delta can be split into
+    // "code changed" vs "host disk changed" from the artifact alone
+    // (the r12→r13 adjudication needed three manual runs for this).
+    // 200 cycles ≈ 0.1 s on a healthy disk — noise next to the suite.
+    def probeRoot(dir: java.io.File): Option[(Double, Double)] =
+      if (dir.isDirectory && dir.canWrite)
+        try Some(graft.tools.CheckpointProbe.fsyncRenameBench(
+          new java.io.File(dir, "graft_bench_probe"), 200))
+        catch { case _: Throwable => None }
+      else None
+    val probeDisk = probeRoot(
+      new java.io.File(System.getProperty("java.io.tmpdir")))
+    val probeShm = probeRoot(new java.io.File("/dev/shm"))
     // Warm the JVM/codegen/parquet-footer paths AND the noop datasource
     // (its first use pays DataSourceV2 lookup/init) so the first timed
     // query is not charged for session startup.
@@ -304,8 +320,16 @@ object Bench {
     val strategiesJson = strategies.map { case (q, ds) =>
       jstr(q) + ":[" + ds.map(jstr).mkString(",") + "]"
     }.mkString("{", ",", "}")
+    val diskProbeJson = {
+      def block(p: Option[(Double, Double)]): String = p match {
+        case Some((mean, p99)) =>
+          s"""{"mean_ms":${f(mean)},"p99_ms":${f(p99)}}"""
+        case None => "null"
+      }
+      s"""{"tmpdir":${block(probeDisk)},"shm":${block(probeShm)}}"""
+    }
     val line =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"runs":$runsJson,"errors":$errsJson,"stalls":$stallsJson,"strategies":$strategiesJson,"jit":{"compile_ms":$compileMs,"code_cache_full":$codeCacheFull,"pools":$poolsJson},"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"runs":$runsJson,"errors":$errsJson,"stalls":$stallsJson,"strategies":$strategiesJson,"jit":{"compile_ms":$compileMs,"code_cache_full":$codeCacheFull,"pools":$poolsJson},"disk_probe":$diskProbeJson,"failed":$failed,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench.json"), line + "\n")
     // The harness keeps only the last ~2000 chars of stdout, and the
     // full line above (97-query map + runs + stalls + JIT canary) is

@@ -801,7 +801,6 @@ object Queries {
     val batchSrc = mutatedCopy(snap)
     val base = new org.apache.hadoop.fs.Path(
       Scratch.fastDir("graft_q100_state").getPath)
-    val cp = Scratch.cpDir("graft_q100").getPath
     val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(base)) fs.delete(base, true)
     fs.deleteOnExit(base)
@@ -857,7 +856,7 @@ object Queries {
         batchSrc.filter(col("doc_id") % 2 === i)
           .coalesce(1).write.mode("append").parquet(stage)
       }
-      locally {
+      graft.streaming.Replay.withLocalCheckpoints(s, "graft_q100") { cp =>
         val q = s.readStream.schema(batchSrc.schema)
           .option("maxFilesPerTrigger", 1).parquet(stage)
           .writeStream.outputMode("append")
@@ -1844,7 +1843,6 @@ object Queries {
     val batchSrc = edges.where(col("src") >= 1000000L)
     val base = new org.apache.hadoop.fs.Path(
       Scratch.fastDir("graft_q119").getPath)
-    val cp = Scratch.cpDir("graft_q119").getPath
     val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(base)) fs.delete(base, true)
     fs.deleteOnExit(base)
@@ -1869,19 +1867,21 @@ object Queries {
         .coalesce(1).write.mode("append").parquet(stage)
     }
     var batches = 0
-    val q = s.readStream.schema(batchSrc.schema)
-      .option("maxFilesPerTrigger", 1).parquet(stage)
-      .writeStream.outputMode("append")
-      .option("checkpointLocation", cp)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        // parts comes from the store's own manifest (r10) — the
-        // updater can no longer contradict the writer's layout
-        Graph.updateLabelStore(storeDir, b, "src", "dst")
-        batches += 1
-      }
-      .start()
-    try q.awaitTermination() finally q.stop()
+    graft.streaming.Replay.withLocalCheckpoints(s, "graft_q119") { cp =>
+      val q = s.readStream.schema(batchSrc.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          // parts comes from the store's own manifest (r10) — the
+          // updater can no longer contradict the writer's layout
+          Graph.updateLabelStore(storeDir, b, "src", "dst")
+          batches += 1
+        }
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
     require(batches == 2,
       s"q119 replay expected 2 micro-batches, saw $batches")
     s.read.parquet(storeDir)
@@ -5065,43 +5065,44 @@ object Queries {
     // break the caller's subsequent action).
     val base = new org.apache.hadoop.fs.Path(
       Scratch.fastDir("graft_q90_state").getPath)
-    val cp = Scratch.cpDir("graft_q90").getPath
     val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(base)) fs.delete(base, true)
     fs.deleteOnExit(base)
     val paths = Seq(s"$base/s0", s"$base/s1")
     val stage = s"$base/stage"
     var step = 0
-    (0 until 3).foreach { i =>
-      src.filter(col("event_id") % 3 === i)
-        .write.mode("append").parquet(stage)
-      val q = s.readStream.schema(src.schema).parquet(stage)
-        .writeStream.outputMode("append")
-        .option("checkpointLocation", cp)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .foreachBatch { (b: DataFrame, _: Long) =>
-          // ping-pong state paths: parquet can't be overwritten while
-          // the plan still reads it, so batch i reads state i−1's path
-          // and writes the other — the write-then-swap from SURVEY §7.7
-          val existing =
-            if (step == 0)
-              s.createDataFrame(
-                s.sparkContext.emptyRDD[org.apache.spark.sql.Row], b.schema)
-            else s.read.parquet(paths((step + 1) % 2))
-          graft.operators.Dedup.upsert(existing, b,
-              Seq("user_id", "event_type"), "ts_ns",
-              Seq(col("event_id").desc))
-            .write.mode("overwrite").parquet(paths(step % 2))
-          step += 1
-        }
-        .start()
-      try q.awaitTermination() finally q.stop()
-      // one staged batch == one micro-batch: the files were committed
-      // before the cycle started and no per-trigger file limit is set,
-      // so a drained cycle advances the merge chain exactly once —
-      // anything else would silently change tie-breaking semantics
-      require(step == i + 1,
-        s"q90 replay expected ${i + 1} merged batches, saw $step")
+    graft.streaming.Replay.withLocalCheckpoints(s, "graft_q90") { cp =>
+      (0 until 3).foreach { i =>
+        src.filter(col("event_id") % 3 === i)
+          .write.mode("append").parquet(stage)
+        val q = s.readStream.schema(src.schema).parquet(stage)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", cp)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            // ping-pong state paths: parquet can't be overwritten while
+            // the plan still reads it, so batch i reads state i−1's path
+            // and writes the other — the write-then-swap from SURVEY §7.7
+            val existing =
+              if (step == 0)
+                s.createDataFrame(
+                  s.sparkContext.emptyRDD[org.apache.spark.sql.Row], b.schema)
+              else s.read.parquet(paths((step + 1) % 2))
+            graft.operators.Dedup.upsert(existing, b,
+                Seq("user_id", "event_type"), "ts_ns",
+                Seq(col("event_id").desc))
+              .write.mode("overwrite").parquet(paths(step % 2))
+            step += 1
+          }
+          .start()
+        try q.awaitTermination() finally q.stop()
+        // one staged batch == one micro-batch: the files were committed
+        // before the cycle started and no per-trigger file limit is set,
+        // so a drained cycle advances the merge chain exactly once —
+        // anything else would silently change tie-breaking semantics
+        require(step == i + 1,
+          s"q90 replay expected ${i + 1} merged batches, saw $step")
+      }
     }
     // Zero-batch guard: if no micro-batch ever committed (empty source),
     // neither ping-pong path exists — the contract is an empty result,
@@ -5624,7 +5625,6 @@ object Queries {
       .select(col("event_id"), col("user_id"), col("event_type"))
     val base = new org.apache.hadoop.fs.Path(
       Scratch.fastDir("graft_q132").getPath)
-    val cp = Scratch.cpDir("graft_q132").getPath
     val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(base)) fs.delete(base, true)
     fs.deleteOnExit(base)
@@ -5635,19 +5635,21 @@ object Queries {
         .coalesce(1).write.mode("append").parquet(stage)
     }
     var batches = 0
-    val q = s.readStream.schema(src.schema)
-      .option("maxFilesPerTrigger", 1).parquet(stage)
-      .select(col("user_id"), col("event_type"))
-      .dropDuplicates("user_id", "event_type")
-      .writeStream.outputMode("append")
-      .option("checkpointLocation", cp)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        b.write.mode("append").parquet(outP)
-        batches += 1
-      }
-      .start()
-    try q.awaitTermination() finally q.stop()
+    graft.streaming.Replay.withLocalCheckpoints(s, "graft_q132") { cp =>
+      val q = s.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+        .select(col("user_id"), col("event_type"))
+        .dropDuplicates("user_id", "event_type")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(outP)
+          batches += 1
+        }
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
     require(batches == 3,
       s"q132 replay expected 3 micro-batches, saw $batches")
     s.read.parquet(outP)
@@ -6652,7 +6654,6 @@ object Queries {
       .select(col("doc_id"), col("source"), col("text"))
     val base = new org.apache.hadoop.fs.Path(
       Scratch.fastDir("graft_q150").getPath)
-    val cp = Scratch.cpDir("graft_q150").getPath
     val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(base)) fs.delete(base, true)
     fs.deleteOnExit(base)
@@ -6663,24 +6664,26 @@ object Queries {
         .coalesce(1).write.mode("append").parquet(stage)
     }
     var batches = 0
-    val q = s.readStream.schema(src.schema)
-      .option("maxFilesPerTrigger", 1).parquet(stage)
-      .select(col("source"),
-        size(TextFunctions.tokens(col("text"))).cast("long").as("__n"),
-        when(TextFunctions.qualityScore(col("text")) >= 0.55, 1L)
-          .otherwise(0L).as("__keep"))
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("docs"), sum(col("__keep")).as("kept"),
-        sum(col("__n")).as("tokens"))
-      .writeStream.outputMode("complete")
-      .option("checkpointLocation", cp)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        b.write.mode("overwrite").parquet(outP)
-        batches += 1
-      }
-      .start()
-    try q.awaitTermination() finally q.stop()
+    graft.streaming.Replay.withLocalCheckpoints(s, "graft_q150") { cp =>
+      val q = s.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+        .select(col("source"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("__n"),
+          when(TextFunctions.qualityScore(col("text")) >= 0.55, 1L)
+            .otherwise(0L).as("__keep"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("docs"), sum(col("__keep")).as("kept"),
+          sum(col("__n")).as("tokens"))
+        .writeStream.outputMode("complete")
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("overwrite").parquet(outP)
+          batches += 1
+        }
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
     require(batches == 3,
       s"q150 replay expected 3 micro-batches, saw $batches")
     s.read.parquet(outP).orderBy(col("source"))
@@ -7165,13 +7168,27 @@ object Queries {
     // KB-scale sketch store on the fast (tmpfs-preferred) root: the
     // r12 bench host's disk ran small-parquet create/rename at 3-16 ms
     // per op (CheckpointProbe), and this store is 31 tiny files
-    val store = new java.io.File(
-      Scratch.fastRoot, "graft_q158_store").getPath
+    val store = kllStoreDir("q158")
     ev.groupBy(col("day"))
       .agg(Sketches.kllSketch(col("value"), 800).as("sk"))
       .write.mode("overwrite").parquet(store)
     kllStoreWeeklyReport(s, ev, store)
   }
+
+  /** ONE allocator for the q158/q160/q164 store-build triptych's
+    * sketch stores (r14, closes the r13 VERDICT's drift finding: the
+    * three arms placed their stores through three hand-rolled paths —
+    * two unregistered fixed names directly under `fastRoot` that were
+    * never reaped and persisted on tmpfs RAM after the JVM exited, one
+    * registered `fastDir` — so the arms could drift in I/O placement
+    * and cleanup). All three now allocate HERE: reap-registered, fast
+    * root, KB-scale `needBytes` (31 tiny day-sketch files — a busy
+    * tmpfs must not exile them to the slow disk). A fresh dir per run
+    * replaces the old delete-before-build dance, and the routing is a
+    * StrategyLog line in the artifact.
+    */
+  private def kllStoreDir(tag: String): String =
+    Scratch.fastDir(s"graft_${tag}_store", needBytes = 64L << 20).getPath
 
   /** Shared tail of q158/q160: weekly merge over a day-keyed KLL
     * sketch store + the exact-rank band verification (see q158's
@@ -7241,11 +7258,7 @@ object Queries {
     // fast root for the same reason as q158's store (r12: run-1 stalls
     // were ParquetOutputWriter init + rename on the slow disk — the
     // incremental write path is 31 day-partition files of ~KB each)
-    val store = new java.io.File(Scratch.fastRoot,
-      s"graft_q160_store_${Integer.toHexString(dir.hashCode)}").getPath
-    val fs = new org.apache.hadoop.fs.Path(store)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(store), true)
+    val store = kllStoreDir("q160")
     Sketches.writeDaySketches(ev.where(dayofmonth(col("day")) <= 21),
       "day", "value", store, 800)
     Sketches.writeDaySketches(ev.where(dayofmonth(col("day")) > 21),
@@ -7551,32 +7564,33 @@ object Queries {
       .where(col("value").isNotNull)
     val base = new org.apache.hadoop.fs.Path(
       Scratch.fastDir("graft_q164").getPath)
-    val cp = Scratch.cpDir("graft_q164").getPath
     val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(base)) fs.delete(base, true)
     fs.deleteOnExit(base)
     val stage = s"$base/stage"
-    // KB-scale sketch store, rewritten once per micro-batch: fast
-    // (tmpfs-preferred) root like q158/q160's stores
-    val store = Scratch.fastDir("graft_q164_store").getPath
+    // KB-scale sketch store, rewritten once per micro-batch: same
+    // allocator as q158/q160's stores (the triptych must not drift)
+    val store = kllStoreDir("q164")
     (0 until 3).foreach { i =>
       ev.filter(col("event_id") % 3 === i)
         .coalesce(1).write.mode("append").parquet(stage)
     }
     var batches = 0
-    val q = s.readStream.schema(ev.schema)
-      .option("maxFilesPerTrigger", 1).parquet(stage)
-      .groupBy(col("day"))
-      .agg(Sketches.kllSketch(col("value"), 800).as("sk"))
-      .writeStream.outputMode("complete")
-      .option("checkpointLocation", cp)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        b.write.mode("overwrite").parquet(store)
-        batches += 1
-      }
-      .start()
-    try q.awaitTermination() finally q.stop()
+    graft.streaming.Replay.withLocalCheckpoints(s, "graft_q164") { cp =>
+      val q = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+        .groupBy(col("day"))
+        .agg(Sketches.kllSketch(col("value"), 800).as("sk"))
+        .writeStream.outputMode("complete")
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("overwrite").parquet(store)
+          batches += 1
+        }
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
     require(batches == 3,
       s"q164 replay expected 3 micro-batches, saw $batches")
     kllStoreWeeklyReport(s, ev.select(col("day"), col("value")), store)
@@ -8944,7 +8958,6 @@ object Queries {
       col("user_id"))
     val base = new org.apache.hadoop.fs.Path(
       Scratch.fastDir("graft_q187").getPath)
-    val cp = Scratch.cpDir("graft_q187").getPath
     val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(base)) fs.delete(base, true)
     fs.deleteOnExit(base)
@@ -8955,19 +8968,21 @@ object Queries {
         .coalesce(1).write.mode("append").parquet(stage)
     }
     var batches = 0
-    val q = s.readStream.schema(src.schema)
-      .option("maxFilesPerTrigger", 1).parquet(stage)
-      .groupBy(col("event_type"), col("user_id"))
-      .agg(count(lit(1)).as("n"))
-      .writeStream.outputMode("complete")
-      .option("checkpointLocation", cp)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        b.write.mode("overwrite").parquet(outP)
-        batches += 1
-      }
-      .start()
-    try q.awaitTermination() finally q.stop()
+    graft.streaming.Replay.withLocalCheckpoints(s, "graft_q187") { cp =>
+      val q = s.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream.outputMode("complete")
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("overwrite").parquet(outP)
+          batches += 1
+        }
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
     require(batches == 3,
       s"q187 replay expected 3 micro-batches, saw $batches")
     s.read.parquet(outP)

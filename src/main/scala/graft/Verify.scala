@@ -38,6 +38,12 @@ object Verify {
         }
         val decs = StrategyLog.render(StrategyLog.drain())
         if (decs.nonEmpty) strategies(name) = decs
+        // r14: reap per query like Bench — Verify JVMs were the main
+        // source of orphaned replay/checkpoint scratch (now partly on
+        // tmpfs, i.e. RAM, where "cleaned at reboot" never comes). The
+        // query's result parquet is fully written above, so its
+        // scratch is garbage here by construction.
+        Scratch.reap()
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -266,8 +266,10 @@ object Retrieval {
         val terms = qtRows.map(_.getString(1)).distinct.sorted
         lazy val qGroups = qtRows.groupBy(r => Option(r.get(0)))
         lazy val nQueries = qGroups.size.toLong
-        lazy val ratio = candidateRatio(dtoks,
+        lazy val ratioAndN = candidateRatio(dtoks,
           qtRows.map(_.getString(1)), terms, nDocs, sampleDocs, nQueries)
+        lazy val ratio = ratioAndN._1
+        lazy val sampledN = ratioAndN._2
         lazy val estPairs = (ratio * nDocs * nQueries).toLong
         if (terms.isEmpty || terms.length > maxDenseTerms)
           sparse(s"dict=${terms.length} outside (0, $maxDenseTerms], " +
@@ -282,7 +284,7 @@ object Retrieval {
         else if (ratio < denseAboveCandidateRatio)
           sparse(f"candidateRatio=$ratio%.4f < " +
             f"$denseAboveCandidateRatio%.2f (sampled df over " +
-            s"${math.min(sampleDocs.toLong, nDocs)} docs), nDocs=$nDocs")
+            s"$sampledN hash-spread docs), nDocs=$nDocs")
         else if (estPairs < denseMinCandidatePairs)
           sparse(f"candidateRatio=$ratio%.4f but estPairs=$estPairs < " +
             s"denseMinCandidatePairs=$denseMinCandidatePairs " +
@@ -350,34 +352,61 @@ object Retrieval {
 
   /** The estimated sparse candidate-pair stream as a fraction of
     * |docs|·|queries| (see [[bm25TopK]]'s scaladoc): per-term df is
-    * measured over a bounded sample of `sampleDocs` documents and
-    * scaled to the corpus, weighted by each term's query multiplicity
-    * (`qtermOccurrences`, already driver-side from the caller's one
-    * query collect). ONE bounded plan-time job — the sampled-df
-    * aggregate over ≤ sampleDocs tokenized docs. A sample mis-estimate
-    * flips only the physical strategy, never output.
+    * measured over a bounded document sample and scaled to the corpus,
+    * weighted by each term's query multiplicity (`qtermOccurrences`,
+    * already driver-side from the caller's one query collect). ONE
+    * bounded plan-time job — the sampled-df aggregate over ~sampleDocs
+    * tokenized docs. A sample mis-estimate flips only the physical
+    * strategy, never output. Returns (ratio, actual sampled docs) so
+    * the StrategyLog line reports the sample that was really measured.
+    *
+    * r14 (ADVICE): the sample is a deterministic HASH-MOD spread over
+    * `__did` — `xxhash64(__did) % m == 0` with m sized so the expected
+    * hit count is `sampleDocs` — not the old `limit(sampleDocs)`
+    * prefix. A corpus whose leading rows are unrepresentative (sorted
+    * or clustered by topic/length) biased the prefix's df-hat and
+    * could flip the sparse/dense choice to the slow side; the hash
+    * spread is order-free, seed-free-deterministic, and the ratio's
+    * denominator is the sample's ACTUAL distinct-doc count (grand
+    * total of the same one-job rollup), so hash-mod count variance
+    * cancels out of df/sampleN.
     */
   private def candidateRatio(dtoks: DataFrame,
       qtermOccurrences: Array[String], terms: Array[String],
-      nDocs: Long, sampleDocs: Int, nQueries: Long): Double = {
+      nDocs: Long, sampleDocs: Int, nQueries: Long): (Double, Long) = {
     val spark = dtoks.sparkSession
     import spark.implicits._
-    val sampleN = math.min(sampleDocs.toLong, nDocs)
-    if (sampleN == 0 || nQueries == 0) return 0.0
+    if (nDocs == 0 || nQueries == 0) return (0.0, 0L)
+    val m = math.max(1L, nDocs / math.max(1, sampleDocs))
     val dict = broadcast(terms.toSeq.toDF("__st"))
-    val dfSample = dtoks.limit(sampleDocs)
+    // Sentinel group for docs with no query-term hits: they must stay
+    // in the frame so the rollup's grand total counts EVERY sampled
+    // doc, but must not collide with a real term's df row.
+    val noneKey = "\u0000none"
+    val grouped = dtoks
+      .where(pmod(xxhash64(col("__did")), lit(m)) === 0)
       .select(col("__did"), explode_outer(col("__dt")).as("__t"))
-      .where(col("__t").isNotNull)
-      .join(dict, col("__t") === col("__st"), "left_semi")
+      .join(dict, col("__t") === col("__st"), "left")
+      .select(col("__did"),
+        coalesce(col("__st"), lit(noneKey)).as("__mt"))
       .distinct() // df counts DOCS containing the term, not occurrences
-      .groupBy(col("__t")).agg(count(lit(1)).as("__df"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .rollup(col("__mt"))
+      .agg(countDistinct(col("__did")).as("__df"))
+      .collect()
+    val sampleN = grouped.collectFirst {
+      case r if r.isNullAt(0) => r.getLong(1)
+    }.getOrElse(0L)
+    if (sampleN == 0) return (0.0, 0L)
+    val dfSample = grouped.iterator
+      .filter(r => !r.isNullAt(0) && r.getString(0) != noneKey)
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
     val qCounts = qtermOccurrences.groupBy(identity)
       .map { case (t, occ) => t -> occ.length.toLong }
-    terms.iterator.map { t =>
+    val ratio = terms.iterator.map { t =>
       (dfSample.getOrElse(t, 0L).toDouble / sampleN) *
         qCounts.getOrElse(t, 0L)
     }.sum / nQueries
+    (ratio, sampleN)
   }
 
   /** Reciprocal Rank Fusion: merge N ranked lists — lexical BM25,

@@ -205,26 +205,32 @@ object Bucketing {
       bucketCols: Seq[String], buckets: Int): Boolean = {
     // adopt/rebuild resolutions are runtime strategies (r13, VERDICT
     // r12 item 7): a store that silently fails adoption and rebuilds
-    // per JVM is a perf cliff invisible without the log line
-    def log(strategy: String, detail: String): Boolean = {
+    // per JVM is a perf cliff invisible without the log line. The
+    // adoption RESULT is an explicit argument (r14, ADVICE): the old
+    // helper derived it by string-matching the strategy label, so a
+    // future label typo or new adopt-like label would silently flip
+    // the caller into a rebuild (or worse, a skipped one).
+    def log(strategy: String, detail: String, adopted: Boolean): Boolean = {
       graft.StrategyLog.record("bucketedStore", strategy,
         s"table=$table, $detail")
-      strategy == "adopt" || strategy == "already-registered"
+      adopted
     }
     if (spark.catalog.tableExists(table))
-      return log("already-registered", s"buckets=$buckets")
+      return log("already-registered", s"buckets=$buckets", adopted = true)
     val loc = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(loc)) return log("rebuild-missing", "no directory")
+    if (!fs.exists(loc)) return log("rebuild-missing", "no directory", adopted = false)
     val entries = fs.listStatus(loc)
     val committed = entries.exists(_.getPath.getName == "_SUCCESS") &&
       !entries.exists(_.getPath.getName == "_temporary") &&
       entries.exists(e => e.isFile && e.getPath.getName.startsWith("part-"))
-    if (!committed) return log("rebuild-uncommitted", "no _SUCCESS/part-")
+    if (!committed) return log("rebuild-uncommitted", "no _SUCCESS/part-",
+        adopted = false)
     val markerPath = new org.apache.hadoop.fs.Path(loc, markerName)
     if (!fs.exists(markerPath))
-      return log("rebuild-markerless", "no bucket-spec marker")
+      return log("rebuild-markerless", "no bucket-spec marker",
+        adopted = false)
     val marker = {
       val in = fs.open(markerPath)
       try new String(in.readAllBytes(),
@@ -247,7 +253,8 @@ object Bucketing {
          |CLUSTERED BY ($sortCols) SORTED BY ($sortCols)
          |INTO $buckets BUCKETS
          |LOCATION '${loc.toString}'""".stripMargin)
-    log("adopt", s"buckets=$buckets on ${bucketCols.mkString(",")}")
+    log("adopt", s"buckets=$buckets on ${bucketCols.mkString(",")}",
+      adopted = true)
   }
 
   /** (numBuckets, bucketColumns) of a catalog table, if bucketed. */

@@ -32,7 +32,13 @@ import org.apache.spark.sql.SparkSession
   * Results are recorded in BASELINE.md "Round-13 records".
   */
 object CheckpointProbe {
-  private def fsyncRenameBench(dir: java.io.File, cycles: Int): (Double, Double) = {
+  /** Shared with [[graft.Bench]] (r14, VERDICT item 4): the bench
+    * embeds a `disk_probe` block in bench.json so cross-round
+    * comparisons carry the device state that produced them — the r13
+    * drift adjudication needed three manual runs and prose; now it is
+    * one artifact read.
+    */
+  private[graft] def fsyncRenameBench(dir: java.io.File, cycles: Int): (Double, Double) = {
     dir.mkdirs()
     val payload = ("x" * 512).getBytes
     val lat = new Array[Double](cycles)

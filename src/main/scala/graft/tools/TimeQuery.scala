@@ -62,6 +62,10 @@ object TimeQuery {
         println(f"[timequery] $name runs=${times.map(t => f"$t%.3f").mkString(",")} min=${times.min}%.3f")
         graft.StrategyLog.render(graft.StrategyLog.drain())
           .foreach(d => println(s"[timequery]   strategy: $d"))
+        // r14: micro-bench JVMs leaked replay/cp scratch onto tmpfs
+        // (RAM) between sessions; reap like Bench now that allocations
+        // are registered
+        graft.Scratch.reap()
       }
     }
     spark.stop()
