@@ -375,11 +375,27 @@ object Queries {
   def q14JoinAgg(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
     val o = t(s, dir, "orders")
-    li.join(o, col("l_orderkey") === col("o_orderkey"))
+    // Partial-aggregation pushdown below the fact-fact join (r14,
+    // VERDICT r13 item 5 — the 71.6 s in-suite sf10r row): the final
+    // grouping key (o_orderpriority) is functionally determined by the
+    // join key, so lineitem can be pre-aggregated PER ORDER KEY before
+    // the join — count and the exact cents sum are both decomposable —
+    // and the join then probes ~4× fewer, narrower rows (sf10r: 60M
+    // lineitems → 15M per-order partials) with the same bit-for-bit
+    // result: orders.o_orderkey is unique, and even under duplicate
+    // keys both shapes replicate identically (rows×match vs
+    // partial×match sum the same). Catalyst has no such rewrite (it
+    // only pushes partial aggs through joins for distinct-style
+    // rewrites), so the plan declares it. sum(per-key counts) replaces
+    // count(*) — LongType either way, schema parity with the oracle.
+    val per = li.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("__n"),
+        sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("__cents"))
+    per.join(o, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
-      .agg(count(lit(1)).as("n_items"),
-        (sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
-          .cast("double") / 100).as("revenue"))
+      .agg(sum(col("__n")).as("n_items"),
+        (sum(col("__cents")).cast("double") / 100).as("revenue"))
       .orderBy(col("o_orderpriority"))
   }
 
@@ -2022,7 +2038,26 @@ object Queries {
     val li = t(s, dir, "lineitem").select(col("l_orderkey"),
       col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
       col("l_returnflag"), col("l_shipdate"))
-    val base = Scratch.dir("graft_q121").getPath
+    // Staging root (r14, VERDICT r13 item 5): the three text/columnar
+    // round-trip copies are BULK scratch (~12 GB at sf10r — the one
+    // fast-root tenant whose footprint is data-proportional, not
+    // KB/MB-scale), so the tmpfs need is derived from the actual input:
+    // source parquet bytes × 10 covers CSV+JSON+ORC expansion of this
+    // 6-column slice with margin (measured at sf10r: 1.2 GB parquet →
+    // ~12 GB staged). When tmpfs can hold that, staging skips the disk
+    // write/read component entirely (~18% of the r13 sf10r stall
+    // frames were TimeTrackingOutputStream on the disk tmpdir); when it
+    // can't, fastDir's per-allocation guard degrades to the disk
+    // tmpdir and the run is correct, just slower — and either way the
+    // routing is one StrategyLog line in the artifact. The formatter
+    // CPU (Jackson/Univocity/Iso8601, ~2/3 of the query) is intrinsic
+    // to writing text formats and stays wherever the bytes land.
+    val srcBytes = {
+      val d = new java.io.File(s"$dir/lineitem.parquet")
+      val fs = Option(d.listFiles()).map(_.filter(_.isFile).map(_.length).sum)
+      fs.getOrElse(0L).max(1L << 27)
+    }
+    val base = Scratch.fastDir("graft_q121", needBytes = srcBytes * 10).getPath
     val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
     li.write.mode("overwrite").orc(s"$base/orc")
     li.write.mode("overwrite").option("header", "true")

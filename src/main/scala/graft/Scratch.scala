@@ -106,7 +106,10 @@ object Scratch {
     * disk tmpdir; their staging I/O is latency-bound, not
     * capacity-bound, which is tmpfs's exact trade. Genuinely bulk
     * scratch (q121's format round-trip leaves ~12 GB per run at sf10)
-    * must stay on [[dir]] — tmpfs capacity is RAM. `needBytes` is the
+    * may ALSO route here, but only with a `needBytes` derived from the
+    * actual input size — tmpfs capacity is RAM, and the per-allocation
+    * guard is the only thing standing between a data-proportional
+    * tenant and ENOSPC on a busy host. `needBytes` is the
     * caller's worst-case footprint for THIS allocation; capacity is
     * re-checked per call so a filling tmpfs degrades new allocations
     * instead of failing writes with ENOSPC mid-query.
