@@ -48,6 +48,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("q14 keeps the plain join shape: no per-key pre-aggregate, partial agg after the join") {
+    // r14 adjudication: a partial-agg pushdown (pre-aggregating lineitem
+    // per l_orderkey below the join) measured 1.4× SLOWER than this
+    // shape at sf10r on local shuffle — the ~15M-group pre-aggregate
+    // costs more than the exchange bytes it saves (see q14JoinAgg's
+    // scaladoc for the numbers). This pin keeps the measured-faster
+    // shape: the only aggregates are the 5-group priority rollup
+    // (partial + final), both ABOVE the join.
+    val p = plan("q14_join_agg")
+    assert(!p.contains("HashAggregate(keys=[l_orderkey"),
+      s"per-order-key pre-aggregate reappeared below the join:\n${p.take(2000)}")
+    assert(p.contains("HashAggregate(keys=[o_orderpriority"),
+      s"missing priority aggregate:\n${p.take(2000)}")
+  }
+
   test("q28 ANN broadcasts the query vectors (corpus side streams)") {
     assert(plan("q28_ann_topk").contains("Broadcast"))
   }
