@@ -29,9 +29,18 @@ object Bench {
     // prefix-matched subset.
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    // r14: shuffle/block-manager local dirs route to tmpfs under the
+    // same guarded policy as Scratch.fastDir — see
+    // Scratch.sparkLocalDir's scaladoc for the measured mechanism
+    // (O(maps × reducers) shuffle temp-file creates on a disk whose
+    // per-op latency swings 0.5-11 ms between runs). The decision is
+    // embedded in bench.json as "local_dir" so a cross-round delta can
+    // be attributed from the artifact.
+    val (localDir, localDirDetail) = Scratch.sparkLocalDir(sfDir)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.local.dir", localDir)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // r13 (CheckpointProbe adjudication of the r12 q132/q187 bench
@@ -245,8 +254,13 @@ object Bench {
           // ~1/8th of a sweep) or immediately when tmpdir usable space
           // falls under 32 GiB (the ENOSPC guard proper).
           sinceGc += 1
-          val tmpFree = new java.io.File(
-            System.getProperty("java.io.tmpdir")).getUsableSpace
+          // watch BOTH candidate roots: scratch may sit on the disk
+          // tmpdir while shuffle files sit on tmpfs (r14) — low space
+          // on either warrants the ContextCleaner nudge
+          val tmpFree = math.min(
+            new java.io.File(
+              System.getProperty("java.io.tmpdir")).getUsableSpace,
+            new java.io.File(localDir).getUsableSpace)
           if (sinceGc >= 25 || tmpFree < (32L << 30)) {
             System.gc()
             sinceGc = 0
@@ -328,8 +342,10 @@ object Bench {
       }
       s"""{"tmpdir":${block(probeDisk)},"shm":${block(probeShm)}}"""
     }
+    val localDirJson =
+      s"""{"path":${jstr(localDir)},"detail":${jstr(localDirDetail)}}"""
     val line =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"runs":$runsJson,"errors":$errsJson,"stalls":$stallsJson,"strategies":$strategiesJson,"jit":{"compile_ms":$compileMs,"code_cache_full":$codeCacheFull,"pools":$poolsJson},"disk_probe":$diskProbeJson,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"runs":$runsJson,"errors":$errsJson,"stalls":$stallsJson,"strategies":$strategiesJson,"jit":{"compile_ms":$compileMs,"code_cache_full":$codeCacheFull,"pools":$poolsJson},"disk_probe":$diskProbeJson,"local_dir":$localDirJson,"failed":$failed,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench.json"), line + "\n")
     // The harness keeps only the last ~2000 chars of stdout, and the
     // full line above (97-query map + runs + stalls + JIT canary) is

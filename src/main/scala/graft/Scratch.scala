@@ -136,6 +136,85 @@ object Scratch {
       needBytes: Long = 256L << 20): java.io.File =
     fastDir(s"${prefix}_cp", needBytes)
 
+  /** Recursive byte count of a data directory (plain file walk — the
+    * bench input dirs hold a few hundred parquet files at most).
+    */
+  private[graft] def duBytes(f: java.io.File): Long = {
+    if (f.isFile) f.length
+    else {
+      val kids = f.listFiles()
+      if (kids == null) 0L else kids.map(duBytes).sum
+    }
+  }
+
+  /** Pure decision core of [[sparkLocalDir]], split out so the spec can
+    * pin the policy without a real filesystem: given the input-data
+    * size and tmpfs usable space, tmpfs hosts Spark's local dirs only
+    * when it can absorb the suite's worst-case shuffle footprint —
+    * `max(8 GiB, 32 × input)`. The 32× bound: the widest shuffle
+    * amplification measured across the suite is ~8-10× input bytes
+    * (shingle/n-gram explodes), and dead shuffle files of up to 25
+    * queries can accumulate between Bench's GC nudges before the
+    * ContextCleaner reclaims them; 32× with an 8 GiB floor covers both
+    * with margin. Returns None when tmpfs must not be used.
+    */
+  private[graft] def localDirNeedBytes(inputBytes: Long): Long =
+    math.max(8L << 30, inputBytes * 32)
+
+  /** Root for `spark.local.dir` — shuffle files, block-manager spill,
+    * broadcast pieces — chosen like [[fastDir]] chooses scratch roots:
+    * tmpfs when present AND big enough for the workload, else the JVM
+    * tmpdir (Spark's default). Returns (path, decision detail).
+    *
+    * Why (r14, measured): the sort-shuffle writers create
+    * O(mapTasks × reducePartitions) temp files per exchange and merge
+    * them (`BypassMergeSortShuffleWriter`/`UnsafeShuffleWriter` →
+    * `copyFileStreamNIO` — the dominant stall frames of the regressed
+    * queries), so a shuffle's wall-clock cost carries a
+    * files × create-latency term. This host's disk tmpdir swings
+    * 0.5 → 11 ms per create+hsync+rename between same-day runs
+    * (bench.json `disk_probe` series) while /dev/shm holds steady at
+    * ~0.03 ms; in the degraded window a single 32×32 exchange pays
+    * ~10 s in file creates alone (q121 measured 17.8 s vs 3.9 s).
+    * Interleaved A/B (committed in OPTIMIZATION_r14.md): with the disk
+    * at 3.6 ms/op the 8-query subset ran 30.3 s on disk vs 24.7 s on
+    * tmpfs — every query faster; with a healthy disk the delta is
+    * inside host noise. Routing to tmpfs removes the variance class
+    * rather than betting each run on the disk's mood.
+    *
+    * Production analogue: point `spark.local.dir` at the fastest
+    * local device that can hold the shuffle working set (NVMe, or a
+    * RAM disk for latency-bound small-shuffle workloads) — standard
+    * deployment practice, parameterised here the same way
+    * (`SPARK_LOCAL_DIRS` always wins when set; Spark itself gives the
+    * env var precedence over the conf).
+    *
+    * The guard is scale-adaptive, not host-constant: need grows with
+    * the input directory's actual size, so a small-tmpfs host or a
+    * big-data sweep degrades to the disk tmpdir (status quo) instead
+    * of risking ENOSPC on RAM.
+    */
+  def sparkLocalDir(inputDir: String): (String, String) = {
+    sys.env.get("SPARK_LOCAL_DIRS") match {
+      case Some(p) => (p, s"env SPARK_LOCAL_DIRS=$p (overrides conf)")
+      case None =>
+        shmCandidate match {
+          case Some(shm) =>
+            val in = duBytes(new java.io.File(inputDir))
+            val need = localDirNeedBytes(in)
+            val usable = shm.getUsableSpace
+            if (usable > need)
+              (shm.getPath,
+                f"tmpfs input=${in / 1048576}%dMiB need=${need / (1L << 30)}%dGiB usable=${usable / (1L << 30)}%dGiB")
+            else
+              (System.getProperty("java.io.tmpdir"),
+                f"disk DEGRADED: tmpfs usable=${usable / (1L << 30)}%dGiB < need=${need / (1L << 30)}%dGiB")
+          case None =>
+            (System.getProperty("java.io.tmpdir"), "disk: no writable /dev/shm")
+        }
+    }
+  }
+
   /** Delete every scratch path THIS JVM allocated since the last reap.
     * Callers invoke it between fully-materialized units of work (Bench
     * reaps after each query's runs complete), never while an allocated

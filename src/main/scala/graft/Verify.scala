@@ -11,9 +11,14 @@ object Verify {
     val outDir = args(1)
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // same guarded tmpfs local-dir routing as Bench (r14) — placement
+    // only, results unaffected; spares the correctness dump from the
+    // disk tmpdir's degraded-latency windows
+    val (localDir, _) = Scratch.sparkLocalDir(sfDir)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.local.dir", localDir)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // Ephemeral replay checkpoints don't need corruption detection;

@@ -17,9 +17,14 @@ object TimeQuery {
     val n = args(1).toInt
     val names = args.drop(2).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // match Bench's guarded tmpfs local-dir routing (r14) so
+    // micro-bench numbers stay comparable to suite numbers
+    val (localDir, localDirDetail) = graft.Scratch.sparkLocalDir(sfDir)
+    println(s"[timequery] local_dir=$localDir ($localDirDetail)")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.local.dir", localDir)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled",
         sys.env.getOrElse("SPARK_GRAFT_UI", "false"))
